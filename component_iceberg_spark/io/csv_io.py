@@ -1,0 +1,99 @@
+"""CSV ingest/export matching the reference connector's dialect.
+
+Ingest parity: the reference reads CSV with manifest-declared per-column
+dtypes, delimiter, quote char, header and names
+(reference: ``components/wr-iceberg/src/component.py:69-77``), or forces
+every column to VARCHAR (``all_varchar``,
+``components/wr-iceberg/src/configuration.py:29``).
+
+Export parity: header row, ``,`` delimiter, every field quoted —
+``COPY … (HEADER, DELIMITER ',', FORCE_QUOTE *)``
+(reference: ``components/ex-iceberg/src/component.py:79-82``).
+
+At scale: ``spark.read.csv`` with an explicit schema is a distributed,
+splittable scan (no inference pass); the writer shards across executors
+unless ``single_file`` is requested for byte-stable goldens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Pin empty-vs-NULL round-trip (SURVEY §7 "What's hard"): quoted empty
+# string stays '', absent value stays NULL.
+CSV_OPTS = {
+    "header": "true",
+    "sep": ",",
+    "quote": '"',
+    "escape": '"',
+    "nullValue": "",
+    "emptyValue": '""',
+    "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS[XXX]",
+}
+
+
+def read_csv_typed(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    sep: str = ",",
+    quote: str = '"',
+    header: bool = True,
+) -> DataFrame:
+    """Typed CSV scan — the manifest-declared schema is applied at scan
+    time, so there is no inference pass over the data (one read, not two)."""
+    opts = dict(CSV_OPTS)
+    opts.update({"sep": sep, "quote": quote, "header": str(header).lower()})
+    return spark.read.options(**opts).schema(schema).csv(path)
+
+
+def read_csv_all_varchar(
+    spark: SparkSession,
+    path: str,
+    names: list[str],
+    sep: str = ",",
+    quote: str = '"',
+    header: bool = True,
+) -> DataFrame:
+    """All-VARCHAR CSV scan (``all_varchar`` mode)."""
+    schema = T.StructType([T.StructField(n, T.StringType(), True) for n in names])
+    return read_csv_typed(spark, path, schema, sep=sep, quote=quote, header=header)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    quote_all: bool = True,
+    header: bool = True,
+    order_by: list[str] | None = None,
+    single_file: bool = False,
+) -> None:
+    """Quoted CSV export (``FORCE_QUOTE *`` parity → ``quoteAll``).
+
+    ``order_by`` + ``single_file`` emulates the reference's
+    ``preserve_insertion_order=true`` (ordered, byte-stable export);
+    omitting both is the scalable default — many shards, no global sort —
+    matching ``preserve_insertion_order=false``.
+    """
+    if order_by:
+        df = df.orderBy(*order_by)
+        if single_file:
+            df = df.coalesce(1)
+    opts = dict(CSV_OPTS)
+    opts.update({"quoteAll": str(quote_all).lower(), "header": str(header).lower()})
+    df.write.mode("overwrite").options(**opts).csv(path)
+
+
+def with_row_index(df: DataFrame, order_by: list[str]) -> DataFrame:
+    """Explicit insertion-order key. Spark tables are unordered; an ordered
+    pipeline needs a materialized ordering column (SURVEY §2.3
+    ``order_preserve``). Uses a global ``row_number`` window — at 100 TB
+    prefer ``monotonically_increasing_id`` (order within partition, no
+    global sort) unless a total order is truly required."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    return df.withColumn("_row_idx", F.row_number().over(w))

@@ -1,0 +1,59 @@
+"""Fixture/table loading.
+
+The test fixtures are plain Parquet (one file per table, see
+``/root/repo/TESTDATA.md``). In production the same call sites read
+Iceberg catalog tables; the scan operators in
+:mod:`component_iceberg_spark.operators.scan` accept any DataFrame, so the
+source swap is a one-liner.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Column pruning / predicate pushdown are
+    Catalyst-native on the Parquet scan — callers just select/filter.
+
+    ``events.ts`` is Parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as LongType and is
+    normalized here to micros TIMESTAMP_NTZ with integer division (``div``,
+    never double math — ns-since-epoch exceeds the 53-bit double mantissa).
+    This matches DuckDB's ns→µs truncation bit-for-bit.
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register fixture tables as temp views for the SQL API."""
+    for name in tables:
+        p = table_path(sf_dir, name)
+        if os.path.exists(p):
+            spark.read.parquet(p).createOrReplaceTempView(name)

@@ -1,0 +1,73 @@
+"""Relational extension operators (SURVEY §2.5).
+
+The reference delegates all relational work to DuckDB; this engine expresses
+the same class of work natively on DataFrames so Catalyst plans it:
+
+- Aggregations: hash aggregate with map-side partial aggregation (the
+  shuffle carries one row per (partition, group), not per input row).
+- Joins: Catalyst picks broadcast vs sort-merge; dimension tables below
+  ``spark.sql.autoBroadcastJoinThreshold`` never shuffle the fact side.
+  AQE converts to broadcast at runtime when a filtered side turns out small
+  and splits skewed partitions.
+- Top-k: ``orderBy(...).limit(k)`` plans TakeOrderedAndProject — a per-
+  partition bounded heap + single driver merge, never a global sort.
+- Top-k per group: window ``row_number`` over one shuffle by the group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
+    """Global top-k. Physical plan is TakeOrderedAndProject: O(k) memory per
+    partition, no global sort — survives any scale as long as k is small."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def topk_per_group(
+    df: DataFrame, group_by: list[str], order_by: list[Column], k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top-k per group via ranking window. One shuffle on the group key;
+    skewed groups are handled by AQE skew-join/partition splitting."""
+    w = Window.partitionBy(*group_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    gap: str = "INTERVAL 30 MINUTES",
+) -> DataFrame:
+    """Gap-based sessionization (lag + cumulative sum of session starts).
+
+    Single shuffle on ``user_col``; both windows share the same
+    partitioning so Catalyst plans one Exchange. The streaming twin is
+    ``session_window``/``applyInPandasWithState`` in
+    :mod:`component_iceberg_spark.streaming`.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col(ts_col) > prev + F.expr(gap)), F.lit(1)
+    ).otherwise(F.lit(0))
+    df = df.withColumn("_new_sess", new_sess)
+    df = df.withColumn(
+        "session_id",
+        F.sum("_new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        df.groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+    )

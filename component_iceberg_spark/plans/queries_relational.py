@@ -1,0 +1,439 @@
+"""Relational queries (SURVEY §2.5): aggregation, joins, windows, top-k,
+set ops, rollup, sessionization — TPC-H-shaped over the fixtures.
+
+Float policy (see registry docstring): multi-row double sums/avgs are
+rounded identically on both sides; comparisons/min/max/counts are exact.
+Ranking always tiebreaks on a unique key and ranks on the *rounded*
+measure so both engines pick the same top-k set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from component_iceberg_spark.io.tables import load_table
+from component_iceberg_spark.operators import relational
+from component_iceberg_spark.plans.registry import register
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1 pricing summary (ext_agg_groupby over lineitem)
+# ---------------------------------------------------------------------------
+
+Q1_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 2) AS avg_qty,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=Q1_ORACLE, tags=("relational", "flagship"))
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: filter → hash aggregate (8 measures). Map-side partial
+    aggregation means the shuffle carries ≤ (partitions × 4 groups) rows
+    regardless of input size — the canonical 100 TB-safe aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3-shaped: join fact to dims, aggregate, top-k
+# ---------------------------------------------------------------------------
+
+Q3_ORACLE = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", oracle=Q3_ORACLE, tags=("relational",))
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim (customer) broadcast into the
+    orders⋈lineitem join, aggregate, then TakeOrderedAndProject top-10
+    (bounded heap, no global sort)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    joined = li.join(
+        F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    agg = (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+    return relational.topk(agg, [F.col("revenue").desc(), F.col("l_orderkey")], 10)
+
+
+# ---------------------------------------------------------------------------
+# Q5-shaped: snowflake join through region → nation → customer/supplier
+# ---------------------------------------------------------------------------
+
+Q5_ORACLE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("q5_local_supplier_volume", oracle=Q5_ORACLE, tags=("relational",))
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: all dimensions broadcast; the only shuffle is the
+    final tiny aggregation by nation. Catalyst folds the region filter
+    through nation before the fact join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family: anti / semi (EXISTS / NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+    )
+    """,
+    tags=("relational", "join"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left_anti join (broadcast when the probe side is
+    small; sort-merge otherwise — Catalyst's call). Filtered to 'P' status
+    so the result is non-degenerate at every fixture SF."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+    )
+    """,
+    tags=("relational", "join"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left_semi join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / top-k / set ops / rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_window_rank",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS INTEGER) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+    tags=("relational", "window"),
+)
+def ext_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price: ranking window, one shuffle on
+    the group key; ties broken by the unique order key."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return relational.topk_per_group(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3
+    )
+
+
+@register(
+    "ext_window_analytic",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_orderkey) OVER w AS prev_orderkey,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("relational", "window"),
+)
+def ext_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window family: lag/lead + running sum sharing one window
+    spec → single Exchange + Sort in the physical plan."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            2,
+        ).alias("running_spend"),
+    )
+
+
+@register(
+    "ext_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    tags=("relational",),
+)
+def ext_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by price — TakeOrderedAndProject (no global sort)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return relational.topk(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10)
+
+
+@register(
+    "ext_setop_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    tags=("relational", "setop"),
+)
+def ext_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (customers active in both halves of the date range)."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    early = o.filter(F.col("o_orderdate") < cut).select("o_custkey")
+    late = o.filter(F.col("o_orderdate") >= cut).select("o_custkey")
+    return early.intersect(late)
+
+
+@register(
+    "ext_setop_except",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    tags=("relational", "setop"),
+)
+def ext_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (customers who churned after the cutover). ``subtract`` is
+    SQL EXCEPT's set semantics; ``exceptAll`` would be bag semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    early = o.filter(F.col("o_orderdate") < cut).select("o_custkey")
+    late = o.filter(F.col("o_orderdate") >= cut).select("o_custkey")
+    return early.subtract(late)
+
+
+@register(
+    "ext_agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spend
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("relational", "agg"),
+)
+def ext_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — partial aggregation applies per grouping set,
+    so the shuffle is still group-bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+    )
+
+
+@register(
+    "ext_agg_groupby",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           round(sum(value), 3) AS sum_value,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("relational", "agg"),
+)
+def ext_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregation with exact distinct — Catalyst plans count(distinct)
+    as a two-phase expand+aggregate; min/max are exact doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@register(
+    "ext_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
+           sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("relational", "agg"),
+)
+def ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot = groupBy + pivot with an explicit value list (no extra pass
+    to discover values — required at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "5-LOW"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderstatus",
+            F.coalesce(F.col("1-URGENT"), F.lit(0)).cast("long").alias("urgent"),
+            F.coalesce(F.col("5-LOW"), F.lit(0)).cast("long").alias("low"),
+        )
+    )
+
+
+@register(
+    "ext_sessionize",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM g
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+    tags=("relational", "window"),
+)
+def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + running-sum
+    windows sharing one partitioning → a single shuffle on user_id. The
+    streaming twin lives in streaming/ (session_window + state)."""
+    ev = load_table(spark, sf_dir, "events")
+    return relational.sessionize(ev, "user_id", "ts", "event_id")

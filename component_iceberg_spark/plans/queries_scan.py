@@ -1,0 +1,309 @@
+"""Scan / source / sink / metadata queries (SURVEY §2.1, §2.3, §2.4).
+
+Each entry pairs the Spark implementation with the ANSI-SQL oracle DuckDB
+runs on the same fixtures. Sink ops are validated as round-trips: write
+with the engine, read back, hash against the oracle's view of the original
+table — this checks the full dialect (quoting, NULL/empty, timestamp
+format), not just that a file appeared.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from component_iceberg_spark.io import csv_io
+from component_iceberg_spark.io.tables import load_table
+from component_iceberg_spark.operators import scan
+from component_iceberg_spark.plans.registry import register
+from component_iceberg_spark.typebridge import describe
+
+SCRATCH_ROOT = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/cis_scratch")
+
+
+def _scratch(sf_dir: str, key: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(SCRATCH_ROOT, tag, key)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Scans (reference: components/ex-iceberg/src/component.py:30-40)
+# ---------------------------------------------------------------------------
+
+
+@register("scan_full", oracle="SELECT * FROM region", tags=("parity", "scan"))
+def scan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full table scan, all columns."""
+    return scan.scan_full(load_table(spark, sf_dir, "region"))
+
+
+@register(
+    "scan_projection",
+    oracle="SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem",
+    tags=("parity", "scan"),
+)
+def scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column projection (``selected_fields`` parity); Parquet ReadSchema
+    prunes to exactly these three columns."""
+    return scan.scan_projection(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+
+@register(
+    "scan_limit",
+    oracle="SELECT * FROM orders LIMIT 100000",
+    tags=("parity", "scan"),
+)
+def scan_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-limit scan with the reference's 100k hard cap
+    (``ex-iceberg/src/component.py:37``). Deterministic at correctness SF
+    because the cap exceeds the table size; at larger SF it's a prefix-
+    undefined sample, same as the reference."""
+    return scan.scan_limit(load_table(spark, sf_dir, "orders"), 100_000)
+
+
+@register(
+    "scan_filter_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_quantity < 10
+    """,
+    tags=("scan",),
+)
+def scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered + projected scan. The reference has no filter surface; in
+    Spark the predicate lands in PushedFilters (Parquet row-group skip)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return scan.scan_filter(
+        li.select("l_orderkey", "l_quantity", "l_shipdate"),
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_quantity") < 10),
+    )
+
+
+@register(
+    "scan_custom_sql",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+    tags=("parity",),
+)
+def scan_custom_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-query mode: declared in the reference UI but unimplemented
+    (``ex-iceberg/component_config/configRowSchema.json:94-107``); here it is
+    simply ``spark.sql`` over the registered views."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# CSV source (reference: components/wr-iceberg/src/component.py:69-77)
+# ---------------------------------------------------------------------------
+
+_NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+
+def _nation_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the nation fixture as the reference-dialect CSV (quoted,
+    header) so the CSV scan under test reads real connector input."""
+    path = _scratch(sf_dir, "nation_csv")
+    csv_io.write_csv(load_table(spark, sf_dir, "nation"), path, quote_all=True)
+    return path
+
+
+@register(
+    "source_csv_typed",
+    oracle="SELECT * FROM nation",
+    tags=("parity", "source"),
+)
+def source_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed CSV ingest: manifest-declared schema applied at scan time
+    (no inference pass). Round-trip through the reference CSV dialect must
+    reproduce the original table exactly."""
+    return csv_io.read_csv_typed(spark, _nation_csv(spark, sf_dir), _NATION_SCHEMA)
+
+
+@register(
+    "source_csv_all_varchar",
+    oracle="""
+    SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+           n_name,
+           CAST(n_regionkey AS VARCHAR) AS n_regionkey
+    FROM nation
+    """,
+    tags=("parity", "source"),
+)
+def source_csv_all_varchar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``all_varchar`` ingest mode: every column STRING
+    (``wr-iceberg/src/configuration.py:29``)."""
+    return csv_io.read_csv_all_varchar(
+        spark,
+        _nation_csv(spark, sf_dir),
+        ["n_nationkey", "n_name", "n_regionkey"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sinks (reference: components/ex-iceberg/src/component.py:50-82)
+# ---------------------------------------------------------------------------
+
+_LI_SUBSET_SQL = """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+    FROM lineitem
+"""
+
+_LI_SUBSET_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_shipdate", T.TimestampNTZType()),
+    ]
+)
+
+
+@register("sink_csv", oracle=_LI_SUBSET_SQL, tags=("parity", "sink"))
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-CSV export (HEADER, ',', FORCE_QUOTE * parity) validated by
+    round-trip: values (incl. doubles via shortest-repr and timestamps via
+    the pinned format) must survive bit-exact."""
+    df = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+    out = _scratch(sf_dir, "sink_csv")
+    csv_io.write_csv(df, out, quote_all=True)
+    return csv_io.read_csv_typed(spark, out, _LI_SUBSET_SCHEMA)
+
+
+@register("sink_parquet", oracle=_LI_SUBSET_SQL, tags=("parity", "sink"))
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet export (``COPY out_table TO '….parquet'`` parity) validated
+    by round-trip."""
+    df = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+    out = _scratch(sf_dir, "sink_parquet")
+    df.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@register(
+    "order_preserve",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           CAST(row_number() OVER (ORDER BY n_nationkey) AS INTEGER) AS _row_idx
+    FROM nation
+    """,
+    tags=("parity",),
+)
+def order_preserve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``preserve_insertion_order=true`` semantics: Spark tables are
+    unordered, so ordered export materializes an explicit ordering key
+    (SURVEY §2.3). The unordered mode is simply the absence of this step."""
+    df = load_table(spark, sf_dir, "nation")
+    return csv_io.with_row_index(df, ["n_nationkey"])
+
+
+# ---------------------------------------------------------------------------
+# Metadata (reference: components/ex-iceberg/src/component.py:57-66, 110-136)
+# ---------------------------------------------------------------------------
+
+_LINEITEM_BASE_TYPES = [
+    ("l_orderkey", "bigint", "INTEGER"),
+    ("l_partkey", "bigint", "INTEGER"),
+    ("l_suppkey", "bigint", "INTEGER"),
+    ("l_linenumber", "int", "INTEGER"),
+    ("l_quantity", "double", "FLOAT"),
+    ("l_extendedprice", "double", "FLOAT"),
+    ("l_discount", "double", "FLOAT"),
+    ("l_tax", "double", "FLOAT"),
+    ("l_returnflag", "string", "STRING"),
+    ("l_linestatus", "string", "STRING"),
+    ("l_shipdate", "timestamp_ntz", "TIMESTAMP"),
+]
+
+_META_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    f"('{c}', '{s}', '{b}')" for c, s, b in _LINEITEM_BASE_TYPES
+) + ") AS t(column_name, spark_type, base_type)"
+
+
+@register("meta_describe", oracle=_META_ORACLE, tags=("parity", "meta"))
+def meta_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE + Keboola base-type down-mapping
+    (``convert_base_types`` parity, ``ex-iceberg/src/component.py:110-136``).
+    The oracle is a hardcoded golden — it pins the mapping itself."""
+    triples = describe(load_table(spark, sf_dir, "lineitem"))
+    return spark.createDataFrame(
+        triples, schema="column_name string, spark_type string, base_type string"
+    )
+
+
+@register(
+    "cast_coerce",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_orderkey AS VARCHAR) AS key_str,
+           CAST(l_shipdate AS DATE) AS ship_date,
+           CAST(l_linenumber AS BIGINT) AS linenumber_big,
+           CAST(l_returnflag = 'R' AS BOOLEAN) AS is_return
+    FROM lineitem
+    """,
+    tags=("parity",),
+)
+def cast_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type coercion pipeline (``cast_coerce`` parity — the reference
+    coerces CSV values to declared types and surfaces failures as user
+    errors; Spark ANSI mode gives the same strictness)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_linenumber").cast("bigint").alias("linenumber_big"),
+        (F.col("l_returnflag") == "R").alias("is_return"),
+    )
+
+
+@register(
+    "insert_union",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("parity",),
+)
+def insert_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch append as UNION ALL by position (the reference's INSERT INTO
+    … SELECT loop, ``ex-iceberg/src/component.py:46-48``)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    a = o.filter(F.col("o_orderstatus") == "F").drop("o_orderstatus")
+    b = o.filter(F.col("o_orderstatus") == "O").drop("o_orderstatus")
+    return a.unionAll(b)

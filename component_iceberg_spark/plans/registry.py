@@ -1,0 +1,78 @@
+"""Central operator/query registry.
+
+Each entry in SURVEY.md §2 registers here exactly once: a name, a Spark
+callable ``(spark, sf_dir) -> DataFrame``, and (when SQL-expressible) the
+equivalent ANSI SQL the DuckDB oracle runs over the same Parquet fixtures.
+The driver's correctness gate and the local pytest harness consume the
+same registry, so "tests green" locally means the gate passes.
+
+Determinism rules every query follows (so order-insensitive value-hash
+comparison against DuckDB is exact):
+
+- Alias every computed column identically in Spark and SQL.
+- Never rely on row order; when an op is inherently ordered (top-k,
+  ranks), break ties with a unique key so the *set* is deterministic.
+- Floating aggregates that sum many doubles are rounded (2-6 dp) on BOTH
+  sides: Spark and DuckDB may sum in different orders, differing in ulps;
+  rounding absorbs that while still validating the math.
+- Integer / string / timestamp results are compared exactly.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class EngineQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB, or None → rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, EngineQuery] = {}
+
+_QUERY_MODULES = (
+    "component_iceberg_spark.plans.queries_scan",
+    "component_iceberg_spark.plans.queries_relational",
+    "component_iceberg_spark.plans.queries_mutation",
+    "component_iceberg_spark.plans.queries_text",
+    "component_iceberg_spark.plans.queries_similarity",
+    "component_iceberg_spark.plans.queries_multimodal",
+    "component_iceberg_spark.plans.queries_streaming",
+)
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: add a query to the registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = EngineQuery(
+            name=name, fn=fn, oracle=oracle, doc=(fn.__doc__ or ""), tags=tags
+        )
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, EngineQuery]:
+    """Import every query module (idempotent) and return the registry."""
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as e:
+            # Allow partial builds: a not-yet-written module just contributes
+            # nothing. Anything else (typo inside a module) must surface.
+            if e.name != mod:
+                raise
+    return REGISTRY

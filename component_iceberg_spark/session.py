@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` (one JVM); the same configuration keys
+are what a 1000-executor deployment would tune — shuffle partition count,
+AQE (runtime re-planning, partition coalescing, skew-join splitting), and
+broadcast threshold. Nothing here is local-mode specific except the master.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+
+def get_spark(
+    app_name: str = "component_iceberg_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    - AQE on: runtime coalescing of small shuffle partitions and skew-join
+      splitting — at 100 TB the static partition count is always wrong for
+      some stage, AQE fixes it from runtime statistics.
+    - ``spark.sql.session.timeZone=UTC``: timestamps behave like the
+      reference's UTC-naive DuckDB staging engine.
+    - Arrow enabled: every pandas interchange (Pandas UDFs, toPandas)
+      batches through Arrow instead of pickled rows.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Parquet TIMESTAMP(NANOS) (e.g. the events fixture) is not a legal
+        # Spark timestamp; read it as nanos-since-epoch LongType and let the
+        # loader down-convert to micros (matches DuckDB's ns→µs truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
