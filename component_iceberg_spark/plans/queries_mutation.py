@@ -1,0 +1,250 @@
+"""Row-level mutation + snapshot-table queries (SURVEY §2.1, §2.2, §2.4).
+
+``upsert_by_key`` is the reference's most interesting operator (pyiceberg
+``table.upsert``, ``wr-iceberg/src/component.py:107-108``): matched rows
+take all columns from the source, unmatched insert, last-wins on source-
+internal key duplicates. Here it's a distributed anti-join + union — the
+same physical shape Iceberg's copy-on-write MERGE produces — checkable by
+a pure-SQL oracle.
+
+The ``snap_*`` queries exercise the snapshot table layer end-to-end
+(create → append → replace → upsert → time travel → snapshot listing),
+rebuilding a scratch warehouse per invocation so snapshot ids are
+deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from component_iceberg_spark.io.snaptable import SnapCatalog
+from component_iceberg_spark.io.tables import load_table
+from component_iceberg_spark.plans.registry import register
+
+SCRATCH_ROOT = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/cis_scratch")
+
+
+def _warehouse(sf_dir: str, key: str) -> SnapCatalog:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(SCRATCH_ROOT, tag, "warehouse", key)
+    # fresh per invocation → deterministic snapshot ids
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    return SnapCatalog(path)
+
+
+# Base/delta split of orders used by every upsert-shaped query: ~2/3 of
+# orders form the target, every even key arrives as a delta with a bumped
+# price (x*1.1 is a single IEEE op — bit-identical in Spark and DuckDB).
+_UPSERT_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 3 <> 0
+), delta AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice * 1.1 AS o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+UNION ALL
+SELECT * FROM delta
+"""
+
+
+def _upsert_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") % 3 != 0)
+    delta = o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    return base, delta
+
+
+@register("upsert_by_key", oracle=_UPSERT_ORACLE, tags=("parity", "mutation"))
+def upsert_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE as anti-join + union: one shuffle on the key; identical result
+    to Iceberg ``MERGE INTO … UPDATE SET * / INSERT *``
+    (see io.iceberg.merge_upsert_sql for the connector path)."""
+    base, delta = _upsert_inputs(spark, sf_dir)
+    survivors = base.join(delta.select("o_orderkey"), "o_orderkey", "left_anti")
+    return survivors.unionByName(delta)
+
+
+@register(
+    "dedup_last_wins",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("parity", "mutation"),
+)
+def dedup_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One surviving row per key, latest wins (the upsert's implied dedup,
+    SURVEY §2.2): ranking window with a unique tiebreak, one shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "incremental_load_flag",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           TRUE AS _incremental
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    """,
+    tags=("parity", "mutation"),
+)
+def incremental_load_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractor's incremental-load mode (``load_type`` →
+    ``incremental``, ``ex-iceberg/src/configuration.py:44-50``): the
+    changed slice is emitted with the incremental marker; downstream
+    applies it via upsert_by_key instead of full replace."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(True).alias("_incremental"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot table layer end-to-end (scan_snapshot, sink_iceberg_*, ddl_*,
+# list_* — SURVEY §2.1/§2.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snap_append_timetravel",
+    oracle="SELECT * FROM nation WHERE n_regionkey < 3",
+    tags=("parity", "snapshot"),
+)
+def snap_append_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create (snapshot 1) → append (snapshot 2) → read VERSION AS OF 1:
+    the append is metadata-only, so snapshot 1 must read back exactly the
+    original data (``scan_snapshot`` parity)."""
+    cat = _warehouse(sf_dir, "timetravel")
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "nation", n.filter(F.col("n_regionkey") < 3))
+    cat.append("ns", "nation", n.filter(F.col("n_regionkey") >= 3))
+    return cat.read(spark, "ns", "nation", snapshot_id=1)
+
+
+@register(
+    "snap_append_current",
+    oracle="SELECT * FROM nation",
+    tags=("parity", "snapshot"),
+)
+def snap_append_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline, current snapshot: create + append = whole table
+    (``sink_iceberg_append`` + ``ddl_create_table_from_schema`` parity:
+    the table schema derives from the first DataFrame, schema-on-first-write
+    as in ``wr-iceberg/src/component.py:104-124``)."""
+    cat = _warehouse(sf_dir, "append_current")
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "nation", n.filter(F.col("n_regionkey") < 3))
+    cat.append("ns", "nation", n.filter(F.col("n_regionkey") >= 3))
+    return cat.read(spark, "ns", "nation")
+
+
+@register(
+    "snap_replace",
+    oracle="SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'",
+    tags=("parity", "snapshot"),
+)
+def snap_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replace commit: second create_or_replace atomically supersedes the
+    first (``sink_iceberg_replace`` parity,
+    ``wr-iceberg/src/component.py:115-124``)."""
+    cat = _warehouse(sf_dir, "replace")
+    c = load_table(spark, sf_dir, "customer")
+    cat.create_or_replace("ns", "customer", c.filter(F.col("c_mktsegment") == "AUTOMOBILE"))
+    cat.create_or_replace("ns", "customer", c.filter(F.col("c_mktsegment") == "BUILDING"))
+    return cat.read(spark, "ns", "customer")
+
+
+@register("snap_upsert", oracle=_UPSERT_ORACLE, tags=("parity", "snapshot"))
+def snap_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same MERGE semantics executed through the snapshot table layer
+    (write base → upsert delta → read current)."""
+    cat = _warehouse(sf_dir, "upsert")
+    base, delta = _upsert_inputs(spark, sf_dir)
+    cat.create_or_replace("ns", "orders", base)
+    cat.upsert("ns", "orders", delta, keys=["o_orderkey"])
+    return cat.read(spark, "ns", "orders")
+
+
+@register(
+    "snap_snapshots_list",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'replace'),
+        (CAST(2 AS BIGINT), 'append'),
+        (CAST(3 AS BIGINT), 'upsert')
+    ) AS t(snapshot_id, operation)
+    """,
+    tags=("parity", "meta", "snapshot"),
+)
+def snap_snapshots_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot enumeration (``list_snapshots`` sync action,
+    ``ex-iceberg/src/component.py:148-157``). Wall-clock column dropped for
+    determinism; ids/operations are the golden."""
+    cat = _warehouse(sf_dir, "snaplist")
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "nation", n.filter(F.col("n_regionkey") < 3))
+    cat.append("ns", "nation", n.filter(F.col("n_regionkey") >= 3))
+    cat.upsert("ns", "nation", n.limit(0).unionByName(n.filter(F.col("n_nationkey") == 0)), keys=["n_nationkey"])
+    return cat.snapshots(spark, "ns", "nation").select("snapshot_id", "operation")
+
+
+@register(
+    "snap_catalog_meta",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('analytics', 'customers'),
+        ('analytics', 'nations'),
+        ('raw', 'events_log')
+    ) AS t(namespace, table_name)
+    """,
+    tags=("parity", "meta"),
+)
+def snap_catalog_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog namespace/table enumeration (``list_namespaces`` /
+    ``list_tables`` sync actions + ``ddl_create_namespace``,
+    ``ex-iceberg/src/component.py:138-146``)."""
+    cat = _warehouse(sf_dir, "meta")
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_namespace("raw")
+    cat.create_or_replace("analytics", "customers", load_table(spark, sf_dir, "customer").limit(5))
+    cat.create_or_replace("analytics", "nations", n.limit(5))
+    cat.create_or_replace("raw", "events_log", load_table(spark, sf_dir, "events").limit(5))
+    rows = [
+        (ns, tbl) for ns in cat.list_namespaces() for tbl in cat.list_tables(ns)
+    ]
+    return spark.createDataFrame(rows, schema="namespace string, table_name string")
