@@ -1,0 +1,228 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design (the reason these exist — 100 TB corpora):
+
+- **Exact**: one hash-aggregate on a fingerprint column. Map-side partial
+  aggregation makes the shuffle proportional to distinct docs.
+- **n-gram Jaccard (brute)**: shingle-level self-join. Exact, but the join
+  fan-out is quadratic in shingle document-frequency — only safe below
+  ~10M docs or as the *verification* stage after LSH. This is the oracle-
+  checkable ground truth.
+- **MinHash-LSH**: the scale path. Signature = K independent min-hashes
+  over shingles; band the signature so probability of a candidate pair
+  collision is ~1-(1-j^R)^B; verify candidates exactly. Each stage is one
+  keyed shuffle; candidate volume is tunable by (B, R) instead of being
+  data-determined. Hashes are md5-derived so the DuckDB oracle can run the
+  *identical* algorithm — the correctness check covers the LSH itself, not
+  just the verified output.
+- **SimHash**: 64-bit fingerprint whose Hamming distance tracks cosine
+  similarity of token multisets; banding 4×16 bits guarantees (pigeonhole)
+  that any pair within Hamming ≤ 3 collides in at least one band.
+
+All stages are DataFrame expressions (codegen'd); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from component_iceberg_spark.operators.text import shingles, tokens
+
+NUM_HASHES = 12
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+SHINGLE_N = 3
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc."""
+    return (
+        df.select(F.col(id_col).alias("doc"), shingles(tokens(F.col(text_col)), SHINGLE_N).alias("sh"))
+        .select("doc", F.explode("sh").alias("shingle"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, fingerprint_col) -> DataFrame:
+    """Exact dedup: one row per fingerprint, smallest id is the canonical
+    representative, n_copies counts the duplicates."""
+    return (
+        df.select(F.col(id_col).alias("rep_doc_id"), fingerprint_col.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("rep_doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("fp", "rep_doc_id", "n_copies")
+    )
+
+
+def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact n-gram Jaccard over (doc, shingle) pairs: self-join on
+    shingle → intersection counts → |A∪B| from per-doc sizes.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    """
+    cnt = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i") * 1.0 / (F.col("ca.n") + F.col("cb.n") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """K min-hashes per doc. Hash k of a shingle is md5(shingle||'#k') —
+    string min is well-ordered and identical in any engine."""
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{k}")))).alias(f"h{k}")
+        for k in range(NUM_HASHES)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Band the signature (B bands × R rows) and emit candidate pairs that
+    collide in ≥1 band. Shuffle key = (band_idx, band_key): collision
+    buckets are tiny by construction, so the self-join never explodes."""
+    bands = None
+    for b in range(BANDS):
+        cols = [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        part = sig.select(
+            "doc",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    x = bands.alias("x")
+    y = bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str, threshold: float) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle → sign → band → candidates →
+    exact-verify. Returns verified (doc_a, doc_b, jaccard ≥ threshold)."""
+    sh = doc_shingles(df, id_col, text_col)
+    cand = lsh_candidates(minhash_signatures(sh))
+    cnt = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cand.join(a, F.col("doc_a") == F.col("a.doc"))
+        .join(b, (F.col("doc_b") == F.col("b.doc")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i") * 1.0 / (F.col("ca.n") + F.col("cb.n") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc from md5-derived token hashes.
+
+    Each token contributes ±1 votes on 64 bit positions (4 bits per hex
+    nibble of its md5); the sign of each summed position is the fingerprint
+    bit. Emitted as 4×16-bit integer bands (s0..s3) for banded near-dup
+    search — one aggregation, all expression-level.
+    """
+    tok = (
+        df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("t"))
+        .select("doc", F.explode(F.array_distinct("t")).alias("token"))
+        .withColumn("h", F.md5("token"))
+    )
+    # votes: nibble p (0..15) supplies bits 4p..4p+3
+    vote_aggs = []
+    for p in range(16):
+        nib = F.conv(F.substring("h", p + 1, 1), 16, 10).cast("int")
+        for b in range(4):
+            bit = F.shiftrightunsigned(nib, b).bitwiseAND(F.lit(1))
+            vote_aggs.append(F.sum(bit * 2 - 1).alias(f"v{p * 4 + b}"))
+    votes = tok.groupBy("doc").agg(*vote_aggs)
+    # pack sign bits into 4 × 16-bit band integers
+    band_cols = []
+    for band in range(4):
+        expr = F.lit(0)
+        for j in range(16):
+            bitpos = band * 16 + j
+            bit = F.when(F.col(f"v{bitpos}") > 0, 1).otherwise(0)
+            expr = expr + bit * F.lit(1 << j)
+        band_cols.append(expr.alias(f"s{band}"))
+    return votes.select("doc", *band_cols)
+
+
+def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates collide on ≥1 of the 4
+    16-bit bands (pigeonhole-complete for Hamming ≤ 3), then exact Hamming
+    filter via bit_count(xor)."""
+    bands = None
+    for band in range(4):
+        part = sig.select("doc", F.lit(band).alias("band"), F.col(f"s{band}").alias("key"))
+        bands = part if bands is None else bands.unionByName(part)
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    ham = sum(
+        F.bit_count(
+            F.col(f"sa.s{band}").bitwiseXOR(F.col(f"sb.s{band}")).cast("long")
+        )
+        for band in range(4)
+    )
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

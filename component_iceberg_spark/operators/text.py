@@ -1,0 +1,91 @@
+"""Text-analysis operators for training-data pipelines.
+
+All ops are pure ``pyspark.sql.functions`` expression trees — JVM-side,
+whole-stage-codegen'd, no Python in the hot path. Each has an exact SQL
+twin (the oracle) because the expressions are deterministic: integer
+counts, regex counts, and single-step double divisions are bit-identical
+across engines.
+
+Scale: every op here is embarrassingly parallel (per-row projection or a
+single keyed aggregation) — at 100 TB they pipeline inside the scan stage
+with zero extra shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Word-boundary token pattern for the BPE-ish count: letter runs, digit
+# runs, or single non-space symbols — the classic pre-tokenizer shape.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+WHITESPACE_RE = r"\s+"
+
+# Small per-language stopword lists for the n-gram/stopword language
+# heuristic. Disjoint across languages so the argmax is unambiguous.
+LANG_STOPWORDS = {
+    "en": ("the", "and", "is", "of", "to"),
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "fr": ("le", "la", "et", "les", "dans"),
+    "es": ("el", "los", "una", "por", "como"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (trim first so edge whitespace doesn't mint
+    empty tokens — matches ``regexp_split_to_array(trim(x), '\\s+')``)."""
+    return F.split(F.trim(col), WHITESPACE_RE)
+
+
+def shingles(tokens_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles. Pure array expression (no UDF):
+    guard short docs, slide an index window, concat."""
+    idx = F.sequence(F.lit(0), F.size(tokens_col) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens_col, (i + k + 1).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(tokens_col) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def stopword_hits(col: Column, words: tuple[str, ...]) -> Column:
+    """Count of stopword occurrences via one word-boundary regex."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pat))
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-vote language ID with deterministic preference order and
+    'und' (undetermined) when nothing matches."""
+    scores = {lang: stopword_hits(col, ws) for lang, ws in LANG_STOPWORDS.items()}
+    c_en, c_de, c_fr, c_es = (scores[lang] for lang in ("en", "de", "fr", "es"))
+    # Explicit cascade: en wins ties over de over fr over es — the same CASE
+    # the oracle states, so tie-breaking is pinned cross-engine.
+    return (
+        F.when((c_en >= c_de) & (c_en >= c_fr) & (c_en >= c_es) & (c_en > 0), "en")
+        .when((c_de >= c_fr) & (c_de >= c_es) & (c_de > 0), "de")
+        .when((c_fr >= c_es) & (c_fr > 0), "fr")
+        .when(c_es > 0, "es")
+        .otherwise("und")
+    )
+
+
+def normalized(col: Column) -> Column:
+    """Canonical text form for fingerprinting: lowercase, strip
+    non-alphanumerics to spaces, collapse runs, trim."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint = md5 of the normalized text
+    (cross-engine stable, unlike xxhash64/murmur which differ per engine)."""
+    return F.md5(normalized(col))

@@ -1,0 +1,251 @@
+"""Text-analysis + dedup queries over the documents table (SURVEY §2.5 /
+north-star extensions).
+
+Oracle strategy: every expression is deterministic cross-engine (regex
+counts, integer math, md5, string min), so even the MinHash-LSH pipeline
+has an *exact* oracle — the DuckDB SQL runs the identical algorithm with
+the same hash constructions, generated from the same constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from component_iceberg_spark.io.tables import load_table
+from component_iceberg_spark.operators import dedup as D
+from component_iceberg_spark.operators import text as X
+from component_iceberg_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Token / quality metrics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tokens",
+    oracle=rf"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '{X.BPE_TOKEN_RE}')) AS n_bpe_tokens,
+           round(length(text) * 1.0 /
+                 len(regexp_split_to_array(trim(text), '\s+')), 4) AS chars_per_token
+    FROM documents
+    """,
+    tags=("ext", "text"),
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish pre-tokenizer regex
+    count. Pure projections — pipeline inside the scan stage."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.regexp_count("text", F.lit(X.BPE_TOKEN_RE)).alias("n_bpe_tokens"),
+        F.round(F.length("text") * 1.0 / F.size(toks), 4).alias("chars_per_token"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=r"""
+    SELECT doc_id,
+           round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0
+                 / length(text), 6) AS punct_ratio,
+           round(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|a|in)\b'))
+                 * 1.0 / len(regexp_split_to_array(trim(text), '\s+')), 6)
+               AS stopword_ratio,
+           round(LEAST(len(regexp_split_to_array(trim(text), '\s+')) / 64.0, 1.0)
+                 * 0.5
+                 + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0
+                    / length(text)) * 0.5, 6) AS quality_score
+    FROM documents
+    """,
+    tags=("ext", "text"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: punctuation ratio, stopword ratio, and a composite
+    score (length saturation + cleanliness) — the standard cheap filters
+    before expensive pipeline stages."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(X.tokens(F.col("text")))
+    punct = F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]"))
+    stop = F.regexp_count(F.lower("text"), F.lit(r"\b(the|and|is|of|to|a|in)\b"))
+    punct_ratio = punct * 1.0 / F.length("text")
+    return d.select(
+        "doc_id",
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop * 1.0 / n_tokens, 6).alias("stopword_ratio"),
+        F.round(
+            F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.5
+            + (F.lit(1.0) - punct_ratio) * 0.5,
+            6,
+        ).alias("quality_score"),
+    )
+
+
+def _lang_case_sql() -> str:
+    c = {
+        lang: rf"len(regexp_extract_all(lower(text), '\b({'|'.join(ws)})\b'))"
+        for lang, ws in X.LANG_STOPWORDS.items()
+    }
+    return f"""
+    SELECT doc_id,
+           CASE
+             WHEN {c['en']} >= {c['de']} AND {c['en']} >= {c['fr']}
+                  AND {c['en']} >= {c['es']} AND {c['en']} > 0 THEN 'en'
+             WHEN {c['de']} >= {c['fr']} AND {c['de']} >= {c['es']}
+                  AND {c['de']} > 0 THEN 'de'
+             WHEN {c['fr']} >= {c['es']} AND {c['fr']} > 0 THEN 'fr'
+             WHEN {c['es']} > 0 THEN 'es'
+             ELSE 'und'
+           END AS lang_pred
+    FROM documents
+    """
+
+
+@register("text_langid", oracle=_lang_case_sql(), tags=("ext", "text"))
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with pinned tie-breaking (en>de>fr>es) and
+    'und' fallback."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", X.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                   '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    tags=("ext", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text md5 fingerprint (cross-engine-stable hash choice)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                   '\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS rep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("ext", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized fingerprint: hash-aggregate, min-id
+    representative. Shuffle ∝ distinct docs (map-side combine)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(d, "doc_id", X.fingerprint(F.col("text")))
+
+
+_SHINGLE_SQL = r"""
+sh AS (
+    SELECT doc_id AS doc,
+           unnest(list_distinct(CASE WHEN len(arr) >= 3 THEN
+               list_transform(range(1, len(arr)-1),
+                              i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])
+               ELSE [] END)) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+          FROM documents)
+)
+"""
+
+_JACCARD_ORACLE = f"""
+WITH {_SHINGLE_SQL},
+cnt AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc = doc_a
+JOIN cnt cb ON cb.doc = doc_b
+WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("ext", "dedup"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.8). The brute
+    shingle self-join — ground truth below ~10M docs; above that it is the
+    verification stage behind MinHash-LSH (next query)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.doc_shingles(d, "doc_id", "text")
+    return D.jaccard_pairs(sh, 0.8)
+
+
+def _minhash_oracle() -> str:
+    h = ", ".join(
+        f"min(md5(shingle || '#{k}')) AS h{k}" for k in range(D.NUM_HASHES)
+    )
+    band_rows = []
+    for b in range(D.BANDS):
+        cols = " || '|' || ".join(
+            f"h{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)
+        )
+        band_rows.append(f"SELECT doc, {b} AS band, md5({cols}) AS key FROM sig")
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+WITH {_SHINGLE_SQL},
+sig AS (SELECT doc, {h} FROM sh GROUP BY doc),
+bands AS ({bands}),
+cand AS (
+    SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.key = y.key AND x.doc < y.doc
+),
+cnt AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+inter AS (
+    SELECT doc_a, doc_b, count(*) AS i
+    FROM cand
+    JOIN sh a ON a.doc = doc_a
+    JOIN sh b ON b.doc = doc_b AND a.shingle = b.shingle
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc = doc_a
+JOIN cnt cb ON cb.doc = doc_b
+WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("ext", "dedup"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection, exact-verified. The oracle runs the
+    *same* LSH (same md5 hash family, bands, rows) in SQL, so the check
+    covers candidate generation — not just the verified survivors. Scale
+    path for 100 TB: every stage is one keyed shuffle with tunable
+    candidate volume (B×R), vs. the brute join's data-determined fan-out."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup(d, "doc_id", "text", 0.8)
+
+
+@register("dedup_simhash", oracle=None, tags=("ext", "dedup"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 over 64 bits, banded 4×16 so
+    candidate generation is pigeonhole-complete). Rows-only check: the
+    64-way bit-vote aggregation has no tractable ANSI-SQL twin."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(D.simhash(d, "doc_id", "text"), max_hamming=3)
