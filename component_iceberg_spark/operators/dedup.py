@@ -36,9 +36,21 @@ SHINGLE_N = 3
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, shingle) pairs, distinct per doc."""
+    """(id, shingle) pairs, distinct per doc.
+
+    Repartitions first: the CPU cost is in the per-doc regex/array work,
+    and a small input (one parquet file → one partition) would otherwise
+    pin the whole corpus to a single core. At 100 TB the scan already
+    yields thousands of partitions and this repartition is a no-op knob.
+    """
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     return (
-        df.select(F.col(id_col).alias("doc"), shingles(tokens(F.col(text_col)), SHINGLE_N).alias("sh"))
+        spread.select(
+            F.col(id_col).alias("doc"),
+            shingles(tokens(F.col(text_col)), SHINGLE_N).alias("sh"),
+        )
         .select("doc", F.explode("sh").alias("shingle"))
     )
 
@@ -126,8 +138,16 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
 
 def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str, threshold: float) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band → candidates →
-    exact-verify. Returns verified (doc_a, doc_b, jaccard ≥ threshold)."""
-    sh = doc_shingles(df, id_col, text_col)
+    exact-verify. Returns verified (doc_a, doc_b, jaccard ≥ threshold).
+
+    The shingle table feeds four consumers (signatures, both verify sides,
+    per-doc counts); without materialization each re-runs the regex
+    tokenize + explode, the pipeline's dominant cost. Persisted
+    MEMORY_AND_DISK — at 100 TB this is the stage you checkpoint to the
+    lake (it also feeds reporting), same plan shape."""
+    from pyspark import StorageLevel
+
+    sh = doc_shingles(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidates(minhash_signatures(sh))
     cnt = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
@@ -167,8 +187,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bit. Emitted as 4×16-bit integer bands (s0..s3) for banded near-dup
     search — one aggregation, all expression-level.
     """
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     tok = (
-        df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("t"))
+        spread.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("t"))
         .select("doc", F.explode(F.array_distinct("t")).alias("token"))
         .withColumn("h", F.md5("token"))
     )

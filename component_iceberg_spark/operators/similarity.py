@@ -1,0 +1,176 @@
+"""Embedding similarity search: brute-force cosine top-k, threshold pair
+join, and an IVF (inverted-file) approximate path for scale.
+
+Float determinism: dot products are left-fold sums of float→double
+products in array order — bit-identical between Spark's ``aggregate`` and
+DuckDB's ``list_sum(list_transform(...))`` (verified empirically), so the
+oracles compare exactly.
+
+Scale design:
+
+- **Brute force** is O(|corpus| × |queries|): correct baseline, and fine
+  whenever the query set is small enough to broadcast (the common
+  "dedupe this batch against the corpus" shape runs per-partition with no
+  shuffle on the corpus side).
+- **IVF**: coarse-quantize the corpus by nearest centroid (one broadcast
+  join + argmin), bucket it (partition by centroid id), probe only the
+  query's nearest ``nprobe`` centroids. Corpus scan cost drops by
+  ~``n_centroids / nprobe``; candidate volume is tunable. Centroids here
+  are seed vectors chosen by id (deterministic, oracle-reproducible); a
+  production fit would k-means them — the search plan is unchanged.
+- Near-dup pair join at 100 TB: LSH/IVF-bucket first, verify exact cosine
+  within buckets — same candidate/verify split as MinHash dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product over double-cast elements (order-pinned)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (self excluded).
+
+    ``queries`` is broadcast; the corpus streams through map-side — no
+    corpus shuffle. The final ranking shuffles only |queries|×|corpus|
+    scored rows, bounded further by per-partition pre-ranking at scale.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def threshold_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup detection).
+
+    Brute self-join here (oracle-checkable ground truth); the scale path
+    buckets by IVF centroid / random-hyperplane sign first and verifies
+    within buckets only.
+    """
+    a = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: assign every corpus vector to its nearest
+    centroid (broadcast argmin), probe each query's ``nprobe`` nearest
+    centroid buckets, exact-rank within the probed slice.
+
+    ``centroids`` is any deterministic (id, vector) seed set — here the
+    first vector of each label cluster; a production fit k-means them (the
+    search plan is unchanged). Deterministic by construction, so the
+    DuckDB oracle can replay the identical algorithm and the match
+    verifies bucketing + probing, not just the final ranking.
+    """
+    cent = centroids.select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+
+    def nearest(df: DataFrame, vid: str, vec: str, n: int, out: str) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            F.col(vid),
+            F.col("cent_id"),
+            F.round(cosine(F.col(vec), F.col("cent_vec")), 6).alias("csim"),
+        )
+        w = Window.partitionBy(vid).orderBy(F.col("csim").desc(), F.col("cent_id"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n)
+            .select(F.col(vid), F.col("cent_id").alias(out))
+        )
+
+    corpus_named = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    assign = nearest(corpus_named, "neighbor_id", "c_vec", 1, "bucket")
+    bucketed = corpus_named.join(assign, "neighbor_id")
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probes = nearest(q, "query_id", "q_vec", nprobe, "bucket")
+    probed = q.join(probes, "query_id")
+
+    scored = (
+        bucketed.join(F.broadcast(probed), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -39,16 +39,21 @@ def tokens(col: Column) -> Column:
 
 
 def shingles(tokens_col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles. Pure array expression (no UDF):
-    guard short docs, slide an index window, concat."""
-    idx = F.sequence(F.lit(0), F.size(tokens_col) - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens_col, (i + k + 1).cast("int")) for k in range(n)]
-        ),
-    )
-    return F.when(F.size(tokens_col) >= n, F.array_distinct(grams)).otherwise(
+    """Distinct word n-gram shingles as a pure array expression (no UDF).
+
+    Built by zipping n shifted slices of the token array rather than
+    indexing with ``element_at`` inside a lambda: lambda-body references
+    re-inline the (regex-split) input expression per element after
+    projection collapse, turning an O(tokens) op into O(tokens × n) regex
+    executions. Slices reference the array a constant n times instead.
+    """
+    size = F.size(tokens_col)
+    win = F.greatest(size - (n - 1), F.lit(0))
+    parts = [F.slice(tokens_col, F.lit(k + 1), win) for k in range(n)]
+    grams = parts[0]
+    for part in parts[1:]:
+        grams = F.zip_with(grams, part, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(size >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
 

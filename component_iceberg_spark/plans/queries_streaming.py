@@ -1,0 +1,84 @@
+"""Streaming queries, driven to completion over the bounded events fixture
+with availableNow (same code path as a live stream; source swap = Kafka).
+
+``stream_window_counts`` runs in complete mode so every window is present
+→ exact oracle. ``stream_upsert_snaptable`` lands in a snapshot table read
+back after completion → exact oracle. The stateful operator emits per-batch
+running totals — batch boundaries are an execution detail, so it gets a
+rows-only check.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from component_iceberg_spark.io.snaptable import SnapCatalog
+from component_iceberg_spark.io.tables import table_path
+from component_iceberg_spark.plans.registry import register
+from component_iceberg_spark.streaming import events as SE
+
+SCRATCH_ROOT = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/cis_scratch")
+
+
+def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stage the single-file fixture into a directory: the file stream
+    # source expects a directory basePath (stateful queries enforce it).
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(SCRATCH_ROOT, tag, "events_stream_src")
+    os.makedirs(d, exist_ok=True)
+    dst = os.path.join(d, "events.parquet")
+    if not os.path.exists(dst):
+        shutil.copyfile(table_path(sf_dir, "events"), dst)
+    return SE.read_events_stream(spark, d)
+
+
+@register(
+    "stream_window_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 3) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("ext", "streaming"),
+)
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation with watermark, complete mode:
+    the streaming result must equal the batch GROUP BY date_trunc."""
+    agg = SE.windowed_counts(_stream(spark, sf_dir))
+    return SE.stream_to_memory(agg, spark, mode="complete")
+
+
+@register(
+    "stream_upsert_snaptable",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+    tags=("ext", "streaming", "snapshot"),
+)
+def stream_upsert_snaptable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into the lake: foreachBatch upserts each micro-batch
+    into a snapshot table (atomic commit per batch — the continuous version
+    of the reference's batch pump). Final table = exactly the source events
+    (key = event_id, idempotent under replay)."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = os.path.join(SCRATCH_ROOT, tag, "warehouse", "stream_upsert")
+    if os.path.isdir(wh):
+        shutil.rmtree(wh)
+    cat = SnapCatalog(wh)
+    ev = _stream(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    SE.stream_upsert_into(ev, cat, "stream", "events", keys=["event_id"])
+    return cat.read(spark, "stream", "events")
+
+
+@register("stream_stateful_totals", oracle=None, tags=("ext", "streaming"))
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState: per-user running totals, one state tuple per
+    user. Rows-only check (per-batch emission count depends on batch
+    planning, not on the data)."""
+    totals = SE.running_user_totals(_stream(spark, sf_dir))
+    return SE.stream_to_memory(totals, spark, mode="append")

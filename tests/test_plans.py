@@ -1,0 +1,63 @@
+"""Physical-plan assertions: the scale properties the engine promises —
+filter pushdown into the Parquet scan, column pruning, broadcast joins for
+dimensions, TakeOrderedAndProject for top-k — must be visible in
+``explain`` output, not just hoped for."""
+
+from __future__ import annotations
+
+from component_iceberg_spark.plans import load_all
+
+REGISTRY = load_all()
+
+
+def plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    p = plan(spark, sf_dir, "scan_filter_pushdown")
+    assert "PushedFilters:" in p
+    assert "l_shipdate" in p.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_quantity" in p.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    p = plan(spark, sf_dir, "scan_projection")
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema
+    assert "l_returnflag" not in read_schema, "unprojected column not pruned"
+    assert "l_shipdate" not in read_schema, "unprojected column not pruned"
+
+
+def test_q3_uses_broadcast_joins(spark, sf_dir):
+    p = plan(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, "dimension join should broadcast, not SMJ"
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    p = plan(spark, sf_dir, "ext_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    p = plan(spark, sf_dir, "q1_pricing_summary")
+    # partial_ functions before the exchange = map-side combine
+    assert "partial_sum" in p or "partial_count" in p
+
+
+def test_whole_stage_codegen_on_flagship(spark, sf_dir):
+    # AQE hides codegen subtrees until runtime; disable it for the check.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+        p = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "codegen"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in p
+    assert "Found 0 WholeStageCodegen" not in p
