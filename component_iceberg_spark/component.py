@@ -1,0 +1,174 @@
+"""Config-driven component runners — the engine's equivalent of the
+reference's two entry points, so a reference user can port their configs
+directly:
+
+- :func:`run_extractor` ≙ ``ex-iceberg`` ``run()``
+  (reference: ``components/ex-iceberg/src/component.py:27-86``):
+  catalog table → snapshot/column/limit scan → CSV or Parquet export with
+  the manifest (schema + base types + PK + incremental flag).
+- :func:`run_writer` ≙ ``wr-iceberg`` ``run()``
+  (reference: ``components/wr-iceberg/src/component.py:36-127``):
+  typed CSV (or Parquet — the reference's TODO, real here) → namespace
+  prep → replace/append/upsert commit, optionally partitioned.
+- :func:`sync_action` ≙ the ``@sync_action`` metadata endpoints
+  (``ex-iceberg/src/component.py:138-162``).
+
+Where the reference streams Arrow batches through a bounded-memory DuckDB
+stage, here the whole pipeline is ONE lazy Spark plan: scan options push
+into the source, the export is a distributed write, and the commit is a
+single atomic snapshot instead of one commit per 5M-row client batch.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from component_iceberg_spark.config import (
+    SELECT_COLUMNS,
+    WRITE_APPEND,
+    WRITE_REPLACE,
+    WRITE_UPSERT,
+    ExtractorConfig,
+    UserConfigError,
+    WriterConfig,
+)
+from component_iceberg_spark.io import csv_io
+from component_iceberg_spark.io.snaptable import SnapCatalog
+from component_iceberg_spark.operators import scan
+from component_iceberg_spark.typebridge import describe, stringify_complex
+
+
+@dataclass
+class ExtractResult:
+    """What the reference writes as the out-table manifest
+    (``ex-iceberg/src/component.py:68-76``)."""
+
+    path: str
+    format: str
+    columns: list[tuple[str, str, str]]  # (name, spark_type, base_type)
+    primary_key: list[str] = field(default_factory=list)
+    incremental: bool = False
+
+
+def _catalog(cfg) -> SnapCatalog:
+    if cfg.catalog.uri:
+        raise UserConfigError(
+            "REST catalogs need the Iceberg Spark connector jar "
+            "(see io.iceberg.iceberg_conf); not available in this runtime"
+        )
+    if not cfg.catalog.warehouse:
+        raise UserConfigError("catalog.warehouse is required")
+    return SnapCatalog(cfg.catalog.warehouse)
+
+
+def run_extractor(
+    spark: SparkSession, cfg: ExtractorConfig, out_dir: str
+) -> ExtractResult:
+    """Catalog table → CSV/Parquet export, one lazy plan."""
+    cfg.validate()
+    cat = _catalog(cfg)
+    df = cat.read(
+        spark, cfg.source.namespace, cfg.source.table_name,
+        snapshot_id=cfg.source.snapshot_id,
+    )
+    if cfg.custom_query:
+        # declared in the reference UI, unimplemented there
+        # (configRowSchema.json:94-107); here: plain Spark SQL over the table
+        df.createOrReplaceTempView(cfg.source.table_name)
+        df = spark.sql(cfg.custom_query)
+    elif cfg.data_selection.mode == SELECT_COLUMNS:
+        df = scan.scan_projection(df, cfg.data_selection.columns)
+    df = scan.scan_limit(df, cfg.limit)
+
+    dest = cfg.destination
+    if dest.parquet_output:
+        path = os.path.join(out_dir, f"{dest.file_name}.parquet")
+        df.write.mode("overwrite").parquet(path)
+        fmt = "parquet"
+    else:
+        path = os.path.join(out_dir, f"{dest.table_name}.csv")
+        out = stringify_complex(df)  # nested → STRING only on the CSV path
+        order_by = dest.primary_key if (
+            dest.preserve_insertion_order and dest.primary_key
+        ) else None
+        csv_io.write_csv(
+            out, path, quote_all=True, order_by=order_by,
+            single_file=bool(order_by),
+        )
+        fmt = "csv"
+        df = out
+    return ExtractResult(
+        path=path,
+        format=fmt,
+        columns=describe(df),
+        primary_key=dest.primary_key,
+        incremental=dest.incremental,
+    )
+
+
+def run_writer(spark: SparkSession, cfg: WriterConfig) -> int:
+    """CSV/Parquet input → snapshot-table commit; returns the snapshot id."""
+    cfg.validate()
+    cat = _catalog(cfg)
+    dest = cfg.destination
+
+    if cfg.input_parquet is not None:
+        df = spark.read.parquet(cfg.input_parquet)
+    else:
+        ci = cfg.input_csv
+        if cfg.destination.all_varchar or not ci.column_types:
+            df = csv_io.read_csv_all_varchar(
+                spark, ci.path, ci.columns,
+                sep=ci.delimiter, quote=ci.enclosure, header=ci.header,
+            )
+        else:
+            schema = T.StructType(
+                [
+                    T.StructField(c, T._parse_datatype_string(ci.column_types.get(c, "string")))
+                    for c in ci.columns
+                ]
+            )
+            df = csv_io.read_csv_typed(
+                spark, ci.path, schema,
+                sep=ci.delimiter, quote=ci.enclosure, header=ci.header,
+            )
+
+    if dest.partition_by:
+        # the reference parses partition_by but never applies it
+        # (wr-iceberg/src/configuration.py:31); real here: cluster the data
+        # files by the partition columns inside the commit
+        df = df.repartition(*dest.partition_by)
+
+    cat.create_namespace(dest.namespace)
+    if dest.mode == WRITE_REPLACE:
+        return cat.create_or_replace(dest.namespace, dest.table_name, df)
+    if dest.mode == WRITE_APPEND:
+        if not cat.table_exists(dest.namespace, dest.table_name):
+            return cat.create_or_replace(dest.namespace, dest.table_name, df)
+        return cat.append(dest.namespace, dest.table_name, df)
+    if dest.mode == WRITE_UPSERT:
+        return cat.upsert(
+            dest.namespace, dest.table_name, df, keys=dest.primary_key
+        )
+    raise UserConfigError(f"unknown mode {dest.mode!r}")
+
+
+def sync_action(spark: SparkSession, cfg, action: str, **kwargs) -> list:
+    """Metadata endpoints (``@sync_action`` parity): small driver-side
+    catalog calls, no distributed work."""
+    cat = _catalog(cfg)
+    if action == "list_namespaces":
+        return cat.list_namespaces()
+    if action == "list_tables":
+        return cat.list_tables(kwargs["namespace"])
+    if action == "list_snapshots":
+        rows = cat.snapshots(spark, kwargs["namespace"], kwargs["table"]).collect()
+        return [(r.snapshot_id, r.timestamp_ms, r.operation) for r in rows]
+    if action == "list_columns":
+        sch = cat.schema(spark, kwargs["namespace"], kwargs["table"])
+        return [(f.name, f.dataType.simpleString()) for f in sch.fields]
+    raise UserConfigError(f"unknown sync action: {action!r}")

@@ -437,3 +437,35 @@ def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming twin lives in streaming/ (session_window + state)."""
     ev = load_table(spark, sf_dir, "events")
     return relational.sessionize(ev, "user_id", "ts", "event_id")
+
+
+@register(
+    "ext_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    tags=("relational", "join"),
+)
+def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (attribution shape): each purchase matched to the user's
+    latest view at-or-before it. Union + ordered-window implementation —
+    one shuffle + one sort, no per-key pandas (operators/asof.py); the
+    oracle uses DuckDB's native ASOF JOIN, so two independent as-of
+    implementations must agree."""
+    from component_iceberg_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("last_view_ts")
+    )
+    return asof_join(
+        purchases, views, key="user_id", left_ts="ts", right_ts="last_view_ts",
+        value_col="last_view_ts",
+    )

@@ -307,3 +307,26 @@ def insert_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "F").drop("o_orderstatus")
     b = o.filter(F.col("o_orderstatus") == "O").drop("o_orderstatus")
     return a.unionAll(b)
+
+
+@register(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    """,
+    tags=("parity", "sink"),
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet export (the reference's parsed-but-unused
+    ``partition_by``, ``wr-iceberg/src/configuration.py:31`` — real here):
+    hive-layout directories by partition value, so downstream filters on
+    the partition column prune whole directories. Round-trip must
+    reproduce the data exactly."""
+    df = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    out = _scratch(sf_dir, "sink_parquet_partitioned")
+    df.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    return back.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
