@@ -57,7 +57,12 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def exact_dedup(df: DataFrame, id_col: str, fingerprint_col) -> DataFrame:
     """Exact dedup: one row per fingerprint, smallest id is the canonical
-    representative, n_copies counts the duplicates."""
+    representative, n_copies counts the duplicates. Repartitioned so the
+    (regex-heavy) fingerprint computation parallelizes even from a
+    single-file source."""
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     return (
         df.select(F.col(id_col).alias("rep_doc_id"), fingerprint_col.alias("fp"))
         .groupBy("fp")

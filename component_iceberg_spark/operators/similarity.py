@@ -69,16 +69,26 @@ def brute_force_topk(
     scored rows, bounded further by per-partition pre-ranking at scale.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
     scored = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm(F.col(vec_col)).alias("c_norm"),
+        )
         .crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -101,15 +111,32 @@ def threshold_pairs(
     Brute self-join here (oracle-checkable ground truth); the scale path
     buckets by IVF centroid / random-hyperplane sign first and verifies
     within buckets only.
+
+    Two plan details that matter (O(n²) pairs amplify everything):
+    - Norms are materialized per ROW on each join side before the join —
+      inside the pair expression they would be recomputed per PAIR
+      (n²·dim extra work). Bit-identical either way, so the oracle is
+      unaffected.
+    - The streamed side is repartitioned: a single-file corpus would
+      otherwise run the whole nested-loop join in one task.
     """
-    a = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    a = corpus.repartition(par, F.col(id_col)).select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -135,14 +162,23 @@ def ivf_topk(
     verifies bucketing + probing, not just the final ranking.
     """
     cent = centroids.select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("cent_vec"),
+        norm(F.col(vec_col)).alias("cent_norm"),
     )
 
     def nearest(df: DataFrame, vid: str, vec: str, n: int, out: str) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cent)).select(
+        # per-row norm materialized before the ×|centroids| fan-out
+        scored = df.withColumn("_nrm", norm(F.col(vec))).crossJoin(
+            F.broadcast(cent)
+        ).select(
             F.col(vid),
             F.col("cent_id"),
-            F.round(cosine(F.col(vec), F.col("cent_vec")), 6).alias("csim"),
+            F.round(
+                dot(F.col(vec), F.col("cent_vec"))
+                / (F.col("_nrm") * F.col("cent_norm")),
+                6,
+            ).alias("csim"),
         )
         w = Window.partitionBy(vid).orderBy(F.col("csim").desc(), F.col("cent_id"))
         return (

@@ -469,3 +469,134 @@ def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, views, key="user_id", left_ts="ts", right_ts="last_view_ts",
         value_col="last_view_ts",
     )
+
+
+@register(
+    "ext_agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spend
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("relational", "agg"),
+)
+def ext_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations) — same partial-agg shuffle
+    bound as rollup, one expand node."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+    )
+
+
+@register(
+    "ext_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    """,
+    tags=("relational",),
+)
+def ext_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via stack — a single Generate node, no joins,
+    no shuffle; the standard melt for metric tables."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)"
+        " AS (metric, val)",
+    )
+
+
+@register(
+    "join_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+      ON c_custkey = o_custkey
+    """,
+    tags=("relational", "join"),
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (null-extending both sides). Outer joins can't
+    broadcast the null-producing side, so Catalyst plans sort-merge — the
+    correct choice at scale too."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "ext_range_join",
+    oracle="""
+    SELECT b.bin_label,
+           count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem l
+    JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 30.0), ('high', 30.0, 60.0))
+         AS b(bin_label, lo, hi)
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.bin_label
+    """,
+    tags=("relational", "join"),
+)
+def ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join against interval bins. A naive theta-join is
+    O(rows × bins) nested-loop; here each row computes its candidate
+    bucket(s) and equi-joins on bucket id — shuffle-free with the bins
+    broadcast, linear in rows. Bins that straddle bucket boundaries get
+    one candidate row per overlapped bucket, then the exact range filter
+    keeps the true matches (candidate/verify again)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bins = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 30.0), ("high", 30.0, 60.0)],
+        schema="bin_label string, lo double, hi double",
+    )
+    # bucket width = gcd-ish granularity of bin edges; each bin expands to
+    # the bucket ids it overlaps
+    width = 10.0
+    bins_b = bins.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / width).cast("int"),
+                F.ceil(F.col("hi") / width).cast("int") - 1,
+            )
+        ),
+    )
+    rows = li.select("l_quantity", "l_extendedprice").withColumn(
+        "bucket", F.floor(F.col("l_quantity") / width).cast("int")
+    )
+    joined = rows.join(F.broadcast(bins_b), "bucket").filter(
+        (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi"))
+    )
+    return joined.groupBy("bin_label").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@register("ext_agg_approx", oracle=None, tags=("relational", "agg"))
+def ext_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates: HyperLogLog++ distinct + approximate quantiles.
+    No oracle (sketch values are engine-specific by design); accuracy vs
+    exact is asserted in tests/test_approx.py. At 100 TB these replace
+    exact distinct/percentile wherever a few-percent error is acceptable:
+    fixed-size state instead of expand/sort shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.95).alias("p95_price"),
+    )
