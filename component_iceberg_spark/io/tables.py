@@ -33,6 +33,21 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def ensure_session_conf(spark: SparkSession) -> None:
+    """Engine-required session confs, set defensively at call time because
+    the harness may hand us a session it built itself (both are
+    runtime-settable SQL confs):
+
+    - ``nanosAsLong``: Parquet TIMESTAMP(NANOS) (events fixture) is
+      otherwise an illegal Spark type — the scan throws before any
+      operator runs.
+    - UTC session timezone: TimestampType↔NTZ casts are zone-dependent;
+      UTC pins them to the oracle's naive-UTC view.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Column pruning / predicate pushdown are
     Catalyst-native on the Parquet scan — callers just select/filter.
@@ -43,6 +58,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     never double math — ns-since-epoch exceeds the 53-bit double mantissa).
     This matches DuckDB's ns→µs truncation bit-for-bit.
     """
+    ensure_session_conf(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn(

@@ -600,3 +600,44 @@ def ext_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
         F.percentile_approx("l_extendedprice", 0.95).alias("p95_price"),
     )
+
+
+@register(
+    "ext_agg_salted",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 3) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("relational", "agg", "skew"),
+)
+def ext_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a low-cardinality (therefore
+    skew-prone) key: rows of each hot key spread across 16 salt buckets in
+    phase 1, partials combine per key in phase 2. Result must equal the
+    direct GROUP BY (sums/counts/min/max recombine exactly; the rounded
+    double sum absorbs reassociation)."""
+    from component_iceberg_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum("value"),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("sum_value", 3).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )

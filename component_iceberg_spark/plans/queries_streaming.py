@@ -82,3 +82,27 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     planning, not on the data)."""
     totals = SE.running_user_totals(_stream(spark, sf_dir))
     return SE.stream_to_memory(totals, spark, mode="append")
+
+
+@register("stream_session_window", oracle=None, tags=("ext", "streaming"))
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) per user via
+    F.session_window + watermark. Rows-only: append-mode session emission
+    depends on watermark progression across micro-batches (sessions still
+    open at end-of-stream stay in state), an execution detail; the exact
+    batch twin is ext_sessionize."""
+    from pyspark.sql import functions as F
+
+    ev = _stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    return SE.stream_to_memory(agg, spark, mode="append")

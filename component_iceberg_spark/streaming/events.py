@@ -39,6 +39,9 @@ EVENTS_FILE_SCHEMA = T.StructType(
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream of the events table with the same ns→µs
     normalization as the batch loader (integer division, never double)."""
+    from component_iceberg_spark.io.tables import ensure_session_conf
+
+    ensure_session_conf(spark)
     raw = spark.readStream.schema(EVENTS_FILE_SCHEMA).parquet(path)
     return raw.withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")

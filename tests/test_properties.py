@@ -1,0 +1,73 @@
+"""Property-based tests (hypothesis): upsert/MERGE semantics and the
+strict-cast error surface — the reference behaviors that are easy to get
+subtly wrong (SURVEY §7 'What's hard')."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from component_iceberg_spark.io.snaptable import SnapCatalog
+from component_iceberg_spark.typebridge import UserDataError, strict_cast_columns
+
+rows = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 100)), min_size=0, max_size=25
+)
+
+
+def _model_upsert(base: list, delta: list) -> dict[int, int]:
+    """Reference semantics in plain Python: matched keys take the delta's
+    value (last occurrence wins within the delta), unmatched insert."""
+    state = {}
+    for k, v in base:
+        state[k] = v  # base itself is applied in order
+    for k, v in delta:
+        state[k] = v
+    return state
+
+
+@pytest.mark.parametrize("hyp", [None])
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(base=rows, delta=rows)
+def test_upsert_matches_model(spark, tmp_path_factory, hyp, base, delta):
+    # base may contain duplicate keys too — collapse it the same way the
+    # engine's create path would receive it (last wins via ord column)
+    cat = SnapCatalog(str(tmp_path_factory.mktemp("wh")))
+    b = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(base)] or [(None, None, None)],
+        schema="k int, v int, ord int",
+    ).dropna()
+    d = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(delta)] or [(None, None, None)],
+        schema="k int, v int, ord int",
+    ).dropna()
+    cat.upsert("ns", "t", b, keys=["k"], order_by="ord")
+    cat.upsert("ns", "t", d, keys=["k"], order_by="ord")
+    got = {r.k: r.v for r in cat.read(spark, "ns", "t").collect()}
+    want = _model_upsert(
+        list({k: v for k, v in base}.items()), list({k: v for k, v in delta}.items())
+    )
+    assert got == want
+
+
+def test_upsert_idempotent(spark, tmp_path):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], schema="k int, v string")
+    cat.upsert("ns", "t", df, keys=["k"])
+    cat.upsert("ns", "t", df, keys=["k"])
+    assert cat.read(spark, "ns", "t").count() == 2
+
+
+def test_strict_cast_ok_and_fail(spark):
+    ok = spark.createDataFrame([("1",), ("2",), (None,)], schema="x string")
+    out = strict_cast_columns(ok, {"x": "int"})
+    assert [r.x for r in out.orderBy("x").collect()] == [None, 1, 2]
+
+    bad = spark.createDataFrame([("1",), ("abc",)], schema="x string")
+    with pytest.raises(UserDataError, match="x -> int"):
+        strict_cast_columns(bad, {"x": "int"})
