@@ -39,6 +39,50 @@ def topk_per_group(
     )
 
 
+def global_rank(
+    df: DataFrame, order_cols: list[Column], rank_col: str = "rank"
+) -> DataFrame:
+    """Total-order ranking without a single-partition sort.
+
+    Range-partition on the order columns, rank within each partition, then
+    add per-partition offsets (a metadata-sized driver aggregation — the
+    DataFrame analogue of RDD ``zipWithIndex``). The order must be total
+    (include a unique tiebreak column) so results are independent of the
+    sampled range boundaries. Cached between the offset job and the final
+    job because range partitioning re-samples otherwise.
+    """
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    mapping = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        parted.withColumn(
+            rank_col,
+            (F.row_number().over(w) + F.coalesce(mapping[F.col("_pid")], F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .drop("_pid")
+    )
+
+
 def sessionize(
     df: DataFrame,
     user_col: str,

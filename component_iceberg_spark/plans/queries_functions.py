@@ -1,0 +1,172 @@
+"""Scalar-function library coverage (SURVEY §2.5 gap 'scalar function
+libraries') + JSON extraction + scalable global ranking.
+
+Each query exercises a function family end-to-end with an exact oracle;
+conventions that differ between engines (day-of-week numbering, int/int
+division) are pinned explicitly in both expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from component_iceberg_spark.io.tables import load_table
+from component_iceberg_spark.operators import relational
+from component_iceberg_spark.plans.registry import register
+
+
+@register(
+    "func_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substr(c_name, 1, 8) AS name_prefix,
+           length(c_name) AS name_len,
+           lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS key_padded,
+           regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+           reverse(c_mktsegment) AS seg_rev,
+           concat(c_mktsegment, ':', c_name) AS tagged,
+           replace(c_name, '#', '-') AS name_dashed,
+           CAST(contains(c_name, '1') AS BOOLEAN) AS has_one
+    FROM customer
+    """,
+    tags=("ext", "functions"),
+)
+def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family — all whole-stage-codegen'd projections."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("key_padded"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.concat_ws("", F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias(
+            "tagged"
+        ),
+        F.regexp_replace("c_name", "#", "-").alias("name_dashed"),
+        F.col("c_name").contains("1").alias("has_one"),
+    )
+
+
+@register(
+    "func_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           day(o_orderdate) AS order_day,
+           isodow(o_orderdate) AS order_isodow,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate + INTERVAL '30 days' AS DATE) AS due_date,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+               AS days_since_epoch_start
+    FROM orders
+    """,
+    tags=("ext", "functions"),
+)
+def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family. Day-of-week pinned to ISO numbering (Mon=1…Sun=7):
+    Spark ``weekday``+1 ≡ DuckDB ``isodow`` (their native ``dayofweek``
+    disagree by engine)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        (F.weekday("o_orderdate") + 1).alias("order_isodow"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).cast("date").alias(
+            "due_date"
+        ),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz")
+        ).cast("long").alias("days_since_epoch_start"),
+    )
+
+
+@register(
+    "func_conditional",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 30 THEN 'medium'
+                ELSE 'large' END AS size_class,
+           coalesce(nullif(l_returnflag, 'N'), 'none') AS return_or_none,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate,
+           CAST(l_quantity >= 25 AND l_discount > 0.05 AS BOOLEAN) AS bulk_deal
+    FROM lineitem
+    """,
+    tags=("ext", "functions"),
+)
+def func_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null family: CASE, nullif/coalesce, greatest/least."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "medium")
+        .otherwise("large")
+        .alias("size_class"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias(
+            "return_or_none"
+        ),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        ((F.col("l_quantity") >= 25) & (F.col("l_discount") > 0.05)).alias(
+            "bulk_deal"
+        ),
+    )
+
+
+@register(
+    "func_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k,
+           CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+               AS k_bucket
+    FROM events
+    """,
+    tags=("ext", "functions"),
+)
+def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the semi-structured props column — the typed
+    path (``from_json`` with an explicit schema) rather than per-row string
+    getters, so the parse happens once per row in the JVM."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "_p", F.from_json("props", "struct<k:bigint>")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("_p.k").alias("prop_k"),
+        (F.col("_p.k") % 10).alias("k_bucket"),
+    )
+
+
+@register(
+    "ext_global_rank",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                AS BIGINT) AS rank
+    FROM orders
+    """,
+    tags=("ext", "relational"),
+)
+def ext_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order ranking at scale: range-partition + local rank +
+    partition offsets (operators/relational.global_rank) instead of the
+    single-partition window a naive global row_number needs. The order
+    includes the unique key, so ranks are boundary-independent."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return relational.global_rank(
+        o, [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    )

@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "component_iceberg_spark.plans.queries_similarity",
     "component_iceberg_spark.plans.queries_multimodal",
     "component_iceberg_spark.plans.queries_streaming",
+    "component_iceberg_spark.plans.queries_functions",
 )
 
 
