@@ -41,6 +41,11 @@ HEADLINE = (
     "sim_ann_ivf",
     "stream_window_counts",
     "sink_parquet",
+    "ext_asof_join",
+    "ext_range_join",
+    "ext_global_rank",
+    "func_json",
+    "snap_compact",
 )
 
 

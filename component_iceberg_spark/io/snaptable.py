@@ -142,6 +142,28 @@ class SnapCatalog:
             merged = delta
         return self._commit(namespace, table, merged, operation="upsert", carry=False)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        table: str,
+        target_partitions: int | None = None,
+    ) -> int:
+        """Compaction commit: rewrite the current snapshot's (possibly
+        many, possibly small) data directories into one coalesced
+        directory — content-identical, metadata flipped atomically.
+
+        The Iceberg analogue is ``rewrite_data_files``; the point at scale
+        is the same: appends/upserts accrete small files, and scan cost is
+        dominated by file count once files are smaller than
+        ``maxPartitionBytes``. Readers of prior snapshots are unaffected
+        (their manifests still reference the old directories).
+        """
+        df = self.read(spark, namespace, table)
+        if target_partitions:
+            df = df.coalesce(target_partitions)
+        return self._commit(namespace, table, df, operation="compact", carry=False)
+
     # -- reads --------------------------------------------------------------
 
     def read(
@@ -171,7 +193,10 @@ class SnapCatalog:
             os.path.join(self._tbl(namespace, table, "data"), d)
             for d in manifest["files"]
         ]
-        return spark.read.parquet(*dirs)
+        # mergeSchema: appends may evolve the schema (add columns); rows
+        # from pre-evolution files read the new columns as NULL — Iceberg
+        # schema-evolution semantics.
+        return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
     def snapshots(self, spark: SparkSession, namespace: str, table: str) -> DataFrame:
         """Snapshot enumeration as a DataFrame — the ``t.snapshots``

@@ -248,3 +248,49 @@ def snap_catalog_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ns, tbl) for ns in cat.list_namespaces() for tbl in cat.list_tables(ns)
     ]
     return spark.createDataFrame(rows, schema="namespace string, table_name string")
+
+
+@register(
+    "snap_compact",
+    oracle="SELECT * FROM orders",
+    tags=("parity", "snapshot"),
+)
+def snap_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction (north-star 'read/write/compaction'): three append
+    commits accrete small files; compact() rewrites them into one
+    coalesced directory as a new snapshot — content must be IDENTICAL to
+    the pre-compaction table, and prior snapshots stay readable."""
+    cat = _warehouse(sf_dir, "compact")
+    o = load_table(spark, sf_dir, "orders")
+    cat.create_or_replace("ns", "orders", o.filter(F.col("o_orderkey") % 3 == 0))
+    cat.append("ns", "orders", o.filter(F.col("o_orderkey") % 3 == 1))
+    cat.append("ns", "orders", o.filter(F.col("o_orderkey") % 3 == 2))
+    cat.compact(spark, "ns", "orders", target_partitions=4)
+    return cat.read(spark, "ns", "orders")
+
+
+@register(
+    "snap_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           CAST(NULL AS VARCHAR) AS n_comment
+    FROM nation WHERE n_regionkey < 3
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey,
+           concat('nation-', CAST(n_nationkey AS VARCHAR)) AS n_comment
+    FROM nation WHERE n_regionkey >= 3
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: an append introduces a new column; rows from
+    pre-evolution files surface it as NULL (mergeSchema read — Iceberg
+    add-column semantics, no rewrite of old data)."""
+    cat = _warehouse(sf_dir, "schema_evo")
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "nation", n.filter(F.col("n_regionkey") < 3))
+    evolved = n.filter(F.col("n_regionkey") >= 3).withColumn(
+        "n_comment", F.concat(F.lit("nation-"), F.col("n_nationkey").cast("string"))
+    )
+    cat.append("ns", "nation", evolved)
+    return cat.read(spark, "ns", "nation")
