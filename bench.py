@@ -59,11 +59,16 @@ def main() -> None:
     # warm the JVM/codegen paths so timings measure the plans, not startup
     force(registry["scan_full"].fn(spark, SF_DIR))
 
+    # best-of-2: first run pays one-off codegen/JIT per query; the second
+    # measures the plan. Reported value = steady-state throughput.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        force(registry[name].fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(registry[name].fn(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))

@@ -43,7 +43,7 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     pin the whole corpus to a single core. At 100 TB the scan already
     yields thousands of partitions and this repartition is a no-op knob.
     """
-    spread = df.repartition(
+    spread = df.select(F.col(id_col), F.col(text_col)).repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
     return (
@@ -57,9 +57,10 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def exact_dedup(df: DataFrame, id_col: str, fingerprint_col) -> DataFrame:
     """Exact dedup: one row per fingerprint, smallest id is the canonical
-    representative, n_copies counts the duplicates. Repartitioned so the
-    (regex-heavy) fingerprint computation parallelizes even from a
-    single-file source."""
+    representative, n_copies counts the duplicates. Repartitions FIRST so
+    the regex-heavy fingerprint runs after the spread, in parallel —
+    computing it pre-shuffle would pin it to a single-file scan's one
+    task."""
     df = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )

@@ -50,6 +50,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Floor on scan split count: small single-file inputs still split
+        # (bounded by row groups) so every core scans; huge inputs are
+        # governed by maxPartitionBytes as usual.
+        .config("spark.sql.files.minPartitionNum", str(DEFAULT_SHUFFLE_PARTITIONS))
         # Parquet TIMESTAMP(NANOS) (e.g. the events fixture) is not a legal
         # Spark timestamp; read it as nanos-since-epoch LongType and let the
         # loader down-convert to micros (matches DuckDB's ns→µs truncation).
