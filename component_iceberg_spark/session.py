@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # catalog-managed (incl. bucketed) tables land in scratch, not cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_SQL_WAREHOUSE", "/tmp/cis_scratch/sql_warehouse"),
+        )
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # Floor on scan split count: small single-file inputs still split
         # (bounded by row groups) so every core scans; huge inputs are

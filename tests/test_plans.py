@@ -61,3 +61,38 @@ def test_whole_stage_codegen_on_flagship(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "WholeStageCodegen subtrees" in p
     assert "Found 0 WholeStageCodegen" not in p
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Bucketing demo: two tables bucketed on the join key co-locate, so
+    the join plans with NO shuffle exchange — the pre-partitioning story
+    for repeated large-scale joins (SURVEY guide 'Bucketing')."""
+    import uuid
+
+    from component_iceberg_spark.io.tables import load_table
+
+    # unique names: the in-memory catalog forgets tables between sessions
+    # but the warehouse dir keeps their files — a reused name collides
+    tag = uuid.uuid4().hex[:8]
+    t_o, t_li = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").saveAsTable(t_o))
+    (li.withColumnRenamed("l_orderkey", "o_orderkey")
+       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").saveAsTable(t_li))
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        joined = spark.table(t_o).join(spark.table(t_li), "o_orderkey")
+        p = joined._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            joined._jdf.queryExecution(), "formatted"
+        )
+        n = joined.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+    assert "Exchange" not in p, "bucketed join must not shuffle"
+    assert n == li.count()
