@@ -641,3 +641,104 @@ def ext_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    tags=("relational",),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery): Spark decorrelates it
+    into a per-key aggregate joined back — written here explicitly as that
+    join so the plan is one shuffle on l_partkey + a broadcast of the
+    filtered part dim. The oracle keeps the correlated form; both must
+    produce the same single-row answer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+    )
+    return joined.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+    HAVING sum(l_quantity) > 250
+    """,
+    tags=("relational",),
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (HAVING over a join-aggregate): filter on the
+    aggregate happens post-agg, so the shuffle is still group-bounded; the
+    HAVING predicate itself is a plain filter on the aggregated plan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(
+            F.sum("l_quantity").alias("_qty"),
+        )
+        .filter(F.col("_qty") > 250)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+            AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+    tags=("relational",),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (distribution of counts): left join preserving
+    order-less customers (count=0 bucket), then a second aggregation over
+    the counts — two group-bounded shuffles."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
