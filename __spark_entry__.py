@@ -8,11 +8,18 @@ correctness gate, the local pytest harness (``tests/test_oracle.py``) and
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from component_iceberg_spark.plans import load_all
+# importable regardless of the harness's cwd / sys.path
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from component_iceberg_spark.plans import load_all  # noqa: E402
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _FLAGSHIP = "q1_pricing_summary"
