@@ -39,6 +39,7 @@ HEADLINE = (
     "text_quality",
     "sim_topk_bruteforce",
     "sim_ann_ivf",
+    "sim_ann_hyperplane",
     "stream_window_counts",
     "sink_parquet",
     "ext_asof_join",

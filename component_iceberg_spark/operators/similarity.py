@@ -142,6 +142,96 @@ def threshold_pairs(
     )
 
 
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> list[Column]:
+    """Sign bit per hyperplane: dot(vec, plane) >= 0. Plane constants are
+    array literals, so the comparison is a pure codegen'd expression and —
+    with the same constants — reproducible by any engine."""
+    bits = []
+    for plane in planes:
+        arr = F.array(*[F.lit(p) for p in plane])
+        d = F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append((d >= 0).cast("int"))
+    return bits
+
+
+def hyperplane_lsh_pairs(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH near-threshold pairs:
+    band the sign signature, candidates collide in ≥1 band, verify exact
+    cosine ≥ threshold.
+
+    The angular-LSH counterpart of the IVF path: candidate probability is
+    (1-θ/π)^(planes/bands) per band — tunable by (planes, bands) instead
+    of data-determined. Deterministic given fixed planes, so the oracle
+    replays the identical algorithm.
+    """
+    from pyspark import StorageLevel
+
+    rows_per_band = len(planes) // bands
+    sig_bits = hyperplane_signature(F.col(vec_col), planes)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    # persisted: base feeds the band self-join (both sides) and both
+    # verification joins — 4 consumers of the 16-dot signature computation
+    base = (
+        corpus.repartition(par, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("nrm"),
+            *[b.alias(f"bit{j}") for j, b in enumerate(sig_bits)],
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    band_frames = None
+    for b in range(bands):
+        key = sum(
+            F.col(f"bit{b * rows_per_band + r}") * (1 << r)
+            for r in range(rows_per_band)
+        )
+        part = base.select("doc", F.lit(b).alias("band"), key.alias("key"))
+        band_frames = part if band_frames is None else band_frames.unionByName(part)
+    x = band_frames.alias("x")
+    y = band_frames.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("vec_a"), F.col("y.doc").alias("vec_b"))
+        .distinct()
+    )
+    a = base.select(
+        F.col("doc").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b2 = base.select(
+        F.col("doc").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        cand.join(a, "vec_a")
+        .join(b2, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -157,3 +157,69 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         NPROBE,
         TOPK,
     )
+
+
+N_PLANES = 16
+N_BANDS = 4
+
+
+def _planes() -> list[list[float]]:
+    """Deterministic random hyperplanes (seeded numpy), shared verbatim by
+    the Spark expression and the generated oracle SQL."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    return [[float(x) for x in rng.randn(64)] for _ in range(N_PLANES)]
+
+
+def _hyperplane_oracle() -> str:
+    planes = _planes()
+    rows_per_band = N_PLANES // N_BANDS
+    bit_exprs = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        bit_exprs.append(
+            f"CAST(list_sum(list_transform(list_zip(v, {lit}), "
+            f"z -> z[1] * z[2])) >= 0 AS INTEGER) AS bit{j}"
+        )
+    band_rows = []
+    for b in range(N_BANDS):
+        key = " + ".join(
+            f"bit{b * rows_per_band + r} * {1 << r}" for r in range(rows_per_band)
+        )
+        band_rows.append(f"SELECT doc, {b} AS band, {key} AS key FROM base")
+    bands = " UNION ALL ".join(band_rows)
+    cos = _cos("a.nv", "a.nn", "b.nv", "b.nn")
+    return f"""
+WITH {_D},
+base AS (SELECT vec_id AS doc, v, {', '.join(bit_exprs)} FROM n),
+nn AS (SELECT vec_id AS doc, v AS nv, nrm AS nn FROM n),
+bands AS ({bands}),
+cand AS (
+    SELECT DISTINCT x.doc AS vec_a, y.doc AS vec_b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.key = y.key AND x.doc < y.doc
+)
+SELECT vec_a, vec_b, {cos} AS cosine_sim
+FROM cand
+JOIN nn a ON a.doc = vec_a
+JOIN nn b ON b.doc = vec_b
+WHERE {cos} >= {NEARDUP_THRESHOLD}
+"""
+
+
+@register(
+    "sim_ann_hyperplane",
+    oracle=_hyperplane_oracle(),
+    tags=("ext", "similarity", "dedup"),
+)
+def sim_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-threshold pairs (angular LSH, 16 planes
+    banded 4×4) with exact-cosine verification — the bucketed scale path
+    for the embedding near-dup join (vs. the brute self-join ground truth
+    in sim_neardup_embedding). Oracle replays the identical planes/banding,
+    certifying the index construction."""
+    from component_iceberg_spark.operators.similarity import hyperplane_lsh_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_pairs(e, _planes(), N_BANDS, NEARDUP_THRESHOLD)
