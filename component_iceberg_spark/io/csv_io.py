@@ -21,15 +21,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Pin empty-vs-NULL round-trip (SURVEY §7 "What's hard"): quoted empty
-# string stays '', absent value stays NULL.
+# Pin empty-vs-NULL round-trip (SURVEY §7 "What's hard"). The reference's
+# DuckDB dialect distinguishes NULL (unquoted empty) from '' (quoted "").
+# Spark's quoteAll writer quotes the null token too, which would collapse
+# the two — so NULL gets an explicit sentinel (the classic \N) while ''
+# keeps the quoted-empty form. Semantic parity (the distinction survives)
+# over byte parity for the NULL cell.
 CSV_OPTS = {
     "header": "true",
     "sep": ",",
     "quote": '"',
     "escape": '"',
-    "nullValue": "",
-    "emptyValue": '""',
+    "nullValue": "\\N",
+    # Spark's CSV WRITER trims cell whitespace by default — disable on
+    # both sides so ' ' survives verbatim.
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
+    # Embedded CR/LF inside quoted fields needs multiLine on read. Scale
+    # note: multiLine files are non-splittable (one task per file) — the
+    # reference CSV ingest has the same constraint, and production bulk
+    # paths use Parquet anyway.
+    "multiLine": "true",
     "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
     "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS[XXX]",
 }

@@ -164,6 +164,34 @@ class SnapCatalog:
             df = df.coalesce(target_partitions)
         return self._commit(namespace, table, df, operation="compact", carry=False)
 
+    def expire_snapshots(
+        self, namespace: str, table: str, keep_last: int = 1
+    ) -> list[int]:
+        """Snapshot GC (Iceberg ``expire_snapshots`` analogue): drop all but
+        the newest ``keep_last`` snapshot manifests, then delete data
+        directories no retained snapshot references. Returns expired ids.
+
+        Metadata-first ordering makes the physical delete safe: a reader
+        holding an expired id fails fast on the missing manifest rather
+        than scanning half-deleted data.
+        """
+        snaps = self._snapshots(namespace, table)
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        expired = snaps[:-keep_last]
+        retained = snaps[-keep_last:]
+        for s in expired:
+            os.remove(
+                self._tbl(namespace, table, "snapshots", f"{s['snapshot_id']}.json")
+            )
+        live_dirs = {d for s in retained for d in s["files"]}
+        data_root = self._tbl(namespace, table, "data")
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                if d not in live_dirs:
+                    shutil.rmtree(os.path.join(data_root, d))
+        return [s["snapshot_id"] for s in expired]
+
     # -- reads --------------------------------------------------------------
 
     def read(

@@ -71,3 +71,39 @@ def test_strict_cast_ok_and_fail(spark):
     bad = spark.createDataFrame([("1",), ("abc",)], schema="x string")
     with pytest.raises(UserDataError, match="x -> int"):
         strict_cast_columns(bad, {"x": "int"})
+
+
+# CSV dialect round-trip: quotes, embedded delimiters/newlines, unicode,
+# empty-vs-NULL — the exact surface SURVEY §7 flags as hard.
+csv_text = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.sampled_from(list('abc",\n\r;|\t \'éü漢') + ["\\"]),
+        max_size=12,
+    ),
+)
+
+
+@pytest.mark.parametrize("hyp", [None])
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(values=st.lists(st.tuples(st.integers(0, 99), csv_text), min_size=1, max_size=12))
+def test_csv_roundtrip_dialect(spark, tmp_path_factory, hyp, values):
+    from pyspark.sql import types as T
+
+    from component_iceberg_spark.io import csv_io
+
+    out = str(tmp_path_factory.mktemp("csv") / "t")
+    df = spark.createDataFrame(values, schema="id int, s string")
+    csv_io.write_csv(df, out, quote_all=True)
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("s", T.StringType())]
+    )
+    back = csv_io.read_csv_typed(spark, out, schema)
+    key = lambda t: (t[0], t[1] is None, t[1] or "")  # noqa: E731
+    want = sorted(((i, s) for i, s in values), key=key)
+    got = sorted(((r.id, r.s) for r in back.collect()), key=key)
+    assert got == want

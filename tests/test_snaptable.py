@@ -46,3 +46,42 @@ def test_drop_table(spark, sf_dir, tmp_path):
     cat.drop_table("ns", "t")
     assert not cat.table_exists("ns", "t")
     assert cat.list_tables("ns") == []
+
+
+def test_expire_snapshots(spark, sf_dir, tmp_path):
+    import pytest
+
+    from component_iceberg_spark.io.snaptable import SnapshotNotFound
+
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "t", n.filter("n_regionkey < 2"))
+    cat.append("ns", "t", n.filter("n_regionkey = 2"))
+    cat.append("ns", "t", n.filter("n_regionkey > 2"))
+
+    expired = cat.expire_snapshots("ns", "t", keep_last=1)
+    assert expired == [1, 2]
+    # current still complete
+    assert cat.read(spark, "ns", "t").count() == n.count()
+    # expired snapshot unreadable (fails on manifest, not mid-scan)
+    with pytest.raises(SnapshotNotFound):
+        cat.read(spark, "ns", "t", snapshot_id=1)
+    # all data dirs still referenced (append carries history forward)
+    ops = [r.operation for r in cat.snapshots(spark, "ns", "t").collect()]
+    assert ops == ["append"]
+
+
+def test_expire_after_replace_frees_data(spark, sf_dir, tmp_path):
+    import os
+
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "t", n)
+    cat.create_or_replace("ns", "t", n.filter("n_regionkey = 0"))
+    assert len(os.listdir(os.path.join(wh, "ns", "t", "data"))) == 2
+    cat.expire_snapshots("ns", "t", keep_last=1)
+    # snapshot 1's directory is unreferenced after the replace → deleted
+    assert os.listdir(os.path.join(wh, "ns", "t", "data")) == ["commit-2"]
+    assert cat.read(spark, "ns", "t").count() == n.filter("n_regionkey = 0").count()
