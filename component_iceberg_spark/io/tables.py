@@ -46,6 +46,14 @@ def ensure_session_conf(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # A bare session keeps Spark's default 200 shuffle partitions — far too
+    # many for local state-store ops (each streaming stateful task opens a
+    # store per partition). Semantics-neutral, so pin the engine default.
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(os.environ.get("SPARK_GRAFT_SHUFFLE", "32")),
+        )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -106,3 +106,79 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return SE.stream_to_memory(agg, spark, mode="append")
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+    tags=("ext", "streaming", "dedup"),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup across micro-batches: the source directory stages
+    the events file TWICE (every row arrives duplicated, possibly in
+    different batches); dropDuplicatesWithinWatermark keeps one copy per
+    event_id while the watermark bounds dedup state. Result must equal
+    the distinct source."""
+    from pyspark.sql import functions as F
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(SCRATCH_ROOT, tag, "events_stream_dup")
+    os.makedirs(d, exist_ok=True)
+    for copy in ("a", "b"):
+        dst = os.path.join(d, f"events_{copy}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(table_path(sf_dir, "events"), dst)
+    ev = SE.read_events_stream(spark, d)
+    deduped = (
+        ev.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    return SE.stream_to_memory(deduped, spark, mode="append")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id, p.ts AS purchase_ts, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL '1 hour' AND v.ts <= p.ts
+    """,
+    tags=("ext", "streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases ⋈ views within the preceding
+    hour, per user): watermarks on both sides bound the join state to the
+    interval width; inner-join emission is complete, so the streaming
+    result equals the batch interval join."""
+    from pyspark.sql import functions as F
+
+    ev = _stream(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("view_ts") <= F.col("purchase_ts")),
+    ).select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")
+    return SE.stream_to_memory(joined, spark, mode="append")
