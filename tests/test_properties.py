@@ -107,3 +107,41 @@ def test_csv_roundtrip_dialect(spark, tmp_path_factory, hyp, values):
     want = sorted(((i, s) for i, s in values), key=key)
     got = sorted(((r.id, r.s) for r in back.collect()), key=key)
     assert got == want
+
+
+asof_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=15
+)
+
+
+@pytest.mark.parametrize("hyp", [None])
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=asof_rows, right=asof_rows)
+def test_asof_join_matches_model(spark, hyp, left, right):
+    """Union-window as-of join vs a plain-Python model: for each left row,
+    value of the greatest right ts <= left ts within the key."""
+    from component_iceberg_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)] or [(None, None, None)],
+        schema="k int, t int, lid int",
+    ).dropna()
+    rdf = spark.createDataFrame(
+        [(k, t) for k, t in right] or [(None, None)],
+        schema="k int, rv int",
+    ).dropna()
+    got = {
+        r.lid: r.rv
+        for r in asof_join(
+            ldf, rdf, key="k", left_ts="t", right_ts="rv", value_col="rv"
+        ).collect()
+    }
+    want = {}
+    for i, (k, t) in enumerate(left):
+        cands = [rv for rk, rv in right if rk == k and rv <= t]
+        want[i] = max(cands) if cands else None
+    assert got == want
