@@ -249,3 +249,91 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-way bit-vote aggregation has no tractable ANSI-SQL twin."""
     d = load_table(spark, sf_dir, "documents")
     return D.simhash_near_pairs(D.simhash(d, "doc_id", "text"), max_hamming=3)
+
+
+@register(
+    "text_top_ngrams",
+    oracle=f"""
+    WITH {_SHINGLE_SQL}
+    SELECT shingle, count(*) AS n_docs
+    FROM sh
+    GROUP BY shingle
+    ORDER BY n_docs DESC, shingle
+    LIMIT 20
+    """,
+    tags=("ext", "text"),
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram frequency profile: top-20 3-gram shingles by document
+    frequency. Hash-aggregate over the exploded shingles (map-side
+    combine) + bounded-heap top-k — corpus-profiling at any scale."""
+    from component_iceberg_spark.operators import relational
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.doc_shingles(d, "doc_id", "text")
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    return relational.topk(
+        counts, [F.col("n_docs").desc(), F.col("shingle")], 20
+    )
+
+
+_CURATION_ORACLE = f"""
+WITH {_SHINGLE_SQL},
+quality AS (
+    SELECT doc_id, source,
+           round(LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 64.0, 1.0)
+                 * 0.5
+                 + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+                    / length(text)) * 0.5, 6) AS q
+    FROM documents
+),
+cnt AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+),
+dup_losers AS (
+    SELECT DISTINCT doc_b FROM inter
+    JOIN cnt ca ON ca.doc = doc_a
+    JOIN cnt cb ON cb.doc = doc_b
+    WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+),
+curated AS (
+    SELECT doc_id, source FROM quality
+    WHERE q >= 0.5
+      AND doc_id NOT IN (SELECT doc_b FROM dup_losers)
+)
+SELECT source, count(*) AS n_docs
+FROM curated
+GROUP BY source
+"""
+
+
+@register("pipeline_curation", oracle=_CURATION_ORACLE, tags=("ext", "pipeline"))
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation (the composition this engine
+    exists for): quality-score filter → near-dup removal (lower doc_id of
+    each Jaccard≥0.8 pair survives) → per-source corpus stats. One plan:
+    the quality filter prunes before the expensive dedup join, and the
+    dup-loser set rides a broadcast anti-join."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(X.tokens(F.col("text")))
+    punct_ratio = F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")) * 1.0 / F.length(
+        "text"
+    )
+    q = F.round(
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.5
+        + (F.lit(1.0) - punct_ratio) * 0.5,
+        6,
+    )
+    quality = d.select("doc_id", "source", q.alias("q"))
+    losers = (
+        D.jaccard_pairs(D.doc_shingles(d, "doc_id", "text"), 0.8)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    curated = quality.filter(F.col("q") >= 0.5).join(
+        F.broadcast(losers), "doc_id", "left_anti"
+    )
+    return curated.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
