@@ -170,3 +170,77 @@ def ext_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.global_rank(
         o, [F.col("o_totalprice").desc(), F.col("o_orderkey")]
     )
+
+
+@register(
+    "ext_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           quantile_cont(l_quantity, 0.25) AS p25_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("ext", "agg"),
+)
+def ext_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles — Spark's percentile() and DuckDB's
+    quantile_cont use the same linear interpolation, verified bit-exact.
+    (The sketch-based approx twin is ext_agg_approx; this one pays a sort
+    per group and is the small-group / final-report path.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+        F.percentile("l_quantity", 0.25).alias("p25_qty"),
+    )
+
+
+@register(
+    "ext_window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ntile(4) OVER w AS INTEGER) AS price_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("ext", "window"),
+)
+def ext_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window family: ntile / percent_rank / cume_dist over a
+    shared window spec (one Exchange + Sort)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "ext_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("ext", "agg"),
+)
+def ext_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is order-nondeterministic
+    in a distributed engine, so the deterministic form is
+    sort_array(collect_list(...)) — pinned ordering survives any partition
+    layout."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
+    )
