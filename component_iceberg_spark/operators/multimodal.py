@@ -47,7 +47,7 @@ def ingest_binary(df: DataFrame, id_col: str, content_col, mime: str) -> DataFra
         content_col.alias("content"),
         F.struct(
             F.lit(mime).alias("mime"),
-            F.octet_length(content_col).alias("n_bytes"),
+            F.octet_length(content_col).cast("long").alias("n_bytes"),
         ).alias("meta"),
         F.sha2(content_col, 256).alias("content_hash"),
     )

@@ -40,7 +40,7 @@ def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.upper("c_name").alias("name_upper"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("long").alias("name_len"),
         F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("key_padded"),
         F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
         F.reverse("c_mktsegment").alias("seg_rev"),
@@ -75,10 +75,10 @@ def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("order_year"),
-        F.month("o_orderdate").alias("order_month"),
-        F.dayofmonth("o_orderdate").alias("order_day"),
-        (F.weekday("o_orderdate") + 1).alias("order_isodow"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("order_isodow"),
         F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
         (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).cast("date").alias(
             "due_date"

@@ -381,8 +381,8 @@ def ext_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_pivot",
     oracle="""
     SELECT o_orderstatus,
-           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
-           sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+           CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -416,10 +416,10 @@ def ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
         SELECT user_id, ts,
-               sum(new_sess) OVER (
+               CAST(sum(new_sess) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_id
+               ) AS BIGINT) AS session_id
         FROM g
     )
     SELECT user_id, session_id,

@@ -42,9 +42,9 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = X.tokens(F.col("text"))
     return d.select(
         "doc_id",
-        F.length("text").alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.regexp_count("text", F.lit(X.BPE_TOKEN_RE)).alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.regexp_count("text", F.lit(X.BPE_TOKEN_RE)).cast("long").alias("n_bpe_tokens"),
         F.round(F.length("text") * 1.0 / F.size(toks), 4).alias("chars_per_token"),
     )
 
