@@ -94,17 +94,34 @@ class SnapCatalog:
 
     # -- commits ------------------------------------------------------------
 
-    def append(self, namespace: str, table: str, df: DataFrame) -> int:
+    def append(
+        self, namespace: str, table: str, df: DataFrame,
+        partition_by: list[str] | None = None,
+    ) -> int:
         """Append commit: write new data files, new manifest = old files +
         new dir. No existing data is touched (metadata-only append)."""
-        return self._commit(namespace, table, df, operation="append", carry=True)
+        return self._commit(
+            namespace, table, df, operation="append", carry=True,
+            partition_by=partition_by,
+        )
 
-    def create_or_replace(self, namespace: str, table: str, df: DataFrame) -> int:
+    def create_or_replace(
+        self, namespace: str, table: str, df: DataFrame,
+        partition_by: list[str] | None = None,
+    ) -> int:
         """Replace commit (drop-and-recreate parity,
         ``wr-iceberg/src/component.py:115-124`` — but as one atomic snapshot
-        flip: readers of older snapshots are unaffected)."""
+        flip: readers of older snapshots are unaffected).
+
+        ``partition_by`` lays the commit out hive-style by the given
+        columns; reads that filter on them prune whole directories
+        (PartitionFilters in the scan) — the Iceberg partition-spec
+        analogue."""
         self.create_namespace(namespace)
-        return self._commit(namespace, table, df, operation="replace", carry=False)
+        return self._commit(
+            namespace, table, df, operation="replace", carry=False,
+            partition_by=partition_by,
+        )
 
     def upsert(
         self,
@@ -163,6 +180,35 @@ class SnapCatalog:
         if target_partitions:
             df = df.coalesce(target_partitions)
         return self._commit(namespace, table, df, operation="compact", carry=False)
+
+    def delete_where(
+        self, spark: SparkSession, namespace: str, table: str, predicate: str
+    ) -> int:
+        """Row-level DELETE (Iceberg ``DELETE FROM`` analogue, copy-on-write):
+        survivors are rewritten as a new snapshot; prior snapshots still
+        see the deleted rows (time-travelable deletes). At scale Iceberg's
+        merge-on-read would write delete files instead — same API."""
+        df = self.read(spark, namespace, table).filter(f"NOT ({predicate})")
+        return self._commit(namespace, table, df, operation="delete", carry=False)
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        table: str,
+        predicate: str,
+        assignments: dict[str, str],
+    ) -> int:
+        """Row-level UPDATE (Iceberg ``UPDATE … SET`` analogue, copy-on-write):
+        matching rows get the SET expressions, others pass through, one new
+        snapshot. ``assignments`` maps column → SQL expression."""
+        df = self.read(spark, namespace, table)
+        for col_name, expr in assignments.items():
+            df = df.withColumn(
+                col_name,
+                F.when(F.expr(predicate), F.expr(expr)).otherwise(F.col(col_name)),
+            )
+        return self._commit(namespace, table, df, operation="update", carry=False)
 
     def expire_snapshots(
         self, namespace: str, table: str, keep_last: int = 1
@@ -224,6 +270,18 @@ class SnapCatalog:
         # mergeSchema: appends may evolve the schema (add columns); rows
         # from pre-evolution files read the new columns as NULL — Iceberg
         # schema-evolution semantics.
+        #
+        # Partitioned commits are read per-directory and unioned by name:
+        # hive partition discovery is per data dir, and the union keeps
+        # partition pruning (PartitionFilters) intact on every branch.
+        if manifest.get("partition_by") and len(dirs) > 1:
+            out = None
+            for d in dirs:
+                part = spark.read.option("mergeSchema", "true").parquet(d)
+                out = part if out is None else out.unionByName(
+                    part, allowMissingColumns=True
+                )
+            return out
         return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
     def snapshots(self, spark: SparkSession, namespace: str, table: str) -> DataFrame:
@@ -272,14 +330,28 @@ class SnapCatalog:
         return out
 
     def _commit(
-        self, namespace: str, table: str, df: DataFrame, operation: str, carry: bool
+        self,
+        namespace: str,
+        table: str,
+        df: DataFrame,
+        operation: str,
+        carry: bool,
+        partition_by: list[str] | None = None,
     ) -> int:
         snaps = self._snapshots(namespace, table)
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
+        if partition_by is None and carry and snaps:
+            # appends inherit the table's partition spec
+            partition_by = self._manifest(
+                namespace, table, snaps[-1]["snapshot_id"]
+            ).get("partition_by")
         data_dir_name = f"commit-{sid}"
         out_dir = self._tbl(namespace, table, "data", data_dir_name)
         os.makedirs(self._tbl(namespace, table, "snapshots"), exist_ok=True)
-        df.write.mode("overwrite").parquet(out_dir)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out_dir)
 
         files = [data_dir_name]
         if carry and snaps:
@@ -292,6 +364,7 @@ class SnapCatalog:
             "timestamp_ms": int(time.time() * 1000),
             "operation": operation,
             "files": files,
+            "partition_by": partition_by or [],
             "schema": df.schema.jsonValue(),
         }
         # atomic manifest publish: temp write + rename, then flip _current

@@ -294,3 +294,77 @@ def snap_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cat.append("ns", "nation", evolved)
     return cat.read(spark, "ns", "nation")
+
+
+@register(
+    "snap_delete_where",
+    oracle="""
+    SELECT * FROM orders
+    WHERE NOT (o_orderstatus = 'P' AND o_totalprice < 100000)
+    """,
+    tags=("parity", "snapshot", "mutation"),
+)
+def snap_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE (Iceberg DELETE FROM, copy-on-write): deleted rows
+    vanish from the new snapshot but remain time-travelable in the old."""
+    cat = _warehouse(sf_dir, "delete_where")
+    o = load_table(spark, sf_dir, "orders")
+    cat.create_or_replace("ns", "orders", o)
+    cat.delete_where(
+        spark, "ns", "orders", "o_orderstatus = 'P' AND o_totalprice < 100000"
+    )
+    return cat.read(spark, "ns", "orders")
+
+
+@register(
+    "snap_update_where",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 1.05
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    """,
+    tags=("parity", "snapshot", "mutation"),
+)
+def snap_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE (Iceberg UPDATE … SET, copy-on-write): matching
+    rows take the SET expressions in a new snapshot."""
+    cat = _warehouse(sf_dir, "update_where")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "orders", o)
+    cat.update_where(
+        spark,
+        "ns",
+        "orders",
+        "o_orderstatus = 'P'",
+        {"o_totalprice": "o_totalprice * 1.05"},
+    )
+    return cat.read(spark, "ns", "orders")
+
+
+@register(
+    "snap_partitioned_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("parity", "snapshot", "scan"),
+)
+def snap_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec tables: commits laid out hive-style by
+    o_orderstatus; a filter on the partition column prunes whole
+    directories (PartitionFilters — asserted in tests/test_plans.py).
+    Values must round-trip through the partition encoding exactly."""
+    cat = _warehouse(sf_dir, "part_scan")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    cat.create_or_replace(
+        "ns", "orders", o.filter(F.col("o_orderkey") % 2 == 0),
+        partition_by=["o_orderstatus"],
+    )
+    cat.append("ns", "orders", o.filter(F.col("o_orderkey") % 2 == 1))
+    got = cat.read(spark, "ns", "orders").filter(F.col("o_orderstatus") == "F")
+    return got.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")

@@ -96,3 +96,24 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {t_li}")
     assert "Exchange" not in p, "bucketed join must not shuffle"
     assert n == li.count()
+
+
+def test_snaptable_partition_pruning(spark, sf_dir, tmp_path):
+    """A filter on the partition column of a partition-spec snap table must
+    reach the scan as a PartitionFilter (directory pruning), not a data
+    filter."""
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.io.snaptable import SnapCatalog
+    from component_iceberg_spark.io.tables import load_table
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    o = load_table(spark, sf_dir, "orders")
+    cat.create_or_replace("ns", "t", o, partition_by=["o_orderstatus"])
+    df = cat.read(spark, "ns", "t").filter(F.col("o_orderstatus") == "F")
+    p = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    pf = p.split("PartitionFilters:")[1].splitlines()[0]
+    assert "o_orderstatus" in pf, f"partition filter missing: {pf}"
+    assert df.count() == o.filter("o_orderstatus = 'F'").count()
