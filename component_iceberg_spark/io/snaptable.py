@@ -48,6 +48,14 @@ class SnapshotNotFound(Exception):
     pass
 
 
+class CommitConflict(Exception):
+    """A concurrent commit won the race and this operation's inputs are
+    stale. Appends retry transparently (their data is independent of the
+    table state); replace/upsert/delete/update/compact must be re-run by
+    the caller on the new state — the same contract as Iceberg's
+    validation-failed commit exception."""
+
+
 class SnapCatalog:
     """Filesystem-backed catalog of snapshot-versioned tables.
 
@@ -304,11 +312,13 @@ class SnapCatalog:
         return os.path.join(self.warehouse, namespace, table, *parts)
 
     def _current_sid(self, namespace: str, table: str) -> int:
-        path = self._tbl(namespace, table, "_current")
-        if not os.path.isfile(path):
+        # Derived from the snapshot manifests (max id), not the _current
+        # hint file: concurrent committers' hint writes can interleave, but
+        # the set of published manifests is authoritative.
+        snaps = self._snapshots(namespace, table)
+        if not snaps:
             raise SnapshotNotFound(f"{namespace}.{table} has no current snapshot")
-        with open(path) as f:
-            return int(f.read().strip())
+        return snaps[-1]["snapshot_id"]
 
     def _manifest(self, namespace: str, table: str, sid: int) -> dict:
         path = self._tbl(namespace, table, "snapshots", f"{sid}.json")
@@ -339,13 +349,14 @@ class SnapCatalog:
         partition_by: list[str] | None = None,
     ) -> int:
         snaps = self._snapshots(namespace, table)
-        sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
         if partition_by is None and carry and snaps:
             # appends inherit the table's partition spec
-            partition_by = self._manifest(
-                namespace, table, snaps[-1]["snapshot_id"]
-            ).get("partition_by")
-        data_dir_name = f"commit-{sid}"
+            partition_by = snaps[-1].get("partition_by")
+
+        # Data files are written ONCE under a collision-free name; only the
+        # metadata publish participates in the optimistic-commit loop, so a
+        # losing committer never rewrites data (Iceberg's commit shape).
+        data_dir_name = f"commit-{uuid.uuid4().hex[:12]}"
         out_dir = self._tbl(namespace, table, "data", data_dir_name)
         os.makedirs(self._tbl(namespace, table, "snapshots"), exist_ok=True)
         writer = df.write.mode("overwrite")
@@ -353,26 +364,40 @@ class SnapCatalog:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out_dir)
 
-        files = [data_dir_name]
-        if carry and snaps:
-            files = self._manifest(namespace, table, snaps[-1]["snapshot_id"])[
-                "files"
-            ] + files
-        manifest = {
-            "snapshot_id": sid,
-            "parent_id": snaps[-1]["snapshot_id"] if snaps else None,
-            "timestamp_ms": int(time.time() * 1000),
-            "operation": operation,
-            "files": files,
-            "partition_by": partition_by or [],
-            "schema": df.schema.jsonValue(),
-        }
-        # atomic manifest publish: temp write + rename, then flip _current
-        snap_path = self._tbl(namespace, table, "snapshots", f"{sid}.json")
-        tmp = snap_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, snap_path)
+        # Optimistic publish: claim snapshot id N+1 via exclusive create of
+        # its manifest; a concurrent winner makes the create fail, so we
+        # re-read the new table state and retry on top of it.
+        while True:
+            snaps = self._snapshots(namespace, table)
+            sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
+            files = [data_dir_name]
+            if carry and snaps:
+                files = snaps[-1]["files"] + files
+            manifest = {
+                "snapshot_id": sid,
+                "parent_id": snaps[-1]["snapshot_id"] if snaps else None,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": operation,
+                "files": files,
+                "partition_by": partition_by or [],
+                "schema": df.schema.jsonValue(),
+            }
+            snap_path = self._tbl(namespace, table, "snapshots", f"{sid}.json")
+            try:
+                with open(snap_path, "x") as f:
+                    json.dump(manifest, f)
+                break
+            except FileExistsError:
+                if carry:
+                    continue  # append: data independent of state — retry
+                # result was computed from a now-stale snapshot
+                shutil.rmtree(out_dir, ignore_errors=True)
+                raise CommitConflict(
+                    f"{namespace}.{table}: snapshot {sid} was committed "
+                    "concurrently; re-run this operation on the new state"
+                ) from None
+        # _current is a convenience hint only; reads derive the current id
+        # from the manifest set.
         cur_tmp = self._tbl(namespace, table, f"_current.tmp-{uuid.uuid4().hex}")
         with open(cur_tmp, "w") as f:
             f.write(str(sid))
