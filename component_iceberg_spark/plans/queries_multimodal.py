@@ -67,3 +67,27 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     blob — the video chunking shape, fanned out row-per-frame so per-frame
     work distributes across tasks."""
     return M.sample_frames(_binary_docs(spark, sf_dir), 4)
+
+
+@register(
+    "mm_dedup_content",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           min(doc_id) AS rep_doc_id,
+           count(*) AS n_copies,
+           min(strlen(text)) AS n_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("ext", "multimodal", "dedup"),
+)
+def mm_dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dedup over the binary payload: group by sha256 —
+    the modality-agnostic exact-dedup that works identically for text,
+    image, audio and video bytes (hash computed on the binary column)."""
+    b = _binary_docs(spark, sf_dir)
+    return b.groupBy("content_hash").agg(
+        F.min("doc_id").alias("rep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.col("meta.n_bytes")).alias("n_bytes"),
+    )

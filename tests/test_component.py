@@ -137,3 +137,69 @@ def test_config_validation_errors(spark, tmp_path):
         WriterDestination(namespace="n", table_name="t", mode="upsert").validate()
     with pytest.raises(UserConfigError, match="requires columns"):
         DataSelection(mode="selected_columns").validate()
+
+
+def test_incremental_sync_cycle(spark, sf_dir, tmp_path):
+    """The reference's two components chained: full extract + load, then an
+    incremental extract (changed slice) applied via upsert — final table
+    must equal the source of truth."""
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.io.tables import load_table
+
+    wh_src = str(tmp_path / "src_wh")
+    wh_dst = str(tmp_path / "dst_wh")
+    src_cat = SnapCatalog(wh_src)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    src_cat.create_or_replace("ns", "orders", orders)
+
+    # 1. full extract -> parquet -> full load
+    full_cfg = ExtractorConfig(
+        catalog=CatalogConfig(warehouse=wh_src),
+        source=Source(namespace="ns", table_name="orders"),
+        destination=ExtractorDestination(parquet_output=True, file_name="full"),
+    )
+    res = run_extractor(spark, full_cfg, str(tmp_path / "out1"))
+    run_writer(spark, WriterConfig(
+        catalog=CatalogConfig(warehouse=wh_dst),
+        destination=WriterDestination(namespace="ns", table_name="orders", mode="replace"),
+        input_parquet=res.path,
+    ))
+
+    # 2. source mutates: price bump on 'P' orders (UPDATE), new snapshot
+    src_cat.update_where(
+        spark, "ns", "orders", "o_orderstatus = 'P'",
+        {"o_totalprice": "o_totalprice * 1.1"},
+    )
+
+    # 3. incremental extract of the changed slice -> upsert into dest
+    inc_cfg = ExtractorConfig(
+        catalog=CatalogConfig(warehouse=wh_src),
+        source=Source(namespace="ns", table_name="orders"),
+        destination=ExtractorDestination(
+            parquet_output=True, file_name="inc",
+            load_type="incremental_load", primary_key=["o_orderkey"],
+        ),
+    )
+    inc_cfg.custom_query = "SELECT * FROM orders WHERE o_orderstatus = 'P'"
+    inc = run_extractor(spark, inc_cfg, str(tmp_path / "out2"))
+    assert inc.incremental and inc.primary_key == ["o_orderkey"]
+    run_writer(spark, WriterConfig(
+        catalog=CatalogConfig(warehouse=wh_dst),
+        destination=WriterDestination(
+            namespace="ns", table_name="orders", mode="upsert",
+            primary_key=["o_orderkey"],
+        ),
+        input_parquet=inc.path,
+    ))
+
+    # final dest == current source (same keys, updated prices applied)
+    dst = SnapCatalog(wh_dst).read(spark, "ns", "orders")
+    src = src_cat.read(spark, "ns", "orders")
+    assert dst.count() == src.count()
+    diff = dst.select("o_orderkey", "o_totalprice").exceptAll(
+        src.select("o_orderkey", "o_totalprice")
+    )
+    assert diff.count() == 0
