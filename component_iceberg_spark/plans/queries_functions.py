@@ -244,3 +244,38 @@ def ext_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.groupBy("n_regionkey").agg(
         F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
     )
+
+
+@register(
+    "ext_nested_ops",
+    oracle="""
+    SELECT vec_id,
+           list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           round(list_sum(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 4) AS l1_norm,
+           CAST(list_max(embedding) AS DOUBLE) AS max_dim
+    FROM embeddings
+    """,
+    tags=("ext", "functions", "nested"),
+)
+def ext_nested_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type (array) function family over the embedding column:
+    slice / filter / fold / max — all codegen'd array expressions, the
+    complex-type pass-through surface of §1.2 exercised end-to-end."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.transform(F.slice(vec, 1, 3), lambda x: x.cast("double")).alias("head3"),
+        F.size(F.filter(vec, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.transform(vec, lambda x: F.abs(x.cast("double"))),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            4,
+        ).alias("l1_norm"),
+        F.array_max(vec).cast("double").alias("max_dim"),
+    )
