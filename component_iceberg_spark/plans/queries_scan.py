@@ -330,3 +330,29 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     df.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     back = spark.read.parquet(out)
     return back.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@register(
+    "source_json",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+    tags=("parity", "source"),
+)
+def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingest with an explicit schema (no inference pass —
+    schema-on-read like the typed CSV path; JSON-lines is splittable so the
+    scan distributes). Round-trip from the events fixture must reproduce
+    values exactly."""
+    df = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = _scratch(sf_dir, "source_json")
+    df.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).json(out)
