@@ -279,3 +279,44 @@ def ext_nested_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("l1_norm"),
         F.array_max(vec).cast("double").alias("max_dim"),
     )
+
+
+@register(
+    "ext_grouped_pandas",
+    oracle="""
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4)
+               AS z_score
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+    tags=("ext", "udf"),
+)
+def ext_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow grouped-map (applyInPandas): per-group z-score normalization
+    in pandas — the custom-UDAF escape hatch when built-ins can't express
+    the per-group logic. Rows are sorted by key inside the UDF so the
+    float reduction order is deterministic; rounding absorbs the remaining
+    ulp difference vs the oracle's window formulation. One shuffle on the
+    group key, Arrow-batched both ways."""
+    import pandas as pd
+
+    from component_iceberg_spark.io.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")  # deterministic reduction order
+        mean = pdf["value"].mean()
+        std = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "z_score": ((pdf["value"] - mean) / std).round(4),
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        zscore, schema="event_id long, event_type string, z_score double"
+    )
