@@ -83,9 +83,13 @@ LIMIT 10
 
 @register("q3_shipping_priority", oracle=Q3_ORACLE, tags=("relational",))
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim (customer) broadcast into the
-    orders⋈lineitem join, aggregate, then TakeOrderedAndProject top-10
-    (bounded heap, no global sort)."""
+    """TPC-H Q3 shape: no broadcast hints — customer and orders both grow
+    with the data, so a hard-coded broadcast is an executor-OOM at 100×.
+    The plan is left declarative: Catalyst picks sort-merge for the
+    fact⋈fact joins and AQE (enabled in session.py) converts a side to
+    broadcast at runtime only when its *filtered* size is genuinely under
+    the threshold. Aggregate, then TakeOrderedAndProject top-10 (bounded
+    heap, no global sort)."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")
@@ -94,7 +98,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz")
     )
     joined = li.join(
-        F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        o.join(c, o.o_custkey == c.c_custkey),
         li.l_orderkey == F.col("o_orderkey"),
     )
     agg = (
@@ -131,9 +135,13 @@ GROUP BY n_name
 
 @register("q5_local_supplier_volume", oracle=Q5_ORACLE, tags=("relational",))
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: all dimensions broadcast; the only shuffle is the
-    final tiny aggregation by nation. Catalyst folds the region filter
-    through nation before the fact join."""
+    """TPC-H Q5 shape: only the *bounded* dimensions carry broadcast hints
+    (region: 5 rows, nation: 25 rows, supplier: smallest fact-adjacent
+    table, ~1% of lineitem). Orders and customer grow with the data —
+    those joins are left to Catalyst (sort-merge at scale; AQE demotes to
+    broadcast at runtime only if the filtered side is actually small).
+    Catalyst folds the region filter through nation before the fact join,
+    so the supplier side is pre-pruned to ASIA nations."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
@@ -144,8 +152,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     joined = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
@@ -694,13 +702,16 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (HAVING over a join-aggregate): filter on the
     aggregate happens post-agg, so the shuffle is still group-bounded; the
-    HAVING predicate itself is a plain filter on the aggregated plan."""
+    HAVING predicate itself is a plain filter on the aggregated plan.
+    Both joins are unfiltered fact⋈fact — no broadcast hints; sort-merge
+    on the join keys is the correct 100 TB plan (lineitem⋈orders co-shuffle
+    on orderkey, then the aggregate reuses that partitioning)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "o_orderkey", "o_orderdate")
         .agg(
             F.sum("l_quantity").alias("_qty"),
@@ -797,12 +808,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: join + conditional counting (CASE-sums). The
     non-equi residual (shipdate > orderdate) rides the equi-join as a
-    post-join filter; counts stay group-bounded."""
+    post-join filter; counts stay group-bounded. Orders is a fact table —
+    no broadcast hint; sort-merge on orderkey scales."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate"))
         .groupBy("l_linestatus")
         .agg(

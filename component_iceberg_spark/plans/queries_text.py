@@ -315,8 +315,11 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation (the composition this engine
     exists for): quality-score filter → near-dup removal (lower doc_id of
     each Jaccard≥0.8 pair survives) → per-source corpus stats. One plan:
-    the quality filter prunes before the expensive dedup join, and the
-    dup-loser set rides a broadcast anti-join."""
+    the quality filter prunes before the expensive dedup join. The
+    dup-loser set is data-dependent (as large as the corpus's duplicate
+    fraction — on a crawl corpus, most of it), so it carries NO broadcast
+    hint: a plain left_anti lets AQE broadcast only when the set is
+    actually small at runtime."""
     d = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(X.tokens(F.col("text")))
     punct_ratio = F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")) * 1.0 / F.length(
@@ -333,7 +336,5 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    curated = quality.filter(F.col("q") >= 0.5).join(
-        F.broadcast(losers), "doc_id", "left_anti"
-    )
+    curated = quality.filter(F.col("q") >= 0.5).join(losers, "doc_id", "left_anti")
     return curated.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
