@@ -102,10 +102,15 @@ def write_csv(
 def with_row_index(df: DataFrame, order_by: list[str]) -> DataFrame:
     """Explicit insertion-order key. Spark tables are unordered; an ordered
     pipeline needs a materialized ordering column (SURVEY §2.3
-    ``order_preserve``). Uses a global ``row_number`` window — at 100 TB
-    prefer ``monotonically_increasing_id`` (order within partition, no
-    global sort) unless a total order is truly required."""
-    from pyspark.sql import Window
+    ``order_preserve``).
 
-    w = Window.orderBy(*[F.col(c) for c in order_by])
-    return df.withColumn("_row_idx", F.row_number().over(w))
+    Built on :func:`relational.global_rank` — range-partition on the order
+    columns, rank within each partition, add per-partition offsets. No
+    single-partition Exchange/Window anywhere in the plan, so the total
+    order survives any scale (a bare ``Window.orderBy`` with no partition
+    key sorts the whole table in one task). ``order_by`` must be a total
+    order (include a unique key) for a deterministic index."""
+    from component_iceberg_spark.operators.relational import global_rank
+
+    ranked = global_rank(df, [F.col(c) for c in order_by], rank_col="_row_idx")
+    return ranked.withColumn("_row_idx", F.col("_row_idx").cast("int"))
