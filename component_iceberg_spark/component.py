@@ -137,19 +137,25 @@ def run_writer(spark: SparkSession, cfg: WriterConfig) -> int:
                 sep=ci.delimiter, quote=ci.enclosure, header=ci.header,
             )
 
-    if dest.partition_by:
+    part = dest.partition_by or None
+    if part:
         # the reference parses partition_by but never applies it
         # (wr-iceberg/src/configuration.py:31); real here: cluster the data
-        # files by the partition columns inside the commit
-        df = df.repartition(*dest.partition_by)
+        # files by the partition columns, then commit with the hive layout
+        # so the manifest records the spec and reads prune directories
+        df = df.repartition(*part)
 
     cat.create_namespace(dest.namespace)
     if dest.mode == WRITE_REPLACE:
-        return cat.create_or_replace(dest.namespace, dest.table_name, df)
+        return cat.create_or_replace(
+            dest.namespace, dest.table_name, df, partition_by=part
+        )
     if dest.mode == WRITE_APPEND:
         if not cat.table_exists(dest.namespace, dest.table_name):
-            return cat.create_or_replace(dest.namespace, dest.table_name, df)
-        return cat.append(dest.namespace, dest.table_name, df)
+            return cat.create_or_replace(
+                dest.namespace, dest.table_name, df, partition_by=part
+            )
+        return cat.append(dest.namespace, dest.table_name, df, partition_by=part)
     if dest.mode == WRITE_UPSERT:
         return cat.upsert(
             dest.namespace, dest.table_name, df, keys=dest.primary_key

@@ -33,8 +33,10 @@ Design notes (what makes this 100 TB-shaped even though it's small):
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -46,6 +48,123 @@ from pyspark.sql import Window
 
 class SnapshotNotFound(Exception):
     pass
+
+
+# -- manifest column statistics (Iceberg per-file metrics analogue) ---------
+#
+# Each commit records, per data directory, the min/max of every leaf column
+# (harvested from the Parquet footers — metadata-only, no data scan). Reads
+# and copy-on-write mutations use them to SKIP whole directories whose value
+# range cannot satisfy a predicate — Iceberg's metrics-based file pruning,
+# the layer below hive partition pruning.
+
+_TS_FMT = "%Y-%m-%d %H:%M:%S.%f"
+_NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
+_CONJ_RE = re.compile(r"^\s*(\w+)\s*(=|!=|<>|<=|>=|<|>)\s*(.+?)\s*$")
+
+
+def _stat_jsonable(v):
+    """Normalize a Parquet footer stat value for JSON + comparison.
+    Timestamps → fixed-width strings (lexicographic == chronological),
+    dates → ISO strings, bytes → utf-8 or None (skip column)."""
+    if isinstance(v, _dt.datetime):
+        return v.strftime(_TS_FMT)
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (int, float, str, bool)):
+        return v
+    return None
+
+
+def dir_column_stats(path: str) -> dict[str, list]:
+    """Per-column [min, max] over every Parquet file under ``path``, read
+    from row-group footers only. Driver-side here (metadata-sized: one
+    footer per file); a real deployment distributes footer reads the way
+    Iceberg writes metrics at commit time — inside the writing tasks."""
+    import pyarrow.parquet as pq
+
+    stats: dict[str, list] = {}
+    dropped: set[str] = set()
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, fn)).metadata
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    name = col.path_in_schema
+                    if "." in name or name in dropped:
+                        continue  # nested leaves: not prunable by top name
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        dropped.add(name)
+                        stats.pop(name, None)
+                        continue
+                    mn, mx = _stat_jsonable(st.min), _stat_jsonable(st.max)
+                    if mn is None or mx is None:
+                        dropped.add(name)
+                        stats.pop(name, None)
+                        continue
+                    if name in stats:
+                        stats[name][0] = min(stats[name][0], mn)
+                        stats[name][1] = max(stats[name][1], mx)
+                    else:
+                        stats[name] = [mn, mx]
+    return stats
+
+
+def simple_conjuncts(predicate: str) -> list[tuple[str, str, object]]:
+    """Best-effort decomposition of ``a AND b AND …`` into
+    ``(column, op, literal)`` tuples for stats pruning. Returns ``[]``
+    whenever the predicate is more complex (OR / NOT / parens / functions):
+    no pruning then — never wrong results, just no skipping."""
+    if re.search(r"\bOR\b|\(|\bNOT\b|\bIN\b|\bLIKE\b", predicate, re.I):
+        return []
+    out = []
+    for part in re.split(r"\bAND\b", predicate, flags=re.I):
+        m = _CONJ_RE.match(part)
+        if not m:
+            return []
+        col, op, raw = m.groups()
+        raw = raw.strip()
+        if raw.upper().startswith("TIMESTAMP"):
+            raw = raw[len("TIMESTAMP"):].strip()
+        if len(raw) >= 2 and raw[0] == "'" and raw[-1] == "'":
+            lit: object = raw[1:-1]
+        elif _NUM_RE.match(raw):
+            lit = float(raw) if "." in raw else int(raw)
+        else:
+            return []  # column-vs-column or expression: not prunable
+        out.append((col, op, lit))
+    return out
+
+
+def _range_may_match(mn, mx, op: str, lit) -> bool:
+    """Can any value in [mn, mx] satisfy ``value <op> lit``? Conservative:
+    True on any type mismatch."""
+    try:
+        if op == "=":
+            return mn <= lit <= mx
+        if op in ("!=", "<>"):
+            return not (mn == lit == mx)
+        if op == "<":
+            return mn < lit
+        if op == "<=":
+            return mn <= lit
+        if op == ">":
+            return mx > lit
+        if op == ">=":
+            return mx >= lit
+    except TypeError:
+        return True
+    return True
 
 
 class CommitConflict(Exception):
@@ -148,6 +267,13 @@ class SnapCatalog:
         Plan: dedupe delta (window over keys) → target anti-join delta →
         union. One shuffle on the key columns; the small side broadcasts
         automatically under AQE.
+
+        Determinism: without ``order_by``, delta-internal key duplicates
+        resolve via ``dropDuplicates(keys)``, which keeps an ARBITRARY row
+        per key — nondeterministic across runs. Pass ``order_by`` whenever
+        the delta can contain duplicate keys (the reference's batch pump
+        is deterministic last-by-arrival; ``order_by`` is how that intent
+        is expressed here).
         """
         spark = delta.sparkSession
         if order_by is not None:
@@ -159,13 +285,48 @@ class SnapCatalog:
             )
         else:
             delta = delta.dropDuplicates(keys)
-        if self.table_exists(namespace, table):
-            target = self.read(spark, namespace, table)
+        if not self.table_exists(namespace, table):
+            return self._commit(
+                namespace, table, delta, operation="upsert", carry=False,
+                inherit_spec=True,
+            )
+        base = self._current_sid(namespace, table)
+        manifest = self._manifest(namespace, table, base)
+        # File-pruned copy-on-write (Iceberg MERGE cost shape): a data dir
+        # whose key-range stats cannot overlap the delta's key range cannot
+        # contain a matched row — carry it into the new snapshot untouched.
+        # The bounds job is a column-pruned min/max agg over the delta
+        # (metadata-sized result; the delta plan runs once more in the
+        # merge itself).
+        conjuncts: list[tuple[str, str, object]] = []
+        aggs = [F.min(k).alias(f"_mn_{k}") for k in keys] + [
+            F.max(k).alias(f"_mx_{k}") for k in keys
+        ]
+        bounds = delta.agg(*aggs).collect()[0]
+        for k in keys:
+            mn = _stat_jsonable(bounds[f"_mn_{k}"])
+            mx = _stat_jsonable(bounds[f"_mx_{k}"])
+            if mn is None or mx is None:
+                conjuncts = []
+                break
+            conjuncts += [(k, ">=", mn), (k, "<=", mx)]
+        if conjuncts:
+            candidates, untouched = self._split_by_stats(manifest, conjuncts)
+        else:
+            candidates, untouched = list(manifest["files"]), []
+        if candidates:
+            target = self._read_dirs(
+                spark, namespace, table, candidates,
+                bool(manifest.get("partition_by")),
+            )
             survivors = target.join(delta.select(*keys), keys, "left_anti")
             merged = survivors.unionByName(delta)
         else:
             merged = delta
-        return self._commit(namespace, table, merged, operation="upsert", carry=False)
+        return self._commit(
+            namespace, table, merged, operation="upsert", carry=False,
+            base_sid=base, inherit_spec=True, carry_dirs=untouched,
+        )
 
     def compact(
         self,
@@ -184,10 +345,14 @@ class SnapCatalog:
         ``maxPartitionBytes``. Readers of prior snapshots are unaffected
         (their manifests still reference the old directories).
         """
-        df = self.read(spark, namespace, table)
+        base = self._current_sid(namespace, table)
+        df = self.read(spark, namespace, table, snapshot_id=base)
         if target_partitions:
             df = df.coalesce(target_partitions)
-        return self._commit(namespace, table, df, operation="compact", carry=False)
+        return self._commit(
+            namespace, table, df, operation="compact", carry=False,
+            base_sid=base, inherit_spec=True,
+        )
 
     def delete_where(
         self, spark: SparkSession, namespace: str, table: str, predicate: str
@@ -196,8 +361,24 @@ class SnapCatalog:
         survivors are rewritten as a new snapshot; prior snapshots still
         see the deleted rows (time-travelable deletes). At scale Iceberg's
         merge-on-read would write delete files instead — same API."""
-        df = self.read(spark, namespace, table).filter(f"NOT ({predicate})")
-        return self._commit(namespace, table, df, operation="delete", carry=False)
+        base = self._current_sid(namespace, table)
+        manifest = self._manifest(namespace, table, base)
+        # File-pruned rewrite: dirs whose stats cannot satisfy the predicate
+        # contain no doomed rows — carried untouched (byte-identical).
+        candidates, untouched = self._prune_dirs(manifest, predicate)
+        if not candidates:
+            return self._commit(
+                namespace, table, None, operation="delete", carry=False,
+                base_sid=base, inherit_spec=True, carry_dirs=untouched,
+            )
+        df = self._read_dirs(
+            spark, namespace, table, candidates,
+            bool(manifest.get("partition_by")),
+        ).filter(f"NOT ({predicate})")
+        return self._commit(
+            namespace, table, df, operation="delete", carry=False,
+            base_sid=base, inherit_spec=True, carry_dirs=untouched,
+        )
 
     def update_where(
         self,
@@ -210,13 +391,29 @@ class SnapCatalog:
         """Row-level UPDATE (Iceberg ``UPDATE … SET`` analogue, copy-on-write):
         matching rows get the SET expressions, others pass through, one new
         snapshot. ``assignments`` maps column → SQL expression."""
-        df = self.read(spark, namespace, table)
+        base = self._current_sid(namespace, table)
+        manifest = self._manifest(namespace, table, base)
+        # File-pruned rewrite, same as delete_where: only dirs that can
+        # contain predicate matches are rewritten.
+        candidates, untouched = self._prune_dirs(manifest, predicate)
+        if not candidates:
+            return self._commit(
+                namespace, table, None, operation="update", carry=False,
+                base_sid=base, inherit_spec=True, carry_dirs=untouched,
+            )
+        df = self._read_dirs(
+            spark, namespace, table, candidates,
+            bool(manifest.get("partition_by")),
+        )
         for col_name, expr in assignments.items():
             df = df.withColumn(
                 col_name,
                 F.when(F.expr(predicate), F.expr(expr)).otherwise(F.col(col_name)),
             )
-        return self._commit(namespace, table, df, operation="update", carry=False)
+        return self._commit(
+            namespace, table, df, operation="update", carry=False,
+            base_sid=base, inherit_spec=True, carry_dirs=untouched,
+        )
 
     def expire_snapshots(
         self, namespace: str, table: str, keep_last: int = 1
@@ -238,13 +435,40 @@ class SnapCatalog:
             os.remove(
                 self._tbl(namespace, table, "snapshots", f"{s['snapshot_id']}.json")
             )
+        # Delete ONLY directories the expired manifests referenced and no
+        # retained manifest still does (Iceberg expire_snapshots semantics).
+        # A directory referenced by NO manifest is either a failed commit's
+        # orphan or a concurrent commit's data written before its manifest
+        # publishes — deleting it here would corrupt the winner's table;
+        # that cleanup belongs to remove_orphans() with an age threshold.
         live_dirs = {d for s in retained for d in s["files"]}
+        expired_dirs = {d for s in expired for d in s["files"]}
         data_root = self._tbl(namespace, table, "data")
-        if os.path.isdir(data_root):
-            for d in os.listdir(data_root):
-                if d not in live_dirs:
-                    shutil.rmtree(os.path.join(data_root, d))
+        for d in sorted(expired_dirs - live_dirs):
+            shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
         return [s["snapshot_id"] for s in expired]
+
+    def remove_orphans(
+        self, namespace: str, table: str, older_than_ms: int = 24 * 3600 * 1000
+    ) -> list[str]:
+        """Delete data directories referenced by no snapshot manifest and
+        older than the threshold (Iceberg ``remove_orphan_files`` analogue).
+        The age threshold is what makes this safe to run concurrently with
+        commits: an in-flight commit's data dir exists before its manifest,
+        but it is necessarily younger than any sane threshold."""
+        live = {
+            d for s in self._snapshots(namespace, table) for d in s["files"]
+        }
+        data_root = self._tbl(namespace, table, "data")
+        removed = []
+        if os.path.isdir(data_root):
+            cutoff = time.time() - older_than_ms / 1000.0
+            for d in sorted(os.listdir(data_root)):
+                path = os.path.join(data_root, d)
+                if d not in live and os.path.getmtime(path) < cutoff:
+                    shutil.rmtree(path, ignore_errors=True)
+                    removed.append(d)
+        return removed
 
     # -- reads --------------------------------------------------------------
 
@@ -255,10 +479,16 @@ class SnapCatalog:
         table: str,
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
+        where: str | None = None,
     ) -> DataFrame:
         """Scan the table at the current / given / timestamp-resolved
         snapshot (``snapshot-id`` / ``as-of-timestamp`` read options of the
-        Iceberg connector)."""
+        Iceberg connector).
+
+        ``where`` is applied as a normal Spark filter AND, when it is a
+        simple conjunction, used to SKIP whole data directories whose
+        manifest min/max stats cannot satisfy it (Iceberg metrics pruning:
+        the scan never opens files that cannot contain matches)."""
         sid = snapshot_id
         if sid is None and as_of_ms is not None:
             candidates = [
@@ -271,18 +501,84 @@ class SnapCatalog:
         if sid is None:
             sid = self._current_sid(namespace, table)
         manifest = self._manifest(namespace, table, sid)
+        dir_names = manifest["files"]
+        if where:
+            dir_names, _skipped = self._prune_dirs(manifest, where)
+        df = self._read_dirs(
+            spark, namespace, table, dir_names, bool(manifest.get("partition_by"))
+        )
+        if where:
+            df = df.filter(where)
+        return df
+
+    def _prune_dirs(
+        self, manifest: dict, predicate: str
+    ) -> tuple[list[str], list[str]]:
+        """Split the manifest's data dirs into (candidates, skipped) for a
+        predicate, using per-dir column min/max stats. Dirs without stats
+        are always candidates; complex predicates prune nothing."""
+        dirs = manifest["files"]
+        conjuncts = simple_conjuncts(predicate)
+        if not conjuncts:
+            return list(dirs), []
+        # normalize timestamp literals to the stats' fixed-width format so
+        # string comparison is chronological (schema tells us the type)
+        types = {
+            f["name"]: str(f.get("type", ""))
+            for f in manifest.get("schema", {}).get("fields", [])
+        }
+        normed = []
+        for col, op, lit in conjuncts:
+            if "timestamp" in types.get(col, "") and isinstance(lit, str):
+                try:
+                    lit = _dt.datetime.fromisoformat(lit).strftime(_TS_FMT)
+                except ValueError:
+                    return list(dirs), []
+            normed.append((col, op, lit))
+        return self._split_by_stats(manifest, normed)
+
+    def _split_by_stats(
+        self, manifest: dict, conjuncts: list[tuple[str, str, object]]
+    ) -> tuple[list[str], list[str]]:
+        """Dir-level interval check: (candidates, skipped). Literals must
+        already be normalized to the stats' comparison domain."""
+        dir_stats = manifest.get("dir_stats", {})
+        candidates, skipped = [], []
+        for d in manifest["files"]:
+            stats = dir_stats.get(d)
+            keep = True
+            if stats:
+                for col, op, lit in conjuncts:
+                    if col in stats and not _range_may_match(
+                        stats[col][0], stats[col][1], op, lit
+                    ):
+                        keep = False
+                        break
+            (candidates if keep else skipped).append(d)
+        return candidates, skipped
+
+    def _read_dirs(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        table: str,
+        dir_names: list[str],
+        partitioned: bool,
+    ) -> DataFrame:
+        """Distributed scan over an explicit set of data directories.
+
+        mergeSchema: appends may evolve the schema (add columns); rows
+        from pre-evolution files read the new columns as NULL — Iceberg
+        schema-evolution semantics.
+
+        Partitioned commits are read per-directory and unioned by name:
+        hive partition discovery is per data dir, and the union keeps
+        partition pruning (PartitionFilters) intact on every branch."""
         dirs = [
             os.path.join(self._tbl(namespace, table, "data"), d)
-            for d in manifest["files"]
+            for d in dir_names
         ]
-        # mergeSchema: appends may evolve the schema (add columns); rows
-        # from pre-evolution files read the new columns as NULL — Iceberg
-        # schema-evolution semantics.
-        #
-        # Partitioned commits are read per-directory and unioned by name:
-        # hive partition discovery is per data dir, and the union keeps
-        # partition pruning (PartitionFilters) intact on every branch.
-        if manifest.get("partition_by") and len(dirs) > 1:
+        if partitioned and len(dirs) > 1:
             out = None
             for d in dirs:
                 part = spark.read.option("mergeSchema", "true").parquet(d)
@@ -347,22 +643,50 @@ class SnapCatalog:
         operation: str,
         carry: bool,
         partition_by: list[str] | None = None,
+        base_sid: int | None = None,
+        inherit_spec: bool = False,
+        carry_dirs: list[str] | None = None,
     ) -> int:
+        """Write data, then publish a manifest optimistically.
+
+        ``base_sid`` is the snapshot id the operation's inputs were read
+        from: any state-derived commit (upsert/delete/update/compact) passes
+        it, and publish fails with :class:`CommitConflict` if the table has
+        advanced past it — Iceberg's validation-failed commit. Without it
+        (append: state-independent; replace: last-writer-wins by contract)
+        no base validation applies.
+
+        ``inherit_spec`` keeps the table's partition layout across commits
+        that don't explicitly set one — mutations must not silently
+        de-partition a hive-partitioned table.
+
+        ``carry_dirs`` carries an explicit subset of the parent's data
+        directories into the new manifest untouched (file-pruned
+        copy-on-write: a mutation rewrites only directories whose stats say
+        they can contain affected rows). ``df=None`` publishes a
+        metadata-only commit of exactly ``carry_dirs``.
+        """
         snaps = self._snapshots(namespace, table)
-        if partition_by is None and carry and snaps:
-            # appends inherit the table's partition spec
+        if partition_by is None and (carry or inherit_spec) and snaps:
+            # appends and mutations inherit the table's partition spec
             partition_by = snaps[-1].get("partition_by")
 
         # Data files are written ONCE under a collision-free name; only the
         # metadata publish participates in the optimistic-commit loop, so a
         # losing committer never rewrites data (Iceberg's commit shape).
-        data_dir_name = f"commit-{uuid.uuid4().hex[:12]}"
-        out_dir = self._tbl(namespace, table, "data", data_dir_name)
         os.makedirs(self._tbl(namespace, table, "snapshots"), exist_ok=True)
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(out_dir)
+        if df is not None:
+            data_dir_name = f"commit-{uuid.uuid4().hex[:12]}"
+            out_dir = self._tbl(namespace, table, "data", data_dir_name)
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(out_dir)
+            new_stats = dir_column_stats(out_dir)
+            schema_json = df.schema.jsonValue()
+        else:
+            data_dir_name, out_dir, new_stats = None, None, None
+            schema_json = snaps[-1]["schema"] if snaps else None
 
         # Optimistic publish: claim snapshot id N+1 via exclusive create of
         # its manifest; a concurrent winner makes the create fail, so we
@@ -370,9 +694,33 @@ class SnapCatalog:
         while True:
             snaps = self._snapshots(namespace, table)
             sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
-            files = [data_dir_name]
+            if base_sid is not None and snaps and snaps[-1]["snapshot_id"] != base_sid:
+                # A rival commit landed while this operation was computing /
+                # writing data: its result is stale — publishing it at sid+1
+                # would silently drop the rival's rows (lost update). Same
+                # contract as the FileExistsError window below, but this
+                # catches conflicts that land during the (long) data-write
+                # phase, not just the publish instant.
+                if out_dir:
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                raise CommitConflict(
+                    f"{namespace}.{table}: table advanced from snapshot "
+                    f"{base_sid} to {snaps[-1]['snapshot_id']} during this "
+                    "operation; re-run it on the new state"
+                )
+            new_files = [data_dir_name] if data_dir_name else []
             if carry and snaps:
-                files = snaps[-1]["files"] + files
+                files = snaps[-1]["files"] + new_files
+            elif carry_dirs is not None:
+                files = list(carry_dirs) + new_files
+            else:
+                files = new_files
+            # carried dirs keep their parent-manifest stats verbatim — the
+            # whole point is those directories were not rewritten
+            parent_stats = snaps[-1].get("dir_stats", {}) if snaps else {}
+            dir_stats = {d: parent_stats[d] for d in files if d in parent_stats}
+            if data_dir_name and new_stats:
+                dir_stats[data_dir_name] = new_stats
             manifest = {
                 "snapshot_id": sid,
                 "parent_id": snaps[-1]["snapshot_id"] if snaps else None,
@@ -380,7 +728,8 @@ class SnapCatalog:
                 "operation": operation,
                 "files": files,
                 "partition_by": partition_by or [],
-                "schema": df.schema.jsonValue(),
+                "schema": schema_json,
+                "dir_stats": dir_stats,
             }
             snap_path = self._tbl(namespace, table, "snapshots", f"{sid}.json")
             try:
@@ -391,7 +740,8 @@ class SnapCatalog:
                 if carry:
                     continue  # append: data independent of state — retry
                 # result was computed from a now-stale snapshot
-                shutil.rmtree(out_dir, ignore_errors=True)
+                if out_dir:
+                    shutil.rmtree(out_dir, ignore_errors=True)
                 raise CommitConflict(
                     f"{namespace}.{table}: snapshot {sid} was committed "
                     "concurrently; re-run this operation on the new state"

@@ -368,3 +368,37 @@ def snap_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.append("ns", "orders", o.filter(F.col("o_orderkey") % 2 == 1))
     got = cat.read(spark, "ns", "orders").filter(F.col("o_orderstatus") == "F")
     return got.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+
+@register(
+    "snap_stats_pruned_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderkey >= 300 AND o_orderkey < 700
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    """,
+    tags=("parity", "snapshot", "scan"),
+)
+def snap_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest min/max file skipping (Iceberg metrics pruning): three
+    commits with disjoint o_orderkey ranges; a key-range + timestamp
+    conjunction read through ``where=`` opens only the one directory whose
+    stats can match — the others are skipped before any file is touched
+    (mechanism unit-tested in tests/test_snaptable.py; this query pins the
+    end-to-end result against the oracle)."""
+    cat = _warehouse(sf_dir, "stats_scan")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cat.create_or_replace("ns", "orders", o.filter(F.col("o_orderkey") < 300))
+    cat.append(
+        "ns", "orders",
+        o.filter((F.col("o_orderkey") >= 300) & (F.col("o_orderkey") < 700)),
+    )
+    cat.append("ns", "orders", o.filter(F.col("o_orderkey") >= 700))
+    return cat.read(
+        spark, "ns", "orders",
+        where="o_orderkey >= 300 AND o_orderkey < 700 "
+              "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'",
+    )

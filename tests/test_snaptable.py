@@ -141,3 +141,203 @@ def test_commit_conflict_semantics(spark, sf_dir, tmp_path):
     with pytest.raises(CommitConflict):
         b.create_or_replace("ns", "t", n.limit(2))
     assert SnapCatalog(wh)._current_sid("ns", "t") == 4  # winner's commit
+
+
+def test_lost_update_detected_during_data_write(spark, sf_dir, tmp_path):
+    """ADVICE (high): a rival commit landing between a mutation's state
+    READ and its manifest publish must raise CommitConflict — not publish
+    a stale result at sid+1 that silently drops the rival's rows."""
+    import pytest
+
+    from component_iceberg_spark.io.snaptable import CommitConflict
+
+    wh = str(tmp_path / "wh")
+    a, b = SnapCatalog(wh), SnapCatalog(wh)
+    n = load_table(spark, sf_dir, "nation")
+    a.create_or_replace("ns", "t", n)
+
+    # delete_where scans state via _read_dirs; inject the rival append
+    # there — after the base sid is captured, before the publish loop runs
+    real_read_dirs = SnapCatalog._read_dirs
+    state = {"raced": False}
+
+    def racing_read_dirs(self, spark_, namespace, table, dirs, partitioned):
+        df = real_read_dirs(self, spark_, namespace, table, dirs, partitioned)
+        if not state["raced"]:
+            state["raced"] = True
+            b.append("ns", "t", n.limit(3))  # rival lands mid-operation
+        return df
+
+    a._read_dirs = racing_read_dirs.__get__(a)
+    with pytest.raises(CommitConflict):
+        a.delete_where(spark, "ns", "t", "n_regionkey = 0")
+    # the rival's rows survived; no stale snapshot was published
+    assert SnapCatalog(wh)._current_sid("ns", "t") == 2
+    assert SnapCatalog(wh).read(spark, "ns", "t").count() == n.count() + 3
+
+
+def test_mutations_preserve_partition_spec(spark, sf_dir, tmp_path):
+    """ADVICE (low): upsert/delete/update/compact must inherit the table's
+    hive partition layout — a mutation must not silently de-partition."""
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    o = load_table(spark, sf_dir, "orders")
+    cat.create_or_replace("ns", "t", o, partition_by=["o_orderstatus"])
+
+    sid = cat.delete_where(spark, "ns", "t", "o_orderstatus = 'P'")
+    assert cat._manifest("ns", "t", sid)["partition_by"] == ["o_orderstatus"]
+    sid = cat.update_where(
+        spark, "ns", "t", "o_orderstatus = 'F'", {"o_totalprice": "o_totalprice * 2"}
+    )
+    assert cat._manifest("ns", "t", sid)["partition_by"] == ["o_orderstatus"]
+    sid = cat.compact(spark, "ns", "t")
+    assert cat._manifest("ns", "t", sid)["partition_by"] == ["o_orderstatus"]
+
+    # pruning still works after the mutations: partition filter in the plan
+    df = cat.read(spark, "ns", "t").filter("o_orderstatus = 'F'")
+    p = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "o_orderstatus" in p.split("PartitionFilters:")[1].splitlines()[0]
+
+
+def test_gc_spares_unreferenced_inflight_dirs(spark, sf_dir, tmp_path):
+    """ADVICE (medium): expire_snapshots must only delete directories the
+    EXPIRED manifests referenced — a concurrent committer's data dir
+    (written before its manifest publishes) is referenced by no manifest
+    and must survive GC. remove_orphans with an age threshold handles it."""
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "t", n)
+    cat.create_or_replace("ns", "t", n.filter("n_regionkey = 0"))
+
+    # simulate an in-flight commit: data written, manifest not yet published
+    inflight = os.path.join(wh, "ns", "t", "data", "commit-inflight00000")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-0.parquet"), "w") as f:
+        f.write("placeholder")
+
+    cat.expire_snapshots("ns", "t", keep_last=1)
+    assert os.path.isdir(inflight), "GC deleted an in-flight commit's data"
+    # expired snapshot 1's dir is gone, retained snapshot 2's dir remains
+    dirs = set(os.listdir(os.path.join(wh, "ns", "t", "data")))
+    assert len(dirs) == 2  # retained + inflight
+
+    # orphan cleanup with age threshold: young orphan survives, old is GC'd
+    assert cat.remove_orphans("ns", "t", older_than_ms=3600 * 1000) == []
+    assert cat.remove_orphans("ns", "t", older_than_ms=0) == [
+        "commit-inflight00000"
+    ]
+    assert not os.path.isdir(inflight)
+
+
+def _file_sig(root):
+    """(relpath, size, mtime_ns) of every file under root — byte-identity
+    proxy without hashing."""
+    sig = []
+    for r, _d, fs in os.walk(root):
+        for f in sorted(fs):
+            p = os.path.join(r, f)
+            st = os.stat(p)
+            sig.append((os.path.relpath(p, root), st.st_size, st.st_mtime_ns))
+    return sorted(sig)
+
+
+def test_stats_pruned_read_skips_dirs(spark, sf_dir, tmp_path):
+    """Manifest min/max stats must let a selective read skip whole data
+    directories (Iceberg metrics pruning). Three appends with disjoint
+    key ranges → a point-range filter plans over one directory only."""
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    o = load_table(spark, sf_dir, "orders")
+    cat.create_or_replace("ns", "t", o.filter("o_orderkey < 500"))
+    cat.append("ns", "t", o.filter("o_orderkey >= 500 AND o_orderkey < 1000"))
+    cat.append("ns", "t", o.filter("o_orderkey >= 1000"))
+
+    manifest = cat._manifest("ns", "t", 3)
+    assert len(manifest["files"]) == 3
+    assert all(d in manifest["dir_stats"] for d in manifest["files"])
+
+    pred = "o_orderkey >= 500 AND o_orderkey < 1000"
+    candidates, skipped = cat._prune_dirs(manifest, pred)
+    assert len(candidates) == 1 and len(skipped) == 2
+
+    got = cat.read(spark, "ns", "t", where=pred).count()
+    want = o.filter(pred).count()
+    assert got == want > 0
+
+    # timestamp conjuncts prune too (typed literal normalization)
+    ts_pred = "o_orderdate < TIMESTAMP '1800-01-01 00:00:00'"
+    c2, s2 = cat._prune_dirs(manifest, ts_pred)
+    assert c2 == [] and len(s2) == 3
+    # complex predicates prune nothing but stay correct
+    c3, _ = cat._prune_dirs(manifest, "o_orderkey < 10 OR o_orderkey > 1200")
+    assert len(c3) == 3
+
+
+def test_file_pruned_delete_carries_untouched_dirs(spark, sf_dir, tmp_path):
+    """Copy-on-write DELETE must rewrite only directories whose stats say
+    they can contain doomed rows; every other directory survives
+    byte-identical in the new snapshot (Iceberg MERGE cost shape)."""
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    o = load_table(spark, sf_dir, "orders")
+    cat.create_or_replace("ns", "t", o.filter("o_orderkey < 1000"))
+    cat.append("ns", "t", o.filter("o_orderkey >= 1000"))
+    m2 = cat._manifest("ns", "t", 2)
+    lo_dir = m2["files"][0]   # holds keys < 30000
+    hi_dir = m2["files"][1]
+    hi_sig = _file_sig(os.path.join(wh, "ns", "t", "data", hi_dir))
+
+    sid = cat.delete_where(spark, "ns", "t", "o_orderkey < 100")
+    m3 = cat._manifest("ns", "t", sid)
+    assert hi_dir in m3["files"], "untouched dir must be carried forward"
+    assert lo_dir not in m3["files"], "affected dir must be rewritten"
+    assert _file_sig(os.path.join(wh, "ns", "t", "data", hi_dir)) == hi_sig
+    # carried dir keeps its stats in the new manifest
+    assert m3["dir_stats"][hi_dir] == m2["dir_stats"][hi_dir]
+    assert (
+        cat.read(spark, "ns", "t").count()
+        == o.filter("o_orderkey >= 100").count()
+    )
+
+    # a predicate matching nothing → metadata-only commit, all dirs carried
+    pre_dirs = set(m3["files"])
+    sid = cat.delete_where(spark, "ns", "t", "o_orderkey < 0")
+    m4 = cat._manifest("ns", "t", sid)
+    assert set(m4["files"]) == pre_dirs
+    assert cat.read(spark, "ns", "t").count() == o.filter(
+        "o_orderkey >= 100"
+    ).count()
+
+
+def test_file_pruned_upsert_carries_untouched_dirs(spark, sf_dir, tmp_path):
+    """Upsert prunes by the delta's key range: directories whose key stats
+    cannot overlap the delta carry forward untouched."""
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    o = load_table(spark, sf_dir, "orders")
+    cat.create_or_replace("ns", "t", o.filter("o_orderkey < 1000"))
+    cat.append("ns", "t", o.filter("o_orderkey >= 1000"))
+    m2 = cat._manifest("ns", "t", 2)
+    hi_dir = m2["files"][1]
+    hi_sig = _file_sig(os.path.join(wh, "ns", "t", "data", hi_dir))
+
+    delta = (
+        o.filter("o_orderkey < 100")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 0 + 1.0)
+    )
+    sid = cat.upsert("ns", "t", delta, keys=["o_orderkey"])
+    m3 = cat._manifest("ns", "t", sid)
+    assert hi_dir in m3["files"]
+    assert _file_sig(os.path.join(wh, "ns", "t", "data", hi_dir)) == hi_sig
+    # merge result is exact: updated rows changed, row count unchanged
+    out = cat.read(spark, "ns", "t")
+    assert out.count() == o.count()
+    assert (
+        out.filter("o_orderkey < 100 AND o_totalprice = 1.0").count()
+        == o.filter("o_orderkey < 100").count()
+    )
