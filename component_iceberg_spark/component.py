@@ -54,8 +54,28 @@ class ExtractResult:
     incremental: bool = False
 
 
-def _catalog(cfg) -> SnapCatalog:
+def _catalog(cfg):
     if cfg.catalog.uri:
+        # REST catalog → the real Iceberg Spark connector, when its jar is
+        # on the classpath (production path; same operator bodies — only
+        # the source/sink swaps).
+        from pyspark.sql import SparkSession
+
+        from component_iceberg_spark.io.iceberg import (
+            IcebergSparkCatalog,
+            connector_available,
+            iceberg_conf,
+        )
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None and connector_available(spark):
+            for k, v in iceberg_conf(
+                cfg.catalog.name, cfg.catalog.uri, cfg.catalog.warehouse,
+                cfg.catalog.token,
+            ).items():
+                if k != "spark.sql.extensions":  # session-start-only conf
+                    spark.conf.set(k, v)
+            return IcebergSparkCatalog(cfg.catalog.name)
         raise UserConfigError(
             "REST catalogs need the Iceberg Spark connector jar "
             "(see io.iceberg.iceberg_conf); not available in this runtime"

@@ -203,3 +203,137 @@ def test_incremental_sync_cycle(spark, sf_dir, tmp_path):
         src.select("o_orderkey", "o_totalprice")
     )
     assert diff.count() == 0
+
+
+# -- runner: config.json → dispatch → exit codes (reference lifecycle) -----
+
+
+def test_runner_extractor_config_json(spark, sf_dir, warehouse, tmp_path):
+    """A reference-shaped config.json (parameters block matching
+    ex-iceberg/src/configuration.py, '#token' alias and extra knobs
+    included) drives run_extractor end-to-end through runner.main."""
+    import json
+
+    from component_iceberg_spark import runner
+
+    data_dir = tmp_path / "data"
+    (data_dir / "out" / "tables").mkdir(parents=True)
+    config = {
+        "action": "run",
+        "parameters": {
+            "catalog": {
+                "name": "local",
+                "warehouse": warehouse,
+                "uri": "",
+                "#token": "",
+            },
+            "duckdb_max_memory_mb": 128,   # accepted, ignored
+            "debug": True,
+            "source": {"namespace": "ns", "table_name": "nation"},
+            "data_selection": {"mode": "selected_columns",
+                               "columns": ["n_nationkey", "n_name"]},
+            "destination": {
+                "parquet_output": False,
+                "file_name": "nation_out",
+                "table_name": "nation_out",
+                "load_type": "incremental_load",
+                "primary_key": ["n_nationkey"],
+                "preserve_insertion_order": True,
+            },
+        },
+    }
+    cfg_path = data_dir / "config.json"
+    cfg_path.write_text(json.dumps(config))
+
+    rc = runner.main(spark, str(cfg_path), "extractor", str(data_dir))
+    assert rc == 0
+    out_csv = data_dir / "out" / "tables" / "nation_out.csv"
+    back = spark.read.options(header=True).csv(str(out_csv))
+    assert back.count() == load_table(spark, sf_dir, "nation").count()
+    assert set(back.columns) >= {"n_nationkey", "n_name"}
+
+
+def test_runner_writer_data_dir_contract(spark, sf_dir, tmp_path):
+    """Writer lifecycle: input CSV + manifest under in/tables/ (Keboola
+    data-dir layout), parameters matching wr-iceberg/src/configuration.py;
+    commit lands in the snapshot catalog with the configured layout."""
+    import json
+
+    from component_iceberg_spark import runner
+
+    wh = str(tmp_path / "wh")
+    data_dir = tmp_path / "data"
+    in_tables = data_dir / "in" / "tables"
+    in_tables.mkdir(parents=True)
+    # input: headerless CSV + manifest naming columns (manifested tables
+    # are headerless in the Keboola contract)
+    (in_tables / "t.csv").write_text(
+        "1,F,10.5\n2,P,20.25\n3,F,30.0\n"
+    )
+    (in_tables / "t.csv.manifest").write_text(json.dumps({
+        "columns": ["id", "status", "price"],
+        "delimiter": ",",
+        "enclosure": '"',
+        "column_types": {"id": "bigint", "status": "string",
+                         "price": "double"},
+    }))
+    config = {
+        "parameters": {
+            "catalog": {"name": "local", "warehouse": wh, "uri": "",
+                        "#token": ""},
+            "destination": {
+                "namespace": "ns",
+                "table_name": "t",
+                "mode": "replace",
+                "partition_by": ["status"],
+            },
+        },
+    }
+    cfg_path = data_dir / "config.json"
+    cfg_path.write_text(json.dumps(config))
+
+    rc = runner.main(spark, str(cfg_path), "writer", str(data_dir))
+    assert rc == 0
+    cat = SnapCatalog(wh)
+    out = cat.read(spark, "ns", "t")
+    assert out.count() == 3
+    assert dict(out.dtypes)["price"] == "double"
+    # partition_by reached the commit (ADVICE fix): manifest records it
+    assert cat._manifest("ns", "t", 1)["partition_by"] == ["status"]
+
+    # sync actions through the same dispatcher
+    from component_iceberg_spark.runner import execute
+
+    cols = execute(
+        spark,
+        {"action": "list_columns", "parameters": config["parameters"]},
+        "writer",
+        str(data_dir),
+    )
+    assert ("id", "bigint") in cols
+
+
+def test_runner_exit_codes(spark, tmp_path):
+    """UserConfigError → 1 (bad config), system errors → 2 — the
+    reference's exception→exit-code map."""
+    import json
+
+    from component_iceberg_spark import runner
+
+    # user error: invalid write mode
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({
+        "parameters": {
+            "catalog": {"warehouse": str(tmp_path / "wh")},
+            "destination": {"namespace": "ns", "table_name": "t",
+                            "mode": "nonsense"},
+        },
+    }))
+    (tmp_path / "in" / "tables").mkdir(parents=True)
+    (tmp_path / "in" / "tables" / "x.csv").write_text("a,b\n1,2\n")
+    assert runner.main(spark, str(bad), "writer", str(tmp_path)) == 1
+
+    # system error: config file is not JSON
+    broken = tmp_path / "broken.json"
+    broken.write_text("{not json")
+    assert runner.main(spark, str(broken), "writer", str(tmp_path)) == 2
