@@ -105,13 +105,26 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def minhash_hash_sql(k: int) -> str:
+    """ANSI-SQL text of hash function k — the oracle-side twin of
+    :func:`_minhash_col`. One definition, two renderings."""
+    return f"substr(md5(shingle || '#{k // 4}'), {(k % 4) * 8 + 1}, 8)"
+
+
+def _minhash_col(k: int):
+    """Hash function k of a shingle: an 8-hex-char (32-bit) slice of
+    md5(shingle||'#⌊k/4⌋'). Four hash functions share one digest, so K
+    hashes cost ⌈K/4⌉ md5 evaluations per shingle instead of K — md5 is
+    the dominant signature cost. String min over fixed-width hex is
+    well-ordered and identical in any engine; 32 bits is ample for
+    min-hash ordering (shingle-pair collision ≈ 2⁻³²)."""
+    digest = F.md5(F.concat(F.col("shingle"), F.lit(f"#{k // 4}")))
+    return F.substring(digest, (k % 4) * 8 + 1, 8)
+
+
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """K min-hashes per doc. Hash k of a shingle is md5(shingle||'#k') —
-    string min is well-ordered and identical in any engine."""
-    aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{k}")))).alias(f"h{k}")
-        for k in range(NUM_HASHES)
-    ]
+    """K min-hashes per doc (hash family: :func:`_minhash_col`)."""
+    aggs = [F.min(_minhash_col(k)).alias(f"h{k}") for k in range(NUM_HASHES)]
     return sh.groupBy("doc").agg(*aggs)
 
 

@@ -41,6 +41,20 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_raw(a: Column, b: Column) -> Column:
+    """Dot product assuming both sides are ALREADY array<double>.
+
+    In O(n·q) scoring loops the per-element casts of :func:`dot` run once
+    per PAIR; pre-casting each side once per ROW (``as_double``) and using
+    this variant moves that work out of the quadratic loop. float→double
+    is exact, so results are bit-identical to :func:`dot`."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -70,13 +84,13 @@ def brute_force_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        as_double(F.col(vec_col)).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
     )
     scored = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("c_vec"),
+            as_double(F.col(vec_col)).alias("c_vec"),
             norm(F.col(vec_col)).alias("c_norm"),
         )
         .crossJoin(F.broadcast(q))
@@ -85,7 +99,7 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("q_vec"), F.col("c_vec"))
+                dot_raw(F.col("q_vec"), F.col("c_vec"))
                 / (F.col("q_norm") * F.col("c_norm")),
                 6,
             ).alias("cosine_sim"),
@@ -122,11 +136,11 @@ def threshold_pairs(
     """
     par = corpus.sparkSession.sparkContext.defaultParallelism
     a = corpus.repartition(par, F.col(id_col)).select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
+        F.col(id_col).alias("vec_a"), as_double(F.col(vec_col)).alias("va"),
         norm(F.col(vec_col)).alias("na"),
     )
     b = corpus.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
+        F.col(id_col).alias("vec_b"), as_double(F.col(vec_col)).alias("vb"),
         norm(F.col(vec_col)).alias("nb"),
     )
     return (
@@ -135,27 +149,36 @@ def threshold_pairs(
             "vec_a",
             "vec_b",
             F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+                dot_raw(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
             ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
 
 
-def hyperplane_signature(vec: Column, planes: list[list[float]]) -> list[Column]:
-    """Sign bit per hyperplane: dot(vec, plane) >= 0. Plane constants are
-    array literals, so the comparison is a pure codegen'd expression and —
-    with the same constants — reproducible by any engine."""
-    bits = []
-    for plane in planes:
-        arr = F.array(*[F.lit(p) for p in plane])
-        d = F.aggregate(
-            F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append((d >= 0).cast("int"))
-    return bits
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """All sign bits (dot(vec, plane) >= 0) as ONE array<int> column.
+
+    The planes form a single 2-D array literal and the vector is folded
+    against each row inside one ``transform`` — one generated expression
+    for the whole signature instead of ``len(planes)`` independent
+    aggregates, each of which would re-walk (and re-cast) the vector in
+    its own codegen block. With the same constants the bits are
+    reproducible by any engine."""
+    planes_arr = F.array(
+        *[F.array(*[F.lit(p) for p in plane]) for plane in planes]
+    )
+    return F.transform(
+        planes_arr,
+        lambda pl: (
+            F.aggregate(
+                F.zip_with(vec, pl, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0
+        ).cast("int"),
+    )
 
 
 def hyperplane_lsh_pairs(
@@ -178,24 +201,23 @@ def hyperplane_lsh_pairs(
     from pyspark import StorageLevel
 
     rows_per_band = len(planes) // bands
-    sig_bits = hyperplane_signature(F.col(vec_col), planes)
     par = corpus.sparkSession.sparkContext.defaultParallelism
     # persisted: base feeds the band self-join (both sides) and both
-    # verification joins — 4 consumers of the 16-dot signature computation
+    # verification joins — 4 consumers of the signature computation
     base = (
         corpus.repartition(par, F.col(id_col))
         .select(
             F.col(id_col).alias("doc"),
             F.col(vec_col).alias("v"),
             norm(F.col(vec_col)).alias("nrm"),
-            *[b.alias(f"bit{j}") for j, b in enumerate(sig_bits)],
+            hyperplane_signature(F.col(vec_col), planes).alias("sig"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     band_frames = None
     for b in range(bands):
         key = sum(
-            F.col(f"bit{b * rows_per_band + r}") * (1 << r)
+            F.col("sig")[b * rows_per_band + r] * (1 << r)
             for r in range(rows_per_band)
         )
         part = base.select("doc", F.lit(b).alias("band"), key.alias("key"))

@@ -196,7 +196,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle() -> str:
     h = ", ".join(
-        f"min(md5(shingle || '#{k}')) AS h{k}" for k in range(D.NUM_HASHES)
+        f"min({D.minhash_hash_sql(k)}) AS h{k}" for k in range(D.NUM_HASHES)
     )
     band_rows = []
     for b in range(D.BANDS):
