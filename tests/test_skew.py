@@ -1,0 +1,117 @@
+"""Skew-mitigation evidence (ROADMAP item 6 / VERDICT r1 #10): under a
+Zipf-hot key, the salted paths must (a) produce exactly the direct
+results and (b) demonstrably spread the hot key across reducers instead
+of funneling it to one."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from component_iceberg_spark.operators.skew import (
+    salted_agg,
+    salted_broadcast_join,
+)
+
+SALT_BUCKETS = 16
+
+
+@pytest.fixture()
+def skewed(spark):
+    """200k rows, ~90% under ONE key — the hot-key shape AQE's
+    partition-splitting alone cannot fix (one key = one hash bucket)."""
+    return (
+        spark.range(200_000)
+        .select(
+            F.when(F.col("id") % 10 < 9, F.lit("hot"))
+            .otherwise(F.concat(F.lit("cold_"), (F.col("id") % 1000).cast("string")))
+            .alias("k"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        )
+    )
+
+
+def test_salted_agg_equals_direct(spark, skewed):
+    direct = (
+        skewed.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )
+    salted = salted_agg(
+        skewed,
+        ["k"],
+        {
+            "n": F.count(F.lit(1)),
+            "sum_v": F.sum("v"),
+            "min_v": F.min("v"),
+            "max_v": F.max("v"),
+        },
+        salt_buckets=SALT_BUCKETS,
+    )
+    # integer-valued doubles here, so even the sums compare exactly
+    d = {r["k"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+         for r in direct.collect()}
+    s = {r["k"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+         for r in salted.collect()}
+    assert d == s
+    assert d["hot"][0] == 180_000
+
+
+def test_salt_spreads_hot_key_across_reducers(spark, skewed):
+    """The mechanism itself: phase 1 must split the hot key over all salt
+    buckets, and those (key, salt) groups must land on >1 shuffle
+    partition — versus the direct groupBy, where every hot row hashes to
+    exactly one reducer."""
+    salted = skewed.withColumn(
+        "_salt", (F.rand(seed=42) * SALT_BUCKETS).cast("int")
+    )
+    phase1 = (
+        salted.groupBy("k", "_salt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("k") == "hot")
+    )
+    rows = phase1.collect()
+    # hot key occupies every salt bucket, partials sum to the true count
+    assert len(rows) == SALT_BUCKETS
+    assert sum(r["n"] for r in rows) == 180_000
+    # and no bucket holds a pathological share (seeded rand is uniform)
+    assert max(r["n"] for r in rows) < 180_000 * 2 / SALT_BUCKETS
+
+    # physical spread: hash-partitioned on (k, _salt), the hot key's rows
+    # occupy many shuffle partitions; partitioned on k alone, exactly one
+    spread = (
+        salted.repartition(32, "k", "_salt")
+        .filter(F.col("k") == "hot")
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    funnel = (
+        skewed.repartition(32, "k")
+        .filter(F.col("k") == "hot")
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert funnel == 1, "direct shuffle funnels the hot key to one reducer"
+    assert spread >= SALT_BUCKETS // 2, f"salt spread only {spread} partitions"
+
+
+def test_salted_broadcast_join_equals_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold_1", "C1"), ("cold_2", "C2")],
+        schema="k string, label string",
+    )
+    plain = skewed.join(dim, "k").groupBy("k", "label").count()
+    salted = (
+        salted_broadcast_join(skewed, dim, "k", salt_buckets=SALT_BUCKETS)
+        .groupBy("k", "label")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
