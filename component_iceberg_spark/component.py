@@ -112,13 +112,29 @@ def run_extractor(
     else:
         path = os.path.join(out_dir, f"{dest.table_name}.csv")
         out = stringify_complex(df)  # nested → STRING only on the CSV path
-        order_by = dest.primary_key if (
-            dest.preserve_insertion_order and dest.primary_key
-        ) else None
+        order_by, drop_after = None, None
+        if dest.preserve_insertion_order:
+            if dest.primary_key:
+                order_by = dest.primary_key
+            else:
+                # reference parity: insertion order is preserved even
+                # WITHOUT a primary key (ex-iceberg/src/component.py:106-107
+                # — DuckDB's preserve_insertion_order default). Spark scans
+                # are unordered, so materialize the scan order explicitly:
+                # monotonically_increasing_id encodes (partition index,
+                # in-partition offset) = file order for a parquet scan.
+                from pyspark.sql import functions as F
+
+                out = out.withColumn(
+                    "_scan_order", F.monotonically_increasing_id()
+                )
+                order_by, drop_after = ["_scan_order"], ["_scan_order"]
         csv_io.write_csv(
             out, path, quote_all=True, order_by=order_by,
-            single_file=bool(order_by),
+            single_file=bool(order_by), drop_after_sort=drop_after,
         )
+        if drop_after:
+            out = out.drop(*drop_after)
         fmt = "csv"
         df = out
     return ExtractResult(
@@ -186,6 +202,21 @@ def run_writer(spark: SparkSession, cfg: WriterConfig) -> int:
 def sync_action(spark: SparkSession, cfg, action: str, **kwargs) -> list:
     """Metadata endpoints (``@sync_action`` parity): small driver-side
     catalog calls, no distributed work."""
+    if action == "list_table_columns":
+        # the writer's EXTERNAL column list: Storage-API table detail over
+        # HTTP, table id from the input mapping
+        # (``wr-iceberg/src/component.py:154-166``)
+        from component_iceberg_spark.io.storage_api import StorageApiClient
+
+        table_id = kwargs.get("table_id")
+        if not table_id:
+            raise UserConfigError(
+                "Can list only columns from input tables, not files."
+            )
+        client = kwargs.get("client") or StorageApiClient(
+            os.environ.get("KBC_URL", ""), os.environ.get("KBC_TOKEN", "")
+        )
+        return client.list_table_columns(table_id)
     cat = _catalog(cfg)
     if action == "list_namespaces":
         return cat.list_namespaces()

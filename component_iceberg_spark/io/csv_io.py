@@ -82,16 +82,21 @@ def write_csv(
     header: bool = True,
     order_by: list[str] | None = None,
     single_file: bool = False,
+    drop_after_sort: list[str] | None = None,
 ) -> None:
     """Quoted CSV export (``FORCE_QUOTE *`` parity → ``quoteAll``).
 
     ``order_by`` + ``single_file`` emulates the reference's
     ``preserve_insertion_order=true`` (ordered, byte-stable export);
     omitting both is the scalable default — many shards, no global sort —
-    matching ``preserve_insertion_order=false``.
+    matching ``preserve_insertion_order=false``. ``drop_after_sort``
+    removes synthetic ordering columns (e.g. a scan-order index) after the
+    sort so they don't appear in the output.
     """
     if order_by:
         df = df.orderBy(*order_by)
+        if drop_after_sort:
+            df = df.drop(*drop_after_sort)
         if single_file:
             df = df.coalesce(1)
     opts = dict(CSV_OPTS)

@@ -48,7 +48,13 @@ from component_iceberg_spark.config import (
 )
 from component_iceberg_spark.typebridge import UserDataError
 
-SYNC_ACTIONS = ("list_namespaces", "list_tables", "list_snapshots", "list_columns")
+SYNC_ACTIONS = (
+    "list_namespaces",
+    "list_tables",
+    "list_snapshots",
+    "list_columns",
+    "list_table_columns",
+)
 
 
 def _catalog_from_params(params: dict[str, Any]) -> CatalogConfig:
@@ -201,10 +207,17 @@ def execute(
     if action in SYNC_ACTIONS:
         src = params.get("source", {})
         dst = params.get("destination", {})
-        kwargs = {
+        kwargs: dict[str, Any] = {
             "namespace": src.get("namespace") or dst.get("namespace"),
             "table": src.get("table_name") or dst.get("table_name"),
         }
+        if action == "list_table_columns":
+            # table id comes from the config's storage input mapping
+            # (reference: configuration.tables_input_mapping[0].source)
+            tables = (
+                config.get("storage", {}).get("input", {}).get("tables", [])
+            )
+            kwargs["table_id"] = tables[0]["source"] if tables else None
         return sync_action(spark, cfg, action, **kwargs)
     raise UserConfigError(f"unknown action: {action!r}")
 

@@ -337,3 +337,106 @@ def test_runner_exit_codes(spark, tmp_path):
     broken = tmp_path / "broken.json"
     broken.write_text("{not json")
     assert runner.main(spark, str(broken), "writer", str(tmp_path)) == 2
+
+
+def test_storage_api_client_retry_backoff():
+    """SAPI client contract (wr-iceberg/src/storage_api_client.py:14-30):
+    3 attempts, linear backoff (1s, 2s), token header, last error raised."""
+    import json
+
+    from component_iceberg_spark.io.storage_api import StorageApiClient
+
+    calls, sleeps = [], []
+
+    def flaky_transport(url, headers):
+        calls.append((url, headers))
+        if len(calls) < 3:
+            raise OSError(f"boom {len(calls)}")
+        return json.dumps({"columns": ["id", "name", "price"]})
+
+    c = StorageApiClient(
+        "https://connection.example/", "tok-123",
+        transport=flaky_transport, sleep=sleeps.append,
+    )
+    cols = c.list_table_columns("in.c-test.test")
+    assert cols == ["id", "name", "price"]
+    assert len(calls) == 3
+    assert sleeps == [1, 2]  # linear backoff between attempts
+    url, headers = calls[0]
+    assert url == "https://connection.example/v2/storage/tables/in.c-test.test"
+    assert headers["X-StorageApi-Token"] == "tok-123"
+
+    def always_down(url, headers):
+        raise OSError("down")
+
+    c2 = StorageApiClient(
+        "https://x", "t", transport=always_down, sleep=lambda s: None
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="down"):
+        c2.get_table_detail("a.b.c")
+
+
+def test_runner_list_table_columns_action(spark, tmp_path):
+    """list_table_columns via the dispatcher: table id from the config's
+    storage input mapping; UserConfigError (exit 1 shape) without one."""
+    import json
+
+    from component_iceberg_spark import runner
+    from component_iceberg_spark.component import sync_action
+    from component_iceberg_spark.config import CatalogConfig, UserConfigError
+    from component_iceberg_spark.io.storage_api import StorageApiClient
+
+    class FakeClient(StorageApiClient):
+        def __init__(self):
+            super().__init__(
+                "https://x", "t",
+                transport=lambda u, h: json.dumps({"columns": ["a", "b"]}),
+            )
+
+    class Cfg:
+        catalog = CatalogConfig(warehouse=str(tmp_path / "wh"))
+
+    assert sync_action(
+        spark, Cfg(), "list_table_columns",
+        table_id="in.c-x.t", client=FakeClient(),
+    ) == ["a", "b"]
+
+    with pytest.raises(UserConfigError, match="input tables"):
+        sync_action(spark, Cfg(), "list_table_columns", table_id=None)
+
+    # dispatcher pulls the id out of storage.input.tables[0].source and a
+    # missing mapping exits 1
+    cfgfile = tmp_path / "cfg.json"
+    cfgfile.write_text(json.dumps({
+        "action": "list_table_columns",
+        "storage": {"input": {"tables": []}},
+        "parameters": {
+            "catalog": {"warehouse": str(tmp_path / "wh")},
+            "destination": {"namespace": "ns", "table_name": "t"},
+        },
+    }))
+    assert runner.main(spark, str(cfgfile), "writer", str(tmp_path)) == 1
+
+
+def test_extractor_insertion_order_without_pk(spark, sf_dir, warehouse, tmp_path):
+    """preserve_insertion_order must hold WITHOUT a primary key (reference
+    keeps raw insertion order unconditionally): the CSV comes back in the
+    table's scan order."""
+    cfg = _extract_cfg(warehouse, preserve_insertion_order=True)
+    assert cfg.destination.primary_key == []
+    res = run_extractor(spark, cfg, str(tmp_path / "out"))
+    assert "_scan_order" not in [c[0] for c in res.columns]
+    import glob as _glob
+
+    parts = sorted(_glob.glob(os.path.join(res.path, "part-*.csv")))
+    assert len(parts) == 1  # single ordered file
+    rows = open(parts[0]).read().strip().splitlines()
+    # scan order of the source table = n_nationkey order it was written in
+    keys = [int(r.split(",")[0].strip('"')) for r in rows[1:]]
+    src = [
+        r.n_nationkey
+        for r in load_table(spark, sf_dir, "nation").collect()
+    ]
+    assert keys == src
