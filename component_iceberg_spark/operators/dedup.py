@@ -268,3 +268,78 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster formation: pairwise near-dups → dedup groups
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair list → ``(doc,
+    cluster_id)`` with ``cluster_id`` = the minimum member id. The step
+    after any pairwise dedup (MinHash/SimHash/embedding LSH): transitive
+    duplicates A~B, B~C must land in ONE group so exactly one survivor is
+    kept per group, not one per pair.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels (one join +
+    one aggregate per round, all keyed shuffles). Converges in
+    O(component diameter) rounds; near-dup components are shallow
+    (duplicates of one source document), so the loop is short in practice
+    and ``max_iter`` bounds pathological chains. Labels are persisted per
+    round and the previous round unpersisted, so lineage stays flat — the
+    standard Spark iteration discipline (same shape GraphX/GraphFrames
+    uses). The driver-side convergence check is one count per round
+    (metadata-sized).
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc"), F.col("label").alias("cluster_id")
+    )

@@ -125,3 +125,144 @@ def sample_frames(df: DataFrame, n_frames: int) -> DataFrame:
         F.col("frame.offset").alias("offset"),
         F.col("frame.span").alias("span"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Typed media metadata (audio/video) + per-frame second stage
+# ---------------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, duration_ms bigint, "
+    "codec string"
+)
+
+VIDEO_META_SCHEMA = (
+    "doc_id long, fps int, width int, height int, duration_ms bigint, "
+    "codec string"
+)
+
+
+def _hex_byte(hexdigest: str, j: int) -> int:
+    """Byte j of a hex digest — the deterministic seed the stub probes
+    derive typed metadata from (replayable in ANSI SQL from the same
+    digest, so the probe stage has an exact oracle)."""
+    return int(hexdigest[2 * j : 2 * j + 2], 16)
+
+
+def probe_audio(df: DataFrame) -> DataFrame:
+    """Audio probe stage: binary payload → typed audio metadata struct
+    (sample_rate/channels/duration/codec) via Arrow-batched mapInPandas —
+    the ffprobe/soundfile slot. STUBBED here (no audio libs in this
+    container): fields derive deterministically from the payload's sha256,
+    so the whole Arrow round-trip is exact-oracle-checkable; a real prober
+    replaces the derivation only."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            digests = pdf["content"].map(
+                lambda b: hashlib.sha256(b).hexdigest()
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": digests.map(
+                        lambda h: 8000 * (1 + _hex_byte(h, 0) % 5)
+                    ).astype("int32"),
+                    "channels": digests.map(
+                        lambda h: 1 + _hex_byte(h, 1) % 2
+                    ).astype("int32"),
+                    "duration_ms": (pdf["content"].map(len) * 20).astype(
+                        "int64"
+                    ),
+                    "codec": "stub-pcm",
+                }
+            )
+
+    return df.select("doc_id", "content").mapInPandas(op, AUDIO_META_SCHEMA)
+
+
+def probe_video(df: DataFrame) -> DataFrame:
+    """Video probe stage (ffprobe slot) — same stub contract as
+    :func:`probe_audio`."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            digests = pdf["content"].map(
+                lambda b: hashlib.sha256(b).hexdigest()
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fps": digests.map(
+                        lambda h: 12 + 6 * (_hex_byte(h, 0) % 3)
+                    ).astype("int32"),
+                    "width": digests.map(
+                        lambda h: 320 + 16 * (_hex_byte(h, 1) % 8)
+                    ).astype("int32"),
+                    "height": digests.map(
+                        lambda h: 240 + 16 * (_hex_byte(h, 2) % 8)
+                    ).astype("int32"),
+                    "duration_ms": (pdf["content"].map(len) * 40).astype(
+                        "int64"
+                    ),
+                    "codec": "stub-raw",
+                }
+            )
+
+    return df.select("doc_id", "content").mapInPandas(op, VIDEO_META_SCHEMA)
+
+
+def slice_frames(media: DataFrame, n_frames: int) -> DataFrame:
+    """Materialize the sampled frame windows as actual byte slices:
+    (doc_id, frame_no, frame_bytes, frame_hash). Pure expressions —
+    ``substring`` on a binary column slices bytes JVM-side, and the hash
+    gives each frame a content address. The per-blob fan-out means frame
+    rows of one video distribute across tasks before any Python stage."""
+    fr = sample_frames(media, n_frames)
+    joined = fr.join(media.select("doc_id", "content"), "doc_id")
+    frame_bytes = F.expr("substring(content, offset + 1, span)")
+    return joined.select(
+        "doc_id",
+        "frame_no",
+        "offset",
+        "span",
+        frame_bytes.alias("frame_content"),
+        F.sha2(frame_bytes, 256).alias("frame_hash"),
+    )
+
+
+FRAME_FEATURES_SCHEMA = (
+    "doc_id long, frame_no int, features array<double>, decoder string"
+)
+
+
+def frame_features(sliced: DataFrame) -> DataFrame:
+    """Second mapInPandas stage over the EXPLODED frame rows — per-frame
+    decode/featurize (the thumbnail/spectrogram slot). Because the
+    explode happened upstream, frames of one blob are independent rows:
+    the stage parallelizes per frame, not per blob. Stub features derive
+    from each frame's sha256 (exact-oracle-checkable); a real decoder
+    swaps into the per-row derivation only."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            digests = pdf["frame_content"].map(
+                lambda b: hashlib.sha256(b).hexdigest()
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_no": pdf["frame_no"].astype("int32"),
+                    "features": digests.map(
+                        lambda h: [
+                            round(_hex_byte(h, j) / 255.0, 6)
+                            for j in range(FEATURE_DIM)
+                        ]
+                    ),
+                    "decoder": "stub-sha256",
+                }
+            )
+
+    return sliced.select("doc_id", "frame_no", "frame_content").mapInPandas(
+        op, FRAME_FEATURES_SCHEMA
+    )

@@ -194,7 +194,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(sh, 0.8)
 
 
-def _minhash_oracle() -> str:
+def _minhash_cte_body() -> str:
+    """CTE chain ending in ``pairs`` (verified MinHash-LSH near-dup pairs)
+    — shared by the pair oracle and the cluster oracle."""
     h = ", ".join(
         f"min({D.minhash_hash_sql(k)}) AS h{k}" for k in range(D.NUM_HASHES)
     )
@@ -205,8 +207,7 @@ def _minhash_oracle() -> str:
         )
         band_rows.append(f"SELECT doc, {b} AS band, md5({cols}) AS key FROM sig")
     bands = " UNION ALL ".join(band_rows)
-    return f"""
-WITH {_SHINGLE_SQL},
+    return f"""{_SHINGLE_SQL},
 sig AS (SELECT doc, {h} FROM sh GROUP BY doc),
 bands AS ({bands}),
 cand AS (
@@ -221,14 +222,19 @@ inter AS (
     JOIN sh a ON a.doc = doc_a
     JOIN sh b ON b.doc = doc_b AND a.shingle = b.shingle
     GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-       round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
-FROM inter
-JOIN cnt ca ON ca.doc = doc_a
-JOIN cnt cb ON cb.doc = doc_b
-WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
-"""
+),
+pairs AS (
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc = doc_a
+    JOIN cnt cb ON cb.doc = doc_b
+    WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"WITH {_minhash_cte_body()} SELECT doc_a, doc_b, jaccard FROM pairs"
 
 
 @register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("ext", "dedup"))

@@ -52,6 +52,9 @@ _QUERY_MODULES = (
     "component_iceberg_spark.plans.queries_streaming",
     "component_iceberg_spark.plans.queries_functions",
     "component_iceberg_spark.plans.queries_mutation",
+    # round-2 additions after the gate-owed families; rotate forward next
+    # round once the families above have hard rows
+    "component_iceberg_spark.plans.queries_extended",
     "component_iceberg_spark.plans.queries_scan",
     "component_iceberg_spark.plans.queries_relational",
 )
