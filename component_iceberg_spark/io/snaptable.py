@@ -429,8 +429,15 @@ class SnapCatalog:
         snaps = self._snapshots(namespace, table)
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        expired = snaps[:-keep_last]
-        retained = snaps[-keep_last:]
+        # ref-reachable snapshots are never expired (Iceberg semantics:
+        # branches/tags pin their snapshots through GC)
+        pinned = {r["snapshot_id"] for r in self.list_refs(namespace, table)}
+        expired = [
+            s for s in snaps[:-keep_last] if s["snapshot_id"] not in pinned
+        ]
+        retained = snaps[-keep_last:] + [
+            s for s in snaps[:-keep_last] if s["snapshot_id"] in pinned
+        ]
         for s in expired:
             os.remove(
                 self._tbl(namespace, table, "snapshots", f"{s['snapshot_id']}.json")
@@ -447,6 +454,72 @@ class SnapCatalog:
         for d in sorted(expired_dirs - live_dirs):
             shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
         return [s["snapshot_id"] for s in expired]
+
+    # -- refs: named snapshots (Iceberg branch/tag API analogue) ------------
+
+    def create_tag(self, namespace: str, table: str, name: str,
+                   snapshot_id: int | None = None) -> None:
+        """Immutable named ref to a snapshot (Iceberg ``CREATE TAG``).
+        Defaults to the current snapshot."""
+        self._write_ref(namespace, table, name, "tag", snapshot_id,
+                        overwrite=False)
+
+    def create_branch(self, namespace: str, table: str, name: str,
+                      snapshot_id: int | None = None) -> None:
+        """Movable named ref (Iceberg ``CREATE BRANCH``)."""
+        self._write_ref(namespace, table, name, "branch", snapshot_id,
+                        overwrite=False)
+
+    def retarget_branch(self, namespace: str, table: str, name: str,
+                        snapshot_id: int) -> None:
+        """Move a branch to another snapshot (fast-forward/rollback).
+        Tags refuse — they are immutable by contract."""
+        ref = self._read_ref(namespace, table, name)
+        if ref["type"] != "branch":
+            raise ValueError(f"ref {name!r} is a tag; tags are immutable")
+        self._write_ref(namespace, table, name, "branch", snapshot_id,
+                        overwrite=True)
+
+    def drop_ref(self, namespace: str, table: str, name: str) -> None:
+        os.remove(self._tbl(namespace, table, "refs", f"{name}.json"))
+
+    def list_refs(self, namespace: str, table: str) -> list[dict]:
+        ref_dir = self._tbl(namespace, table, "refs")
+        if not os.path.isdir(ref_dir):
+            return []
+        out = []
+        for fn in sorted(os.listdir(ref_dir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(ref_dir, fn)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def resolve_ref(self, namespace: str, table: str, name: str) -> int:
+        return self._read_ref(namespace, table, name)["snapshot_id"]
+
+    def _read_ref(self, namespace: str, table: str, name: str) -> dict:
+        path = self._tbl(namespace, table, "refs", f"{name}.json")
+        if not os.path.isfile(path):
+            raise SnapshotNotFound(f"{namespace}.{table} has no ref {name!r}")
+        with open(path) as f:
+            return json.load(f)
+
+    def _write_ref(self, namespace: str, table: str, name: str, kind: str,
+                   snapshot_id: int | None, overwrite: bool) -> None:
+        if snapshot_id is None:
+            snapshot_id = self._current_sid(namespace, table)
+        else:
+            self._manifest(namespace, table, snapshot_id)  # must exist
+        ref_dir = self._tbl(namespace, table, "refs")
+        os.makedirs(ref_dir, exist_ok=True)
+        path = os.path.join(ref_dir, f"{name}.json")
+        if not overwrite and os.path.exists(path):
+            raise FileExistsError(f"ref {name!r} already exists")
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "type": kind,
+                       "snapshot_id": snapshot_id}, f)
+        os.replace(tmp, path)
 
     def remove_orphans(
         self, namespace: str, table: str, older_than_ms: int = 24 * 3600 * 1000
@@ -480,16 +553,19 @@ class SnapCatalog:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         where: str | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
-        """Scan the table at the current / given / timestamp-resolved
-        snapshot (``snapshot-id`` / ``as-of-timestamp`` read options of the
-        Iceberg connector).
+        """Scan the table at the current / given / timestamp-resolved /
+        ref-named snapshot (``snapshot-id`` / ``as-of-timestamp`` /
+        ``branch``/``tag`` read options of the Iceberg connector).
 
         ``where`` is applied as a normal Spark filter AND, when it is a
         simple conjunction, used to SKIP whole data directories whose
         manifest min/max stats cannot satisfy it (Iceberg metrics pruning:
         the scan never opens files that cannot contain matches)."""
         sid = snapshot_id
+        if sid is None and ref is not None:
+            sid = self.resolve_ref(namespace, table, ref)
         if sid is None and as_of_ms is not None:
             candidates = [
                 s for s in self._snapshots(namespace, table)

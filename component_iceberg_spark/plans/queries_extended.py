@@ -201,3 +201,34 @@ def mm_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features")[3].alias("f3"),
         "decoder",
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot refs (branch/tag)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snap_tag_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey % 3 = 0
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-ref time travel (Iceberg branch/tag): a tag created at the
+    first commit still reads that exact snapshot after later commits
+    advance the table — and survives snapshot GC (refs pin their
+    snapshots)."""
+    from component_iceberg_spark.plans.queries_mutation import _warehouse
+
+    cat = _warehouse(sf_dir, "refs")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "orders", o.filter(F.col("o_orderkey") % 3 == 0))
+    cat.create_tag("ns", "orders", "baseline")
+    cat.append("ns", "orders", o.filter(F.col("o_orderkey") % 3 != 0))
+    cat.expire_snapshots("ns", "orders", keep_last=1)
+    return cat.read(spark, "ns", "orders", ref="baseline")

@@ -341,3 +341,50 @@ def test_file_pruned_upsert_carries_untouched_dirs(spark, sf_dir, tmp_path):
         out.filter("o_orderkey < 100 AND o_totalprice = 1.0").count()
         == o.filter("o_orderkey < 100").count()
     )
+
+
+def test_refs_tag_branch_gc(spark, sf_dir, tmp_path):
+    """Iceberg refs API analogue: tags are immutable named snapshots,
+    branches retarget, and GC never expires a ref-pinned snapshot."""
+    import pytest
+
+    from component_iceberg_spark.io.snaptable import SnapshotNotFound
+
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "t", n.filter("n_regionkey = 0"))   # sid 1
+    cat.append("ns", "t", n.filter("n_regionkey = 1"))              # sid 2
+    cat.create_tag("ns", "t", "v1", snapshot_id=1)
+    cat.create_branch("ns", "t", "dev")                             # → sid 2
+    cat.append("ns", "t", n.filter("n_regionkey = 2"))              # sid 3
+
+    assert cat.read(spark, "ns", "t", ref="v1").count() == n.filter(
+        "n_regionkey = 0"
+    ).count()
+    assert cat.read(spark, "ns", "t", ref="dev").count() == n.filter(
+        "n_regionkey <= 1"
+    ).count()
+
+    # tags refuse retarget; branches move
+    with pytest.raises(ValueError, match="immutable"):
+        cat.retarget_branch("ns", "t", "v1", 3)
+    cat.retarget_branch("ns", "t", "dev", 3)
+    assert cat.resolve_ref("ns", "t", "dev") == 3
+    assert {r["name"]: r["type"] for r in cat.list_refs("ns", "t")} == {
+        "dev": "branch", "v1": "tag",
+    }
+
+    # GC keeps the tag-pinned snapshot 1, expires the unpinned snapshot 2
+    expired = cat.expire_snapshots("ns", "t", keep_last=1)
+    assert expired == [2]
+    assert cat.read(spark, "ns", "t", ref="v1").count() > 0  # still readable
+    with pytest.raises(SnapshotNotFound):
+        cat.read(spark, "ns", "t", snapshot_id=2)
+
+    # duplicate ref names refuse; drop works
+    with pytest.raises(FileExistsError):
+        cat.create_tag("ns", "t", "v1")
+    cat.drop_ref("ns", "t", "v1")
+    with pytest.raises(SnapshotNotFound):
+        cat.read(spark, "ns", "t", ref="v1")
