@@ -1,0 +1,86 @@
+"""Deterministic sampling + benchmark-contamination screening — the
+selection/safety stages of a training-data pipeline.
+
+Scale design:
+
+- **Deterministic hash sampling**: keep a row iff a uniform value derived
+  from md5(id‖salt) falls under the fraction. A pure filter — no shuffle,
+  no RNG state, reproducible across runs/engines/partitionings (unlike
+  ``df.sample``, whose output depends on partitioning). Stratified
+  variant: per-stratum fractions via one CASE expression — still a pure
+  filter.
+- **Contamination screen**: n-gram (shingle) overlap of the corpus
+  against a benchmark/eval set. One shuffle join keyed on shingle; the
+  benchmark side is tiny in practice (broadcasts under AQE). This is the
+  standard "did the eval set leak into training data" gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 16-bit resolution is ample for sampling fractions and keeps the hex →
+# int conversion cheap to replay in ANSI SQL
+_BUCKETS = 1 << 16
+
+
+def hash_uniform(id_col: Column, salt: str) -> Column:
+    """Deterministic uniform [0, 1) from md5(id ‖ salt) — the first 4 hex
+    chars as a 16-bit integer over 65536 buckets."""
+    nibble = F.conv(
+        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 4),
+        16,
+        10,
+    ).cast("double")
+    return nibble / F.lit(float(_BUCKETS))
+
+
+def sample_deterministic(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "s0"
+) -> DataFrame:
+    """Reproducible fraction sample: same ids survive regardless of
+    partitioning, ordering, cluster size, or engine."""
+    return df.filter(hash_uniform(F.col(id_col), salt) < fraction)
+
+
+def sample_stratified(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. domain re-weighting:
+    keep 80% of books, 10% of web). One CASE expression — a pure filter,
+    no per-stratum jobs."""
+    frac: Column = F.lit(default_fraction)
+    for value, f in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == value, F.lit(f)).otherwise(frac)
+    return df.filter(hash_uniform(F.col(id_col), salt) < frac)
+
+
+def contamination_screen(
+    corpus_shingles: DataFrame,
+    benchmark_shingles: DataFrame,
+    min_overlap: int,
+) -> DataFrame:
+    """Flag corpus docs sharing ≥ ``min_overlap`` distinct shingles with
+    any benchmark doc. Inputs are (doc, shingle) tables (see
+    ``dedup.doc_shingles``); output one row per contaminated corpus doc:
+    (doc, n_benchmarks, max_overlap)."""
+    bench = benchmark_shingles.select(
+        F.col("doc").alias("bench_doc"), "shingle"
+    )
+    overlaps = (
+        corpus_shingles.join(bench, "shingle")
+        .filter(F.col("doc") != F.col("bench_doc"))
+        .groupBy("doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .filter(F.col("overlap") >= min_overlap)
+    )
+    return overlaps.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_benchmarks"),
+        F.max("overlap").alias("max_overlap"),
+    )

@@ -14,7 +14,10 @@ from pyspark.sql import functions as F
 from component_iceberg_spark.io.tables import load_table
 from component_iceberg_spark.operators import dedup as D
 from component_iceberg_spark.operators import multimodal as M
-from component_iceberg_spark.plans.queries_text import _minhash_cte_body
+from component_iceberg_spark.plans.queries_text import (
+    _SHINGLE_SQL as _SHINGLE_CTE,
+    _minhash_cte_body,
+)
 from component_iceberg_spark.plans.registry import register
 
 
@@ -232,3 +235,93 @@ def snap_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.append("ns", "orders", o.filter(F.col("o_orderkey") % 3 != 0))
     cat.expire_snapshots("ns", "orders", keep_last=1)
     return cat.read(spark, "ns", "orders", ref="baseline")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling + contamination screening
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of sampling.hash_uniform: first 4 hex chars of
+# md5(CAST(id AS VARCHAR) || salt) as a 16-bit integer / 65536
+def _uniform_sql(id_expr: str, salt: str) -> str:
+    m = f"md5(CAST({id_expr} AS VARCHAR) || '{salt}')"
+    digits = [
+        f"(strpos('0123456789abcdef', substr({m}, {i}, 1)) - 1)"
+        for i in range(1, 5)
+    ]
+    val = f"((({digits[0]} * 16 + {digits[1]}) * 16 + {digits[2]}) * 16 + {digits[3]})"
+    return f"({val} / 65536.0)"
+
+
+@register(
+    "ext_sample_deterministic",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_uniform_sql('doc_id', 's0')} < 0.25
+    """,
+    tags=("ext", "sampling"),
+)
+def ext_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 25% sample: md5-hash bucketing, a pure filter — the
+    same ids survive on any cluster size, partitioning, or engine (unlike
+    df.sample, whose output is partitioning-dependent). The oracle proves
+    engine-independence directly."""
+    from component_iceberg_spark.operators import sampling as SA
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return SA.sample_deterministic(d, "doc_id", 0.25)
+
+
+@register(
+    "ext_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_uniform_sql('doc_id', 's0')} <
+          CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.3 ELSE 0.05 END
+    """,
+    tags=("ext", "sampling"),
+)
+def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain re-weighting: per-source keep fractions (80% src0, 30%
+    src1, 5% everything else) as ONE CASE-gated hash filter — no
+    per-stratum jobs, no shuffle."""
+    from component_iceberg_spark.operators import sampling as SA
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return SA.sample_stratified(
+        d, "doc_id", "source", {"src0": 0.8, "src1": 0.3},
+        default_fraction=0.05,
+    )
+
+
+@register(
+    "ext_contamination_screen",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    bench AS (SELECT doc AS bench_doc, shingle FROM sh WHERE doc % 50 = 0),
+    corpus AS (SELECT doc, shingle FROM sh),
+    ov AS (
+        SELECT corpus.doc, bench.bench_doc, count(*) AS overlap
+        FROM corpus JOIN bench USING (shingle)
+        WHERE corpus.doc <> bench.bench_doc
+        GROUP BY 1, 2
+        HAVING count(*) >= 5
+    )
+    SELECT doc, count(*) AS n_benchmarks, max(overlap) AS max_overlap
+    FROM ov GROUP BY doc
+    """,
+    tags=("ext", "sampling", "dedup"),
+)
+def ext_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination gate: corpus docs sharing ≥5 distinct
+    3-gram shingles with any benchmark doc (benchmark = every 50th doc,
+    standing in for an eval set). One shingle-keyed join; the benchmark
+    side broadcasts under AQE at real scale."""
+    from component_iceberg_spark.operators import sampling as SA
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus_sh = D.doc_shingles(d, "doc_id", "text")
+    bench_sh = D.doc_shingles(
+        d.filter(F.col("doc_id") % 50 == 0), "doc_id", "text"
+    )
+    return SA.contamination_screen(corpus_sh, bench_sh, min_overlap=5)
