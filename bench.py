@@ -47,6 +47,10 @@ HEADLINE = (
     "ext_global_rank",
     "func_json",
     "snap_compact",
+    # round-2 additions: cluster formation, frame fan-out, sampling
+    "dedup_clusters",
+    "mm_frame_features",
+    "ext_sample_stratified",
 )
 
 

@@ -300,16 +300,42 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
+    # both directions in ONE pass over the pairs plan (a union of two
+    # selects would execute the — typically expensive — pair pipeline
+    # twice on first materialization)
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Adaptive parallelism: the verified pair graph is orders of magnitude
+    # smaller than the corpus (bounded by LSH candidate volume), so the
+    # iteration's shuffles are sized to the EDGE count, not the cluster
+    # default — a 500-edge graph iterates in 1 partition (per-round jobs
+    # are milliseconds), a billion-edge graph spreads out. The count also
+    # materializes the persisted edge set once, before the loop.
+    n_edges = edges.count()
+    spark = pairs.sparkSession
+    n_part = max(1, min(
+        spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1
+    ))
+    wide = edges
+    edges = edges.repartition(n_part, "src").persist(StorageLevel.MEMORY_AND_DISK)
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
+        .repartition(n_part, "node")
         .withColumn("label", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -340,6 +366,7 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    wide.unpersist()
     return labels.select(
         F.col("node").alias("doc"), F.col("label").alias("cluster_id")
     )
