@@ -81,6 +81,18 @@ def _stat_jsonable(v):
     return None
 
 
+def dir_row_count(path: str) -> int:
+    """Total rows under a data dir from Parquet footers (metadata only)."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+    return n
+
+
 def dir_column_stats(path: str) -> dict[str, list]:
     """Per-column [min, max] over every Parquet file under ``path``, read
     from row-group footers only. Driver-side here (metadata-sized: one
@@ -315,9 +327,8 @@ class SnapCatalog:
         else:
             candidates, untouched = list(manifest["files"]), []
         if candidates:
-            target = self._read_dirs(
-                spark, namespace, table, candidates,
-                bool(manifest.get("partition_by")),
+            target = self._read_with_deletes(
+                spark, namespace, table, manifest, candidates
             )
             survivors = target.join(delta.select(*keys), keys, "left_anti")
             merged = survivors.unionByName(delta)
@@ -349,9 +360,12 @@ class SnapCatalog:
         df = self.read(spark, namespace, table, snapshot_id=base)
         if target_partitions:
             df = df.coalesce(target_partitions)
+        # compaction MATERIALIZES pending merge-on-read deletes (the read
+        # above applied them) and clears the entries — Iceberg's
+        # rewrite_data_files + rewrite_position_delete_files in one
         return self._commit(
             namespace, table, df, operation="compact", carry=False,
-            base_sid=base, inherit_spec=True,
+            base_sid=base, inherit_spec=True, clear_deletes=True,
         )
 
     def delete_where(
@@ -371,9 +385,8 @@ class SnapCatalog:
                 namespace, table, None, operation="delete", carry=False,
                 base_sid=base, inherit_spec=True, carry_dirs=untouched,
             )
-        df = self._read_dirs(
-            spark, namespace, table, candidates,
-            bool(manifest.get("partition_by")),
+        df = self._read_with_deletes(
+            spark, namespace, table, manifest, candidates
         ).filter(f"NOT ({predicate})")
         return self._commit(
             namespace, table, df, operation="delete", carry=False,
@@ -401,9 +414,8 @@ class SnapCatalog:
                 namespace, table, None, operation="update", carry=False,
                 base_sid=base, inherit_spec=True, carry_dirs=untouched,
             )
-        df = self._read_dirs(
-            spark, namespace, table, candidates,
-            bool(manifest.get("partition_by")),
+        df = self._read_with_deletes(
+            spark, namespace, table, manifest, candidates
         )
         for col_name, expr in assignments.items():
             df = df.withColumn(
@@ -414,6 +426,86 @@ class SnapCatalog:
             namespace, table, df, operation="update", carry=False,
             base_sid=base, inherit_spec=True, carry_dirs=untouched,
         )
+
+    def delete_keys(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        table: str,
+        keys_df: DataFrame,
+        key_cols: list[str],
+    ) -> int:
+        """Merge-on-read DELETE (Iceberg v2 equality-delete analogue):
+        write the doomed keys as a SMALL delete file and publish a
+        metadata-only commit — no data rewrite. The entry records which
+        data dirs it applies to (those visible at delete time), so rows
+        of the same key appended LATER are not masked — Iceberg's
+        sequence-number scoping. Reads anti-join the delete keys;
+        ``compact`` materializes pending deletes and clears them.
+
+        This is the right DELETE shape when the doomed set is small
+        relative to the table (the common case): copy-on-write
+        ``delete_where`` rewrites whole candidate dirs, merge-on-read
+        writes KBs and defers the rewrite to the next compaction."""
+        base = self._current_sid(namespace, table)
+        manifest = self._manifest(namespace, table, base)
+        del_dir_name = f"delete-{uuid.uuid4().hex[:12]}"
+        out = self._tbl(namespace, table, "deletes", del_dir_name)
+        keys_df.select(*key_cols).distinct().coalesce(1).write.parquet(out)
+        entry = {
+            "dir": del_dir_name,
+            "key_cols": list(key_cols),
+            "applies_to": list(manifest["files"]),
+        }
+        return self._commit(
+            namespace, table, None, operation="delete", carry=False,
+            base_sid=base, inherit_spec=True,
+            carry_dirs=list(manifest["files"]), extra_deletes=[entry],
+        )
+
+    def _pending_deletes(
+        self, manifest: dict, dir_names: list[str]
+    ) -> list[dict]:
+        return [
+            e for e in manifest.get("deletes", [])
+            if set(e["applies_to"]) & set(dir_names)
+        ]
+
+    def _read_with_deletes(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        table: str,
+        manifest: dict,
+        dir_names: list[str],
+    ) -> DataFrame:
+        """Scan with pending equality deletes applied: dirs are grouped by
+        their applicable delete-entry set; each group anti-joins its
+        delete keys (small side — broadcasts), groups union back. With no
+        pending deletes this is a plain scan."""
+        partitioned = bool(manifest.get("partition_by"))
+        deletes = self._pending_deletes(manifest, dir_names)
+        if not deletes:
+            return self._read_dirs(spark, namespace, table, dir_names, partitioned)
+        groups: dict[frozenset, list[str]] = {}
+        for d in dir_names:
+            key = frozenset(
+                i for i, e in enumerate(deletes) if d in e["applies_to"]
+            )
+            groups.setdefault(key, []).append(d)
+        out = None
+        for key, dirs in sorted(groups.items(), key=lambda kv: sorted(kv[0])):
+            part = self._read_dirs(spark, namespace, table, dirs, partitioned)
+            for i in sorted(key):
+                e = deletes[i]
+                keys_df = spark.read.parquet(
+                    self._tbl(namespace, table, "deletes", e["dir"])
+                )
+                part = part.join(keys_df, e["key_cols"], "left_anti")
+            out = part if out is None else out.unionByName(
+                part, allowMissingColumns=True
+            )
+        return out
 
     def expire_snapshots(
         self, namespace: str, table: str, keep_last: int = 1
@@ -453,6 +545,17 @@ class SnapCatalog:
         data_root = self._tbl(namespace, table, "data")
         for d in sorted(expired_dirs - live_dirs):
             shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+        # same rule for equality-delete files: drop only those the expired
+        # manifests referenced and no retained manifest still does
+        live_del = {
+            e["dir"] for s in retained for e in s.get("deletes", [])
+        }
+        expired_del = {
+            e["dir"] for s in expired for e in s.get("deletes", [])
+        }
+        del_root = self._tbl(namespace, table, "deletes")
+        for d in sorted(expired_del - live_del):
+            shutil.rmtree(os.path.join(del_root, d), ignore_errors=True)
         return [s["snapshot_id"] for s in expired]
 
     # -- refs: named snapshots (Iceberg branch/tag API analogue) ------------
@@ -580,9 +683,7 @@ class SnapCatalog:
         dir_names = manifest["files"]
         if where:
             dir_names, _skipped = self._prune_dirs(manifest, where)
-        df = self._read_dirs(
-            spark, namespace, table, dir_names, bool(manifest.get("partition_by"))
-        )
+        df = self._read_with_deletes(spark, namespace, table, manifest, dir_names)
         if where:
             df = df.filter(where)
         return df
@@ -664,6 +765,26 @@ class SnapCatalog:
             return out
         return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
+    def row_count(
+        self, namespace: str, table: str, snapshot_id: int | None = None
+    ) -> int:
+        """count(*) answered from manifest metadata — NO data scan, no
+        Spark job (Iceberg answers count(*) from manifest row counts the
+        same way). Raises if the manifest predates row-count tracking."""
+        sid = snapshot_id or self._current_sid(namespace, table)
+        manifest = self._manifest(namespace, table, sid)
+        dir_rows = manifest.get("dir_rows")
+        if dir_rows is None or set(dir_rows) != set(manifest["files"]):
+            raise ValueError(
+                f"{namespace}.{table}@{sid}: manifest lacks row counts"
+            )
+        if manifest.get("deletes"):
+            raise ValueError(
+                f"{namespace}.{table}@{sid}: pending merge-on-read deletes;"
+                " exact count needs a scan (or compact first)"
+            )
+        return sum(dir_rows.values())
+
     def snapshots(self, spark: SparkSession, namespace: str, table: str) -> DataFrame:
         """Snapshot enumeration as a DataFrame — the ``t.snapshots``
         metadata-table equivalent (``ex-iceberg/src/component.py:148-157``)."""
@@ -722,6 +843,8 @@ class SnapCatalog:
         base_sid: int | None = None,
         inherit_spec: bool = False,
         carry_dirs: list[str] | None = None,
+        extra_deletes: list[dict] | None = None,
+        clear_deletes: bool = False,
     ) -> int:
         """Write data, then publish a manifest optimistically.
 
@@ -759,9 +882,10 @@ class SnapCatalog:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(out_dir)
             new_stats = dir_column_stats(out_dir)
+            new_rows = dir_row_count(out_dir)
             schema_json = df.schema.jsonValue()
         else:
-            data_dir_name, out_dir, new_stats = None, None, None
+            data_dir_name, out_dir, new_stats, new_rows = None, None, None, 0
             schema_json = snaps[-1]["schema"] if snaps else None
 
         # Optimistic publish: claim snapshot id N+1 via exclusive create of
@@ -797,6 +921,21 @@ class SnapCatalog:
             dir_stats = {d: parent_stats[d] for d in files if d in parent_stats}
             if data_dir_name and new_stats:
                 dir_stats[data_dir_name] = new_stats
+            parent_rows = snaps[-1].get("dir_rows", {}) if snaps else {}
+            dir_rows = {d: parent_rows[d] for d in files if d in parent_rows}
+            if data_dir_name:
+                dir_rows[data_dir_name] = new_rows
+            # pending equality-delete entries follow the dirs they apply
+            # to: entries whose dirs were all rewritten (or cleared by
+            # compaction) drop out; surviving entries prune their
+            # applies_to to the dirs still present
+            deletes: list[dict] = []
+            if not clear_deletes and snaps:
+                for e in snaps[-1].get("deletes", []):
+                    keep = [d for d in e["applies_to"] if d in files]
+                    if keep:
+                        deletes.append({**e, "applies_to": keep})
+            deletes.extend(extra_deletes or [])
             manifest = {
                 "snapshot_id": sid,
                 "parent_id": snaps[-1]["snapshot_id"] if snaps else None,
@@ -806,6 +945,8 @@ class SnapCatalog:
                 "partition_by": partition_by or [],
                 "schema": schema_json,
                 "dir_stats": dir_stats,
+                "dir_rows": dir_rows,
+                "deletes": deletes,
             }
             snap_path = self._tbl(namespace, table, "snapshots", f"{sid}.json")
             try:

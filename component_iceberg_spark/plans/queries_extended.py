@@ -325,3 +325,34 @@ def ext_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 50 == 0), "doc_id", "text"
     )
     return SA.contamination_screen(corpus_sh, bench_sh, min_overlap=5)
+
+
+@register(
+    "snap_delete_mor",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey % 7 = 0 AND o_orderkey < 50
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (Iceberg v2 equality deletes): the doomed
+    keys land in a small delete file — no data rewrite — and a later
+    append of some deleted keys is NOT masked (delete entries scope to
+    the data dirs visible at delete time, Iceberg's sequence-number
+    rule). The read anti-joins the delete file per scoped group."""
+    from component_iceberg_spark.plans.queries_mutation import _warehouse
+
+    cat = _warehouse(sf_dir, "mor")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "orders", o)
+    doomed = o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    cat.delete_keys(spark, "ns", "orders", doomed, ["o_orderkey"])
+    reborn = o.filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") < 50))
+    cat.append("ns", "orders", reborn)
+    return cat.read(spark, "ns", "orders")

@@ -388,3 +388,70 @@ def test_refs_tag_branch_gc(spark, sf_dir, tmp_path):
     cat.drop_ref("ns", "t", "v1")
     with pytest.raises(SnapshotNotFound):
         cat.read(spark, "ns", "t", ref="v1")
+
+
+def test_row_count_from_manifest(spark, sf_dir, tmp_path):
+    """count(*) answered purely from manifest row counts — no scan."""
+    import pytest
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    o = load_table(spark, sf_dir, "orders")
+    cat.create_or_replace("ns", "t", o.filter("o_orderkey < 1000"))
+    cat.append("ns", "t", o.filter("o_orderkey >= 1000"))
+    assert cat.row_count("ns", "t") == o.count()
+    assert cat.row_count("ns", "t", snapshot_id=1) == o.filter(
+        "o_orderkey < 1000"
+    ).count()
+    # pending MoR deletes make the metadata count unknowable → refuse
+    cat.delete_keys(
+        spark, "ns", "t", o.filter("o_orderkey < 10"), ["o_orderkey"]
+    )
+    with pytest.raises(ValueError, match="merge-on-read"):
+        cat.row_count("ns", "t")
+
+
+def test_merge_on_read_delete_cycle(spark, sf_dir, tmp_path):
+    """Equality-delete files: no data rewrite at delete time; reads mask
+    deleted keys; later appends of the same key are NOT masked (delete
+    scoping); compaction materializes and clears the deletes."""
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    o = load_table(spark, sf_dir, "orders")
+    cat.create_or_replace("ns", "t", o)
+    data_root = os.path.join(wh, "ns", "t", "data")
+    dirs_before = set(os.listdir(data_root))
+
+    doomed = o.filter("o_orderkey < 100").select("o_orderkey")
+    sid = cat.delete_keys(spark, "ns", "t", doomed, ["o_orderkey"])
+
+    # metadata-only: no new data dir was written
+    assert set(os.listdir(data_root)) == dirs_before
+    assert cat._manifest("ns", "t", sid)["deletes"][0]["key_cols"] == [
+        "o_orderkey"
+    ]
+    want = o.filter("o_orderkey >= 100").count()
+    assert cat.read(spark, "ns", "t").count() == want
+    # prior snapshot still sees everything (time travel unaffected)
+    assert cat.read(spark, "ns", "t", snapshot_id=1).count() == o.count()
+
+    # re-append one deleted key: the old delete must NOT mask the new row
+    reborn = o.filter("o_orderkey = 5").limit(1)
+    assert reborn.count() == 1
+    cat.append("ns", "t", reborn)
+    assert cat.read(spark, "ns", "t").count() == want + 1
+    assert (
+        cat.read(spark, "ns", "t").filter("o_orderkey = 5").count() == 1
+    )
+
+    # CoW mutation on top of pending MoR deletes must not resurrect them
+    cat.update_where(
+        spark, "ns", "t", "o_orderkey >= 100", {"o_totalprice": "0.0"}
+    )
+    assert cat.read(spark, "ns", "t").count() == want + 1
+
+    # compaction materializes the deletes and clears the entries
+    sid = cat.compact(spark, "ns", "t")
+    m = cat._manifest("ns", "t", sid)
+    assert m["deletes"] == []
+    assert cat.read(spark, "ns", "t").count() == want + 1
+    assert cat.row_count("ns", "t") == want + 1  # metadata count works again
