@@ -115,3 +115,52 @@ def test_salted_broadcast_join_equals_plain(spark, skewed):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, skewed):
+    """Beyond salting: AQE's runtime skew-join handling must split the
+    hot key's oversized shuffle partition when a skewed fact sort-merge-
+    joins a dim. Thresholds are lowered so the 180k-row hot partition
+    counts as skewed at test scale; the executed adaptive plan must show
+    a skewed AQEShuffleRead — and results must equal the plain join."""
+    # independent dim (one row per key): both SMJ inputs are then plain
+    # ENSURE_REQUIREMENTS shuffles — the pattern OptimizeSkewedJoin
+    # handles (a dim derived from the fact via distinct() puts an
+    # aggregate on that side and the rule skips the join)
+    dim = (
+        spark.createDataFrame([("hot",)], "k string")
+        .union(
+            spark.range(1000).select(
+                F.concat(F.lit("cold_"), F.col("id").cast("string")).alias("k")
+            )
+        )
+        .withColumn("label", F.concat(F.lit("L_"), F.col("k")))
+    )
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ path
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        joined = skewed.join(dim, "k")
+        # execute the join's OWN plan (count() would finalize a different
+        # query execution) → AQE finalizes this one
+        n = len(joined.collect())
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            joined._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert n == 200_000
+    assert "SortMergeJoin" in plan
+    assert "skewed" in plan.lower(), "AQE did not mark the hot partition skewed"
