@@ -94,3 +94,43 @@ def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint = md5 of the normalized text
     (cross-engine stable, unlike xxhash64/murmur which differ per engine)."""
     return F.md5(normalized(col))
+
+
+# ---------------------------------------------------------------------------
+# Normalization + redaction (training-data cleaning stages)
+# ---------------------------------------------------------------------------
+
+# Deliberately simple, engine-portable patterns (Java regex and RE2
+# agree on this subset): no lookaround, no backreferences.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text cleanup: strip control characters, collapse runs of
+    whitespace to single spaces, trim. Pure single-pass regex projections
+    — pipelines inside the scan stage."""
+    cleaned = F.regexp_replace(col, CONTROL_RE, "")
+    collapsed = F.regexp_replace(cleaned, WHITESPACE_RE, " ")
+    return F.trim(collapsed)
+
+
+def redact_pii(col: Column, email_token: str = "<EMAIL>",
+               url_token: str = "<URL>") -> Column:
+    """Mask emails and URLs with placeholder tokens — the pre-training
+    redaction pass. URL masking runs FIRST so an address inside a URL
+    query string is swallowed by the URL token, not half-redacted."""
+    no_urls = F.regexp_replace(col, URL_RE, url_token)
+    return F.regexp_replace(no_urls, EMAIL_RE, email_token)
+
+
+def repetition_ratio(col: Column) -> Column:
+    """Distinct-token / total-token ratio — the cheap repetition quality
+    signal (boilerplate and generation loops score low). 1.0 for empty
+    docs (no evidence of repetition)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(
+        F.lit(1.0)
+    )

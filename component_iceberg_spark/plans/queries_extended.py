@@ -356,3 +356,94 @@ def snap_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     reborn = o.filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") < 50))
     cat.append("ns", "orders", reborn)
     return cat.read(spark, "ns", "orders")
+
+
+# ---------------------------------------------------------------------------
+# Text normalization / redaction / repetition quality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+               text || chr(7) || '  trailing   ' || chr(8),
+               '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+               '\s+', ' ', 'g')) AS clean
+    FROM documents
+    """,
+    tags=("ext", "text"),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical cleanup (strip control chars, collapse whitespace, trim)
+    — the first pass of every text pipeline. The fixture is already
+    clean, so control chars and ragged whitespace are injected
+    deterministically on BOTH sides; the oracle proves the
+    normalization, not a no-op."""
+    from component_iceberg_spark.operators import text as X
+
+    d = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"), F.lit("\x07"), F.lit("  trailing   "), F.lit("\x08")
+    )
+    return d.select("doc_id", X.normalize_text(dirty).alias("clean"))
+
+
+@register(
+    "text_redact_pii",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(
+               'mail doc' || doc_id ||
+               '@example.com or https://ex.org/d/' || doc_id ||
+               '?u=x@y.io end ' || text,
+               'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS redacted
+    FROM documents
+    """,
+    tags=("ext", "text"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/URL masking (the pre-training redaction pass). PII is
+    synthesized per doc — including an email INSIDE a URL query string,
+    which must be swallowed by the URL token (ordering matters), and a
+    bare email that must become <EMAIL>."""
+    from component_iceberg_spark.operators import text as X
+
+    d = load_table(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.lit("mail doc"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://ex.org/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?u=x@y.io end "), F.col("text"),
+    )
+    return d.select("doc_id", X.redact_pii(with_pii).alias("redacted"))
+
+
+@register(
+    "text_repetition",
+    oracle=r"""
+    SELECT doc_id,
+           round(len(list_distinct(arr)) * 1.0 / len(arr), 6) AS rep_ratio
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+          FROM documents)
+    WHERE len(arr) > 0
+    """,
+    tags=("ext", "text"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal: distinct-token ratio per doc (word-soup
+    boilerplate and generation loops score low). One projection, no
+    shuffle."""
+    from component_iceberg_spark.operators import text as X
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.round(X.repetition_ratio(F.col("text")), 6).alias("rep_ratio"),
+        )
+        .filter(F.size(X.tokens(F.col("text"))) > 0)
+    )
