@@ -322,3 +322,76 @@ def ivf_topk(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    seed_centroids: DataFrame,
+    dim: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means as pure DataFrame ops — the production centroid
+    fit for :func:`ivf_topk` (whose docstring promises it as a drop-in).
+
+    Per iteration: assign every vector to its nearest current centroid
+    (broadcast argmin — corpus never shuffles), then recompute each
+    centroid as the per-dimension mean of its members (``dim`` avg
+    expressions in ONE hash aggregate — a single keyed shuffle whose
+    output is k rows). Empty clusters keep their previous centroid.
+    Deterministic given seed centroids and a fixed iteration count; the
+    centroid set stays metadata-sized (k × dim) and is persisted per
+    round so lineage stays flat.
+
+    Returns (cent_id, centroid) with ``centroid`` as array<double>.
+    """
+    from pyspark import StorageLevel
+
+    cent = seed_centroids.select(
+        F.col(id_col).alias("cent_id"),
+        as_double(F.col(vec_col)).alias("centroid"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    vecs = corpus.select(
+        F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_v")
+    )
+    for _ in range(iters):
+        scored = vecs.crossJoin(
+            F.broadcast(
+                cent.select(
+                    "cent_id",
+                    F.col("centroid").alias("_c"),
+                    norm(F.col("centroid")).alias("_cn"),
+                )
+            )
+        ).select(
+            "_vid",
+            "_v",
+            "cent_id",
+            (dot_raw(F.col("_v"), F.col("_c")) / (norm(F.col("_v")) * F.col("_cn"))).alias("_sim"),
+        )
+        w = Window.partitionBy("_vid").orderBy(
+            F.col("_sim").desc(), F.col("cent_id")
+        )
+        assigned = scored.withColumn("_r", F.row_number().over(w)).filter(
+            F.col("_r") == 1
+        )
+        means = assigned.groupBy("cent_id").agg(
+            F.array(
+                *[F.avg(F.col("_v")[i]) for i in range(dim)]
+            ).alias("new_centroid")
+        )
+        new_cent = (
+            cent.join(means, "cent_id", "left")
+            .select(
+                "cent_id",
+                F.coalesce(F.col("new_centroid"), F.col("centroid")).alias(
+                    "centroid"
+                ),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        new_cent.count()  # materialize before unpersisting the parent
+        cent.unpersist()
+        cent = new_cent
+    return cent

@@ -447,3 +447,37 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size(X.tokens(F.col("text"))) > 0)
     )
+
+
+@register("sim_ann_ivf_kmeans", oracle=None, tags=("ext", "similarity"))
+def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with k-means-fitted centroids: Lloyd iterations as pure
+    DataFrame ops refine the seed quantizer, then the identical bucketed
+    probe runs (ivf_topk unchanged — the fit is a drop-in, as promised in
+    its docstring). Rows-only check (iterative float means have no
+    tractable SQL twin); recall vs the brute-force ground truth is
+    asserted in tests/test_approx.py."""
+    from pyspark.sql import Window as W
+
+    from component_iceberg_spark.operators import similarity as S
+    from component_iceberg_spark.plans.queries_similarity import (
+        NPROBE,
+        QUERY_IDS,
+        TOPK,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    w = W.partitionBy("label").orderBy("vec_id")
+    seeds = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "label")
+    )
+    fitted = S.kmeans_fit(e, seeds, dim=64, iters=3)
+    centroids = fitted.select(
+        F.col("cent_id").alias("vec_id"), F.col("centroid").alias("embedding")
+    )
+    return S.ivf_topk(
+        e, e.filter(F.col("vec_id").isin(list(QUERY_IDS))), centroids,
+        NPROBE, TOPK,
+    )

@@ -33,3 +33,35 @@ def test_approx_tracks_exact(spark, sf_dir, oracle_con):
         assert abs(a["approx_orders"] - nd) / nd < 0.05, (flag, a, nd)  # rsd=0.02
         assert abs(a["p50_price"] - p50) / p50 < 0.05
         assert abs(a["p95_price"] - p95) / p95 < 0.05
+
+
+def test_ivf_kmeans_recall(spark, sf_dir):
+    """k-means-fitted IVF must (a) be deterministic across runs and
+    (b) reach recall@10 ≥ 0.5 vs the brute-force ground truth at nprobe=4
+    of 10 buckets — and not degrade below the seed-centroid quantizer by
+    more than one neighbor per query."""
+    from component_iceberg_spark.plans import load_all
+
+    reg = load_all()
+    brute = reg["sim_topk_bruteforce"].fn(spark, sf_dir).collect()
+    truth = {}
+    for r in brute:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        per_q = [
+            len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+        ]
+        return sum(per_q) / len(per_q)
+
+    km1 = reg["sim_ann_ivf_kmeans"].fn(spark, sf_dir).collect()
+    km2 = reg["sim_ann_ivf_kmeans"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, km1)) == sorted(map(tuple, km2)), "nondeterministic"
+
+    seed_rows = reg["sim_ann_ivf"].fn(spark, sf_dir).collect()
+    r_km, r_seed = recall(km1), recall(seed_rows)
+    assert r_km >= 0.5, f"k-means IVF recall too low: {r_km}"
+    assert r_km >= r_seed - 0.1, f"k-means fit degraded recall: {r_km} vs {r_seed}"
