@@ -481,3 +481,32 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.filter(F.col("vec_id").isin(list(QUERY_IDS))), centroids,
         NPROBE, TOPK,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (changelog) consumption of a snapshot table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snap_incremental_read",
+    oracle="SELECT * FROM nation WHERE n_regionkey >= 2",
+    tags=("parity", "snapshot"),
+)
+def snap_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan (Iceberg ``start-snapshot-id`` /
+    changelog read): a downstream consumer reads only the rows appended
+    since its last-seen snapshot. The manifest diff names the new data
+    dirs, so the read costs only the new data — never a table rescan —
+    which is what makes repeated incremental consumption viable on a
+    100 TB table. Feeds the same incremental contract as
+    ``incremental_load_flag`` (``ex-iceberg/src/configuration.py:44-50``)
+    but from snapshot metadata instead of a date predicate."""
+    from component_iceberg_spark.plans.queries_mutation import _warehouse
+
+    cat = _warehouse(sf_dir, "incremental")
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "nation", n.filter(F.col("n_regionkey") < 2))
+    cat.append("ns", "nation", n.filter(F.col("n_regionkey") == 2))
+    cat.append("ns", "nation", n.filter(F.col("n_regionkey") > 2))
+    return cat.read_appends_between(spark, "ns", "nation", from_snapshot_id=1)

@@ -455,3 +455,40 @@ def test_merge_on_read_delete_cycle(spark, sf_dir, tmp_path):
     assert m["deletes"] == []
     assert cat.read(spark, "ns", "t").count() == want + 1
     assert cat.row_count("ns", "t") == want + 1  # metadata count works again
+
+
+def test_read_appends_between(spark, sf_dir, tmp_path):
+    import pytest
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "t", n.filter("n_regionkey < 2"))   # sid 1
+    cat.append("ns", "t", n.filter("n_regionkey = 2"))              # sid 2
+    cat.append("ns", "t", n.filter("n_regionkey > 2"))              # sid 3
+
+    # open window: everything appended after sid 1
+    inc = cat.read_appends_between(spark, "ns", "t", 1)
+    assert inc.count() == n.filter("n_regionkey >= 2").count()
+    keys = {r.n_regionkey for r in inc.select("n_regionkey").distinct().collect()}
+    assert keys == {2, 3, 4}
+
+    # bounded window: only the sid-2 append
+    mid = cat.read_appends_between(spark, "ns", "t", 1, to_snapshot_id=2)
+    assert mid.count() == n.filter("n_regionkey = 2").count()
+
+    # empty window: from == current -> zero rows, schema intact
+    empty = cat.read_appends_between(spark, "ns", "t", 3)
+    assert empty.count() == 0
+    assert empty.columns == inc.columns
+
+    # a rewrite inside the window is rejected (Iceberg restriction) ...
+    cat.upsert(
+        "ns", "t", n.filter("n_nationkey = 0"), keys=["n_nationkey"]
+    )                                                                # sid 4
+    with pytest.raises(ValueError, match="incremental read"):
+        cat.read_appends_between(spark, "ns", "t", 2)
+    # ... but a window ending before the rewrite still reads fine
+    assert (
+        cat.read_appends_between(spark, "ns", "t", 1, to_snapshot_id=3).count()
+        == n.filter("n_regionkey >= 2").count()
+    )
