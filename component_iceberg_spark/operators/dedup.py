@@ -287,16 +287,20 @@ def connected_components(
     duplicates A~B, B~C must land in ONE group so exactly one survivor is
     kept per group, not one per pair.
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes the min of its own label and its neighbors' labels (one join +
-    one aggregate per round, all keyed shuffles). Converges in
-    O(component diameter) rounds; near-dup components are shallow
-    (duplicates of one source document), so the loop is short in practice
-    and ``max_iter`` bounds pathological chains. Labels are persisted per
-    round and the previous round unpersisted, so lineage stays flat — the
-    standard Spark iteration discipline (same shape GraphX/GraphFrames
-    uses). The driver-side convergence check is one count per round
-    (metadata-sized).
+    Algorithm: iterative min-label propagation over the edge set plus
+    one self-loop per node — ``min(label over neighbors ∪ self)`` is the
+    whole propagation step, so a round is ONE keyed join + ONE aggregate
+    (2 shuffle stages; the earlier shape needed a second labels⋈labels
+    join for the update and a third for the convergence check).
+    Convergence is detected from the label SUM: labels are per-node
+    non-increasing, so the round sum strictly decreases until fixpoint —
+    one metadata-sized driver value per round instead of a change-count
+    join. Converges in O(component diameter) rounds; near-dup components
+    are shallow (duplicates of one source document), so the loop is short
+    in practice and ``max_iter`` bounds pathological chains. Labels are
+    persisted per round and the previous round unpersisted, so lineage
+    stays flat — the standard Spark iteration discipline (same shape
+    GraphX/GraphFrames uses).
     """
     from pyspark import StorageLevel
 
@@ -324,49 +328,48 @@ def connected_components(
     # smaller than the corpus (bounded by LSH candidate volume), so the
     # iteration's shuffles are sized to the EDGE count, not the cluster
     # default — a 500-edge graph iterates in 1 partition (per-round jobs
-    # are milliseconds), a billion-edge graph spreads out. The count also
+    # are sub-second), a billion-edge graph spreads out. The count also
     # materializes the persisted edge set once, before the loop.
     n_edges = edges.count()
     spark = pairs.sparkSession
     n_part = max(1, min(
         spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1
     ))
-    wide = edges
-    edges = edges.repartition(n_part, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .repartition(n_part, "node")
-        .withColumn("label", F.col("node"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # static join input: edges ∪ self-loops (dupes can't survive min());
+    # pre-partitioned on the join key so every round reuses the layout
+    edges_plus = (
+        edges.select("src", "dst")
+        .union(nodes.select(F.col("node"), F.col("node")))
+        .repartition(n_part, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    labels = (
+        nodes.withColumn("label", F.col("node"))
+        .repartition(n_part, "node")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # round 0 always changes labels when any edge exists (each edge's
+    # larger endpoint drops), so the first sum comparison is a no-op:
+    # seed with None and skip the pre-loop sum job
+    prev_sum = None
+    sum_expr = F.sum(F.col("label").cast("decimal(38,0)"))
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
+        stepped = (
+            edges_plus.join(labels, edges_plus.src == labels.node)
             .groupBy("dst")
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
+            .agg(F.min("label").alias("label"))
+            .select(F.col("dst").alias("node"), "label")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        cur_sum = stepped.agg(sum_expr).collect()[0][0]
         labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        labels = stepped
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
+    edges_plus.unpersist()
     edges.unpersist()
-    wide.unpersist()
     return labels.select(
         F.col("node").alias("doc"), F.col("label").alias("cluster_id")
     )

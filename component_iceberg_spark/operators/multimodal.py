@@ -64,6 +64,23 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feats
 
 
+def _pil_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Real decoder path (used when :func:`decode_available`): PIL decode
+    → grayscale → 2x2 thumbnail whose pixels are the FEATURE_DIM feature
+    vector. Same signature as :func:`_fake_decode`, so the mapInPandas
+    stage is byte-for-byte identical either way — only the per-element
+    derivation swaps."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    width, height = img.size
+    thumb = img.resize((2, 2))
+    feats = [round(p / 255.0, 6) for p in thumb.getdata()][:FEATURE_DIM]
+    return width, height, feats
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
@@ -74,12 +91,11 @@ def extract_features(df: DataFrame) -> DataFrame:
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decoder = "stub-sha256"
-        if decode_available():  # pragma: no cover - lib absent in container
-            raise NotImplementedError(
-                "real decoder wiring goes here (PIL present); stub path is "
-                "the tested contract in this environment"
-            )
+        # import probe runs on the WORKER (where the decode executes), not
+        # the driver — the two can differ on a real cluster
+        real = decode_available()  # pragma: no cover - lib absent here
+        decoder = "pil" if real else "stub-sha256"
+        decode = _pil_decode if real else _fake_decode
         for pdf in batches:
             payloads = pdf["content"]
             rows = {
@@ -89,7 +105,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                     lambda b: round(sum(b) / len(b), 6) if len(b) else 0.0
                 ),
             }
-            decoded = payloads.map(_fake_decode)
+            decoded = payloads.map(decode)
             rows["width"] = decoded.map(lambda t: t[0]).astype("int32")
             rows["height"] = decoded.map(lambda t: t[1]).astype("int32")
             rows["features"] = decoded.map(lambda t: t[2])

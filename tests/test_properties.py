@@ -145,3 +145,23 @@ def test_asof_join_matches_model(spark, hyp, left, right):
         cands = [rv for rk, rv in right if rk == k and rv <= t]
         want[i] = max(cands) if cands else None
     assert got == want
+
+
+def test_connected_components_chain_and_empty(spark):
+    """Chain graph of diameter 6 (forces multiple propagation rounds)
+    plus an isolated pair and an empty edge list."""
+    from component_iceberg_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(10, 16)]          # 10-11-...-16
+    pairs = spark.createDataFrame(
+        chain + [(100, 99)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc, r.cluster_id)
+        for r in connected_components(pairs).collect()
+    }
+    expect = {(i, 10) for i in range(10, 17)} | {(99, 99), (100, 99)}
+    assert got == expect
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).count() == 0
