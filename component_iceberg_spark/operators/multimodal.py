@@ -247,6 +247,37 @@ def slice_frames(media: DataFrame, n_frames: int) -> DataFrame:
     )
 
 
+def segment_windows(probed: DataFrame, segment_ms: int) -> DataFrame:
+    """Time-based audio segmentation: each stream's probed duration is
+    split into fixed-length windows ``[t0_ms, t1_ms)`` with the sample
+    count each window covers — the unit of work for downstream transcribe/
+    spectrogram stages (which would be a mapInPandas over these rows, the
+    same fan-out discipline as :func:`frame_features`).
+
+    Unlike :func:`sample_frames` (byte offsets, count fixed per blob),
+    segmentation is over TIME: window count varies with duration, the
+    tail window is short, and sample counts derive from the probed
+    sample_rate. All integer expressions — cost ∝ emitted segments, and
+    the explode distributes one stream's segments across tasks."""
+    n_seg = F.expr(f"(duration_ms + {segment_ms - 1}) div {segment_ms}")
+    seg = F.explode(F.sequence(F.lit(0).cast("long"), n_seg - 1)).alias("s")
+    t0 = F.col("s") * segment_ms
+    t1 = F.least(t0 + segment_ms, F.col("duration_ms"))
+    return (
+        probed.filter(F.col("duration_ms") > 0)
+        .select("doc_id", "sample_rate", "duration_ms", seg)
+        .select(
+            "doc_id",
+            F.col("s").cast("int").alias("seg_no"),
+            t0.cast("long").alias("t0_ms"),
+            t1.cast("long").alias("t1_ms"),
+            F.floor((t1 - t0) * F.col("sample_rate") / 1000)
+            .cast("long")
+            .alias("n_samples"),
+        )
+    )
+
+
 FRAME_FEATURES_SCHEMA = (
     "doc_id long, frame_no int, features array<double>, decoder string"
 )

@@ -510,3 +510,41 @@ def snap_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.append("ns", "nation", n.filter(F.col("n_regionkey") == 2))
     cat.append("ns", "nation", n.filter(F.col("n_regionkey") > 2))
     return cat.read_appends_between(spark, "ns", "nation", from_snapshot_id=1)
+
+
+SEGMENT_MS = 5000
+
+
+@register(
+    "mm_audio_segments",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, sha256(text) AS h, strlen(text) AS nb FROM documents
+    ),
+    a AS (
+        SELECT doc_id,
+               CAST(8000 * (1 + {_hx(0)} % 5) AS INT) AS sample_rate,
+               CAST(nb * 20 AS BIGINT) AS duration_ms
+        FROM d WHERE nb > 0
+    )
+    SELECT doc_id,
+           CAST(s AS INT) AS seg_no,
+           CAST(s * {SEGMENT_MS} AS BIGINT) AS t0_ms,
+           CAST(LEAST((s + 1) * {SEGMENT_MS}, duration_ms) AS BIGINT) AS t1_ms,
+           CAST(floor(
+               (LEAST((s + 1) * {SEGMENT_MS}, duration_ms) - s * {SEGMENT_MS})
+               * sample_rate / 1000
+           ) AS BIGINT) AS n_samples
+    FROM a, UNNEST(range((duration_ms + {SEGMENT_MS - 1}) // {SEGMENT_MS})) AS t(s)
+    """,
+    tags=("ext", "multimodal"),
+)
+def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based audio segmentation: probe (mapInPandas metadata stage)
+    → fixed-length time windows with per-window sample counts, the unit
+    of work for downstream transcription/spectrogram stages. Window
+    count varies per stream (ceil(duration/segment)); the tail window is
+    short; all integer math, so the probe+segment composition has an
+    exact oracle."""
+    probed = M.probe_audio(_binary_docs(spark, sf_dir))
+    return M.segment_windows(probed, SEGMENT_MS)
