@@ -134,3 +134,71 @@ def repetition_ratio(col: Column) -> Column:
     return F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(
         F.lit(1.0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained bigram language model (fluency / quality scoring)
+# ---------------------------------------------------------------------------
+
+
+def doc_bigram_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document bigram multiplicities ``(doc_id, w1, w2, k)`` from
+    lowercased whitespace tokens. Bigrams come from zipping two shifted
+    array slices (same constant-slice trick as :func:`shingles` — no
+    per-element re-evaluation of the regex split); the groupBy rides a
+    map-side partial aggregate, so the shuffle carries distinct
+    (doc, bigram) rows, not every instance."""
+    t = tokens(F.lower(F.col(text_col)))
+    win = F.greatest(F.size(t) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(t, 1, win),
+        F.slice(t, 2, win),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+        .groupBy("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+
+
+def bigram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Language-model fluency score: train an add-one-smoothed bigram LM
+    on the corpus itself, then score every document by its average bigram
+    log-probability — the CCNet/Dolma-style quality signal (gibberish and
+    boilerplate score far below fluent text; no external model needed).
+
+    ``P(w2|w1) = (c(w1,w2) + 1) / (c(w1→·) + V)`` with V = corpus vocab.
+    Returns ``(doc_id, n_bigrams, avg_logp)`` for docs with ≥ 1 bigram.
+
+    Scale shape: one exploded-bigram aggregation (map-side combine), two
+    count tables keyed by bigram/history, a scalar vocab row, then a
+    keyed join back onto per-doc DISTINCT bigrams (multiplicity rides the
+    ``k`` column, so the join never carries one row per token instance).
+    Hot bigrams ("of the") skew the join key — bounded because the build
+    side is one row per distinct bigram, and AQE skew-split covers the
+    probe side. No Python anywhere."""
+    from pyspark import StorageLevel
+
+    b = doc_bigram_counts(df, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cnt2 = b.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
+    cnt1 = b.groupBy("w1").agg(F.sum("k").alias("c1"))
+    vocab = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    logp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
+    return (
+        b.join(cnt2, ["w1", "w2"])
+        .join(cnt1, ["w1"])
+        .crossJoin(vocab)  # 1-row build side → broadcast nested loop
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.round((F.sum(F.col("k") * logp) / F.sum("k")), 4).alias(
+                "avg_logp"
+            ),
+        )
+    )

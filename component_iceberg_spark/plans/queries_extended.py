@@ -548,3 +548,52 @@ def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact oracle."""
     probed = M.probe_audio(_binary_docs(spark, sf_dir))
     return M.segment_windows(probed, SEGMENT_MS)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained bigram LM quality score
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_lm_score",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+        FROM tok, UNNEST(range(1, len(arr))) AS t(i)
+    ),
+    docb AS (
+        SELECT doc_id, w1, w2, count(*) AS k FROM big GROUP BY 1, 2, 3
+    ),
+    cnt2 AS (SELECT w1, w2, sum(k) AS c2 FROM docb GROUP BY 1, 2),
+    cnt1 AS (SELECT w1, sum(k) AS c1 FROM docb GROUP BY 1),
+    voc AS (
+        SELECT count(DISTINCT w) AS v
+        FROM (SELECT unnest(arr) AS w FROM tok)
+    )
+    SELECT doc_id,
+           CAST(sum(k) AS BIGINT) AS n_bigrams,
+           round(sum(k * ln((c2 + 1.0) / (c1 + v))) / sum(k), 4) AS avg_logp
+    FROM docb
+    JOIN cnt2 USING (w1, w2)
+    JOIN cnt1 USING (w1)
+    CROSS JOIN voc
+    GROUP BY doc_id
+    """,
+    tags=("ext", "text"),
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fluency scoring via a corpus-trained add-one bigram LM (the
+    CCNet/Dolma-style quality signal): every doc's average bigram
+    log-probability under counts aggregated from the corpus itself.
+    The oracle retrains the identical model declaratively in SQL, so the
+    training aggregation AND the scoring join are both value-checked."""
+    from component_iceberg_spark.operators import text as X
+
+    d = load_table(spark, sf_dir, "documents")
+    return X.bigram_lm_score(d, "doc_id", "text")
