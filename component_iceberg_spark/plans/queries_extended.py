@@ -597,3 +597,72 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return X.bigram_lm_score(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized similarity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_quantized_topk",
+    oracle="""
+    WITH d AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    m AS (
+        SELECT vec_id, v,
+               list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx
+        FROM d
+    ),
+    q8 AS (
+        SELECT vec_id,
+               CASE WHEN mx > 0
+                    THEN list_transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+                    ELSE list_transform(v, x -> CAST(0 AS BIGINT))
+               END AS qv
+        FROM m
+    ),
+    n AS (
+        SELECT vec_id, qv,
+               sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+        FROM q8
+    ),
+    q AS (
+        SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm FROM n
+        WHERE vec_id IN (0, 17, 93)
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(CAST(list_sum(list_transform(
+                         list_zip(q.q_qv, c.qv), z -> z[1] * z[2]
+                     )) AS DOUBLE) / (q.q_nrm * c.nrm), 6) AS cosine_sim
+        FROM n c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+           ) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    tags=("ext", "similarity"),
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over int8-quantized embeddings: 4x smaller vectors through
+    the quadratic scoring loop (the 100 TB lever — embedding bytes
+    dominate ANN I/O), exact integer dot products inside. The oracle
+    replays the quantizer AND the integer scoring bit-for-bit; recall vs
+    the float baseline is asserted in tests/test_approx.py."""
+    from component_iceberg_spark.operators import similarity as S
+    from component_iceberg_spark.plans.queries_similarity import (
+        QUERY_IDS,
+        TOPK,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.quantized_topk(
+        e, e.filter(F.col("vec_id").isin(list(QUERY_IDS))), TOPK
+    )

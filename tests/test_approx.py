@@ -65,3 +65,21 @@ def test_ivf_kmeans_recall(spark, sf_dir):
     r_km, r_seed = recall(km1), recall(seed_rows)
     assert r_km >= 0.5, f"k-means IVF recall too low: {r_km}"
     assert r_km >= r_seed - 0.1, f"k-means fit degraded recall: {r_km} vs {r_seed}"
+
+
+def test_quantized_topk_recall(spark, sf_dir):
+    """int8 quantization must preserve nearly all of the float top-10:
+    the int8 step (~1/254 of the dynamic range) is far below the
+    fixture's neighbor separation."""
+    from component_iceberg_spark.plans import load_all
+
+    reg = load_all()
+    truth = {}
+    for r in reg["sim_topk_bruteforce"].fn(spark, sf_dir).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in reg["sim_quantized_topk"].fn(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    per_q = [len(got.get(q, set()) & t) / len(t) for q, t in truth.items()]
+    recall = sum(per_q) / len(per_q)
+    assert recall >= 0.9, f"int8 quantization lost too much recall: {recall}"
