@@ -666,3 +666,27 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantized_topk(
         e, e.filter(F.col("vec_id").isin(list(QUERY_IDS))), TOPK
     )
+
+
+@register(
+    "sink_orc",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+    FROM lineitem
+    """,
+    tags=("parity", "sink"),
+)
+def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC export/ingest round-trip — the third columnar format Spark
+    ships natively (splittable, predicate-pushdown-capable like the
+    Parquet path; an exchange format for Hive-era lakes). Values must
+    survive bit-exact, checked against the same lineitem-subset oracle
+    as sink_csv/sink_parquet."""
+    from component_iceberg_spark.plans.queries_scan import _scratch
+
+    df = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+    out = _scratch(sf_dir, "sink_orc")
+    df.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

@@ -164,3 +164,50 @@ def test_snaptable_partition_pruning(spark, sf_dir, tmp_path):
     pf = p.split("PartitionFilters:")[1].splitlines()[0]
     assert "o_orderstatus" in pf, f"partition filter missing: {pf}"
     assert df.count() == o.filter("o_orderstatus = 'F'").count()
+
+
+def test_bucketed_table_reuse_across_queries(spark, sf_dir):
+    """The payoff of bucketing is AMORTIZATION: one bucketed write, then
+    every subsequent join AND aggregation on the bucket key plans with no
+    shuffle exchange in the same session. At 100 TB this converts the
+    per-query lineitem shuffle (the single largest data movement in the
+    TPC-H-shaped suite) into a one-time layout cost."""
+    import uuid
+
+    from component_iceberg_spark.io.tables import load_table
+
+    tag = uuid.uuid4().hex[:8]
+    t_o, t_li = f"r_orders_{tag}", f"r_lineitem_{tag}"
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").saveAsTable(t_o))
+    (li.withColumnRenamed("l_orderkey", "o_orderkey")
+       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").saveAsTable(t_li))
+
+    def plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from pyspark.sql import functions as F
+
+        bo, bli = spark.table(t_o), spark.table(t_li)
+        # query 1: equi-join on the bucket key
+        q1 = bo.join(bli, "o_orderkey")
+        # query 2: aggregation keyed on the bucket column
+        q2 = bli.groupBy("o_orderkey").agg(F.sum("l_quantity").alias("qty"))
+        # query 3: semi-join (a different physical join on the same layout)
+        q3 = bli.join(bo.filter("o_totalprice > 100000"), "o_orderkey",
+                      "left_semi")
+        for q in (q1, q2, q3):
+            assert "Exchange" not in plan(q), "bucketed layout not reused"
+        assert q2.count() == li.select("l_orderkey").distinct().count()
+        assert q3.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")
