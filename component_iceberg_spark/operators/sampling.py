@@ -84,3 +84,32 @@ def contamination_screen(
         F.count(F.lit(1)).alias("n_benchmarks"),
         F.max("overlap").alias("max_overlap"),
     )
+
+
+def sample_group_cap(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    cap: int,
+    salt: str = "s0",
+) -> DataFrame:
+    """Cap the number of rows kept per group (e.g. at most N documents
+    per source domain — the anti-domination rule of crawl curation).
+    Selection within a group follows the deterministic uniform hash (a
+    reproducible "random" N, not the first N by id), tie-broken by id.
+
+    One window over the group key: shuffle ∝ data, state ∝ group size.
+    A pathologically hot group concentrates its rank computation on one
+    reducer — for those, pre-filter with ``sample_deterministic`` at a
+    fraction that overshoots the cap, then apply the exact cap to the
+    survivors."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_uniform(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

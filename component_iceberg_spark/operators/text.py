@@ -202,3 +202,50 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         )
     )
+
+
+def pack_offsets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int,
+    n_shards: int,
+) -> DataFrame:
+    """Sequence-packing index (GPT-style pretraining layout): documents
+    concatenate into a token stream that is cut into fixed ``seq_len``
+    chunks; each doc's ``(start_offset, first_chunk, last_chunk)`` says
+    exactly where its tokens land. Sharding first (``id % n_shards``,
+    each shard concatenated independently) is what makes this scale: the
+    prefix-sum window runs per shard, so no global single-partition sort
+    ever exists, and shards are the unit of parallel tokenization
+    downstream. Deterministic: shard assignment and in-shard order are
+    pure functions of the id."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = (
+        df.select(
+            F.col(id_col),
+            (F.col(id_col) % n_shards).alias("shard"),
+            n_tok.alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= 1)
+        .withColumn(
+            "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+    )
+    return c.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset div {seq_len}").alias("first_chunk"),
+        F.expr(f"(start_offset + n_tokens - 1) div {seq_len}").alias(
+            "last_chunk"
+        ),
+    )

@@ -690,3 +690,73 @@ def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _scratch(sf_dir, "sink_orc")
     df.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+# ---------------------------------------------------------------------------
+# Per-group cap sampling + sequence-packing index
+# ---------------------------------------------------------------------------
+
+GROUP_CAP = 40
+_CAP_UNIFORM = _uniform_sql("doc_id", "s0")
+
+
+@register(
+    "ext_sample_group_cap",
+    oracle=f"""
+    SELECT doc_id, text, lang, source, n_chars FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY {_CAP_UNIFORM}, doc_id
+        ) AS rk
+        FROM documents
+    ) WHERE rk <= {GROUP_CAP}
+    """,
+    tags=("ext", "sampling"),
+)
+def ext_sample_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-domination cap: keep at most N docs per source domain,
+    chosen by the deterministic uniform hash (reproducible random-N per
+    group, not first-N). The crawl-curation rule that stops one domain
+    from flooding the corpus."""
+    from component_iceberg_spark.operators import sampling as SMP
+
+    d = load_table(spark, sf_dir, "documents")
+    return SMP.sample_group_cap(d, "doc_id", "source", GROUP_CAP)
+
+
+SEQ_LEN = 512
+N_SHARDS = 8
+
+
+@register(
+    "text_pack_offsets",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, doc_id % {N_SHARDS} AS shard,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS start_offset
+        FROM t WHERE n_tokens >= 1
+    )
+    SELECT doc_id, shard, n_tokens, start_offset,
+           start_offset // {SEQ_LEN} AS first_chunk,
+           (start_offset + n_tokens - 1) // {SEQ_LEN} AS last_chunk
+    FROM c
+    """,
+    tags=("ext", "text"),
+)
+def text_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing index: where every document's tokens land after
+    sharded concat-and-chunk into fixed 512-token training sequences.
+    Per-shard prefix sums — no global sort anywhere — so the layout
+    computation parallelizes by shard at any corpus size."""
+    from component_iceberg_spark.operators import text as X
+
+    d = load_table(spark, sf_dir, "documents")
+    return X.pack_offsets(d, "doc_id", "text", SEQ_LEN, N_SHARDS)
