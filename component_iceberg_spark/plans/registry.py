@@ -57,6 +57,7 @@ _QUERY_MODULES = (
     "component_iceberg_spark.plans.queries_extended",
     "component_iceberg_spark.plans.queries_scan",
     "component_iceberg_spark.plans.queries_relational",
+    "component_iceberg_spark.plans.queries_tpch",
 )
 
 
