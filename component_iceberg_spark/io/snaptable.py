@@ -45,6 +45,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from component_iceberg_spark.io import partition_spec
+
 
 class SnapshotNotFound(Exception):
     pass
@@ -236,17 +238,19 @@ class SnapCatalog:
     def append(
         self, namespace: str, table: str, df: DataFrame,
         partition_by: list[str] | None = None,
+        partition_spec: list[str] | None = None,
     ) -> int:
         """Append commit: write new data files, new manifest = old files +
         new dir. No existing data is touched (metadata-only append)."""
         return self._commit(
             namespace, table, df, operation="append", carry=True,
-            partition_by=partition_by,
+            partition_by=partition_by, transform_spec=partition_spec,
         )
 
     def create_or_replace(
         self, namespace: str, table: str, df: DataFrame,
         partition_by: list[str] | None = None,
+        partition_spec: list[str] | None = None,
     ) -> int:
         """Replace commit (drop-and-recreate parity,
         ``wr-iceberg/src/component.py:115-124`` — but as one atomic snapshot
@@ -255,11 +259,16 @@ class SnapCatalog:
         ``partition_by`` lays the commit out hive-style by the given
         columns; reads that filter on them prune whole directories
         (PartitionFilters in the scan) — the Iceberg partition-spec
-        analogue."""
+        analogue. ``partition_spec`` is the *hidden* form: transform
+        expressions like ``["day(o_orderdate)", "bucket(8, o_custkey)"]``
+        (Iceberg hidden partitioning). Readers never see the derived
+        columns; ``read(where=...)`` on the SOURCE column converts the
+        predicate into partition pruning automatically — see
+        :mod:`component_iceberg_spark.io.partition_spec`."""
         self.create_namespace(namespace)
         return self._commit(
             namespace, table, df, operation="replace", carry=False,
-            partition_by=partition_by,
+            partition_by=partition_by, transform_spec=partition_spec,
         )
 
     def upsert(
@@ -478,33 +487,53 @@ class SnapCatalog:
         table: str,
         manifest: dict,
         dir_names: list[str],
+        partition_filters: list[str] | None = None,
     ) -> DataFrame:
         """Scan with pending equality deletes applied: dirs are grouped by
         their applicable delete-entry set; each group anti-joins its
         delete keys (small side — broadcasts), groups union back. With no
-        pending deletes this is a plain scan."""
+        pending deletes this is a plain scan.
+
+        ``partition_filters`` are predicates over the *hidden* partition
+        columns of a transform-partitioned table (see
+        :mod:`partition_spec`); they are applied while those columns are
+        still visible — Spark turns them into PartitionFilters, pruning
+        directories at file-listing time — and the hidden columns are then
+        dropped so callers always see the user schema."""
         partitioned = bool(manifest.get("partition_by"))
         deletes = self._pending_deletes(manifest, dir_names)
         if not deletes:
-            return self._read_dirs(spark, namespace, table, dir_names, partitioned)
-        groups: dict[frozenset, list[str]] = {}
-        for d in dir_names:
-            key = frozenset(
-                i for i, e in enumerate(deletes) if d in e["applies_to"]
-            )
-            groups.setdefault(key, []).append(d)
-        out = None
-        for key, dirs in sorted(groups.items(), key=lambda kv: sorted(kv[0])):
-            part = self._read_dirs(spark, namespace, table, dirs, partitioned)
-            for i in sorted(key):
-                e = deletes[i]
-                keys_df = spark.read.parquet(
-                    self._tbl(namespace, table, "deletes", e["dir"])
+            out = self._read_dirs(spark, namespace, table, dir_names, partitioned)
+        else:
+            groups: dict[frozenset, list[str]] = {}
+            for d in dir_names:
+                key = frozenset(
+                    i for i, e in enumerate(deletes) if d in e["applies_to"]
                 )
-                part = part.join(keys_df, e["key_cols"], "left_anti")
-            out = part if out is None else out.unionByName(
-                part, allowMissingColumns=True
-            )
+                groups.setdefault(key, []).append(d)
+            out = None
+            for key, dirs in sorted(groups.items(), key=lambda kv: sorted(kv[0])):
+                part = self._read_dirs(spark, namespace, table, dirs, partitioned)
+                for i in sorted(key):
+                    e = deletes[i]
+                    keys_df = spark.read.parquet(
+                        self._tbl(namespace, table, "deletes", e["dir"])
+                    )
+                    part = part.join(keys_df, e["key_cols"], "left_anti")
+                out = part if out is None else out.unionByName(
+                    part, allowMissingColumns=True
+                )
+        spec = manifest.get("partition_spec")
+        if spec:
+            fields = partition_spec.parse_spec(spec)
+            for pred in partition_filters or []:
+                out = out.filter(pred)
+            hidden = [
+                c for c in partition_spec.hidden_columns(fields)
+                if c in out.columns
+            ]
+            if hidden:
+                out = out.drop(*hidden)
         return out
 
     def expire_snapshots(
@@ -681,9 +710,22 @@ class SnapCatalog:
             sid = self._current_sid(namespace, table)
         manifest = self._manifest(namespace, table, sid)
         dir_names = manifest["files"]
+        part_filters: list[str] = []
         if where:
             dir_names, _skipped = self._prune_dirs(manifest, where)
-        df = self._read_with_deletes(spark, namespace, table, manifest, dir_names)
+            spec = manifest.get("partition_spec")
+            if spec:
+                # hidden-partitioning predicate conversion: rewrite simple
+                # source-column conjuncts onto the derived partition
+                # columns so the hive layout prunes directories — the
+                # user's filter itself still applies for exactness
+                part_filters = partition_spec.derive_predicates(
+                    partition_spec.parse_spec(spec), simple_conjuncts(where)
+                )
+        df = self._read_with_deletes(
+            spark, namespace, table, manifest, dir_names,
+            partition_filters=part_filters,
+        )
         if where:
             df = df.filter(where)
         return df
@@ -880,6 +922,7 @@ class SnapCatalog:
         operation: str,
         carry: bool,
         partition_by: list[str] | None = None,
+        transform_spec: list[str] | None = None,
         base_sid: int | None = None,
         inherit_spec: bool = False,
         carry_dirs: list[str] | None = None,
@@ -909,12 +952,21 @@ class SnapCatalog:
         if partition_by is None and (carry or inherit_spec) and snaps:
             # appends and mutations inherit the table's partition spec
             partition_by = snaps[-1].get("partition_by")
+        if transform_spec is None and (carry or inherit_spec) and snaps:
+            transform_spec = snaps[-1].get("partition_spec")
 
         # Data files are written ONCE under a collision-free name; only the
         # metadata publish participates in the optimistic-commit loop, so a
         # losing committer never rewrites data (Iceberg's commit shape).
         os.makedirs(self._tbl(namespace, table, "snapshots"), exist_ok=True)
         if df is not None:
+            # manifest schema = the USER schema; hidden transform columns
+            # are derived below and never appear to readers
+            schema_json = df.schema.jsonValue()
+            if transform_spec:
+                fields = partition_spec.parse_spec(transform_spec)
+                df = partition_spec.apply_spec(df, fields)
+                partition_by = partition_spec.partition_columns(fields)
             data_dir_name = f"commit-{uuid.uuid4().hex[:12]}"
             out_dir = self._tbl(namespace, table, "data", data_dir_name)
             writer = df.write.mode("overwrite")
@@ -923,7 +975,6 @@ class SnapCatalog:
             writer.parquet(out_dir)
             new_stats = dir_column_stats(out_dir)
             new_rows = dir_row_count(out_dir)
-            schema_json = df.schema.jsonValue()
         else:
             data_dir_name, out_dir, new_stats, new_rows = None, None, None, 0
             schema_json = snaps[-1]["schema"] if snaps else None
@@ -983,6 +1034,7 @@ class SnapCatalog:
                 "operation": operation,
                 "files": files,
                 "partition_by": partition_by or [],
+                "partition_spec": transform_spec or [],
                 "schema": schema_json,
                 "dir_stats": dir_stats,
                 "dir_rows": dir_rows,

@@ -402,3 +402,60 @@ def snap_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         where="o_orderkey >= 300 AND o_orderkey < 700 "
               "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'",
     )
+
+
+_HIDDEN_PART_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders WHERE o_orderkey % 3 <> 0
+), delta AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice * 1.1 AS o_totalprice, o_orderdate
+    FROM orders WHERE o_orderkey % 2 = 0
+), merged AS (
+    SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+    UNION ALL
+    SELECT * FROM delta
+)
+SELECT o_orderstatus, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM merged
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY o_orderstatus
+"""
+
+
+@register("snap_hidden_partition", oracle=_HIDDEN_PART_ORACLE,
+          tags=("parity", "snapshot", "partitioning"))
+def snap_hidden_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg hidden partitioning end-to-end: the table is created with a
+    transform spec (``month(o_orderdate)`` + ``bucket(4, o_custkey)``),
+    an upsert inherits the spec (mutations must not de-partition), and the
+    read filters on the SOURCE column only — the engine converts the
+    predicate to hidden-partition pruning itself (Spark PartitionFilters
+    over the derived hive layout; see io/partition_spec.py). Readers never
+    see the derived columns. Scale story: month+bucket bounds every
+    partition's size, the upsert's file-pruned CoW touches only affected
+    dirs, and a 100× table prunes 100× more files for the same query."""
+    cat = _warehouse(sf_dir, "hidden_part")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    base = o.filter(F.col("o_orderkey") % 3 != 0)
+    delta = o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    cat.create_or_replace(
+        "ns", "orders", base,
+        partition_spec=["month(o_orderdate)", "bucket(4, o_custkey)"],
+    )
+    cat.upsert("ns", "orders", delta, keys=["o_orderkey"])
+    filtered = cat.read(
+        spark, "ns", "orders",
+        where="o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01'",
+    )
+    return filtered.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -344,3 +344,81 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     curated = quality.filter(F.col("q") >= 0.5).join(losers, "doc_id", "left_anti")
     return curated.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# C4-style span-level dedup: remove every repeated k-word span corpus-wide
+# ---------------------------------------------------------------------------
+
+# Consecutive 8-word chunks in ONE regex pass — no lambda-over-sequence
+# (which would re-inline the tokenizer per chunk, see operators/text.py
+# shingles note) and no per-word explode. Both engines run the identical
+# pattern, so chunk boundaries agree byte-for-byte.
+_SPAN_PAT = r"(?:\S+\s+){0,7}\S+"
+
+_SPAN_DEDUP_ORACLE = rf"""
+WITH c AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(text, '{_SPAN_PAT}')) AS chunk,
+           generate_subscripts(regexp_extract_all(text, '{_SPAN_PAT}'), 1) AS pos
+    FROM documents
+), ranked AS (
+    SELECT doc_id, pos, chunk,
+           row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+    FROM c
+)
+SELECT doc_id,
+       count(*) AS total_chunks,
+       count(*) FILTER (rn = 1) AS kept_chunks,
+       md5(coalesce(
+           string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos),
+           '')) AS dedup_fp
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+@register("text_span_dedup", oracle=_SPAN_DEDUP_ORACLE, tags=("ext", "dedup", "text"))
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-level deduplication: every 8-word span that occurs
+    more than once in the corpus is removed from all but its first
+    occurrence (ordered by doc_id, then position), and each document is
+    rebuilt from its surviving spans. Output per doc: span counts before/
+    after and an md5 fingerprint of the rebuilt text (the text itself
+    stays distributed).
+
+    Scale shape: one projection chunks each doc (regex pass, no explode
+    of words); one shuffle keyed by chunk finds global first occurrences
+    (span cardinality is high and near-uniform — no skew); one shuffle
+    back by doc_id rebuilds. Both shuffles carry O(corpus spans) rows —
+    linear, no all-pairs anything. The per-doc collect_list is bounded by
+    document length."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("text"), F.lit(_SPAN_PAT), 0)
+        ).alias("pos", "chunk"),
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    )
+    ranked = c.withColumn("rn", rn)
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("pos"), F.col("chunk"))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("kept_chunks"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            )
+        ).alias("dedup_fp"),
+    )

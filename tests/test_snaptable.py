@@ -492,3 +492,89 @@ def test_read_appends_between(spark, sf_dir, tmp_path):
         cat.read_appends_between(spark, "ns", "t", 1, to_snapshot_id=3).count()
         == n.filter("n_regionkey >= 2").count()
     )
+
+
+def _scan_num_files(df) -> int:
+    """Sum of the executed plan's parquet-scan numFiles metrics (runtime
+    post-pruning truth; inputFiles() reports the pre-pruning listing)."""
+    df.collect()
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numFiles":
+                total += kv._2().value()
+        for i in range(node.children().length()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return total
+
+
+def test_hidden_partitioning_prunes_and_hides(spark, sf_dir, tmp_path):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    o = load_table(spark, sf_dir, "orders")
+    cat.create_or_replace(
+        "ns", "t", o, partition_spec=["month(o_orderdate)", "bucket(4, o_custkey)"]
+    )
+    full = cat.read(spark, "ns", "t")
+    # hidden columns never reach the reader
+    assert full.columns == o.columns
+    full_files = _scan_num_files(full)
+
+    # bucket transform: equality on the SOURCE column prunes to ~1/4 of
+    # the files without the query naming any partition column
+    b = cat.read(spark, "ns", "t", where="o_custkey = 42")
+    assert [r.o_custkey for r in b.select("o_custkey").distinct().collect()] in ([42], [])
+    assert b.count() == o.filter("o_custkey = 42").count()
+    assert _scan_num_files(b) <= full_files // 2
+
+    # time transform: a source-column range prunes months
+    m = cat.read(
+        spark, "ns", "t",
+        where="o_orderdate >= '2000-01-01' AND o_orderdate < '2000-02-01'",
+    )
+    assert m.count() == o.filter(
+        "o_orderdate >= '2000-01-01' AND o_orderdate < '2000-02-01'"
+    ).count()
+    assert _scan_num_files(m) < full_files // 4
+
+
+def test_hidden_partitioning_survives_mutations(spark, sf_dir, tmp_path):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    o = load_table(spark, sf_dir, "orders")
+    cat.create_or_replace(
+        "ns", "t", o.filter("o_orderkey % 3 != 0"),
+        partition_spec=["bucket(4, o_custkey)"],
+    )
+    cat.append("ns", "t", o.filter("o_orderkey % 3 = 0"))
+    cat.upsert("ns", "t", o.limit(50), keys=["o_orderkey"])
+    man = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    assert man["partition_spec"] == ["bucket(4, o_custkey)"]
+    got = cat.read(spark, "ns", "t")
+    assert got.columns == o.columns
+    assert got.count() == o.count()
+
+
+def test_partition_spec_literal_rewrite_matches_spark():
+    """The driver-side crc32 bucket of a literal must equal the JVM-side
+    bucket of the same value — that equivalence is what makes predicate
+    conversion sound."""
+    from component_iceberg_spark.io import partition_spec as ps
+
+    f = ps.parse_spec(["bucket(8, k)"])[0]
+    import zlib
+
+    for v in [0, 1, 42, 999999, "abc", "x y"]:
+        assert ps._transform_literal(f, v) == zlib.crc32(str(v).encode()) % 8
+
+    day = ps.parse_spec(["day(ts)"])[0]
+    assert ps._transform_literal(day, "1997-03-05 10:00:00") == "1997-03-05"
+    # bucket converts equality only: range ops produce no predicate
+    assert ps.derive_predicates([f], [("k", ">=", 5)]) == []
+    assert ps.derive_predicates([f], [("k", "=", 5)]) == [
+        f"_pt_bucket8_k = {zlib.crc32(b'5') % 8}"
+    ]
