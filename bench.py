@@ -51,6 +51,10 @@ HEADLINE = (
     "dedup_clusters",
     "mm_frame_features",
     "ext_sample_stratified",
+    # round-2 late additions: TPC-H depth, span dedup, semantic dedup
+    "q21_waiting_supplier",
+    "text_span_dedup",
+    "dedup_semantic",
 )
 
 

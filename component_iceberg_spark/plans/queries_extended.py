@@ -760,3 +760,143 @@ def text_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return X.pack_offsets(d, "doc_id", "text", SEQ_LEN, N_SHARDS)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): k-partitioned embedding space → within-cluster
+# cosine-threshold pairs → connected components → one survivor per group
+# ---------------------------------------------------------------------------
+
+SEM_THRESHOLD = 0.40
+
+
+def _semantic_oracle() -> str:
+    from component_iceberg_spark.plans.queries_similarity import _D, _cos
+
+    cos_ac = _cos("a.v", "a.nrm", "c.cv", "c.cnrm")
+    cos_ab = _cos("a.v", "a.nrm", "b.v", "b.nrm")
+    return f"""
+WITH RECURSIVE {_D},
+cent AS (
+    SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM (
+        SELECT n.*, e.label,
+               row_number() OVER (PARTITION BY e.label ORDER BY n.vec_id) AS rn
+        FROM n JOIN embeddings e USING (vec_id)
+    ) WHERE rn = 1
+),
+assign AS (
+    SELECT vec_id, cent_id AS bucket FROM (
+        SELECT a.vec_id, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY a.vec_id ORDER BY {cos_ac} DESC, c.cent_id
+               ) AS rn
+        FROM n a CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+pairs AS (
+    SELECT a.vec_id AS pa, b.vec_id AS pb
+    FROM n a
+    JOIN assign aa ON a.vec_id = aa.vec_id
+    JOIN assign ab ON aa.bucket = ab.bucket AND a.vec_id < ab.vec_id
+    JOIN n b ON b.vec_id = ab.vec_id
+    WHERE {cos_ab} >= {SEM_THRESHOLD}
+),
+e2 AS (SELECT pa AS src, pb AS dst FROM pairs UNION SELECT pb, pa FROM pairs),
+reach(node, r) AS (
+    SELECT src, src FROM e2
+    UNION
+    SELECT reach.node, e2.dst FROM reach JOIN e2 ON e2.src = reach.r
+),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT emb.vec_id,
+       coalesce(cc.cluster_id, emb.vec_id) AS cluster_id,
+       coalesce(cc.cluster_id, emb.vec_id) = emb.vec_id AS keep
+FROM embeddings emb LEFT JOIN cc ON emb.vec_id = cc.node
+"""
+
+
+@register("dedup_semantic", oracle=_semantic_oracle(), tags=("ext", "dedup", "similarity"))
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication over the embedding column:
+    partition the space by nearest centroid (broadcast argmin — the IVF
+    quantizer reused as a partitioner), generate cosine-threshold pairs
+    ONLY within a partition, form connected components, keep the minimum
+    id per semantic group.
+
+    Scale shape: the quadratic pair stage is bounded per-bucket (sum of
+    bucket² ≪ corpus²; centroid count is the knob), the pair volume feeds
+    the same min-label propagation as dedup_clusters, and every vec_id
+    appears in the output with a keep flag — the downstream filter is one
+    broadcast-able semi/anti join. Spark: argmin + bucketed self-join +
+    iterative propagation; oracle: the identical quantizer replayed in
+    SQL + a recursive-CTE closure — different algorithms, identical
+    clusters."""
+    from pyspark.sql import Window
+
+    from component_iceberg_spark.operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    cent = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_vec"),
+            S.norm(F.col("embedding")).alias("cent_norm"),
+        )
+    )
+    base = e.select("vec_id", "embedding").withColumn(
+        "_nrm", S.norm(F.col("embedding"))
+    )
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "_nrm",
+        "cent_id",
+        F.round(
+            S.dot(F.col("embedding"), F.col("cent_vec"))
+            / (F.col("_nrm") * F.col("cent_norm")),
+            6,
+        ).alias("csim"),
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
+    # materialized once: the bucketed SELF-join below consumes this twice,
+    # and without a barrier each side would recompute the crossJoin+window
+    # assignment pipeline
+    assigned = (
+        scored.withColumn("crank", F.row_number().over(aw))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "embedding", "_nrm", F.col("cent_id").alias("bucket"))
+        .localCheckpoint(eager=False)
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("pa"), F.col("embedding").alias("va"),
+        F.col("_nrm").alias("na"), "bucket",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("pb"), F.col("embedding").alias("vb"),
+        F.col("_nrm").alias("nb"), "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("pa") < F.col("pb"))
+        .withColumn(
+            "csim",
+            F.round(
+                S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ),
+        )
+        .filter(F.col("csim") >= SEM_THRESHOLD)
+        .select("pa", "pb")
+    )
+    cc = D.connected_components(pairs, "pa", "pb")
+    return (
+        e.select("vec_id")
+        .join(cc, F.col("vec_id") == F.col("doc"), "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster_id"), F.col("vec_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("cluster_id") == F.col("vec_id"))
+    )
