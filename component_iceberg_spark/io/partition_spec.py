@@ -184,28 +184,40 @@ def _sql_lit(v) -> str:
 
 def derive_predicates(
     fields: list[PartitionField], conjuncts: list[tuple[str, str, object]]
-) -> list[str]:
-    """Rewrite simple source-column conjuncts into SQL predicates on the
-    derived partition columns. The result is a *superset* filter (the
+) -> list[tuple[str, str]]:
+    """Rewrite simple source-column conjuncts into ``(derived_column,
+    sql_predicate)`` pairs. The predicate is a *superset* filter (the
     original predicate still applies to rows); it exists purely so Spark's
     PartitionFilters prune directories the way Iceberg converts row
-    filters to partition-spec filters."""
+    filters to partition-spec filters. Callers apply a pair only when the
+    derived column is actually present in the scan — after stats pruning
+    or spec evolution, a generation of directories may not carry it."""
     by_source: dict[str, list[PartitionField]] = {}
     for f in fields:
         if f.transform != "identity":
             by_source.setdefault(f.source, []).append(f)
-    preds: list[str] = []
+    preds: list[tuple[str, str]] = []
     for col, op, lit in conjuncts:
         for f in by_source.get(col, []):
             tl = _transform_literal(f, lit)
             if tl is None:
                 continue
             if op == "=":
-                preds.append(f"{f.name} = {_sql_lit(tl)}")
+                core = f"{f.name} = {_sql_lit(tl)}"
             elif f.transform == "bucket":
                 continue  # bucket supports equality only
             elif op in (">", ">="):
-                preds.append(f"{f.name} >= {_sql_lit(tl)}")
+                core = f"{f.name} >= {_sql_lit(tl)}"
             elif op in ("<", "<="):
-                preds.append(f"{f.name} <= {_sql_lit(tl)}")
+                core = f"{f.name} <= {_sql_lit(tl)}"
+            else:
+                continue
+            # NULL-safe: after partition-spec evolution, data directories
+            # written under an older spec lack this derived column (it
+            # reads as NULL through the mergeSchema union) — those rows
+            # must pass the partition predicate and be filtered only by
+            # the exact source-column filter. Spark still treats the OR
+            # as a partition-only predicate, so pruning holds for dirs
+            # that do have the column.
+            preds.append((f.name, f"({f.name} IS NULL OR {core})"))
     return preds

@@ -377,6 +377,49 @@ class SnapCatalog:
             base_sid=base, inherit_spec=True, clear_deletes=True,
         )
 
+    def rollback_to(self, namespace: str, table: str, snapshot_id: int) -> int:
+        """Iceberg ``rollback_to_snapshot``: publish a NEW snapshot whose
+        content is the target snapshot's manifest verbatim (files, spec,
+        schema, stats, pending deletes). History is preserved — the
+        intervening snapshots remain time-travelable — and the operation
+        is metadata-only: no data file is read, written, or moved.
+
+        Like replace, rollback is last-writer-wins by contract ("set the
+        table to state X"), so a publish collision just retries at the
+        next id. Fails if the target's data directories were already
+        garbage-collected by :meth:`expire_snapshots`."""
+        target = self._manifest(namespace, table, snapshot_id)
+        for d in target["files"]:
+            if not os.path.isdir(self._tbl(namespace, table, "data", d)):
+                raise SnapshotNotFound(
+                    f"{namespace}.{table}@{snapshot_id}: data dir {d} was "
+                    "garbage-collected; rollback target no longer exists"
+                )
+        while True:
+            snaps = self._snapshots(namespace, table)
+            sid = snaps[-1]["snapshot_id"] + 1
+            manifest = {
+                **target,
+                "snapshot_id": sid,
+                "parent_id": snaps[-1]["snapshot_id"],
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": "rollback",
+            }
+            snap_path = self._tbl(namespace, table, "snapshots", f"{sid}.json")
+            try:
+                with open(snap_path, "x") as f:
+                    json.dump(manifest, f)
+                break
+            except FileExistsError:
+                continue
+        cur_tmp = self._tbl(
+            namespace, table, f"_current.tmp-{uuid.uuid4().hex}"
+        )
+        with open(cur_tmp, "w") as f:
+            f.write(str(sid))
+        os.replace(cur_tmp, self._tbl(namespace, table, "_current"))
+        return sid
+
     def delete_where(
         self, spark: SparkSession, namespace: str, table: str, predicate: str
     ) -> int:
@@ -523,17 +566,17 @@ class SnapCatalog:
                 out = part if out is None else out.unionByName(
                     part, allowMissingColumns=True
                 )
-        spec = manifest.get("partition_spec")
-        if spec:
-            fields = partition_spec.parse_spec(spec)
-            for pred in partition_filters or []:
+        for col, pred in partition_filters or []:
+            # a filter is only applicable when its derived column survived
+            # stats pruning / spec evolution into this scan
+            if col in out.columns:
                 out = out.filter(pred)
-            hidden = [
-                c for c in partition_spec.hidden_columns(fields)
-                if c in out.columns
-            ]
-            if hidden:
-                out = out.drop(*hidden)
+        # drop EVERY hidden transform column, not just the current spec's:
+        # after partition-spec evolution, directories written under older
+        # specs surface their own _pt_* columns through the union
+        hidden = [c for c in out.columns if c.startswith("_pt_")]
+        if hidden:
+            out = out.drop(*hidden)
         return out
 
     def expire_snapshots(

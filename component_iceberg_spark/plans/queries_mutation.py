@@ -459,3 +459,60 @@ def snap_hidden_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "snap_rollback",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg rollback_to_snapshot: v1 = AUTOMOBILE, v2 = +BUILDING
+    append, v3 = replace with MACHINERY only, rollback to v2 → the
+    current read must show v2's content while v3 stays time-travelable.
+    Metadata-only: the rollback commit re-publishes v2's manifest —
+    no data movement at any scale."""
+    cat = _warehouse(sf_dir, "rollback")
+    c = load_table(spark, sf_dir, "customer")
+    cat.create_or_replace("ns", "customer", c.filter(F.col("c_mktsegment") == "AUTOMOBILE"))
+    cat.append("ns", "customer", c.filter(F.col("c_mktsegment") == "BUILDING"))
+    cat.create_or_replace("ns", "customer", c.filter(F.col("c_mktsegment") == "MACHINERY"))
+    cat.rollback_to("ns", "customer", 2)
+    assert cat.read(spark, "ns", "customer", snapshot_id=3).count() > 0
+    return cat.read(spark, "ns", "customer")
+
+
+_PART_EVO_ORACLE = """
+SELECT o_orderstatus, count(*) AS n
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY o_orderstatus
+"""
+
+
+@register("snap_partition_evolution", oracle=_PART_EVO_ORACLE,
+          tags=("parity", "snapshot", "partitioning"))
+def snap_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg partition evolution: old data keeps its old layout, new
+    data lands under the new spec, and one source-column predicate prunes
+    BOTH generations correctly — old directories (no derived column for
+    the new spec) pass the NULL-safe partition predicate and are filtered
+    exactly by the row filter; new directories prune on the derived
+    column. The 100 TB point: evolving a spec never rewrites history."""
+    cat = _warehouse(sf_dir, "part_evo")
+    o = load_table(spark, sf_dir, "orders")
+    early = o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    late = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+    cat.create_or_replace("ns", "orders", early, partition_spec=["year(o_orderdate)"])
+    # evolution: future appends partition by month instead
+    cat.append("ns", "orders", late, partition_spec=["month(o_orderdate)"])
+    filtered = cat.read(
+        spark, "ns", "orders",
+        where="o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'",
+    )
+    return filtered.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))

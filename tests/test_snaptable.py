@@ -575,6 +575,7 @@ def test_partition_spec_literal_rewrite_matches_spark():
     assert ps._transform_literal(day, "1997-03-05 10:00:00") == "1997-03-05"
     # bucket converts equality only: range ops produce no predicate
     assert ps.derive_predicates([f], [("k", ">=", 5)]) == []
+    bucket = zlib.crc32(b"5") % 8
     assert ps.derive_predicates([f], [("k", "=", 5)]) == [
-        f"_pt_bucket8_k = {zlib.crc32(b'5') % 8}"
+        ("_pt_bucket8_k", f"(_pt_bucket8_k IS NULL OR _pt_bucket8_k = {bucket})")
     ]
