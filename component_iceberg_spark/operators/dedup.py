@@ -274,6 +274,62 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
 # Cluster formation: pairwise near-dups → dedup groups
 # ---------------------------------------------------------------------------
 
+# Below this edge count the whole (deduplicated, bounded-by-LSH-candidate-
+# volume) pair graph is handled by ONE executor task running classic
+# union-find — a single Arrow batch, zero iterative rounds. 1M edges is
+# ~32 MB of Arrow and a few hundred MB of task heap: far under executor
+# memory, and ~10 driver round-trips cheaper than the label-propagation
+# loop. Larger graphs take the O(log d) distributed path below.
+SMALL_GRAPH_EDGES = 1_000_000
+
+
+def _cc_single_task(edges: DataFrame) -> DataFrame:
+    """Union-find over the full edge list inside one Arrow task.
+
+    ``applyInPandas`` over a constant group key ships every edge to a
+    single executor task (NOT the driver — no ``collect()``): path-
+    compressed union-find labels each node with its component's minimum
+    member id, exactly the fixpoint the iterative path converges to.
+    The caller guarantees the edge count is bounded (``SMALL_GRAPH_EDGES``)
+    so the one-task group is memory-safe by construction."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    node_t = edges.schema["src"].dataType
+    out_schema = T.StructType(
+        [T.StructField("doc", node_t), T.StructField("cluster_id", node_t)]
+    )
+
+    def uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min: the smaller id becomes the root, so the
+                # root IS the component's minimum member (find() path-
+                # compresses, keeping chains flat enough at this scale)
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = list(parent)
+        return pd.DataFrame(
+            {"doc": nodes, "cluster_id": [find(n) for n in nodes]}
+        )
+
+    return edges.groupBy(F.lit(1).alias("_g")).applyInPandas(uf, schema=out_schema)
+
 
 def connected_components(
     pairs: DataFrame,
@@ -331,6 +387,12 @@ def connected_components(
     # are sub-second), a billion-edge graph spreads out. The count also
     # materializes the persisted edge set once, before the loop.
     n_edges = edges.count()
+    if n_edges <= SMALL_GRAPH_EDGES:
+        # one-task union-find (see _cc_single_task); checkpoint flattens
+        # the plan for downstream consumers, then the edge cache can go
+        out = _cc_single_task(edges).localCheckpoint(eager=True)
+        edges.unpersist()
+        return out
     spark = pairs.sparkSession
     n_part = max(1, min(
         spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1

@@ -165,3 +165,23 @@ def test_connected_components_chain_and_empty(spark):
 
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(empty).count() == 0
+
+
+def test_connected_components_paths_agree(spark, monkeypatch):
+    """The one-task union-find fast path and the distributed label-
+    propagation path must produce identical clusters — same chain +
+    isolated-pair graph through both."""
+    from component_iceberg_spark.operators import dedup
+
+    chain = [(i, i + 1) for i in range(10, 16)]
+    pairs = spark.createDataFrame(chain + [(100, 99)], "doc_a long, doc_b long")
+    fast = {
+        (r.doc, r.cluster_id)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    monkeypatch.setattr(dedup, "SMALL_GRAPH_EDGES", -1)  # force iteration
+    slow = {
+        (r.doc, r.cluster_id)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert fast == slow == {(i, 10) for i in range(10, 17)} | {(99, 99), (100, 99)}
