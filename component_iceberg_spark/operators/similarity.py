@@ -69,6 +69,66 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def collect_codebook(
+    centroids: DataFrame, id_col: str, vec_col: str
+) -> list[tuple[object, list[float]]]:
+    """Driver-side materialization of the quantizer codebook —
+    metadata-sized by construction (k × dim floats, the same thing a
+    broadcast of the centroid set would ship to every executor)."""
+    return [
+        (r[0], [float(x) for x in r[1]])
+        for r in centroids.select(id_col, vec_col).collect()
+    ]
+
+
+def nearest_assign(
+    df: DataFrame,
+    cent: DataFrame,
+    vid: str,
+    vec: str,
+    out: str,
+    keep: tuple[str, ...] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Nearest-centroid assignment: ``(vid, *keep, out=cent_id)`` of the
+    centroid with the highest cosine (ties → smallest cent_id; cent_id
+    must be numeric for the tie-break encoding).
+
+    Shape: broadcast crossJoin against the — metadata-sized — centroid
+    set, then a ``max(struct(csim, -cent_id, cent_id))`` hash aggregate.
+    The ×k fan-out collapses MAP-SIDE (partial aggregation runs inside
+    the scan stage, every input row's k scored copies live in the same
+    partition), so the only shuffle is one row per INPUT row — the
+    rank-window form this replaces shuffled all n×k scored rows and
+    sorted them within each key. ``keep`` columns ride along via
+    ``any_value`` (constant within a group by construction).
+
+    ``cent`` columns: ``cent_id``, ``cent_vec``, ``cent_norm``."""
+    base = df.withColumn("_nrm", norm(F.col(vec)))
+    sim = dot(F.col(vec), F.col("cent_vec")) / (
+        F.col("_nrm") * F.col("cent_norm")
+    )
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        F.col(vid),
+        *[F.col(c) for c in keep],
+        F.col("cent_id"),
+        sim.alias("_csim"),
+    )
+    best = scored.groupBy(vid).agg(
+        F.max(
+            F.struct(
+                F.col("_csim"),
+                (-F.col("cent_id")).alias("_neg"),
+                F.col("cent_id"),
+            )
+        ).alias("_b"),
+        *[F.any_value(F.col(c)).alias(c) for c in keep],
+    )
+    return best.select(F.col(vid), *keep, F.col("_b.cent_id").alias(out))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -279,34 +339,37 @@ def ivf_topk(
         norm(F.col(vec_col)).alias("cent_norm"),
     )
 
-    def nearest(df: DataFrame, vid: str, vec: str, n: int, out: str) -> DataFrame:
-        # per-row norm materialized before the ×|centroids| fan-out
-        scored = df.withColumn("_nrm", norm(F.col(vec))).crossJoin(
-            F.broadcast(cent)
-        ).select(
-            F.col(vid),
-            F.col("cent_id"),
-            F.round(
-                dot(F.col(vec), F.col("cent_vec"))
-                / (F.col("_nrm") * F.col("cent_norm")),
-                6,
-            ).alias("csim"),
-        )
-        w = Window.partitionBy(vid).orderBy(F.col("csim").desc(), F.col("cent_id"))
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= n)
-            .select(F.col(vid), F.col("cent_id").alias(out))
-        )
-
     corpus_named = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    assign = nearest(corpus_named, "neighbor_id", "c_vec", 1, "bucket")
-    bucketed = corpus_named.join(assign, "neighbor_id")
+    # corpus side (the big one): map-side-collapsing argmax — the corpus
+    # is scored and bucketed inside its scan stage, one row out per vector
+    bucketed = nearest_assign(
+        corpus_named, cent, "neighbor_id", "c_vec", "bucket", keep=("c_vec",)
+    )
 
+    # query side: needs top-nprobe (not argmax) and is small by contract —
+    # a rank window over |queries|×k scored rows is the simple right shape
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    probes = nearest(q, "query_id", "q_vec", nprobe, "bucket")
+    scored_q = q.withColumn("_nrm", norm(F.col("q_vec"))).crossJoin(
+        F.broadcast(cent)
+    ).select(
+        "query_id",
+        F.col("cent_id"),
+        F.round(
+            dot(F.col("q_vec"), F.col("cent_vec"))
+            / (F.col("_nrm") * F.col("cent_norm")),
+            6,
+        ).alias("csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cent_id")
+    )
+    probes = (
+        scored_q.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", F.col("cent_id").alias("bucket"))
+    )
     probed = q.join(probes, "query_id")
 
     scored = (
@@ -336,65 +399,52 @@ def kmeans_fit(
     fit for :func:`ivf_topk` (whose docstring promises it as a drop-in).
 
     Per iteration: assign every vector to its nearest current centroid
-    (broadcast argmin — corpus never shuffles), then recompute each
-    centroid as the per-dimension mean of its members (``dim`` avg
-    expressions in ONE hash aggregate — a single keyed shuffle whose
-    output is k rows). Empty clusters keep their previous centroid.
-    Deterministic given seed centroids and a fixed iteration count; the
-    centroid set stays metadata-sized (k × dim) and is persisted per
-    round so lineage stays flat.
+    (:func:`nearest_assign` — the ×k fan-out collapses map-side, the
+    corpus shuffles one row per vector), then recompute each centroid as
+    the per-dimension mean of its members (``dim`` avg expressions in the
+    SAME hash aggregate pipeline — k×dim-sized partials). The centroid
+    set round-trips through the driver between iterations (k × dim
+    floats — the codebook IS metadata, exactly what a broadcast would
+    ship anyway), so each iteration is ONE Spark job, lineage never
+    deepens, and empty clusters keep their previous centroid via a
+    driver-side merge. Deterministic given seed centroids and a fixed
+    iteration count.
 
     Returns (cent_id, centroid) with ``centroid`` as array<double>.
     """
-    from pyspark import StorageLevel
-
-    cent = seed_centroids.select(
-        F.col(id_col).alias("cent_id"),
-        as_double(F.col(vec_col)).alias("centroid"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    spark = corpus.sparkSession
+    id_type = seed_centroids.schema[id_col].dataType.simpleString()
+    codebook = dict(
+        collect_codebook(
+            seed_centroids.select(
+                F.col(id_col).alias("cent_id"),
+                as_double(F.col(vec_col)).alias("centroid"),
+            ),
+            "cent_id",
+            "centroid",
+        )
+    )
     vecs = corpus.select(
         F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_v")
     )
+    cent_schema = f"cent_id {id_type}, centroid array<double>"
     for _ in range(iters):
-        scored = vecs.crossJoin(
-            F.broadcast(
-                cent.select(
-                    "cent_id",
-                    F.col("centroid").alias("_c"),
-                    norm(F.col("centroid")).alias("_cn"),
-                )
-            )
+        cent = spark.createDataFrame(
+            sorted(codebook.items()), schema=cent_schema
         ).select(
-            "_vid",
-            "_v",
             "cent_id",
-            (dot_raw(F.col("_v"), F.col("_c")) / (norm(F.col("_v")) * F.col("_cn"))).alias("_sim"),
+            F.col("centroid").alias("cent_vec"),
+            norm(F.col("centroid")).alias("cent_norm"),
         )
-        w = Window.partitionBy("_vid").orderBy(
-            F.col("_sim").desc(), F.col("cent_id")
-        )
-        assigned = scored.withColumn("_r", F.row_number().over(w)).filter(
-            F.col("_r") == 1
+        assigned = nearest_assign(
+            vecs, cent, "_vid", "_v", "cent_id", keep=("_v",), round_to=None
         )
         means = assigned.groupBy("cent_id").agg(
-            F.array(
-                *[F.avg(F.col("_v")[i]) for i in range(dim)]
-            ).alias("new_centroid")
+            F.array(*[F.avg(F.col("_v")[i]) for i in range(dim)]).alias("m")
         )
-        new_cent = (
-            cent.join(means, "cent_id", "left")
-            .select(
-                "cent_id",
-                F.coalesce(F.col("new_centroid"), F.col("centroid")).alias(
-                    "centroid"
-                ),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        new_cent.count()  # materialize before unpersisting the parent
-        cent.unpersist()
-        cent = new_cent
-    return cent
+        for r in means.collect():  # k rows — metadata-sized
+            codebook[r["cent_id"]] = [float(x) for x in r["m"]]
+    return spark.createDataFrame(sorted(codebook.items()), schema=cent_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -846,30 +846,18 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             S.norm(F.col("embedding")).alias("cent_norm"),
         )
     )
-    base = e.select("vec_id", "embedding").withColumn(
-        "_nrm", S.norm(F.col("embedding"))
-    )
-    scored = base.crossJoin(F.broadcast(cent)).select(
+    # map-side-collapsing argmax (S.nearest_assign): the ×k centroid
+    # fan-out collapses inside the scan stage, one row per vector comes
+    # out — no rank window over n×k scored rows. Materialized once: the
+    # bucketed SELF-join below consumes this twice.
+    assigned = S.nearest_assign(
+        e.select("vec_id", "embedding"),
+        cent,
         "vec_id",
         "embedding",
-        "_nrm",
-        "cent_id",
-        F.round(
-            S.dot(F.col("embedding"), F.col("cent_vec"))
-            / (F.col("_nrm") * F.col("cent_norm")),
-            6,
-        ).alias("csim"),
-    )
-    aw = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
-    # materialized once: the bucketed SELF-join below consumes this twice,
-    # and without a barrier each side would recompute the crossJoin+window
-    # assignment pipeline
-    assigned = (
-        scored.withColumn("crank", F.row_number().over(aw))
-        .filter(F.col("crank") == 1)
-        .select("vec_id", "embedding", "_nrm", F.col("cent_id").alias("bucket"))
-        .localCheckpoint(eager=False)
-    )
+        "bucket",
+        keep=("embedding", "_nrm"),
+    ).localCheckpoint(eager=False)
     a = assigned.select(
         F.col("vec_id").alias("pa"), F.col("embedding").alias("va"),
         F.col("_nrm").alias("na"), "bucket",
