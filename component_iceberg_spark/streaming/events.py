@@ -24,28 +24,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_FILE_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) scans as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream of the events table with the same ns→µs
-    normalization as the batch loader (integer division, never double)."""
+    """File-source stream of the events table.
+
+    The file stream source requires an explicit schema, but the fixture's
+    ``ts`` physical type varies (TIMESTAMP(MICROS) scans natively as a
+    timestamp; TIMESTAMP(NANOS) scans as LongType under ``nanosAsLong``).
+    Forcing one guess corrupts the other, so probe the actual scanned
+    schema with a batch read (metadata-only — no data job runs) and apply
+    the same conditional ns→µs normalization as the batch loader
+    (integer ``div``, never double math — ns-since-epoch exceeds the
+    53-bit double mantissa)."""
     from component_iceberg_spark.io.tables import ensure_session_conf
 
     ensure_session_conf(spark)
-    raw = spark.readStream.schema(EVENTS_FILE_SCHEMA).parquet(path)
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
-    )
+    scanned = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(scanned).parquet(path)
+    if isinstance(scanned["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Watermarks require TIMESTAMP (not NTZ); with the session timezone
+    # pinned to UTC this cast is value-preserving vs the oracle's naive view.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_completion(writer, spark: SparkSession) -> None:

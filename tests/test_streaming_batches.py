@@ -9,6 +9,70 @@ from component_iceberg_spark.io.tables import load_table
 from component_iceberg_spark.streaming import events as SE
 
 
+def test_session_window_closed_sessions_match_batch_twin(spark, sf_dir):
+    """The streaming session_window query emits exactly the sessions that
+    closed before the final watermark (max ts − 10 min). Each emitted
+    session must appear in the exact batch twin (gap sessionize), with the
+    streaming end = batch last-event ts + the 30-min gap. A ts-corruption
+    regression (all events collapsing into one epoch hour → 0 or 2 giant
+    sessions) fails both assertions."""
+    import pyspark.sql.functions as F
+
+    from component_iceberg_spark.io.tables import load_table
+    from component_iceberg_spark.operators.relational import sessionize
+    from component_iceberg_spark.plans import load_all
+
+    streamed = load_all()["stream_session_window"].fn(spark, sf_dir)
+    n_streamed = streamed.count()
+    assert n_streamed > 0, "no sessions closed — timestamps are likely corrupted"
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = sessionize(ev, "user_id", "ts", "event_id").select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        (F.col("session_end").cast("timestamp_ntz") + F.expr("INTERVAL 30 MINUTES")).alias(
+            "session_end"
+        ),
+        "n_events",
+    )
+    matched = streamed.join(
+        batch, on=["user_id", "session_start", "session_end", "n_events"]
+    ).count()
+    assert matched == n_streamed, (
+        f"{n_streamed - matched} streamed sessions have no exact batch twin"
+    )
+
+
+def test_stateful_totals_final_emission_matches_batch_groupby(spark, sf_dir):
+    """applyInPandasWithState running totals: the last emission per user
+    (the one with max n_events — counts are monotone) must equal the batch
+    groupBy count/sum for that user."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from component_iceberg_spark.io.tables import load_table
+    from component_iceberg_spark.plans import load_all
+
+    emitted = load_all()["stream_stateful_totals"].fn(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("user_id", "n_events", "total_value")
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+    )
+    assert final.count() == batch.count()
+    assert final.exceptAll(batch).count() == 0
+    assert batch.exceptAll(final).count() == 0
+
+
 def test_multibatch_upsert_one_snapshot_per_batch(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "props"
