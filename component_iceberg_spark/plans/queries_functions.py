@@ -250,7 +250,9 @@ def ext_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_nested_ops",
     oracle="""
     SELECT vec_id,
-           list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3,
+           CAST(embedding[1] AS DOUBLE) AS h0,
+           CAST(embedding[2] AS DOUBLE) AS h1,
+           CAST(embedding[3] AS DOUBLE) AS h2,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
            round(list_sum(list_transform(embedding,
                  x -> abs(CAST(x AS DOUBLE)))), 4) AS l1_norm,
@@ -262,12 +264,20 @@ def ext_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_nested_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-type (array) function family over the embedding column:
     slice / filter / fold / max — all codegen'd array expressions, the
-    complex-type pass-through surface of §1.2 exercised end-to-end."""
+    complex-type pass-through surface of §1.2 exercised end-to-end.
+
+    The head-of-vector slice (slice + transform) is still computed as an
+    array, then projected element-wise: the gate's canonicalizer hashes
+    scalar cells, and engine-specific float-to-string rendering makes a
+    JSON projection unstable — per-element doubles compare exactly."""
     e = load_table(spark, sf_dir, "embeddings")
     vec = F.col("embedding")
+    head3 = F.transform(F.slice(vec, 1, 3), lambda x: x.cast("double"))
     return e.select(
         "vec_id",
-        F.transform(F.slice(vec, 1, 3), lambda x: x.cast("double")).alias("head3"),
+        head3[0].alias("h0"),
+        head3[1].alias("h1"),
+        head3[2].alias("h2"),
         F.size(F.filter(vec, lambda x: x > 0)).alias("n_pos"),
         F.round(
             F.aggregate(

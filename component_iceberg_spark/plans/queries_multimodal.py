@@ -42,12 +42,56 @@ def mm_ingest_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_feature_extract", oracle=None, tags=("ext", "multimodal"))
+# SQL for byte j (0-based) of a lowercase hex digest column named h
+# (same replay pattern as the mm probes in queries_extended.py).
+def _hx(j: int) -> str:
+    d1 = f"(strpos('0123456789abcdef', substr(h, {2 * j + 1}, 1)) - 1)"
+    d2 = f"(strpos('0123456789abcdef', substr(h, {2 * j + 2}, 1)) - 1)"
+    return f"({d1} * 16 + {d2})"
+
+
+@register(
+    "mm_feature_extract",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, sha256(text) AS h, strlen(text) AS nb FROM documents
+    )
+    SELECT doc_id,
+           CAST(nb AS INT) AS n_bytes,
+           CAST(64 + {_hx(0)} AS INT) AS width,
+           CAST(64 + {_hx(1)} AS INT) AS height,
+           round({_hx(2)} / 255.0, 6) AS f0,
+           round({_hx(3)} / 255.0, 6) AS f1,
+           round({_hx(4)} / 255.0, 6) AS f2,
+           round({_hx(5)} / 255.0, 6) AS f3,
+           'stub-sha256' AS decoder
+    FROM d
+    """,
+    tags=("ext", "multimodal"),
+)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/feature extraction (mapInPandas). Decoder is a
-    deterministic sha256-derived stub in this container (no PIL);
-    schema/batching/partitioning are the real contract."""
-    return M.extract_features(_binary_docs(spark, sf_dir))
+    deterministic sha256-derived stub in this container (no PIL), which
+    lets DuckDB replay the derivation from the hex digest and certify the
+    whole Arrow round-trip. The feature vector is projected element-wise
+    (f0..f3) because the gate canonicalizer hashes scalar cells — arrays
+    crash it; the typed array API stays on the operator
+    (operators/multimodal.py extract_features). mean_byte is excluded from
+    the gate projection: its round(sum/len, 6) is decimal-rounding of an
+    inexact double, the one spot where engines legitimately disagree on
+    ties; it remains covered by the rows-only local test."""
+    out = M.extract_features(_binary_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.col("features")[0].alias("f0"),
+        F.col("features")[1].alias("f1"),
+        F.col("features")[2].alias("f2"),
+        F.col("features")[3].alias("f3"),
+        "decoder",
+    )
 
 
 @register(

@@ -248,11 +248,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup(d, "doc_id", "text", 0.8)
 
 
-@register("dedup_simhash", oracle=None, tags=("ext", "dedup"))
+def _simhash_oracle() -> str:
+    """Replay the md5-derived SimHash bit-for-bit in DuckDB: same
+    tokenization, same per-nibble vote, same 4×16-bit band packing, same
+    banded candidate join + exact Hamming filter (operators/dedup.py
+    simhash/simhash_near_pairs). Everything is md5-hex arithmetic, so the
+    SQL twin is exact — no float anywhere."""
+    # vote for fingerprint bit i = sum over distinct tokens of
+    # (2 * bit_b(nibble_p(md5)) - 1) where p = i div 4, b = i mod 4
+    votes = []
+    for i in range(64):
+        p, b = divmod(i, 4)
+        nib = f"(strpos('0123456789abcdef', substr(h, {p + 1}, 1)) - 1)"
+        votes.append(f"sum(2 * (({nib} >> {b}) & 1) - 1) AS v{i}")
+    bands = []
+    for band in range(4):
+        bits = " + ".join(
+            f"(CASE WHEN v{band * 16 + j} > 0 THEN 1 ELSE 0 END) * {1 << j}"
+            for j in range(16)
+        )
+        bands.append(f"({bits}) AS s{band}")
+    ham = " + ".join(f"bit_count(xor(a.s{k}, b.s{k}))" for k in range(4))
+    return f"""
+    WITH tok AS (
+        SELECT doc_id AS doc,
+               unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                   AS token
+        FROM documents
+    ),
+    th AS (SELECT doc, md5(token) AS h FROM tok),
+    votes AS (SELECT doc, {", ".join(votes)} FROM th GROUP BY doc),
+    sig AS (SELECT doc, {", ".join(bands)} FROM votes),
+    cand AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b,
+               CAST({ham} AS INTEGER) AS hamming
+        FROM sig a JOIN sig b
+          ON a.doc < b.doc
+         AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2 OR a.s3 = b.s3)
+    )
+    SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle(), tags=("ext", "dedup"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3 over 64 bits, banded 4×16 so
-    candidate generation is pigeonhole-complete). Rows-only check: the
-    64-way bit-vote aggregation has no tractable ANSI-SQL twin."""
+    candidate generation is pigeonhole-complete). The fingerprint is
+    md5-derived, so the oracle replays the identical vote/pack/band/verify
+    pipeline in SQL — an exact integer check end-to-end."""
     d = load_table(spark, sf_dir, "documents")
     return D.simhash_near_pairs(D.simhash(d, "doc_id", "text"), max_hamming=3)
 
