@@ -228,4 +228,18 @@ def sync_action(spark: SparkSession, cfg, action: str, **kwargs) -> list:
     if action == "list_columns":
         sch = cat.schema(spark, kwargs["namespace"], kwargs["table"])
         return [(f.name, f.dataType.simpleString()) for f in sch.fields]
+    if action == "query_preview":
+        # Preview of the custom-query mode, declared in the reference UI
+        # schema (ex-iceberg configRowSchema.json:94-107) but unimplemented
+        # there: run the user's SQL over the configured table, hard-capped
+        # by LIMIT so a preview can never launch a full-table job back to
+        # the UI. Same view name the custom-query run() path registers, so
+        # a previewed query is valid verbatim in the run config.
+        namespace, table = kwargs["namespace"], kwargs["table"]
+        query = kwargs.get("query") or f"SELECT * FROM {table}"  # noqa: S608
+        limit = int(kwargs.get("limit", 100))
+        df = cat.read(spark, namespace, table)
+        df.createOrReplaceTempView(table)
+        rows = spark.sql(query).limit(limit).collect()
+        return [tuple(r) for r in rows]
     raise UserConfigError(f"unknown sync action: {action!r}")

@@ -290,22 +290,30 @@ class SnapCatalog:
         automatically under AQE.
 
         Determinism: without ``order_by``, delta-internal key duplicates
-        resolve via ``dropDuplicates(keys)``, which keeps an ARBITRARY row
-        per key — nondeterministic across runs. Pass ``order_by`` whenever
-        the delta can contain duplicate keys (the reference's batch pump
-        is deterministic last-by-arrival; ``order_by`` is how that intent
-        is expressed here).
+        resolve by the md5 of the remaining columns — a partition-layout-
+        independent tie-break, so repeated runs of the same upsert always
+        keep the same row (``dropDuplicates`` would keep whichever row a
+        task saw first). Pass ``order_by`` to express intent (the
+        reference's batch pump is deterministic last-by-arrival); the
+        hash fallback only guarantees *a* stable winner, not which one.
         """
         spark = delta.sparkSession
         if order_by is not None:
-            w = Window.partitionBy(*keys).orderBy(F.col(order_by).desc())
-            delta = (
-                delta.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
+            rank_key = F.col(order_by).desc()
         else:
-            delta = delta.dropDuplicates(keys)
+            non_keys = [c for c in delta.columns if c not in keys]
+            rank_key = F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in non_keys],
+                )
+            ).desc() if non_keys else F.lit(1).asc()
+        w = Window.partitionBy(*keys).orderBy(rank_key)
+        delta = (
+            delta.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         if not self.table_exists(namespace, table):
             return self._commit(
                 namespace, table, delta, operation="upsert", carry=False,

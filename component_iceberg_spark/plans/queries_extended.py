@@ -58,9 +58,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     group with one survivor, not one per pair. Spark side: iterative
     min-label propagation (O(diameter) keyed shuffles); oracle:
     recursive-CTE transitive closure — independent algorithms, identical
-    output."""
-    d = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_dedup(d, "doc_id", "text", 0.8)
+    output. The verified-pairs stage is shared (session-scoped cache) with
+    ``dedup_minhash_lsh`` — one LSH run feeds both consumers, the way a
+    production pipeline checkpoints pairs once and fans out."""
+    from component_iceberg_spark.plans.queries_text import verified_minhash_pairs
+
+    pairs = verified_minhash_pairs(spark, sf_dir, 0.8)
     return D.connected_components(pairs)
 
 

@@ -136,12 +136,14 @@ GROUP BY n_name
 @register("q5_local_supplier_volume", oracle=Q5_ORACLE, tags=("relational",))
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: only the *bounded* dimensions carry broadcast hints
-    (region: 5 rows, nation: 25 rows, supplier: smallest fact-adjacent
-    table, ~1% of lineitem). Orders and customer grow with the data —
-    those joins are left to Catalyst (sort-merge at scale; AQE demotes to
-    broadcast at runtime only if the filtered side is actually small).
-    Catalyst folds the region filter through nation before the fact join,
-    so the supplier side is pre-pruned to ASIA nations."""
+    (region: 5 rows, nation: 25 rows). Supplier, orders and customer all
+    grow linearly with the data — supplier is ~1% of lineitem, a multi-GB
+    broadcast at 100 TB — so those joins are left to Catalyst entirely:
+    sort-merge at scale, with AQE demoting to broadcast at runtime only
+    when the filtered side is actually small (which it is at bench SF, so
+    nothing is lost locally). Catalyst folds the region filter through
+    nation before the fact join, so the supplier side is pre-pruned to
+    ASIA nations."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
@@ -155,7 +157,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

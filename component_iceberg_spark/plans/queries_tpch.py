@@ -652,3 +652,136 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2: minimum-cost supplier — partsupp derived from lineitem
+# ---------------------------------------------------------------------------
+
+Q2_ORACLE = """
+WITH ps AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           min(l_extendedprice / l_quantity) AS ps_supplycost
+    FROM lineitem GROUP BY 1, 2
+),
+elig AS (
+    SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+    FROM ps
+    JOIN part ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE' AND p_size <= 15 AND p_type = 'LARGE'
+),
+m AS (
+    SELECT *, min(ps_supplycost) OVER (PARTITION BY p_partkey) AS mn FROM elig
+)
+SELECT s_acctbal, s_name, n_name, p_partkey
+FROM m WHERE ps_supplycost = mn
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", oracle=Q2_ORACLE, tags=("relational", "tpch"))
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape with partsupp reconstructed from lineitem: supply
+    cost := min unit price ever charged for the (part, supplier) pair.
+    min() is order-independent over doubles computed identically in both
+    engines, so no rounding is needed anywhere. The correlated min
+    subquery decorrelates into a window-min over p_partkey (one shuffle,
+    already partitioned by the join key). part is filtered ~0.3%
+    selective → broadcast; nation/region are bounded dims → broadcast;
+    the ps aggregate shuffles lineitem once on (partkey, suppkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    from pyspark.sql import Window
+
+    elig = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_supplycost")
+    )
+    w = Window.partitionBy("p_partkey")
+    best = (
+        elig.withColumn("mn", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("mn"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey")
+    )
+    return relational.topk(
+        best,
+        [F.col("s_acctbal").desc(), F.col("n_name"), F.col("s_name"), F.col("p_partkey")],
+        100,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11: important parts by supply value — scalar-subquery threshold
+# ---------------------------------------------------------------------------
+
+Q11_ORACLE = """
+WITH v AS (
+    SELECT l_partkey AS ps_partkey,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS value_e4
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_nationkey IN (0, 4, 8)
+    GROUP BY 1
+)
+SELECT ps_partkey, value_e4 / 10000.0 AS value
+FROM v
+WHERE value_e4 * 1000 > (SELECT sum(value_e4) FROM v)
+"""
+
+
+@register("q11_important_parts", oracle=Q11_ORACLE, tags=("relational", "tpch"))
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp value → lineitem revenue attributed to
+    suppliers of a nation set; the single-nation predicate widened to a
+    key set so the result is non-degenerate at every fixture SF). The
+    scalar total is a 1-row aggregate crossJoin-broadcast, never
+    collected.
+
+    The 0.1%-of-total threshold sits exactly where float summation order
+    matters (a per-part 2-dp rounded sum straddled a half-cent boundary
+    between Spark and DuckDB at sf0.01), so the value computation is
+    EXACT: prices and discounts are generated at 2 dp, hence revenue is
+    an integer in 10⁻⁴-dollar units — sum as int64 (order-independent)
+    and compare the threshold in the integer domain (value_e4·1000 >
+    total_e4). int64 headroom: ~9.2e18 against ~1e9 e4-units per row.
+    The displayed value is the UNROUNDED exact quotient value_e4/10⁴:
+    a final round(·, 2) would reintroduce engine disagreement on exact
+    decimal ties (Spark's HALF_UP BigDecimal vs DuckDB's float-domain
+    round disagree on x.225 — observed at sf0.01), while the raw IEEE
+    division is bit-identical in both engines.
+    Scale: supplier-filter broadcasts, one shuffle of lineitem on
+    partkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey").isin(0, 4, 8)
+    )
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(rev_e4).alias("value_e4"))
+    )
+    threshold = v.agg(F.sum("value_e4").alias("total_e4"))
+    return (
+        v.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value_e4") * 1000 > F.col("total_e4"))
+        .select("ps_partkey", (F.col("value_e4") / 10000.0).alias("value"))
+    )

@@ -78,6 +78,23 @@ def test_extractor_snapshot_time_travel(spark, sf_dir, warehouse, tmp_path):
     assert spark.read.parquet(res.path).count() == n.count()
 
 
+def test_sync_action_query_preview(spark, sf_dir, warehouse):
+    """query_preview (declared in the reference UI schema, unimplemented
+    there): custom SQL over the configured table, hard LIMIT cap."""
+    cfg = _extract_cfg(warehouse)
+    rows = sync_action(
+        spark, cfg, "query_preview", namespace="ns", table="nation",
+        query="SELECT n_regionkey, count(*) AS n FROM nation GROUP BY 1",
+    )
+    assert len(rows) == 5
+    assert sorted(r[0] for r in rows) == [0, 1, 2, 3, 4]
+    # default query + cap
+    capped = sync_action(
+        spark, cfg, "query_preview", namespace="ns", table="nation", limit=7,
+    )
+    assert len(capped) == 7
+
+
 def test_writer_csv_typed_upsert_cycle(spark, sf_dir, tmp_path):
     wh = str(tmp_path / "wh2")
     src = str(tmp_path / "in.csv")

@@ -39,6 +39,27 @@ def test_compaction_reduces_files_keeps_history(spark, sf_dir, tmp_path):
     assert ops == ["replace", "append", "compact"]
 
 
+def test_upsert_without_order_by_is_deterministic(spark, sf_dir, tmp_path):
+    """Delta-internal key duplicates without order_by must resolve to the
+    SAME winner regardless of partition layout (hash tie-break, not
+    first-row-seen)."""
+    from pyspark.sql import functions as F
+
+    rows = [(1, v) for v in ("a", "b", "c")] + [(2, v) for v in ("x", "y")]
+    winners = []
+    for parts in (1, 5):
+        cat = SnapCatalog(str(tmp_path / f"wh{parts}"))
+        delta = spark.createDataFrame(rows, "k int, v string").repartition(
+            parts, F.col("v")
+        )
+        cat.upsert("ns", "t", delta, keys=["k"])
+        got = {
+            r.k: r.v for r in cat.read(spark, "ns", "t").collect()
+        }
+        winners.append(got)
+    assert winners[0] == winners[1], f"layout-dependent winners: {winners}"
+
+
 def test_drop_table(spark, sf_dir, tmp_path):
     cat = SnapCatalog(str(tmp_path / "wh"))
     cat.create_or_replace("ns", "t", load_table(spark, sf_dir, "region"))
