@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "component_iceberg_spark.plans.queries_scan",
     "component_iceberg_spark.plans.queries_relational",
     "component_iceberg_spark.plans.queries_tpch",
+    "component_iceberg_spark.plans.queries_sketch",
 )
 
 # The external gate checks the first ~50 entries of queries() each round.

@@ -83,3 +83,84 @@ def test_quantized_topk_recall(spark, sf_dir):
     per_q = [len(got.get(q, set()) & t) / len(t) for q, t in truth.items()]
     recall = sum(per_q) / len(per_q)
     assert recall >= 0.9, f"int8 quantization lost too much recall: {recall}"
+
+
+def test_hll_cardinality_bounds_and_mergeability(spark, sf_dir, oracle_con):
+    """HLL estimates must track exact distinct counts within 5% (lg_k=12
+    → 1.6% RSE), and the union of per-shard sketches must equal the
+    single-pass sketch exactly — the mergeability identity the map-side
+    partial design depends on."""
+    import pyspark.sql.functions as F
+
+    from component_iceberg_spark.io.tables import load_table
+    from component_iceberg_spark.operators import sketch as SK
+
+    approx = {
+        r["event_type"]: r["approx_distinct"]
+        for r in REGISTRY["ext_cardinality_hll"].fn(spark, sf_dir).collect()
+    }
+    exact = dict(
+        oracle_con.execute(
+            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(approx) == set(exact)
+    for et, est in approx.items():
+        assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])
+
+    ev = load_table(spark, sf_dir, "events")
+    merged = {
+        r["event_type"]: r["approx_distinct"]
+        for r in SK.hll_distinct_merged(
+            ev, ["event_type"], "user_id", F.pmod(F.col("event_id"), F.lit(7))
+        ).collect()
+    }
+    assert merged == approx, "sharded-union sketch diverged from single-pass"
+
+
+def test_kll_quantiles_rank_error(spark, sf_dir, oracle_con):
+    """KLL quantile estimates must land within 5% of the exact continuous
+    quantiles (k=200 → ~1.65% rank error; the fixture's value density
+    makes 5% value tolerance a safe proxy for the rank bound)."""
+    rows = {
+        r["o_orderstatus"]: r
+        for r in REGISTRY["ext_quantile_kll"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r[0]: r[1:]
+        for r in oracle_con.execute(
+            """
+            SELECT o_orderstatus,
+                   quantile_cont(o_totalprice, 0.5),
+                   quantile_cont(o_totalprice, 0.9),
+                   quantile_cont(o_totalprice, 0.99)
+            FROM orders GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert set(rows) == set(exact)
+    for st, r in rows.items():
+        for est, true in zip((r["p50"], r["p90"], r["p99"]), exact[st]):
+            assert abs(est - true) / true < 0.05, (st, est, true)
+
+
+def test_theta_overlap_bounds(spark, sf_dir, oracle_con):
+    """Theta-sketch set algebra must track the exact subset/overlap
+    cardinalities within 5% each."""
+    row = REGISTRY["ext_overlap_theta"].fn(spark, sf_dir).collect()[0]
+    n_a, n_b, n_i, n_u = oracle_con.execute(
+        """
+        WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+             b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        SELECT (SELECT count(*) FROM a),
+               (SELECT count(*) FROM b),
+               (SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b)),
+               (SELECT count(DISTINCT user_id) FROM events
+                 WHERE event_type IN ('view', 'purchase'))
+        """
+    ).fetchone()
+    for est, true in zip(
+        (row["n_a"], row["n_b"], row["n_intersect"], row["n_union"]),
+        (n_a, n_b, n_i, n_u),
+    ):
+        assert true > 0 and abs(est - true) / true < 0.05, (row, (n_a, n_b, n_i, n_u))
