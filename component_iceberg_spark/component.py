@@ -22,6 +22,7 @@ single atomic snapshot instead of one commit per 5M-row client batch.
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -231,15 +232,109 @@ def sync_action(spark: SparkSession, cfg, action: str, **kwargs) -> list:
     if action == "query_preview":
         # Preview of the custom-query mode, declared in the reference UI
         # schema (ex-iceberg configRowSchema.json:94-107) but unimplemented
-        # there: run the user's SQL over the configured table, hard-capped
-        # by LIMIT so a preview can never launch a full-table job back to
-        # the UI. Same view name the custom-query run() path registers, so
-        # a previewed query is valid verbatim in the run config.
+        # there: run the user's SQL over the configured table. The preview
+        # is READ-ONLY and capped:
+        #   - the statement must parse as a single query (any command —
+        #     DROP/INSERT/CREATE/SET/... — is rejected before execution),
+        #   - it may reference ONLY the registered table view (no
+        #     datasource-path reads like parquet.`/any/path`),
+        #   - the row cap is applied as an outer LIMIT in the plan, and
+        #     the result is fetched via toLocalIterator-free take() so the
+        #     driver materializes at most `limit` rows. (The cap bounds
+        #     the *result*, not the scan: an aggregation still scans the
+        #     table — that is inherent to previewing an aggregate.)
+        # Same view name the custom-query run() path registers, so a
+        # previewed query is valid verbatim in the run config.
         namespace, table = kwargs["namespace"], kwargs["table"]
         query = kwargs.get("query") or f"SELECT * FROM {table}"  # noqa: S608
         limit = int(kwargs.get("limit", 100))
         df = cat.read(spark, namespace, table)
         df.createOrReplaceTempView(table)
-        rows = spark.sql(query).limit(limit).collect()
+        rows = _run_readonly_query(spark, query, {table}, limit).take(limit)
         return [tuple(r) for r in rows]
     raise UserConfigError(f"unknown sync action: {action!r}")
+
+
+# Statement classes a preview must never run. Matched against every node's
+# simple class name in the PARSED (unexecuted) plan — spark.sql() executes
+# command plans eagerly, so validation has to happen at the parser level,
+# before any spark.sql() call sees the text.
+_PREVIEW_BANNED = re.compile(
+    r"Command|Insert|Create|Drop|Alter|Delete|Update|Merge|Truncate|"
+    r"SetOperation$|^Set|Use|Show|Analyze|Cache|Uncache|Refresh|Repair|"
+    r"Load|Write|AddArtifact|Call"
+)
+
+
+def _run_readonly_query(
+    spark: SparkSession, query: str, allowed_views: set[str], limit: int
+) -> DataFrame:
+    """Validate-and-run for preview SQL: a single SELECT/CTE query that
+    references only the allowed temp views, wrapped in an outer LIMIT so
+    the driver never materializes more than ``limit`` rows. (The cap
+    bounds the result, not the scan — previewing an aggregate still scans
+    the table; that is inherent.)
+
+    Validation inspects the *parsed logical plan*, never regexes over the
+    SQL text: any DDL/DML/utility statement parses to a command-shaped
+    node (rejected), and every ``UnresolvedRelation`` must name an allowed
+    view — which also rejects datasource-path reads such as
+    ``parquet.`/any/path``` (those parse as a relation named
+    ``parquet./any/path``, which is not on the allow-list)."""
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    try:
+        plan = parser.parsePlan(query)
+    except Exception as e:  # parse error → user error, not a stack trace
+        raise UserConfigError(f"preview query invalid: {e}") from e
+
+    node_classes: list[str] = []
+    relations: list[str] = []
+    ctes: list[str] = []
+
+    def _walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        node_classes.append(cls)
+        if cls == "UnresolvedRelation":
+            ident = node.multipartIdentifier()
+            relations.append(
+                ".".join(ident.apply(i) for i in range(ident.length()))
+            )
+        if cls == "UnresolvedWith":  # CTE definitions: (name, subplan)
+            rels = node.cteRelations()
+            for i in range(rels.length()):
+                ctes.append(rels.apply(i)._1())
+        # children() covers query subtrees; subquery *expressions* hold
+        # their plans in expression trees — enumerate them too.
+        kids = node.children()
+        for i in range(kids.length()):
+            _walk(kids.apply(i))
+        try:  # CTE definition subplans (not in children() for UnaryNode)
+            inner = node.innerChildren()
+            for i in range(inner.length()):
+                _walk(inner.apply(i))
+        except Exception:  # protected on some node types — treeString
+            pass           # fallback below still sees those relations
+
+    _walk(plan)
+    # Subquery expressions (IN (SELECT...), scalar subqueries): their plans
+    # are not in children(); the parsed tree prints them, so scan the plan
+    # string for any relation tokens we did not visit. Cheap belt-and-
+    # braces: UnresolvedRelation nodes render as `'UnresolvedRelation
+    # [name]` in treeString.
+    for m in re.finditer(r"'UnresolvedRelation \[([^\]]+)\]", plan.toString()):
+        relations.append(m.group(1).replace(", ", "."))
+
+    for cls in node_classes:
+        if _PREVIEW_BANNED.search(cls):
+            raise UserConfigError(
+                f"preview accepts a single SELECT query only (got {cls})"
+            )
+    allowed = {v.lower() for v in allowed_views} | {c.lower() for c in ctes}
+    for name in relations:
+        if name.lower() not in allowed:
+            raise UserConfigError(
+                f"preview may only reference {sorted(allowed_views)}, "
+                f"got {name!r}"
+            )
+    q = query.rstrip().rstrip(";")
+    return spark.sql(f"SELECT * FROM ({q}) __preview LIMIT {int(limit)}")

@@ -302,11 +302,13 @@ class SnapCatalog:
             rank_key = F.col(order_by).desc()
         else:
             non_keys = [c for c in delta.columns if c not in keys]
+            # Unambiguous row encoding: to_json escapes separators and
+            # distinguishes NULL from any string, so two *distinct* rows
+            # can never hash equal (a concat_ws encoding would collide on
+            # values containing the separator, silently reverting to
+            # arbitrary-winner nondeterminism). Handles complex types too.
             rank_key = F.md5(
-                F.concat_ws(
-                    "\x1f",
-                    *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in non_keys],
-                )
+                F.to_json(F.struct(*[F.col(c) for c in non_keys]))
             ).desc() if non_keys else F.lit(1).asc()
         w = Window.partitionBy(*keys).orderBy(rank_key)
         delta = (

@@ -75,25 +75,113 @@ def stream_upsert_snaptable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.read(spark, "stream", "events")
 
 
-@register("stream_stateful_totals", oracle=None, tags=("ext", "streaming"))
+@register(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 3) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("ext", "streaming"),
+)
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandasWithState: per-user running totals, one state tuple per
-    user. Rows-only check (per-batch emission count depends on batch
-    planning, not on the data)."""
-    totals = SE.running_user_totals(_stream(spark, sf_dir))
-    return SE.stream_to_memory(totals, spark, mode="append")
-
-
-@register("stream_session_window", oracle=None, tags=("ext", "streaming"))
-def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming session windows (30-min gap) per user via
-    F.session_window + watermark. Rows-only: append-mode session emission
-    depends on watermark progression across micro-batches (sessions still
-    open at end-of-stream stay in state), an execution detail; the exact
-    batch twin is ext_sessionize."""
+    """applyInPandasWithState: per-user running totals, one state tuple
+    per user, one cumulative emission per (user, micro-batch). The
+    registered result is each user's FINAL emission (highest running
+    count), which must equal the batch GROUP BY — this is the invariant a
+    lost/duplicated state row would break, and it is batch-boundary-
+    independent, so it carries an exact oracle. The per-batch emission
+    pattern (an execution detail) stays covered by
+    tests/test_streaming_batches.py."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    ev = _stream(spark, sf_dir)
+    totals = SE.running_user_totals(_stream(spark, sf_dir))
+    emitted = SE.stream_to_memory(totals, spark, mode="append")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# Far-future sentinel: one extra row staged with the fixture advances the
+# end-of-stream watermark past every real session's end, so append mode
+# emits the COMPLETE real session set (nothing left open in state) and the
+# streaming result becomes batch-equivalent — gaps-and-islands expressible,
+# hence an exact oracle. Everything lands in ONE parquet file → one
+# micro-batch → the sentinel cannot out-run real rows and mark them late.
+_SENTINEL_USER = -1
+
+
+def _stream_with_flush_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.io.tables import load_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(SCRATCH_ROOT, tag, "events_stream_flush")
+    if not os.path.isdir(d) or not any(
+        f.endswith(".parquet") for f in os.listdir(d)
+    ):
+        ev = load_table(spark, sf_dir, "events")
+        sentinel = (
+            ev.select(F.max("ts").alias("mx"))
+            .select(
+                F.lit(-1).cast("long").alias("event_id"),
+                F.lit(_SENTINEL_USER).cast("long").alias("user_id"),
+                F.lit("flush").alias("event_type"),
+                (F.col("mx") + F.expr("INTERVAL 2 DAYS")).alias("ts"),
+                F.lit(0.0).alias("value"),
+            )
+        )
+        # any extra fixture columns (e.g. props) null-fill on the sentinel
+        staged = ev.unionByName(sentinel, allowMissingColumns=True)
+        staged.coalesce(1).write.mode("overwrite").parquet(d)
+    return SE.read_events_stream(spark, d)
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM g
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id,
+           count(*) AS n_events
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+    tags=("ext", "streaming"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) per user via
+    F.session_window + watermark, append mode. A far-future sentinel row
+    (see _stream_with_flush_sentinel) closes every real session at end of
+    stream, so the emitted set equals batch gaps-and-islands
+    sessionization exactly — session_end is last-event + gap, Spark's
+    session_window.end definition. The sentinel's own (still-open)
+    session is excluded by user_id."""
+    from pyspark.sql import functions as F
+
+    ev = _stream_with_flush_sentinel(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -105,7 +193,8 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return SE.stream_to_memory(agg, spark, mode="append")
+    out = SE.stream_to_memory(agg, spark, mode="append")
+    return out.filter(F.col("user_id") != _SENTINEL_USER)
 
 
 @register(

@@ -242,14 +242,30 @@ def _minhash_oracle() -> str:
 # re-running the shingle+signature+verify pipeline for each consumer
 # doubles the most expensive dedup stage for zero benefit — exactly the
 # stage a 100 TB pipeline checkpoints to the lake once and fans out from.
+#
+# Lifecycle: entries are keyed by applicationId; any entry whose
+# application no longer matches the session asking is dead weight (its
+# persisted blocks died with the old SparkContext) — evict it, and
+# unpersist best-effort in case the old context is somehow still alive.
+# A lock keeps the build-then-publish race benign under concurrent use
+# (worst case without it would be a duplicate persist, not corruption).
 _PAIRS_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+_PAIRS_LOCK = __import__("threading").Lock()
 
 
 def verified_minhash_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.8
 ) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, threshold)
-    df = _PAIRS_CACHE.get(key)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, threshold)
+    with _PAIRS_LOCK:
+        for k in [k for k in _PAIRS_CACHE if k[0] != app_id]:
+            stale = _PAIRS_CACHE.pop(k)
+            try:
+                stale.unpersist()
+            except Exception:
+                pass  # its SparkContext is gone — nothing to release
+        df = _PAIRS_CACHE.get(key)
     if df is None:
         from pyspark import StorageLevel
 
@@ -257,7 +273,11 @@ def verified_minhash_pairs(
         df = D.minhash_lsh_dedup(d, "doc_id", "text", threshold).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        _PAIRS_CACHE[key] = df
+        with _PAIRS_LOCK:
+            won = _PAIRS_CACHE.setdefault(key, df)
+        if won is not df:  # lost the build race — drop our duplicate
+            df.unpersist()
+            df = won
     return df
 
 

@@ -55,66 +55,80 @@ _QUERY_MODULES = (
 )
 
 # The external gate checks the first ~50 entries of queries() each round.
-# Rounds 1+2 covered 91 of 128; this list front-loads (a) every query that
-# has never had a gate row and (b) the queries fixed or newly-oracled this
-# round, so their red/err rows flip. Everything else follows in
-# registration order. Names here that don't exist are ignored (safe across
-# refactors).
+#
+# ROTATION SCHEDULE (so every query is re-checked within ~3 rounds, and a
+# regression anywhere is externally caught, not just by local pytest):
+#   1. Queries that have NEVER had a gate row, plus queries whose
+#      implementation or oracle CHANGED this round — they must (re)earn
+#      a green row first.
+#   2. PINNED SENTINELS — a fixed set of high-value queries (flagship,
+#      one per family: streaming, dedup, ANN, multimodal, mutation) kept
+#      in the window EVERY round, so a regression in a core path never
+#      waits for the rotation to come back around.
+#   3. The remaining slots take registered queries ordered by the age of
+#      their last gate row, OLDEST FIRST (r4 fills with the 38 queries
+#      last checked in round 1; round 5 takes the round-2 cohort, etc.).
+# Names here that don't exist are ignored (safe across refactors).
 _GATE_PRIORITY = (
-    # fixed / newly-oracled this round — must re-earn green rows
-    "stream_window_counts",
-    "stream_stream_join",
+    # --- 1. never gate-checked (registered after the r3 window was spent)
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "ext_cardinality_hll",
+    "ext_quantile_kll",
+    "ext_overlap_theta",
+    # --- 1. changed this round: new exact oracles (were no_oracle) and
+    #     the upsert tie-break encoding change
     "stream_session_window",
-    "ext_nested_ops",
-    "mm_feature_extract",
-    "dedup_simhash",
-    # never gate-checked in rounds 1-2
-    "snap_hidden_partition",
-    "snap_rollback",
-    "snap_partition_evolution",
-    "dedup_clusters",
-    "mm_probe_audio",
-    "mm_probe_video",
-    "mm_frame_hash",
-    "mm_frame_features",
-    "snap_tag_read",
-    "ext_sample_deterministic",
-    "ext_sample_stratified",
-    "ext_contamination_screen",
-    "snap_delete_mor",
-    "text_normalize",
-    "text_redact_pii",
-    "text_repetition",
-    "sim_ann_ivf_kmeans",
-    "snap_incremental_read",
-    "mm_audio_segments",
-    "text_lm_score",
-    "sim_quantized_topk",
-    "sink_orc",
-    "ext_sample_group_cap",
-    "text_pack_offsets",
-    "dedup_semantic",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_part_supplier_cnt",
-    "q19_discounted_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    # high-value rechecks to fill the window: rest of the streaming family
-    # and the flagship + the de-broadcast q5
-    "stream_dedup_watermark",
-    "stream_upsert_snaptable",
     "stream_stateful_totals",
+    "upsert_by_key",
+    # --- 2. pinned sentinels (keep this set stable round over round)
     "q1_pricing_summary",
     "q5_local_supplier_volume",
+    "stream_window_counts",
+    "dedup_minhash_lsh",
+    "dedup_semantic",
+    "mm_feature_extract",
     "ext_sessionize",
-    "ext_percentile_exact",
+    "sim_ann_ivf",
+    # --- 3. oldest-first backlog: last checked in round 1
+    "scan_full",
+    "scan_projection",
+    "scan_limit",
+    "scan_filter_pushdown",
+    "scan_custom_sql",
+    "source_csv_typed",
+    "source_csv_all_varchar",
+    "sink_csv",
+    "sink_parquet",
+    "order_preserve",
+    "meta_describe",
+    "cast_coerce",
+    "insert_union",
+    "sink_parquet_partitioned",
+    "source_json",
+    "q3_shipping_priority",
+    "join_anti",
+    "join_semi",
+    "ext_window_rank",
+    "ext_window_analytic",
+    "ext_topk",
+    "ext_setop_intersect",
+    "ext_setop_except",
+    "ext_agg_rollup",
+    "ext_agg_groupby",
+    "ext_pivot",
+    "ext_asof_join",
+    "ext_agg_cube",
+    "ext_unpivot",
+    "join_outer",
+    "ext_range_join",
+    "ext_agg_approx",
+    "ext_agg_salted",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q13_customer_distribution",
+    "q6_forecast_revenue",
+    "q12_priority_shipmode",
 )
 
 

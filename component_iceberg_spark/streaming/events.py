@@ -24,6 +24,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Schema-probe memo: the batch read that discovers the physical ts type
+# is metadata-only but still lists the directory and parses a footer per
+# call. One probe per (session, path) is enough — fixtures are immutable
+# within a session, and entries from dead sessions are evicted on access
+# (same lifecycle rule as queries_text._PAIRS_CACHE).
+_SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
+
+
+def _scanned_schema(spark: SparkSession, path: str) -> T.StructType:
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        for k in [k for k in _SCHEMA_CACHE if k[0] != app_id]:
+            del _SCHEMA_CACHE[k]
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream of the events table.
 
@@ -38,7 +58,7 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     from component_iceberg_spark.io.tables import ensure_session_conf
 
     ensure_session_conf(spark)
-    scanned = spark.read.parquet(path).schema
+    scanned = _scanned_schema(spark, path)
     raw = spark.readStream.schema(scanned).parquet(path)
     if isinstance(scanned["ts"].dataType, T.LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -93,6 +93,63 @@ def test_sync_action_query_preview(spark, sf_dir, warehouse):
         spark, cfg, "query_preview", namespace="ns", table="nation", limit=7,
     )
     assert len(capped) == 7
+    # CTEs referencing only the registered view are fine
+    cte = sync_action(
+        spark, cfg, "query_preview", namespace="ns", table="nation",
+        query="WITH big AS (SELECT * FROM nation WHERE n_regionkey > 1) "
+              "SELECT count(*) AS n FROM big",
+    )
+    assert len(cte) == 1
+
+
+def test_sync_action_query_preview_is_readonly(spark, sf_dir, warehouse, tmp_path):
+    """The preview must reject anything that is not a single SELECT over
+    the registered view: DDL/DML never executes, datasource-path reads and
+    foreign views are refused at validation time."""
+    import pytest
+
+    from component_iceberg_spark.config import UserConfigError
+
+    cfg = _extract_cfg(warehouse)
+
+    def preview(q):
+        return sync_action(
+            spark, cfg, "query_preview", namespace="ns", table="nation",
+            query=q,
+        )
+
+    # DML/DDL: must be rejected BEFORE execution (spark.sql runs commands
+    # eagerly — a post-hoc check would be too late).
+    for bad in (
+        "DROP TABLE nation",
+        "INSERT INTO nation SELECT * FROM nation",
+        "CREATE TABLE t2 AS SELECT * FROM nation",
+        "SET spark.sql.shuffle.partitions=1",
+        "TRUNCATE TABLE nation",
+    ):
+        with pytest.raises(UserConfigError):
+            preview(bad)
+    # the temp view must still exist and be intact after the DROP attempt
+    assert spark.table("nation").count() == 25
+
+    # datasource-path read escapes the registered view → rejected
+    p = str(tmp_path / "leak.parquet")
+    spark.range(3).write.parquet(p)
+    with pytest.raises(UserConfigError):
+        preview(f"SELECT * FROM parquet.`{p}`")
+    # foreign temp view → rejected
+    spark.range(3).createOrReplaceTempView("other_view")
+    with pytest.raises(UserConfigError):
+        preview("SELECT * FROM other_view")
+    # relation smuggled inside a subquery expression → rejected
+    with pytest.raises(UserConfigError):
+        preview(
+            "SELECT * FROM nation WHERE n_nationkey IN "
+            "(SELECT id FROM other_view)"
+        )
+    # parse garbage → UserConfigError, not a raw stack trace
+    with pytest.raises(UserConfigError):
+        preview("SELEKT * FROM nation")
 
 
 def test_writer_csv_typed_upsert_cycle(spark, sf_dir, tmp_path):

@@ -60,6 +60,39 @@ def test_upsert_without_order_by_is_deterministic(spark, sf_dir, tmp_path):
     assert winners[0] == winners[1], f"layout-dependent winners: {winners}"
 
 
+def test_upsert_tiebreak_encoding_unambiguous(spark, tmp_path):
+    """Distinct multi-column rows whose naive separator-joined encodings
+    collide (embedded separator, NULL vs sentinel string) must still get
+    DISTINCT tie-break hashes — i.e. a deterministic winner, not an
+    arbitrary one among hash-equal rows."""
+    from pyspark.sql import functions as F
+
+    # Under concat_ws('\x1f', coalesce(c, '\x00')) all three encode to the
+    # same byte string; to_json(struct(...)) distinguishes them.
+    rows = [
+        (1, "a\x1fb", "c"),
+        (1, "a", "b\x1fc"),
+        (1, "a\x1fb\x1f", None),
+    ]
+    delta = spark.createDataFrame(rows, "k int, v1 string, v2 string")
+    hashes = (
+        delta.select(
+            F.md5(F.to_json(F.struct("v1", "v2"))).alias("h")
+        )
+        .distinct()
+        .count()
+    )
+    assert hashes == 3
+    winners = []
+    for parts in (1, 3):
+        cat = SnapCatalog(str(tmp_path / f"amb{parts}"))
+        cat.upsert("ns", "t", delta.repartition(parts, F.col("v1")), keys=["k"])
+        winners.append(
+            [(r.v1, r.v2) for r in cat.read(spark, "ns", "t").collect()]
+        )
+    assert winners[0] == winners[1]
+
+
 def test_drop_table(spark, sf_dir, tmp_path):
     cat = SnapCatalog(str(tmp_path / "wh"))
     cat.create_or_replace("ns", "t", load_table(spark, sf_dir, "region"))
