@@ -6,12 +6,24 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Each query is forced through full execution with the noop sink (count()
 would let Catalyst short-circuit column work). Timings are wall-clock per
 query on a warm session; `value` is the total.
+
+Scale-evidence section (`sf1` key in the JSON): a 10× fixture derived
+from the sf0.1 tables at CONSTANT cluster/duplicate density — each of 10
+replicas keeps the base data's internal structure, with keys offset,
+labels made replica-distinct (so quantizer-based ops see 10× clusters of
+the SAME size, not 10×-bigger buckets) and embeddings shifted by a large
+per-replica vector (so LSH does not collide replicas into artificial
+cross-replica near-dup pairs). The five historically most expensive
+queries run once each at sf1; near-linear wall-clock vs their sf0.1
+numbers is the claim being evidenced. Set SPARK_GRAFT_SKIP_SF1=1 to skip.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -21,6 +33,9 @@ from component_iceberg_spark.plans import load_all  # noqa: E402
 from component_iceberg_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF1_DIR = os.path.join(REPO, ".scale", "sf1")
+SF1_REPLICAS = 10
 
 # Representative slice of the registry: scan, agg, joins, windows,
 # mutation, dedup (exact + LSH), text, similarity, streaming ingest.
@@ -57,9 +72,108 @@ HEADLINE = (
     "dedup_semantic",
 )
 
+# The 5 historically most expensive headline queries — the sf1 section
+# re-runs exactly these to evidence the scaling shape (LSH candidate
+# volume, CC rounds, IVF probe cost, streaming state, compaction I/O).
+SCALE_QUERIES = (
+    "dedup_semantic",
+    "sim_ann_hyperplane",
+    "stream_window_counts",
+    "sim_ann_ivf",
+    "snap_compact",
+)
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _single_file(dir_path: str, dest: str) -> None:
+    """Collapse a 1-part Spark parquet dir into a plain file (the
+    streaming fixture stage copies the events table as one file)."""
+    parts = glob.glob(os.path.join(dir_path, "part-*.parquet"))
+    assert len(parts) == 1, parts
+    shutil.move(parts[0], dest)
+    shutil.rmtree(dir_path)
+
+
+def ensure_sf1(spark) -> None:
+    """Materialize the 10× fixture (cached on disk across runs)."""
+    from pyspark.sql import functions as F
+
+    import numpy as np
+
+    marker = os.path.join(SF1_DIR, "_DONE")
+    if os.path.exists(marker):
+        return
+    os.makedirs(SF1_DIR, exist_ok=True)
+
+    def replicate(table: str, project):
+        base = spark.read.parquet(os.path.join(SF_DIR, f"{table}.parquet"))
+        out = None
+        for r in range(SF1_REPLICAS):
+            part = project(base, r)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    # embeddings: keys/labels replica-offset; vectors shifted by a large
+    # deterministic per-replica vector so replicas occupy disjoint
+    # regions of the space (constant near-dup density, no cross-replica
+    # LSH collisions).
+    shifts = [
+        [float(x) for x in np.random.RandomState(1000 + r).randn(64) * 2.0]
+        for r in range(SF1_REPLICAS)
+    ]
+
+    def emb(base, r):
+        shift = F.array(*[F.lit(x) for x in shifts[r]])
+        return base.select(
+            (F.col("vec_id") + r * 10**9).alias("vec_id"),
+            F.zip_with(
+                F.col("embedding").cast("array<double>"), shift,
+                lambda x, y: x + y,
+            ).alias("embedding"),
+            (F.col("label") + r * 1000).alias("label"),
+        )
+
+    replicate("embeddings", emb).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "_tmp_embeddings")
+    )
+    _single_file(
+        os.path.join(SF1_DIR, "_tmp_embeddings"),
+        os.path.join(SF1_DIR, "embeddings.parquet"),
+    )
+
+    def ev(base, r):
+        cols = [
+            (F.col("event_id") + r * 10**9).alias("event_id"),
+            (F.col("user_id") + r * 10**6).alias("user_id"),
+        ]
+        rest = [c for c in base.columns if c not in ("event_id", "user_id")]
+        return base.select(*cols, *rest)
+
+    replicate("events", ev).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "_tmp_events")
+    )
+    _single_file(
+        os.path.join(SF1_DIR, "_tmp_events"),
+        os.path.join(SF1_DIR, "events.parquet"),
+    )
+
+    def orders(base, r):
+        cols = [
+            (F.col("o_orderkey") + r * 10**9).alias("o_orderkey"),
+            (F.col("o_custkey") + r * 10**6).alias("o_custkey"),
+        ]
+        rest = [c for c in base.columns if c not in ("o_orderkey", "o_custkey")]
+        return base.select(*cols, *rest)
+
+    replicate("orders", orders).coalesce(4).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "orders.parquet")
+    )
+
+    with open(marker, "w") as f:
+        f.write("ok")
 
 
 def main() -> None:
@@ -68,12 +182,14 @@ def main() -> None:
     # warm the JVM/codegen paths so timings measure the plans, not startup
     force(registry["scan_full"].fn(spark, SF_DIR))
 
-    # best-of-2: first run pays one-off codegen/JIT per query; the second
-    # measures the plan. Reported value = steady-state throughput.
+    # best-of-3 in one warm session: run 1 pays one-off codegen/JIT, runs
+    # 2-3 measure the plan; the min kills transient GC/contention noise
+    # (the drift class seen on sub-second queries between rounds) while
+    # keeping intentional cross-query reuse (shared LSH pair cache) alive.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             force(registry[name].fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
@@ -83,17 +199,40 @@ def main() -> None:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+
+    result = {
+        "metric": "headline_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        t0 = time.perf_counter()
+        ensure_sf1(spark)
+        gen_sec = round(time.perf_counter() - t0, 3)
+        sf1_timings: dict[str, float] = {}
+        for name in SCALE_QUERIES:
+            t0 = time.perf_counter()
+            force(registry[name].fn(spark, SF1_DIR))
+            sf1_timings[name] = round(time.perf_counter() - t0, 3)
+        result["sf1"] = {
+            "queries": sf1_timings,
+            "gen_sec": gen_sec,
+            "replicas": SF1_REPLICAS,
+            "ratio_vs_sf0.1": {
+                n: round(sf1_timings[n] / timings[n], 2)
+                for n in SCALE_QUERIES
+                if timings.get(n)
+            },
+            "note": (
+                "10x replication at constant cluster/duplicate density; "
+                "single cold run per query (no best-of-N)"
+            ),
+        }
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

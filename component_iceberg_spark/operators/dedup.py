@@ -362,7 +362,10 @@ def connected_components(
 
     # both directions in ONE pass over the pairs plan (a union of two
     # selects would execute the — typically expensive — pair pipeline
-    # twice on first materialization)
+    # twice on first materialization). NOT deduplicated here: union-find
+    # is idempotent under duplicate edges, so the small-graph path skips
+    # the distinct's shuffle entirely; the iterative path dedups below
+    # (there a duplicate would ride along every round).
     edges = (
         pairs.select(
             F.explode(
@@ -377,7 +380,6 @@ def connected_components(
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Adaptive parallelism: the verified pair graph is orders of magnitude
@@ -385,7 +387,9 @@ def connected_components(
     # iteration's shuffles are sized to the EDGE count, not the cluster
     # default — a 500-edge graph iterates in 1 partition (per-round jobs
     # are sub-second), a billion-edge graph spreads out. The count also
-    # materializes the persisted edge set once, before the loop.
+    # materializes the persisted edge set once, before the loop. (It may
+    # overcount vs unique edges when callers emit duplicate pairs —
+    # a conservative error: it only lowers the single-task cutoff.)
     n_edges = edges.count()
     if n_edges <= SMALL_GRAPH_EDGES:
         # one-task union-find (see _cc_single_task); checkpoint flattens
@@ -397,6 +401,9 @@ def connected_components(
     n_part = max(1, min(
         spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1
     ))
+    edges_raw, edges = edges, edges.distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     # static join input: edges ∪ self-loops (dupes can't survive min());
     # pre-partitioned on the join key so every round reuses the layout
@@ -450,6 +457,7 @@ def connected_components(
         prev_sum = cur_sum
     edges_plus.unpersist()
     edges.unpersist()
+    edges_raw.unpersist()
     return labels.select(
         F.col("node").alias("doc"), F.col("label").alias("cluster_id")
     )

@@ -268,7 +268,12 @@ def hyperplane_lsh_pairs(
         corpus.repartition(par, F.col(id_col))
         .select(
             F.col(id_col).alias("doc"),
-            F.col(vec_col).alias("v"),
+            # double-cast ONCE per row here: the verification stage below
+            # evaluates a dot per candidate PAIR — with raw float arrays
+            # it would re-cast 2×dim elements per pair (see
+            # threshold_pairs' plan note; float→double is exact, so
+            # results are bit-identical)
+            as_double(F.col(vec_col)).alias("v"),
             norm(F.col(vec_col)).alias("nrm"),
             hyperplane_signature(F.col(vec_col), planes).alias("sig"),
         )
@@ -307,7 +312,7 @@ def hyperplane_lsh_pairs(
             "vec_a",
             "vec_b",
             F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+                dot_raw(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
             ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)

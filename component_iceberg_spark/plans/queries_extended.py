@@ -852,9 +852,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side-collapsing argmax (S.nearest_assign): the ×k centroid
     # fan-out collapses inside the scan stage, one row per vector comes
     # out — no rank window over n×k scored rows. Materialized once: the
-    # bucketed SELF-join below consumes this twice.
+    # bucketed SELF-join below consumes this twice. The embedding is
+    # double-cast HERE (once per row, inside the checkpoint) so the pair
+    # stage can use dot_raw — a per-PAIR dot over raw float arrays would
+    # re-cast 2×dim elements per candidate pair (float→double is exact;
+    # bit-identical, measured ~2× on the pair stage).
     assigned = S.nearest_assign(
-        e.select("vec_id", "embedding"),
+        e.select("vec_id", S.as_double(F.col("embedding")).alias("embedding")),
         cent,
         "vec_id",
         "embedding",
@@ -875,7 +879,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "csim",
             F.round(
-                S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+                S.dot_raw(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
             ),
         )
         .filter(F.col("csim") >= SEM_THRESHOLD)
