@@ -104,8 +104,10 @@ def ensure_sf1(spark) -> None:
     import numpy as np
 
     marker = os.path.join(SF1_DIR, "_DONE")
-    if os.path.exists(marker):
+    FIXTURE_VERSION = "v2-permute"
+    if os.path.exists(marker) and open(marker).read().strip() == FIXTURE_VERSION:
         return
+    shutil.rmtree(SF1_DIR, ignore_errors=True)
     os.makedirs(SF1_DIR, exist_ok=True)
 
     def replicate(table: str, project):
@@ -116,23 +118,24 @@ def ensure_sf1(spark) -> None:
             out = part if out is None else out.unionByName(part)
         return out
 
-    # embeddings: keys/labels replica-offset; vectors shifted by a large
-    # deterministic per-replica vector so replicas occupy disjoint
-    # regions of the space (constant near-dup density, no cross-replica
-    # LSH collisions).
-    shifts = [
-        [float(x) for x in np.random.RandomState(1000 + r).randn(64) * 2.0]
+    # embeddings: keys/labels replica-offset; each replica's vectors get a
+    # deterministic COORDINATE PERMUTATION — norms and all within-replica
+    # cosines are preserved exactly (constant near-dup/cluster density by
+    # construction), while cross-replica cosines and LSH signatures
+    # decorrelate (a shift would instead inflate every within-replica
+    # cosine toward 1 once |shift| dominates |vec| — measured: it turned
+    # 240 near-dup pairs into 2M).
+    perms = [
+        list(range(64)) if r == 0
+        else [int(i) for i in np.random.RandomState(2000 + r).permutation(64)]
         for r in range(SF1_REPLICAS)
     ]
 
     def emb(base, r):
-        shift = F.array(*[F.lit(x) for x in shifts[r]])
+        v = F.col("embedding")
         return base.select(
             (F.col("vec_id") + r * 10**9).alias("vec_id"),
-            F.zip_with(
-                F.col("embedding").cast("array<double>"), shift,
-                lambda x, y: x + y,
-            ).alias("embedding"),
+            F.array(*[v.getItem(i) for i in perms[r]]).alias("embedding"),
             (F.col("label") + r * 1000).alias("label"),
         )
 
@@ -173,7 +176,7 @@ def ensure_sf1(spark) -> None:
     )
 
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(FIXTURE_VERSION)
 
 
 def main() -> None:
@@ -212,6 +215,10 @@ def main() -> None:
         t0 = time.perf_counter()
         ensure_sf1(spark)
         gen_sec = round(time.perf_counter() - t0, 3)
+        # warm the page cache + Python workers on the sf1 fixture so the
+        # first timed query measures its plan, not first-touch I/O
+        for t in ("embeddings", "events", "orders"):
+            force(spark.read.parquet(os.path.join(SF1_DIR, f"{t}.parquet")))
         sf1_timings: dict[str, float] = {}
         for name in SCALE_QUERIES:
             t0 = time.perf_counter()

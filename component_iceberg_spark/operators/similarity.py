@@ -92,41 +92,72 @@ def nearest_assign(
 ) -> DataFrame:
     """Nearest-centroid assignment: ``(vid, *keep, out=cent_id)`` of the
     centroid with the highest cosine (ties → smallest cent_id; cent_id
-    must be numeric for the tie-break encoding).
+    must be numeric and the assignment deterministic for the oracles).
 
-    Shape: broadcast crossJoin against the — metadata-sized — centroid
-    set, then a ``max(struct(csim, -cent_id, cent_id))`` hash aggregate.
-    The ×k fan-out collapses MAP-SIDE (partial aggregation runs inside
-    the scan stage, every input row's k scored copies live in the same
-    partition), so the only shuffle is one row per INPUT row — the
-    rank-window form this replaces shuffled all n×k scored rows and
-    sorted them within each key. ``keep`` columns ride along via
-    ``any_value`` (constant within a group by construction).
+    Shape: the codebook (k × dim floats — metadata by construction, the
+    same payload a broadcast would ship to every executor) is collected
+    once, then every Arrow batch is scored as ONE BLAS matmul inside
+    ``mapInPandas``: ``S = X·Cᵀ / (|x|⊗|c|)``, argmax per row. This is a
+    pure map — NO shuffle at all (the previous form broadcast-crossJoined
+    and hash-aggregated the ×k fan-out: correct map-side collapse, but
+    n×k interpreted dot evaluations and one shuffled row per input; with
+    k ∝ √n that made flat-quantizer assignment the super-linear stage at
+    10× scale — measured, not guessed). Vectorized scoring is the
+    documented Arrow-batch exception to "built-ins first": the built-in
+    higher-order ``aggregate`` runs interpreted per element, ~100× off
+    BLAS throughput on 64-dim batches.
+
+    Tie-break: centroid columns are ordered by ascending cent_id and
+    ``argmax`` returns the FIRST maximum — exactly "highest csim, then
+    smallest cent_id". Cosines are rounded (``round_to``) before argmax
+    so the oracle can replay the decision.
+
+    If ``"_nrm"`` is requested in ``keep`` it is computed here (float64
+    norm of the vector), matching the expression-level ``norm()`` to
+    within final-ulp — consumers round before comparing.
 
     ``cent`` columns: ``cent_id``, ``cent_vec``, ``cent_norm``."""
-    base = df.withColumn("_nrm", norm(F.col(vec)))
-    sim = dot(F.col(vec), F.col("cent_vec")) / (
-        F.col("_nrm") * F.col("cent_norm")
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    from pyspark.sql import types as T
+
+    codebook = sorted(
+        (r["cent_id"], [float(x) for x in r["cent_vec"]])
+        for r in cent.select("cent_id", "cent_vec").collect()
     )
-    if round_to is not None:
-        sim = F.round(sim, round_to)
-    scored = base.crossJoin(F.broadcast(cent)).select(
-        F.col(vid),
-        *[F.col(c) for c in keep],
-        F.col("cent_id"),
-        sim.alias("_csim"),
-    )
-    best = scored.groupBy(vid).agg(
-        F.max(
-            F.struct(
-                F.col("_csim"),
-                (-F.col("cent_id")).alias("_neg"),
-                F.col("cent_id"),
-            )
-        ).alias("_b"),
-        *[F.any_value(F.col(c)).alias(c) for c in keep],
-    )
-    return best.select(F.col(vid), *keep, F.col("_b.cent_id").alias(out))
+    cent_ids = np.array([c for c, _ in codebook])
+    C = np.array([v for _, v in codebook], dtype=np.float64)
+    c_norms = np.sqrt((C * C).sum(axis=1))
+
+    in_schema = df.schema
+    cent_id_type = cent.schema["cent_id"].dataType
+    fields = [T.StructField(vid, in_schema[vid].dataType)]
+    for c in keep:
+        if c == "_nrm":
+            fields.append(T.StructField("_nrm", T.DoubleType()))
+        else:
+            fields.append(T.StructField(c, in_schema[c].dataType))
+    fields.append(T.StructField(out, cent_id_type))
+    out_schema = T.StructType(fields)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+            x_norms = np.sqrt((X * X).sum(axis=1))
+            S = (X @ C.T) / np.outer(x_norms, c_norms)
+            if round_to is not None:
+                S = np.round(S, round_to)
+            best = cent_ids[np.argmax(S, axis=1)]
+            cols = {vid: pdf[vid].to_numpy()}
+            for c in keep:
+                cols[c] = x_norms if c == "_nrm" else pdf[c].to_numpy()
+            cols[out] = best
+            yield pd.DataFrame(cols)
+
+    return df.mapInPandas(score, schema=out_schema)
 
 
 def brute_force_topk(
@@ -258,65 +289,102 @@ def hyperplane_lsh_pairs(
     of data-determined. Deterministic given fixed planes, so the oracle
     replays the identical algorithm.
     """
-    from pyspark import StorageLevel
-
     rows_per_band = len(planes) // bands
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    # persisted: base feeds the band self-join (both sides) and both
-    # verification joins — 4 consumers of the signature computation
-    base = (
-        corpus.repartition(par, F.col(id_col))
-        .select(
-            F.col(id_col).alias("doc"),
-            # double-cast ONCE per row here: the verification stage below
-            # evaluates a dot per candidate PAIR — with raw float arrays
-            # it would re-cast 2×dim elements per pair (see
-            # threshold_pairs' plan note; float→double is exact, so
-            # results are bit-identical)
-            as_double(F.col(vec_col)).alias("v"),
-            norm(F.col(vec_col)).alias("nrm"),
-            hyperplane_signature(F.col(vec_col), planes).alias("sig"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # One row per (doc, band): the signature computes once per doc inside
+    # the scan projection, then each doc fans out to its `bands` bucket
+    # keys (bucket = band << bits | band_key — band-distinct keyspaces).
+    # The candidate-generation self-join and BOTH vector-fetch joins of
+    # the previous shape are replaced by one shuffle keyed on bucket and
+    # a per-bucket BLAS gram matrix (bucketed_threshold_pairs): the n_b²
+    # candidate work runs vectorized and only survivors become rows. The
+    # vector rides the shuffle `bands`× (vs once + two join fetches
+    # before) — strictly less data movement, far less per-pair work.
+    base = corpus.select(
+        F.col(id_col).alias("doc"),
+        as_double(F.col(vec_col)).alias("v"),
+        hyperplane_signature(F.col(vec_col), planes).alias("sig"),
     )
-    band_frames = None
+    buckets = []
     for b in range(bands):
         key = sum(
             F.col("sig")[b * rows_per_band + r] * (1 << r)
             for r in range(rows_per_band)
         )
-        part = base.select("doc", F.lit(b).alias("band"), key.alias("key"))
-        band_frames = part if band_frames is None else band_frames.unionByName(part)
-    x = band_frames.alias("x")
-    y = band_frames.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.doc") < F.col("y.doc")),
-        )
-        .select(F.col("x.doc").alias("vec_a"), F.col("y.doc").alias("vec_b"))
-        .distinct()
+        buckets.append(key + (b << rows_per_band))
+    banded = base.select(
+        "doc", "v", F.explode(F.array(*buckets)).alias("bucket")
     )
-    a = base.select(
-        F.col("doc").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    pairs = bucketed_threshold_pairs(
+        banded, "bucket", "doc", "v", threshold, sim_col="cosine_sim"
     )
-    b2 = base.select(
-        F.col("doc").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-    )
+    # A pair colliding in several bands is scored in each — same rounded
+    # cosine; max() collapses deterministically (groupBy, not DISTINCT,
+    # so a final-ulp rounding split between buckets cannot yield two rows)
     return (
-        cand.join(a, "vec_a")
-        .join(b2, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                dot_raw(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-            ).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= threshold)
+        pairs.groupBy(F.col("pa").alias("vec_a"), F.col("pb").alias("vec_b"))
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
     )
+
+
+def bucketed_threshold_pairs(
+    assigned: DataFrame,
+    bucket_col: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_to: int = 6,
+    sim_col: str | None = None,
+) -> DataFrame:
+    """All within-bucket pairs with cosine ≥ threshold, as ``(pa, pb)``
+    with ``pa < pb`` — the verification stage of bucketed near-dup
+    (SemDeDup's within-cluster pair scan).
+
+    Shape: ONE shuffle keyed by bucket (each row travels once), then the
+    whole bucket scores as a single BLAS gram matrix (``X·Xᵀ``) inside
+    ``applyInPandas``, emitting only the surviving pairs. The self-join
+    form this replaces shuffled each row once too, but then evaluated
+    every candidate pair's dot interpreted element-by-element and
+    materialized all n_b² join rows; here the n_b² work happens inside
+    one vectorized kernel and only survivors become rows. Memory per task
+    is O(n_b·dim + n_b²) — bounded because bucket size IS the design
+    knob (centroid count scales with the corpus; SURVEY §2.6).
+
+    Determinism: rows are sorted by id inside the bucket, pairs are upper-
+    triangle, cosines rounded to ``round_to`` before the threshold —
+    oracle-replayable. With ``sim_col`` the rounded cosine is emitted too
+    (identical for a pair regardless of which bucket scored it, so a
+    multi-band caller can ``distinct()`` the output)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    id_type = assigned.schema[id_col].dataType
+    fields = [T.StructField("pa", id_type), T.StructField("pb", id_type)]
+    if sim_col:
+        fields.append(T.StructField(sim_col, T.DoubleType()))
+    out_schema = T.StructType(fields)
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            empty = {"pa": [], "pb": []}
+            if sim_col:
+                empty[sim_col] = []
+            return pd.DataFrame(empty)
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((X * X).sum(axis=1))
+        S = np.round((X @ X.T) / np.outer(nrm, nrm), round_to)
+        iu, ju = np.triu_indices(n, k=1)
+        hit = S[iu, ju] >= threshold
+        out = {"pa": ids[iu[hit]], "pb": ids[ju[hit]]}
+        if sim_col:
+            out[sim_col] = S[iu[hit], ju[hit]]
+        return pd.DataFrame(out)
+
+    return assigned.groupBy(bucket_col).applyInPandas(pairs, schema=out_schema)
 
 
 def ivf_topk(

@@ -849,41 +849,23 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             S.norm(F.col("embedding")).alias("cent_norm"),
         )
     )
-    # map-side-collapsing argmax (S.nearest_assign): the ×k centroid
-    # fan-out collapses inside the scan stage, one row per vector comes
-    # out — no rank window over n×k scored rows. Materialized once: the
-    # bucketed SELF-join below consumes this twice. The embedding is
-    # double-cast HERE (once per row, inside the checkpoint) so the pair
-    # stage can use dot_raw — a per-PAIR dot over raw float arrays would
-    # re-cast 2×dim elements per candidate pair (float→double is exact;
-    # bit-identical, measured ~2× on the pair stage).
+    # Arrow-batch argmax assignment (S.nearest_assign): the codebook is
+    # metadata-sized, so bucketing is a pure map — no shuffle, one BLAS
+    # matmul per batch. The pair stage then shuffles each row ONCE (keyed
+    # by bucket) and scores the whole bucket as a single gram matrix,
+    # emitting only surviving pairs (S.bucketed_threshold_pairs) — the
+    # per-bucket-quadratic work runs inside a vectorized kernel instead
+    # of materializing n_b² join rows.
     assigned = S.nearest_assign(
         e.select("vec_id", S.as_double(F.col("embedding")).alias("embedding")),
         cent,
         "vec_id",
         "embedding",
         "bucket",
-        keep=("embedding", "_nrm"),
-    ).localCheckpoint(eager=False)
-    a = assigned.select(
-        F.col("vec_id").alias("pa"), F.col("embedding").alias("va"),
-        F.col("_nrm").alias("na"), "bucket",
+        keep=("embedding",),
     )
-    b = assigned.select(
-        F.col("vec_id").alias("pb"), F.col("embedding").alias("vb"),
-        F.col("_nrm").alias("nb"), "bucket",
-    )
-    pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("pa") < F.col("pb"))
-        .withColumn(
-            "csim",
-            F.round(
-                S.dot_raw(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-            ),
-        )
-        .filter(F.col("csim") >= SEM_THRESHOLD)
-        .select("pa", "pb")
+    pairs = S.bucketed_threshold_pairs(
+        assigned, "bucket", "vec_id", "embedding", SEM_THRESHOLD
     )
     cc = D.connected_components(pairs, "pa", "pb")
     return (
