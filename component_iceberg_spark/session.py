@@ -64,6 +64,16 @@ def get_spark(
         # loader down-convert to micros (matches DuckDB's ns→µs truncation).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # Opt-in Iceberg connector: point SPARK_GRAFT_ICEBERG_JAR at the
+    # iceberg-spark-runtime jar and the session starts connector-ready
+    # (spark.jars + SQL extensions are session-start-only confs, so they
+    # must land here, not in io.iceberg's runtime conf mapping).
+    iceberg_jar = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
+    if iceberg_jar:
+        builder = builder.config("spark.jars", iceberg_jar).config(
+            "spark.sql.extensions",
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
