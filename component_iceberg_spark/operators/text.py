@@ -249,3 +249,88 @@ def pack_offsets(
             "last_chunk"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking + model-based quality scoring (training prep)
+# ---------------------------------------------------------------------------
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    win: int,
+    stride: int,
+) -> DataFrame:
+    """Sliding context windows over the whitespace token stream: one row
+    per (doc, window) with the window's token count and rebuilt text —
+    the chunking stage in front of tokenize-and-pack for training.
+
+    Shape: tokenize once per row, generate the start offsets as ONE
+    ``sequence`` array and ``posexplode`` it — a pure projection +
+    generator, no shuffle, no per-window regex re-runs (the token array
+    is materialized in the projection and sliced per window). Fan-out is
+    ~n_tokens/stride rows per doc — linear in corpus token count at any
+    scale."""
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+    ).select(
+        id_col,
+        "_toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))
+        ).alias("chunk_idx", "_start"),
+    )
+    window = F.slice(F.col("_toks"), F.col("_start") + 1, win)
+    return base.select(
+        F.col(id_col),
+        "chunk_idx",
+        F.size(window).alias("n_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )
+
+
+# Fixed logistic-regression weights for the model-based quality filter —
+# the shape of a fastText/linear quality classifier with the training
+# done offline; scoring is a pure expression (w·x + sigmoid), so it
+# pipelines inside the scan at any scale. Feature order is part of the
+# contract (the oracle replays it verbatim).
+QUALITY_WEIGHTS = (
+    ("len_sat", 1.8),        # length saturation: min(n_tokens/64, 1)
+    ("punct_ratio", -2.2),   # punctuation density
+    ("stopword_ratio", 3.1), # function-word density (fluency proxy)
+    ("digit_ratio", -1.4),   # digit density (tables/boilerplate proxy)
+    ("mean_tok_len", -0.15), # very long mean tokens ≈ code/URLs
+)
+QUALITY_BIAS = -0.9
+
+
+def quality_features(text_col: str) -> dict[str, Column]:
+    """The engineered feature vector behind :func:`classifier_score`.
+    Single-pass regex counts + one tokenize — no Python, no shuffle."""
+    n_tokens = F.size(tokens(F.col(text_col)))
+    text_len = F.length(text_col)
+    return {
+        "len_sat": F.least(n_tokens / F.lit(64.0), F.lit(1.0)),
+        "punct_ratio": F.regexp_count(text_col, F.lit(r"[^A-Za-z0-9\s]"))
+        * 1.0 / text_len,
+        "stopword_ratio": F.regexp_count(
+            F.lower(text_col), F.lit(r"\b(the|and|is|of|to|a|in)\b")
+        ) * 1.0 / n_tokens,
+        "digit_ratio": F.regexp_count(text_col, F.lit(r"[0-9]")) * 1.0 / text_len,
+        "mean_tok_len": text_len * 1.0 / n_tokens,
+    }
+
+
+def classifier_score(text_col: str) -> Column:
+    """Logistic quality score in [0,1]: sigmoid(w·features + b), summed
+    in the fixed QUALITY_WEIGHTS order so the oracle's arithmetic is
+    order-identical."""
+    feats = quality_features(text_col)
+    z = F.lit(QUALITY_BIAS)
+    for name, weight in QUALITY_WEIGHTS:
+        z = z + feats[name] * F.lit(weight)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

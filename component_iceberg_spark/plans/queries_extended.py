@@ -877,3 +877,55 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("keep", F.col("cluster_id") == F.col("vec_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding pooling (r4): element-wise mean per group
+# ---------------------------------------------------------------------------
+
+_POOL_DIM = 64
+
+
+def _mean_pool_oracle() -> str:
+    avgs = [
+        f"round(avg(embedding[{i + 1}]), 6)" for i in range(_POOL_DIM)
+    ]
+    norm_sq = " + ".join(f"({a}) * ({a})" for a in avgs)
+    return f"""
+    SELECT label,
+           count(*) AS n_vectors,
+           {avgs[0]} AS c_first,
+           {avgs[_POOL_DIM // 2]} AS c_mid,
+           {avgs[-1]} AS c_last,
+           round(sqrt({norm_sq}), 6) AS pooled_norm
+    FROM embeddings
+    GROUP BY label
+    """
+
+
+@register(
+    "ext_embedding_mean_pool",
+    oracle=_mean_pool_oracle(),
+    tags=("ext", "similarity"),
+)
+def ext_embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean pooling of embeddings per group — the
+    chunk-embeddings→document-embedding (or cluster-centroid) reduction.
+    dim AVG expressions ride ONE hash aggregate (k×dim partials,
+    map-side combined — same shape as the k-means mean step), so pooling
+    a 100 TB corpus is a single shuffle of k×dim floats per partition.
+    Gate projection is scalar (first/mid/last dims + full-vector norm
+    over all rounded dims) because the driver hash compares scalars;
+    every dimension participates via the norm."""
+    e = load_table(spark, sf_dir, "embeddings")
+    avgs = [F.round(F.avg(F.col("embedding")[i]), 6) for i in range(_POOL_DIM)]
+    norm_sq = avgs[0] * avgs[0]
+    for a in avgs[1:]:
+        norm_sq = norm_sq + a * a
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        avgs[0].alias("c_first"),
+        avgs[_POOL_DIM // 2].alias("c_mid"),
+        avgs[-1].alias("c_last"),
+        F.round(F.sqrt(norm_sq), 6).alias("pooled_norm"),
+    )

@@ -508,3 +508,82 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dedup_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking + model-based quality filter (r4)
+# ---------------------------------------------------------------------------
+
+CHUNK_WIN, CHUNK_STRIDE = 32, 16
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    FROM documents
+), s AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS st
+    FROM t
+)
+SELECT doc_id,
+       CAST(st // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       len(toks[st + 1 : st + {CHUNK_WIN}]) AS n_tokens,
+       array_to_string(toks[st + 1 : st + {CHUNK_WIN}], ' ') AS chunk_text
+FROM s
+"""
+
+
+@register("text_chunk_windows", oracle=_CHUNK_ORACLE, tags=("ext", "text"))
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context windows (win=32 tokens, stride=16) over each
+    document — the chunking stage in front of tokenize-and-pack. One
+    tokenize per doc, one generator explode; fan-out is linear in corpus
+    token count (operators/text.chunk_windows)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = X.chunk_windows(d, "doc_id", "text", CHUNK_WIN, CHUNK_STRIDE)
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+def _classifier_oracle() -> str:
+    toks = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    feats = {
+        "len_sat": f"least({toks} / 64.0, 1.0)",
+        "punct_ratio":
+            r"len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0"
+            " / length(text)",
+        "stopword_ratio":
+            r"len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|a|in)\b'))"
+            f" * 1.0 / {toks}",
+        "digit_ratio": "len(regexp_extract_all(text, '[0-9]')) * 1.0"
+                       " / length(text)",
+        "mean_tok_len": f"length(text) * 1.0 / {toks}",
+    }
+    z = str(X.QUALITY_BIAS)
+    for name, w in X.QUALITY_WEIGHTS:
+        z += f" + ({feats[name]}) * {w}"
+    return f"""
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-({z}))), 6) AS quality_prob,
+           round(1.0 / (1.0 + exp(-({z}))), 6) >= 0.5 AS keep
+    FROM documents
+    """
+
+
+@register(
+    "text_quality_classifier", oracle=_classifier_oracle(), tags=("ext", "text")
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: logistic regression over engineered
+    text features (length saturation, punctuation/stopword/digit density,
+    mean token length) with fixed offline-trained weights — the
+    fastText-classifier shape of pipeline quality filtering, as a pure
+    expression (w·x + sigmoid pipelines inside the scan; the heuristic
+    twin is text_quality). The oracle replays feature extraction and the
+    weighted sum in the identical order."""
+    d = load_table(spark, sf_dir, "documents")
+    prob = F.round(X.classifier_score("text"), 6)
+    return d.select(
+        "doc_id",
+        prob.alias("quality_prob"),
+        (prob >= 0.5).alias("keep"),
+    )

@@ -70,12 +70,16 @@ _QUERY_MODULES = (
 #      last checked in round 1; round 5 takes the round-2 cohort, etc.).
 # Names here that don't exist are ignored (safe across refactors).
 _GATE_PRIORITY = (
-    # --- 1. never gate-checked (registered after the r3 window was spent)
+    # --- 1. never gate-checked (registered after the r3 window was spent,
+    #     plus the three r4 additions)
     "q2_min_cost_supplier",
     "q11_important_parts",
     "ext_cardinality_hll",
     "ext_quantile_kll",
     "ext_overlap_theta",
+    "text_chunk_windows",
+    "text_quality_classifier",
+    "ext_embedding_mean_pool",
     # --- 1. changed this round: new exact oracles (were no_oracle) and
     #     the upsert tie-break encoding change
     "stream_session_window",

@@ -213,3 +213,75 @@ def test_bucketed_table_reuse_across_queries(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
         spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+
+
+# ---------------------------------------------------------------------------
+# Global no-growing-broadcast invariant (generalizes the q5 pin): across all
+# 22 TPC-H shapes, no BroadcastExchange may feed from a RAW scan of a table
+# that grows with scale factor. A broadcast subtree that reads a growing
+# table is allowed ONLY when it aggregates first (scalar thresholds like
+# q15's max-revenue or q22's avg-acctbal broadcast a ~1-row aggregate —
+# bounded at any SF). Hinted bounded dims (nation: 25 rows, region: 5) are
+# always fine.
+
+_GROWING_TABLES = ("lineitem", "orders", "customer", "partsupp",
+                   "supplier", "part")
+_TPCH_QUERIES = sorted(n for n in REGISTRY if __import__("re").match(r"q\d+_", n))
+
+
+def _broadcast_subtrees(df):
+    """Physical-plan BroadcastExchange nodes (pre-AQE sparkPlan — the
+    static plan the code commits to), each rendered as its subtree
+    string."""
+    plan = df._jdf.queryExecution().sparkPlan()  # noqa: SLF001
+    out = []
+
+    def walk(node):
+        if "BroadcastExchange" in node.getClass().getSimpleName():
+            out.append(node.toString())
+        kids = node.children()
+        for i in range(kids.length()):
+            walk(kids.apply(i))
+
+    walk(plan)
+    return out
+
+
+def test_tpch_shapes_present():
+    assert len(_TPCH_QUERIES) == 22, _TPCH_QUERIES
+
+
+@__import__("pytest").mark.parametrize("name", _TPCH_QUERIES)
+def test_no_growing_table_static_broadcast(spark, sf_dir, name):
+    import re
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        for subtree in _broadcast_subtrees(df):
+            scanned = {
+                t for t in _GROWING_TABLES
+                if re.search(rf"[/\\]{t}\.parquet", subtree)
+            }
+            if not scanned:
+                continue  # bounded-dim or derived-only broadcast
+            assert "Aggregate" in subtree, (
+                f"{name}: BroadcastExchange feeds from a raw scan of "
+                f"growing table(s) {sorted(scanned)} — at 100 TB this "
+                f"side does not fit in memory:\n{subtree[:2000]}"
+            )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_gate_priority_names_all_registered():
+    """_GATE_PRIORITY tolerates unknown names at runtime (safe across
+    refactors), which means a typo silently drops a query from the gate
+    window head — catch that here instead."""
+    from component_iceberg_spark.plans.registry import _GATE_PRIORITY
+
+    unknown = [n for n in _GATE_PRIORITY if n not in REGISTRY]
+    assert not unknown, f"gate-priority names not in registry: {unknown}"
+    assert len(set(_GATE_PRIORITY)) == len(_GATE_PRIORITY), "duplicates"
