@@ -185,3 +185,111 @@ def test_connected_components_paths_agree(spark, monkeypatch):
         for r in dedup.connected_components(pairs).collect()
     }
     assert fast == slow == {(i, 10) for i in range(10, 17)} | {(99, 99), (100, 99)}
+
+
+# ---------------------------------------------------------------------------
+# BLAS kernel ↔ expression-path cross-validation (r4): the Arrow-batch
+# scorers must agree with independent expression-level computations of the
+# same math on randomized inputs — catches axis mixups, tie-break drift,
+# and rounding-mode divergence that fixture oracles might not exercise.
+# ---------------------------------------------------------------------------
+
+vec_lists = st.lists(
+    st.lists(
+        st.floats(-2, 2, allow_nan=False, allow_infinity=False, width=32),
+        min_size=8, max_size=8,
+    ),
+    min_size=2, max_size=24,
+)
+
+
+@pytest.mark.parametrize("hyp", [None])
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=vec_lists)
+def test_nearest_assign_matches_expression_argmax(spark, hyp, vecs):
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.operators import similarity as S
+
+    # skip degenerate zero vectors (cosine undefined)
+    vecs = [v for v in vecs if sum(x * x for x in v) > 1e-9]
+    if len(vecs) < 2:
+        return
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vid long, v array<float>"
+    )
+    cent = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs[:3])],
+        "cent_id long, cent_vec array<float>",
+    ).select(
+        "cent_id", "cent_vec", S.norm(F.col("cent_vec")).alias("cent_norm")
+    )
+    got = {
+        r["vid"]: r["b"]
+        for r in S.nearest_assign(df, cent, "vid", "v", "b").collect()
+    }
+    # independent expression-level argmax (the pre-r4 plan shape)
+    scored = df.withColumn("_n", S.norm(F.col("v"))).crossJoin(
+        F.broadcast(cent)
+    ).select(
+        "vid", "cent_id",
+        F.round(
+            S.dot(F.col("v"), F.col("cent_vec"))
+            / (F.col("_n") * F.col("cent_norm")), 6,
+        ).alias("csim"),
+    )
+    want = {
+        r["vid"]: r["cent_id"]
+        for r in scored.groupBy("vid").agg(
+            F.max(F.struct("csim", (-F.col("cent_id")).alias("_g"),
+                           "cent_id")).alias("m")
+        ).select("vid", F.col("m.cent_id").alias("cent_id")).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("hyp", [None])
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=vec_lists, threshold=st.sampled_from([0.2, 0.5, 0.9]))
+def test_bucketed_pairs_match_expression_join(spark, hyp, vecs, threshold):
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.operators import similarity as S
+
+    vecs = [v for v in vecs if sum(x * x for x in v) > 1e-9]
+    if len(vecs) < 2:
+        return
+    df = spark.createDataFrame(
+        [(i, i % 2, v) for i, v in enumerate(vecs)],
+        "vid long, bucket int, v array<double>",
+    )
+    got = {
+        (r["pa"], r["pb"])
+        for r in S.bucketed_threshold_pairs(
+            df, "bucket", "vid", "v", threshold
+        ).collect()
+    }
+    a = df.select(F.col("vid").alias("pa"), F.col("v").alias("va"),
+                  S.norm(F.col("va")).alias("na"), "bucket")
+    b = df.select(F.col("vid").alias("pb"), F.col("v").alias("vb"),
+                  S.norm(F.col("vb")).alias("nb"), "bucket")
+    want = {
+        (r["pa"], r["pb"])
+        for r in a.join(b, "bucket")
+        .filter(F.col("pa") < F.col("pb"))
+        .withColumn("c", F.round(
+            S.dot_raw(F.col("va"), F.col("vb"))
+            / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("c") >= threshold)
+        .select("pa", "pb")
+        .collect()
+    }
+    assert got == want
