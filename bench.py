@@ -104,8 +104,16 @@ def ensure_sf1(spark) -> None:
     import numpy as np
 
     marker = os.path.join(SF1_DIR, "_DONE")
-    FIXTURE_VERSION = "v2-permute"
-    if os.path.exists(marker) and open(marker).read().strip() == FIXTURE_VERSION:
+    # marker carries source fingerprints: the sf1 fixture regenerates when
+    # the driver rewrites the sf0.1 tables (content change at same path)
+    def _fp(t):
+        st = os.stat(os.path.join(SF_DIR, f"{t}.parquet"))
+        return f"{t}={st.st_size}:{st.st_mtime_ns}"
+
+    stamp = "v2-permute|" + "|".join(
+        _fp(t) for t in ("embeddings", "events", "orders")
+    )
+    if os.path.exists(marker) and open(marker).read().strip() == stamp:
         return
     shutil.rmtree(SF1_DIR, ignore_errors=True)
     os.makedirs(SF1_DIR, exist_ok=True)
@@ -176,7 +184,7 @@ def ensure_sf1(spark) -> None:
     )
 
     with open(marker, "w") as f:
-        f.write(FIXTURE_VERSION)
+        f.write(stamp)
 
 
 def main() -> None:

@@ -24,15 +24,42 @@ from component_iceberg_spark.streaming import events as SE
 SCRATCH_ROOT = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/cis_scratch")
 
 
+def _src_fingerprint(path: str) -> str:
+    st = os.stat(path)
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
+def _fresh_stage(stage_dir: str, src: str) -> bool:
+    """True when ``stage_dir`` was built from the CURRENT source file.
+
+    Scratch persists across runs while the fixture may be regenerated
+    with different content at the same path — an existence-only check
+    would then silently stream stale data (and the correctness gate
+    would blame the streaming operators). A sidecar records the source's
+    (size, mtime) at stage time."""
+    marker = os.path.join(stage_dir, "_SRC")
+    return (
+        os.path.exists(marker)
+        and open(marker).read().strip() == _src_fingerprint(src)
+    )
+
+
+def _mark_stage(stage_dir: str, src: str) -> None:
+    with open(os.path.join(stage_dir, "_SRC"), "w") as f:
+        f.write(_src_fingerprint(src))
+
+
 def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage the single-file fixture into a directory: the file stream
     # source expects a directory basePath (stateful queries enforce it).
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     d = os.path.join(SCRATCH_ROOT, tag, "events_stream_src")
-    os.makedirs(d, exist_ok=True)
-    dst = os.path.join(d, "events.parquet")
-    if not os.path.exists(dst):
-        shutil.copyfile(table_path(sf_dir, "events"), dst)
+    src = table_path(sf_dir, "events")
+    if not _fresh_stage(d, src):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        shutil.copyfile(src, os.path.join(d, "events.parquet"))
+        _mark_stage(d, src)
     return SE.read_events_stream(spark, d)
 
 
@@ -124,9 +151,8 @@ def _stream_with_flush_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     d = os.path.join(SCRATCH_ROOT, tag, "events_stream_flush")
-    if not os.path.isdir(d) or not any(
-        f.endswith(".parquet") for f in os.listdir(d)
-    ):
+    src = table_path(sf_dir, "events")
+    if not _fresh_stage(d, src):
         ev = load_table(spark, sf_dir, "events")
         sentinel = (
             ev.select(F.max("ts").alias("mx"))
@@ -141,6 +167,7 @@ def _stream_with_flush_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # any extra fixture columns (e.g. props) null-fill on the sentinel
         staged = ev.unionByName(sentinel, allowMissingColumns=True)
         staged.coalesce(1).write.mode("overwrite").parquet(d)
+        _mark_stage(d, src)  # AFTER the write (overwrite clears the dir)
     return SE.read_events_stream(spark, d)
 
 
@@ -212,11 +239,13 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     d = os.path.join(SCRATCH_ROOT, tag, "events_stream_dup")
-    os.makedirs(d, exist_ok=True)
-    for copy in ("a", "b"):
-        dst = os.path.join(d, f"events_{copy}.parquet")
-        if not os.path.exists(dst):
-            shutil.copyfile(table_path(sf_dir, "events"), dst)
+    src = table_path(sf_dir, "events")
+    if not _fresh_stage(d, src):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        for copy in ("a", "b"):
+            shutil.copyfile(src, os.path.join(d, f"events_{copy}.parquet"))
+        _mark_stage(d, src)
     ev = SE.read_events_stream(spark, d)
     deduped = (
         ev.withWatermark("ts", "10 minutes")

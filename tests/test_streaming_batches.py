@@ -95,3 +95,31 @@ def test_multibatch_upsert_one_snapshot_per_batch(spark, sf_dir, tmp_path):
     snaps = cat.snapshots(spark, "ns", "events").collect()
     assert len(snaps) == 4, f"expected one commit per micro-batch, got {len(snaps)}"
     assert cat.read(spark, "ns", "events").count() == ev.count()
+
+
+def test_stage_freshness_tracks_source_changes(tmp_path):
+    """Scratch staging must invalidate when the fixture file is
+    regenerated with different content at the same path (existence-only
+    checks stream stale data after a driver fixture rebuild)."""
+    import os
+    import time
+
+    from component_iceberg_spark.plans.queries_streaming import (
+        _fresh_stage,
+        _mark_stage,
+    )
+
+    src = tmp_path / "events.parquet"
+    src.write_bytes(b"v1-bytes")
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    assert not _fresh_stage(str(stage), str(src))  # never staged
+    _mark_stage(str(stage), str(src))
+    assert _fresh_stage(str(stage), str(src))      # staged and current
+    time.sleep(0.01)
+    src.write_bytes(b"v2-bytes!")                  # same path, new content
+    assert not _fresh_stage(str(stage), str(src))  # stale detected
+    _mark_stage(str(stage), str(src))
+    assert _fresh_stage(str(stage), str(src))
+    os.utime(src)                                  # touch: mtime-only change
+    assert not _fresh_stage(str(stage), str(src))  # conservative restage
