@@ -72,15 +72,20 @@ HEADLINE = (
     "dedup_semantic",
 )
 
-# The 5 historically most expensive headline queries — the sf1 section
-# re-runs exactly these to evidence the scaling shape (LSH candidate
-# volume, CC rounds, IVF probe cost, streaming state, compaction I/O).
+# The 5 historically most expensive headline queries plus the dedup/text
+# family — the sf1 section re-runs these to evidence the scaling shape
+# (LSH candidate volume, CC rounds, IVF probe cost, streaming state,
+# compaction I/O, shingle/shuffle volume).
 SCALE_QUERIES = (
     "dedup_semantic",
     "sim_ann_hyperplane",
     "stream_window_counts",
     "sim_ann_ivf",
     "snap_compact",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "text_span_dedup",
 )
 
 
@@ -110,8 +115,8 @@ def ensure_sf1(spark) -> None:
         st = os.stat(os.path.join(SF_DIR, f"{t}.parquet"))
         return f"{t}={st.st_size}:{st.st_mtime_ns}"
 
-    stamp = "v2-permute|" + "|".join(
-        _fp(t) for t in ("embeddings", "events", "orders")
+    stamp = "v3-docs|" + "|".join(
+        _fp(t) for t in ("embeddings", "events", "orders", "documents")
     )
     if os.path.exists(marker) and open(marker).read().strip() == stamp:
         return
@@ -171,6 +176,39 @@ def ensure_sf1(spark) -> None:
         os.path.join(SF1_DIR, "events.parquet"),
     )
 
+    # documents: within-replica dup/near-dup structure is preserved EXACTLY
+    # (every doc in a replica undergoes the identical transformation);
+    # cross-replica near-dup relations are broken by interleaving a
+    # replica tag token every 4 tokens — ~3/4 of all 3-gram shingles then
+    # contain a tag position, pushing cross-replica Jaccard of same-base
+    # copies far below the 0.8 threshold (constant pair density at 10×).
+    def docs(base, r):
+        if r == 0:
+            return base
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        chunks = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 1, F.lit(4)),
+            lambda s: F.array_join(F.slice(toks, s + 1, 4), " "),
+        )
+        txt = F.array_join(chunks, f" zzrep{r} ")
+        rest = [
+            c for c in base.columns if c not in ("doc_id", "text", "n_chars")
+        ]
+        return base.select(
+            (F.col("doc_id") + r * 10**9).alias("doc_id"),
+            txt.alias("text"),
+            *rest,
+            F.length(txt).alias("n_chars"),
+        )
+
+    replicate("documents", docs).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "_tmp_documents")
+    )
+    _single_file(
+        os.path.join(SF1_DIR, "_tmp_documents"),
+        os.path.join(SF1_DIR, "documents.parquet"),
+    )
+
     def orders(base, r):
         cols = [
             (F.col("o_orderkey") + r * 10**9).alias("o_orderkey"),
@@ -225,15 +263,28 @@ def main() -> None:
         gen_sec = round(time.perf_counter() - t0, 3)
         # warm the page cache + Python workers on the sf1 fixture so the
         # first timed query measures its plan, not first-touch I/O
-        for t in ("embeddings", "events", "orders"):
+        for t in ("embeddings", "events", "orders", "documents"):
             force(spark.read.parquet(os.path.join(SF1_DIR, f"{t}.parquet")))
+        # best-of-2, mirroring the sf0.1 methodology: the sf0.1 numbers
+        # are warm-session minimums (and dedup_minhash_lsh's reads the
+        # session pair cache by design), so a single COLD sf1 run would
+        # compare a cache read against a full build and report a fake
+        # 100×+ "blowup" that is really first-materialization cost.
         sf1_timings: dict[str, float] = {}
+        sf1_cold: dict[str, float] = {}
         for name in SCALE_QUERIES:
-            t0 = time.perf_counter()
-            force(registry[name].fn(spark, SF1_DIR))
-            sf1_timings[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for i in range(2):
+                t0 = time.perf_counter()
+                force(registry[name].fn(spark, SF1_DIR))
+                took = time.perf_counter() - t0
+                if i == 0:
+                    sf1_cold[name] = round(took, 3)
+                best = min(best, took)
+            sf1_timings[name] = round(best, 3)
         result["sf1"] = {
             "queries": sf1_timings,
+            "first_run": sf1_cold,
             "gen_sec": gen_sec,
             "replicas": SF1_REPLICAS,
             "ratio_vs_sf0.1": {
@@ -243,7 +294,8 @@ def main() -> None:
             },
             "note": (
                 "10x replication at constant cluster/duplicate density; "
-                "single cold run per query (no best-of-N)"
+                "best-of-2 per query (same warm-session methodology as "
+                "the sf0.1 column); first_run records the cold pass"
             ),
         }
 
