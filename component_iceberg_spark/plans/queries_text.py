@@ -544,7 +544,10 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
 
 
-def _classifier_oracle() -> str:
+def _classifier_prob_sql() -> str:
+    """SQL text of the rounded logistic quality probability — shared by
+    the classifier oracle and the pretrain-prep pipeline oracle so the
+    two can never drift."""
     toks = "len(regexp_split_to_array(trim(text), '\\s+'))"
     feats = {
         "len_sat": f"least({toks} / 64.0, 1.0)",
@@ -561,10 +564,15 @@ def _classifier_oracle() -> str:
     z = str(X.QUALITY_BIAS)
     for name, w in X.QUALITY_WEIGHTS:
         z += f" + ({feats[name]}) * {w}"
+    return f"round(1.0 / (1.0 + exp(-({z}))), 6)"
+
+
+def _classifier_oracle() -> str:
+    prob = _classifier_prob_sql()
     return f"""
     SELECT doc_id,
-           round(1.0 / (1.0 + exp(-({z}))), 6) AS quality_prob,
-           round(1.0 / (1.0 + exp(-({z}))), 6) >= 0.5 AS keep
+           {prob} AS quality_prob,
+           {prob} >= 0.5 AS keep
     FROM documents
     """
 
@@ -586,4 +594,85 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         prob.alias("quality_prob"),
         (prob >= 0.5).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pretraining prep (r4): classifier filter → exact-dedup
+# survivors → non-overlapping chunking → per-source corpus stats
+# ---------------------------------------------------------------------------
+
+PACK_WIN = 32
+
+
+def _pretrain_prep_oracle() -> str:
+    prob = _classifier_prob_sql()
+    return f"""
+    WITH kept AS (
+        SELECT doc_id, text, source FROM documents WHERE {prob} >= 0.5
+    ), surv AS (
+        SELECT doc_id, text, source FROM (
+            SELECT doc_id, text, source,
+                   row_number() OVER (
+                       PARTITION BY md5(trim(regexp_replace(regexp_replace(
+                           lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                           '\\s+', ' ', 'g')))
+                       ORDER BY doc_id
+                   ) AS rn
+            FROM kept
+        ) WHERE rn = 1
+    ), t AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM surv
+    ), c AS (
+        SELECT doc_id, source, toks,
+               unnest(generate_series(0, len(toks) - 1, {PACK_WIN})) AS st
+        FROM t
+    )
+    SELECT source,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_chunks,
+           sum(len(toks[st + 1 : st + {PACK_WIN}])) AS total_tokens
+    FROM c
+    GROUP BY source
+    """
+
+
+@register(
+    "pipeline_pretrain_prep",
+    oracle=_pretrain_prep_oracle(),
+    tags=("ext", "pipeline", "text"),
+)
+def pipeline_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r4 ops composed into one pretraining-prep pipeline: logistic
+    quality filter → exact dedup (min-id survivor per normalized
+    fingerprint) → non-overlapping 32-token chunking → per-source corpus
+    stats. Everything is one lazy plan: the filter and fingerprint
+    pipeline inside the scan, dedup is one keyed window, the chunk
+    explode is linear in surviving tokens, and the final rollup is a
+    map-side-combined aggregate — at 100 TB the only shuffles are the
+    fingerprint window and the tiny per-source aggregate. The oracle
+    recomposes the classifier, fingerprint and chunk SQL from the same
+    shared builders, so the stages cannot drift apart."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    prob = F.round(X.classifier_score("text"), 6)
+    kept = d.select("doc_id", "text", "source").filter(prob >= 0.5)
+    w = Window.partitionBy(X.fingerprint(F.col("text"))).orderBy("doc_id")
+    surv = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    chunks = X.chunk_windows(surv, "doc_id", "text", PACK_WIN, PACK_WIN)
+    return (
+        chunks.join(surv.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
     )

@@ -80,6 +80,7 @@ _GATE_PRIORITY = (
     "text_chunk_windows",
     "text_quality_classifier",
     "ext_embedding_mean_pool",
+    "pipeline_pretrain_prep",
     # --- 1. changed this round: new exact oracles (were no_oracle) and
     #     the upsert tie-break encoding change
     "stream_session_window",
