@@ -262,6 +262,7 @@ def chunk_windows(
     text_col: str,
     win: int,
     stride: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sliding context windows over the whitespace token stream: one row
     per (doc, window) with the window's token count and rebuilt text —
@@ -272,13 +273,18 @@ def chunk_windows(
     generator, no shuffle, no per-window regex re-runs (the token array
     is materialized in the projection and sliced per window). Fan-out is
     ~n_tokens/stride rows per doc — linear in corpus token count at any
-    scale."""
+    scale. ``carry`` columns ride along per chunk row, so downstream
+    per-chunk grouping needs no join back to the document table (a join
+    would add a second branch over the — possibly expensive — upstream
+    plan; Spark does not always reuse that exchange)."""
     toks = tokens(F.col(text_col))
     base = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         toks.alias("_toks"),
     ).select(
         id_col,
+        *carry,
         "_toks",
         F.posexplode(
             F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))
@@ -287,6 +293,7 @@ def chunk_windows(
     window = F.slice(F.col("_toks"), F.col("_start") + 1, win)
     return base.select(
         F.col(id_col),
+        *carry,
         "chunk_idx",
         F.size(window).alias("n_tokens"),
         F.array_join(window, " ").alias("chunk_text"),

@@ -666,13 +666,11 @@ def pipeline_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    chunks = X.chunk_windows(surv, "doc_id", "text", PACK_WIN, PACK_WIN)
-    return (
-        chunks.join(surv.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count_distinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum("n_tokens").alias("total_tokens"),
-        )
+    chunks = X.chunk_windows(
+        surv, "doc_id", "text", PACK_WIN, PACK_WIN, carry=("source",)
+    )
+    return chunks.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("total_tokens"),
     )
