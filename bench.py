@@ -86,6 +86,8 @@ SCALE_QUERIES = (
     "dedup_minhash_lsh",
     "dedup_clusters",
     "text_span_dedup",
+    "q3_shipping_priority",
+    "q21_waiting_supplier",
 )
 
 
@@ -115,8 +117,12 @@ def ensure_sf1(spark) -> None:
         st = os.stat(os.path.join(SF_DIR, f"{t}.parquet"))
         return f"{t}={st.st_size}:{st.st_mtime_ns}"
 
-    stamp = "v3-docs|" + "|".join(
-        _fp(t) for t in ("embeddings", "events", "orders", "documents")
+    stamp = "v4-tpch|" + "|".join(
+        _fp(t)
+        for t in (
+            "embeddings", "events", "orders", "documents",
+            "lineitem", "customer", "supplier", "nation",
+        )
     )
     if os.path.exists(marker) and open(marker).read().strip() == stamp:
         return
@@ -209,17 +215,38 @@ def ensure_sf1(spark) -> None:
         os.path.join(SF1_DIR, "documents.parquet"),
     )
 
-    def orders(base, r):
-        cols = [
-            (F.col("o_orderkey") + r * 10**9).alias("o_orderkey"),
-            (F.col("o_custkey") + r * 10**6).alias("o_custkey"),
-        ]
-        rest = [c for c in base.columns if c not in ("o_orderkey", "o_custkey")]
-        return base.select(*cols, *rest)
+    # TPC-H relational tables: each replica is a self-contained
+    # sub-database — every foreign key gets the same per-replica offset
+    # as the primary key it references, so replica-r orders join only
+    # replica-r lineitems/customers (join cardinality scales linearly,
+    # never cross-replica). nation/region are bounded dims: copied as-is
+    # and shared by all replicas (exactly how a 100 TB fact table shares
+    # its dimension tables).
+    _KEY_OFFSETS = {
+        "o_orderkey": 10**9, "o_custkey": 10**6,
+        "l_orderkey": 10**9, "l_suppkey": 10**6, "l_partkey": 10**6,
+        "c_custkey": 10**6,
+        "s_suppkey": 10**6,
+    }
 
-    replicate("orders", orders).coalesce(4).write.mode("overwrite").parquet(
-        os.path.join(SF1_DIR, "orders.parquet")
-    )
+    def keyed(base, r):
+        return base.select(
+            *[
+                (F.col(c) + r * _KEY_OFFSETS[c]).alias(c)
+                if c in _KEY_OFFSETS else F.col(c)
+                for c in base.columns
+            ]
+        )
+
+    for table, parts in (
+        ("orders", 4), ("lineitem", 8), ("customer", 2), ("supplier", 1),
+    ):
+        replicate(table, keyed).coalesce(parts).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(SF1_DIR, f"{table}.parquet"))
+    spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(SF1_DIR, "nation.parquet"))
 
     with open(marker, "w") as f:
         f.write(stamp)
@@ -263,7 +290,10 @@ def main() -> None:
         gen_sec = round(time.perf_counter() - t0, 3)
         # warm the page cache + Python workers on the sf1 fixture so the
         # first timed query measures its plan, not first-touch I/O
-        for t in ("embeddings", "events", "orders", "documents"):
+        for t in (
+            "embeddings", "events", "orders", "documents",
+            "lineitem", "customer", "supplier", "nation",
+        ):
             force(spark.read.parquet(os.path.join(SF1_DIR, f"{t}.parquet")))
         # best-of-2, mirroring the sf0.1 methodology: the sf0.1 numbers
         # are warm-session minimums (and dedup_minhash_lsh's reads the
