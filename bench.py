@@ -88,6 +88,9 @@ SCALE_QUERIES = (
     "text_span_dedup",
     "q3_shipping_priority",
     "q21_waiting_supplier",
+    "upsert_by_key",
+    "dedup_last_wins",
+    "ext_sessionize",
 )
 
 

@@ -285,3 +285,27 @@ def test_gate_priority_names_all_registered():
     unknown = [n for n in _GATE_PRIORITY if n not in REGISTRY]
     assert not unknown, f"gate-priority names not in registry: {unknown}"
     assert len(set(_GATE_PRIORITY)) == len(_GATE_PRIORITY), "duplicates"
+
+
+def test_no_antipatterns_any_query(spark, sf_dir):
+    """Global anti-pattern net across the whole registry: no query may
+    plan a row-at-a-time Python UDF (BatchEvalPython — only Arrow-batched
+    Python is allowed) or a non-broadcast cartesian product. One sweep at
+    the smallest fixture; streaming queries are skipped (their returned
+    frame is a materialized sink scan, not the streaming plan)."""
+    bad: dict[str, list[str]] = {}
+    for name, q in REGISTRY.items():
+        if "streaming" in q.tags:
+            continue
+        try:
+            df = q.fn(spark, sf_dir)
+            p = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as e:  # noqa: BLE001 — attribute, don't mask
+            bad.setdefault(name, []).append(f"plan build failed: {e}")
+            continue
+        for pattern in ("BatchEvalPython", "CartesianProduct"):
+            if pattern in p:
+                bad.setdefault(name, []).append(pattern)
+    assert not bad, f"anti-patterns found: {bad}"
