@@ -674,3 +674,96 @@ def pipeline_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical search (r4): the lexical half of hybrid retrieval
+# ---------------------------------------------------------------------------
+
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_TERMS = ("merge", "scan", "window")
+BM25_TOPK = 20
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    score = " + ".join(
+        f"ln(1.0 + (n - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * (tf_{t} * ({BM25_K1} + 1.0))"
+        f" / (tf_{t} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl * n / tdl))"
+        for t in BM25_TERMS
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ), d AS (
+        SELECT doc_id, len(toks) * 1.0 AS dl, {tf_cols} FROM t
+    ), s AS (
+        SELECT count(*) * 1.0 AS n, sum(dl) AS tdl, {df_cols} FROM d
+    )
+    SELECT doc_id, round({score}, 6) AS bm25
+    FROM d, s
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """
+
+
+@register("text_bm25_topk", oracle=_bm25_oracle(), tags=("ext", "text", "search"))
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-k for a fixed term set — the lexical half of
+    hybrid retrieval beside the embedding ANN family. Shape built for
+    scale: term frequencies come from per-row ARRAY filters (no token
+    explode, no shuffle), the corpus statistics (N, total length, per-
+    term document frequencies) collapse to ONE broadcast row, scoring is
+    a pure projection, and the top-k is TakeOrderedAndProject — so the
+    whole query is one scan + a scalar aggregate + a bounded take at any
+    corpus size. Ties at the k boundary break on doc_id, making the
+    result set deterministic; ln/arithmetic order is pinned to match the
+    oracle exactly (round 6)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.lower(F.col("text")))
+
+    def _tf(term):
+        # factory, not a default-arg lambda: a 2-parameter lambda would be
+        # interpreted by F.filter as (element, index)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    per_doc = d.select(
+        "doc_id",
+        (F.size(toks) * 1.0).alias("dl"),
+        *[_tf(t).alias(f"tf_{t}") for t in BM25_TERMS],
+    )
+    stats = per_doc.agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        F.sum("dl").alias("tdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("int")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    score = None
+    for t in BM25_TERMS:
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        )
+        part = idf * (F.col(f"tf_{t}") * (BM25_K1 + 1.0)) / (
+            F.col(f"tf_{t}")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") * F.col("n") / F.col("tdl"))
+        )
+        score = part if score is None else score + part
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )

@@ -81,6 +81,7 @@ _GATE_PRIORITY = (
     "text_quality_classifier",
     "ext_embedding_mean_pool",
     "pipeline_pretrain_prep",
+    "text_bm25_topk",
     # --- 1. changed this round: new exact oracles (were no_oracle) and
     #     the upsert tie-break encoding change
     "stream_session_window",
