@@ -332,7 +332,17 @@ def main() -> None:
             ),
         }
 
-    print(json.dumps(result))
+    blob = json.dumps(result)
+    # Durable copy: the driver captures stdout, which has been observed
+    # truncated (BENCH_r04.json "parsed": null lost q1/q3/q5 and the
+    # headline total). A file in the repo survives regardless.
+    local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    try:
+        with open(local, "w") as fh:
+            fh.write(blob + "\n")
+    except OSError:
+        pass
+    print(blob)
 
 
 if __name__ == "__main__":

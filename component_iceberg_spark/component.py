@@ -265,6 +265,13 @@ _PREVIEW_BANNED = re.compile(
     r"Load|Write|AddArtifact|Call"
 )
 
+# Expression-level escape hatches: these FUNCTIONS parse as a plain
+# Project yet reach out of the query sandbox — `java_method`/`reflect`
+# invoke arbitrary static JVM methods (System.exit kills the driver,
+# System.getenv reads secrets). Matched against UnresolvedFunction names
+# in the parsed expression trees, case-insensitively.
+_PREVIEW_BANNED_FUNCS = frozenset({"reflect", "java_method"})
+
 
 def _run_readonly_query(
     spark: SparkSession, query: str, allowed_views: set[str], limit: int
@@ -290,6 +297,29 @@ def _run_readonly_query(
     node_classes: list[str] = []
     relations: list[str] = []
     ctes: list[str] = []
+    banned_funcs: list[str] = []
+
+    def _walk_expr(expr) -> None:
+        cls = expr.getClass().getSimpleName()
+        if cls == "UnresolvedFunction":
+            try:  # Spark 3.2+ keeps the raw name as nameParts: Seq[String]
+                parts = expr.nameParts()
+                fname = parts.apply(parts.length() - 1)
+            except Exception:  # older API: FunctionIdentifier
+                fname = expr.name().funcName()
+            if fname.lower() in _PREVIEW_BANNED_FUNCS:
+                banned_funcs.append(fname)
+        # Subquery expressions (scalar subquery, IN/EXISTS, lateral) carry
+        # whole query plans INSIDE the expression tree — walk those plans
+        # with the full validator, or a banned relation/function could
+        # hide in `(SELECT java_method(...) FROM t)`.
+        try:
+            _walk(expr.plan())
+        except Exception:
+            pass  # not a subquery expression
+        kids = expr.children()
+        for i in range(kids.length()):
+            _walk_expr(kids.apply(i))
 
     def _walk(node) -> None:
         cls = node.getClass().getSimpleName()
@@ -299,12 +329,24 @@ def _run_readonly_query(
             relations.append(
                 ".".join(ident.apply(i) for i in range(ident.length()))
             )
+        if cls == "UnresolvedTableValuedFunction":
+            # range()/explode()-style TVFs never name the allowed view, and
+            # future TVFs could read external paths — reject wholesale.
+            node_classes.append("Command")  # reuse the banned-class path
         if cls == "UnresolvedWith":  # CTE definitions: (name, subplan)
             rels = node.cteRelations()
             for i in range(rels.length()):
                 ctes.append(rels.apply(i)._1())
+        # expression trees hang off every plan node: filters, projections,
+        # aggregates — where UnresolvedFunction and subqueries live
+        try:
+            exprs = node.expressions()
+            for i in range(exprs.length()):
+                _walk_expr(exprs.apply(i))
+        except Exception:
+            pass
         # children() covers query subtrees; subquery *expressions* hold
-        # their plans in expression trees — enumerate them too.
+        # their plans in expression trees — enumerated above.
         kids = node.children()
         for i in range(kids.length()):
             _walk(kids.apply(i))
@@ -329,6 +371,10 @@ def _run_readonly_query(
             raise UserConfigError(
                 f"preview accepts a single SELECT query only (got {cls})"
             )
+    if banned_funcs:
+        raise UserConfigError(
+            f"preview rejects JVM-reflection functions: {sorted(set(banned_funcs))}"
+        )
     allowed = {v.lower() for v in allowed_views} | {c.lower() for c in ctes}
     for name in relations:
         if name.lower() not in allowed:
@@ -337,4 +383,6 @@ def _run_readonly_query(
                 f"got {name!r}"
             )
     q = query.rstrip().rstrip(";")
-    return spark.sql(f"SELECT * FROM ({q}) __preview LIMIT {int(limit)}")
+    # newline before the closing paren: a query ending in a `-- comment`
+    # must not swallow the wrapper's `) __preview LIMIT n`
+    return spark.sql(f"SELECT * FROM ({q}\n) __preview LIMIT {int(limit)}")

@@ -134,6 +134,28 @@ def dir_column_stats(path: str) -> dict[str, list]:
     return stats
 
 
+def _merge_dir_stats(per_dir: list[dict | None]) -> dict | None:
+    """Merge per-directory [min, max] column stats for manifest
+    compaction: min-of-mins / max-of-maxs over columns present in EVERY
+    input. A column missing somewhere (schema evolution, no-stats files)
+    is dropped — absent stats only disable pruning, never correctness
+    (NULL rows from pre-evolution dirs can't match a range predicate
+    anyway). Returns None when any input dir carries no stats at all."""
+    if any(s is None or not s for s in per_dir):
+        return None
+    common = set.intersection(*(set(s) for s in per_dir))
+    merged: dict[str, list] = {}
+    for col in common:
+        try:
+            merged[col] = [
+                min(s[col][0] for s in per_dir),
+                max(s[col][1] for s in per_dir),
+            ]
+        except TypeError:  # mixed jsonable types: no pruning for this col
+            continue
+    return merged
+
+
 def simple_conjuncts(predicate: str) -> list[tuple[str, str, object]]:
     """Best-effort decomposition of ``a AND b AND …`` into
     ``(column, op, literal)`` tuples for stats pruning. Returns ``[]``
@@ -386,6 +408,106 @@ class SnapCatalog:
             namespace, table, df, operation="compact", carry=False,
             base_sid=base, inherit_spec=True, clear_deletes=True,
         )
+
+    def compact_manifests(self, namespace: str, table: str) -> int:
+        """Manifest compaction (Iceberg ``rewrite_manifests`` analogue):
+        fold the current snapshot's many data-directory entries into one
+        consolidated directory of HARD LINKS — a pure metadata rewrite.
+        No data file is read, decoded, or copied; no Spark job runs.
+
+        This is the cure for the many-tiny-commits pathology the
+        reference's per-batch commit loop produces (one commit per 5M-row
+        client batch, ``wr-iceberg/src/component.py:97-110``): after k
+        batches every scan plans k directory listings and every commit
+        carries k manifest entries. ``compact()`` fixes that by REWRITING
+        data (useful when the files themselves are small);
+        ``compact_manifests`` fixes the metadata half for free when the
+        files are fine and only the entry count is the problem.
+
+        Semantics preserved:
+        - prior snapshots still reference the original directories
+          (time travel intact; hard links mean later GC of either side is
+          safe — the inode survives until both are gone),
+        - per-dir column stats and row counts are MERGED from the parent
+          manifest (min-of-mins / max-of-maxs / sum), so stats pruning and
+          metadata-only ``row_count`` keep working without a scan,
+        - pending equality deletes: directories are grouped by their
+          applicable delete-entry signature and folded PER GROUP, so a
+          delete registered before a later append still applies to exactly
+          the rows it did before (folding across that boundary would wrongly
+          delete the newer rows); entries are remapped to the folded names.
+        """
+        base = self._current_sid(namespace, table)
+        manifest = self._manifest(namespace, table, base)
+        files = manifest["files"]
+        deletes = manifest.get("deletes", [])
+        groups: dict[frozenset, list[str]] = {}
+        for d in files:
+            sig = frozenset(
+                i for i, e in enumerate(deletes) if d in e["applies_to"]
+            )
+            groups.setdefault(sig, []).append(d)
+        if len(groups) >= len(files):
+            return base  # already one entry per delete-signature: no-op
+        data_root = self._tbl(namespace, table, "data")
+        parent_stats = manifest.get("dir_stats", {})
+        parent_rows = manifest.get("dir_rows", {})
+        new_files: list[str] = []
+        sig_to_dir: dict[frozenset, str] = {}
+        extra_stats: dict[str, dict] = {}
+        extra_rows: dict[str, int] = {}
+        linked_dirs: list[str] = []
+        for sig, dirs in sorted(groups.items(), key=lambda kv: sorted(kv[1])):
+            if len(dirs) == 1:
+                sig_to_dir[sig] = dirs[0]
+                new_files.append(dirs[0])
+                continue
+            nd = f"manifest-{uuid.uuid4().hex[:12]}"
+            out = os.path.join(data_root, nd)
+            for d in dirs:
+                src_root = os.path.join(data_root, d)
+                for rootdir, _subdirs, fns in os.walk(src_root):
+                    rel = os.path.relpath(rootdir, src_root)
+                    for fn in fns:
+                        if fn.startswith((".", "_")):
+                            continue  # _SUCCESS / .crc sidecars
+                        dst_dir = (
+                            out if rel == "." else os.path.join(out, rel)
+                        )
+                        os.makedirs(dst_dir, exist_ok=True)
+                        # source-dir prefix keeps basenames collision-free
+                        # (two commits can share a hive partition subdir)
+                        dst = os.path.join(dst_dir, f"{d}__{fn}")
+                        src = os.path.join(rootdir, fn)
+                        try:
+                            os.link(src, dst)
+                        except OSError:  # FS without hard links
+                            shutil.copy2(src, dst)
+            linked_dirs.append(out)
+            sig_to_dir[sig] = nd
+            new_files.append(nd)
+            merged = _merge_dir_stats([parent_stats.get(d) for d in dirs])
+            if merged is not None:
+                extra_stats[nd] = merged
+            if all(d in parent_rows for d in dirs):
+                extra_rows[nd] = sum(parent_rows[d] for d in dirs)
+        remapped = []
+        for i, e in enumerate(deletes):
+            applies = sorted(sig_to_dir[sig] for sig in groups if i in sig)
+            if applies:
+                remapped.append({**e, "applies_to": applies})
+        try:
+            return self._commit(
+                namespace, table, None, operation="compact_manifests",
+                carry=False, base_sid=base, inherit_spec=True,
+                carry_dirs=new_files, clear_deletes=True,
+                extra_deletes=remapped, extra_dir_stats=extra_stats,
+                extra_dir_rows=extra_rows,
+            )
+        except CommitConflict:
+            for d in linked_dirs:  # don't leave link dirs for orphan GC
+                shutil.rmtree(d, ignore_errors=True)
+            raise
 
     def rollback_to(self, namespace: str, table: str, snapshot_id: int) -> int:
         """Iceberg ``rollback_to_snapshot``: publish a NEW snapshot whose
@@ -981,6 +1103,8 @@ class SnapCatalog:
         carry_dirs: list[str] | None = None,
         extra_deletes: list[dict] | None = None,
         clear_deletes: bool = False,
+        extra_dir_stats: dict | None = None,
+        extra_dir_rows: dict | None = None,
     ) -> int:
         """Write data, then publish a manifest optimistically.
 
@@ -1069,6 +1193,15 @@ class SnapCatalog:
             dir_rows = {d: parent_rows[d] for d in files if d in parent_rows}
             if data_dir_name:
                 dir_rows[data_dir_name] = new_rows
+            # caller-computed metadata for dirs it assembled WITHOUT a data
+            # write (compact_manifests merges stats from the parent
+            # manifest — the dirs are new names, so parent lookup misses)
+            for d, s in (extra_dir_stats or {}).items():
+                if d in files:
+                    dir_stats[d] = s
+            for d, r in (extra_dir_rows or {}).items():
+                if d in files:
+                    dir_rows[d] = r
             # pending equality-delete entries follow the dirs they apply
             # to: entries whose dirs were all rewritten (or cleared by
             # compaction) drop out; surviving entries prune their

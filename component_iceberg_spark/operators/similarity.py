@@ -326,6 +326,13 @@ def hyperplane_lsh_pairs(
     )
 
 
+# ~16M float64 scores (~128 MB) per row block in bucketed_threshold_pairs;
+# a bucket smaller than its block degenerates to the one-shot gram matrix
+# (identical results). Module-level so tests can pin a tiny block and
+# cross-check multi-block against one-shot.
+PAIR_BLOCK_TARGET = 16_000_000
+
+
 def bucketed_threshold_pairs(
     assigned: DataFrame,
     bucket_col: str,
@@ -340,14 +347,21 @@ def bucketed_threshold_pairs(
     (SemDeDup's within-cluster pair scan).
 
     Shape: ONE shuffle keyed by bucket (each row travels once), then the
-    whole bucket scores as a single BLAS gram matrix (``X·Xᵀ``) inside
-    ``applyInPandas``, emitting only the surviving pairs. The self-join
-    form this replaces shuffled each row once too, but then evaluated
-    every candidate pair's dot interpreted element-by-element and
-    materialized all n_b² join rows; here the n_b² work happens inside
-    one vectorized kernel and only survivors become rows. Memory per task
-    is O(n_b·dim + n_b²) — bounded because bucket size IS the design
-    knob (centroid count scales with the corpus; SURVEY §2.6).
+    bucket scores as BLAS gram-matrix blocks inside ``applyInPandas``,
+    emitting only the surviving pairs. The self-join form this replaces
+    shuffled each row once too, but then evaluated every candidate pair's
+    dot interpreted element-by-element and materialized all n_b² join
+    rows; here the n_b² work happens inside vectorized kernels and only
+    survivors become rows.
+
+    Peak memory is bounded to O(n_b·dim + B·n_b) by scoring in ROW BLOCKS
+    (~128 MB of float64 scores per block), NOT a single dense n_b² gram
+    matrix: for SemDeDup the bucket size is a design knob (centroid count
+    scales with the corpus), but band buckets (hyperplane_lsh_pairs) are
+    data-dependent — a degenerate band (correlated vectors, low-entropy
+    signatures) can land a huge bucket in one task, where the dense form
+    would OOM (ADVICE r4). The n_b² *work* is inherent to verification;
+    the n_b² *allocation* is not.
 
     Determinism: rows are sorted by id inside the bucket, pairs are upper-
     triangle, cosines rounded to ``round_to`` before the threshold —
@@ -376,12 +390,28 @@ def bucketed_threshold_pairs(
         ids = pdf[id_col].to_numpy()
         X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         nrm = np.sqrt((X * X).sum(axis=1))
-        S = np.round((X @ X.T) / np.outer(nrm, nrm), round_to)
-        iu, ju = np.triu_indices(n, k=1)
-        hit = S[iu, ju] >= threshold
-        out = {"pa": ids[iu[hit]], "pb": ids[ju[hit]]}
+        blk = max(64, PAIR_BLOCK_TARGET // n)
+        pa_parts, pb_parts, sim_parts = [], [], []
+        for i in range(0, n - 1, blk):
+            Xi = X[i : i + blk]
+            b = len(Xi)
+            # score rows [i, i+b) against columns [i, n) only — columns
+            # below i are strictly lower-triangle for every row here
+            S = np.round(
+                (Xi @ X[i:].T) / np.outer(nrm[i : i + b], nrm[i:]), round_to
+            )
+            upper = np.arange(S.shape[1])[None, :] > np.arange(b)[:, None]
+            rr, cc = np.nonzero((S >= threshold) & upper)
+            pa_parts.append(ids[i + rr])
+            pb_parts.append(ids[i + cc])
+            if sim_col:
+                sim_parts.append(S[rr, cc])
+        out = {
+            "pa": np.concatenate(pa_parts),
+            "pb": np.concatenate(pb_parts),
+        }
         if sim_col:
-            out[sim_col] = S[iu[hit], ju[hit]]
+            out[sim_col] = np.concatenate(sim_parts)
         return pd.DataFrame(out)
 
     return assigned.groupBy(bucket_col).applyInPandas(pairs, schema=out_schema)

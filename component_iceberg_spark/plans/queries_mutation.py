@@ -270,6 +270,32 @@ def snap_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snap_compact_manifests",
+    oracle="SELECT o.*, 1 AS n_manifest_entries FROM orders o",
+    tags=("parity", "snapshot"),
+)
+def snap_compact_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest compaction (Iceberg ``rewrite_manifests`` analogue): four
+    commits accrete four manifest entries — the exact pathology of the
+    reference's per-5M-row-batch commit loop
+    (``wr-iceberg/src/component.py:97-110``); ``compact_manifests()``
+    folds them into ONE entry with merged stats, moving no data (hard
+    links, no Spark job). Content must be identical and the emitted
+    ``n_manifest_entries`` pins that the fold really happened — the
+    oracle expects exactly 1."""
+    cat = _warehouse(sf_dir, "compact_manifests")
+    o = load_table(spark, sf_dir, "orders")
+    cat.create_or_replace("ns", "orders", o.filter(F.col("o_orderkey") % 4 == 0))
+    for rem in (1, 2, 3):
+        cat.append("ns", "orders", o.filter(F.col("o_orderkey") % 4 == rem))
+    sid = cat.compact_manifests("ns", "orders")
+    n_entries = len(cat._manifest("ns", "orders", sid)["files"])
+    return cat.read(spark, "ns", "orders").withColumn(
+        "n_manifest_entries", F.lit(n_entries)
+    )
+
+
+@register(
     "snap_schema_evolution",
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey,

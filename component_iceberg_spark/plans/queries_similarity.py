@@ -21,12 +21,18 @@ NPROBE = 4
 TOPK = 10
 NEARDUP_THRESHOLD = 0.45  # fixture embeddings are well-separated (max ~0.51)
 
-_D = """
-d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+def _norm_cte(d: str = "d", n: str = "n") -> str:
+    """The double-cast + L2-norm CTE pair, with caller-chosen CTE names so
+    composed oracles (text_hybrid_topk) can avoid clashes."""
+    return f"""
+{d} AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
-n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-      FROM d)
+{n} AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM {d})
 """
+
+
+_D = _norm_cte()
 
 _DOT = "list_sum(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]))"
 

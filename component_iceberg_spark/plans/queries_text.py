@@ -633,7 +633,7 @@ def _pretrain_prep_oracle() -> str:
     SELECT source,
            count(DISTINCT doc_id) AS n_docs,
            count(*) AS n_chunks,
-           sum(len(toks[st + 1 : st + {PACK_WIN}])) AS total_tokens
+           CAST(sum(len(toks[st + 1 : st + {PACK_WIN}])) AS BIGINT) AS total_tokens
     FROM c
     GROUP BY source
     """
@@ -685,7 +685,10 @@ BM25_TERMS = ("merge", "scan", "window")
 BM25_TOPK = 20
 
 
-def _bm25_oracle() -> str:
+def _bm25_cte() -> str:
+    """CTE chain ending in ``bm(doc_id, bm25)`` — shared by the BM25
+    oracle and the hybrid-retrieval oracle so the lexical half cannot
+    drift between them."""
     tf_cols = ", ".join(
         f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS
     )
@@ -699,8 +702,7 @@ def _bm25_oracle() -> str:
         f" / (tf_{t} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl * n / tdl))"
         for t in BM25_TERMS
     )
-    return f"""
-    WITH t AS (
+    return f"""t AS (
         SELECT doc_id,
                regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
         FROM documents
@@ -708,9 +710,16 @@ def _bm25_oracle() -> str:
         SELECT doc_id, len(toks) * 1.0 AS dl, {tf_cols} FROM t
     ), s AS (
         SELECT count(*) * 1.0 AS n, sum(dl) AS tdl, {df_cols} FROM d
-    )
-    SELECT doc_id, round({score}, 6) AS bm25
-    FROM d, s
+    ), bm AS (
+        SELECT doc_id, round({score}, 6) AS bm25 FROM d, s
+    )"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    WITH {_bm25_cte()}
+    SELECT doc_id, bm25
+    FROM bm
     ORDER BY bm25 DESC, doc_id
     LIMIT {BM25_TOPK}
     """
@@ -766,4 +775,101 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.round(score, 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval (r5): reciprocal-rank fusion of BM25 + embedding ANN
+# ---------------------------------------------------------------------------
+
+HYBRID_QUERY_ID = 17  # member of queries_similarity.QUERY_IDS
+HYBRID_K = BM25_TOPK  # depth of each input list
+HYBRID_TOPK = 10
+RRF_C = 60  # the canonical RRF constant (Cormack et al. 2009)
+
+
+def _hybrid_oracle() -> str:
+    from component_iceberg_spark.plans.queries_similarity import _cos, _norm_cte
+
+    return f"""
+    WITH {_bm25_cte()},
+    {_norm_cte("ed", "en")},
+    hq AS (SELECT v AS qv, nrm AS qn FROM en WHERE vec_id = {HYBRID_QUERY_ID}),
+    sem0 AS (
+        SELECT c.vec_id AS doc_id,
+               {_cos("hq.qv", "hq.qn", "c.v", "c.nrm")} AS cosine_sim
+        FROM en c CROSS JOIN hq
+        WHERE c.vec_id <> {HYBRID_QUERY_ID}
+    ),
+    sem AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cosine_sim DESC, doc_id)
+                    AS INTEGER) AS sem_rank
+        FROM sem0
+        QUALIFY sem_rank <= {HYBRID_K}
+    ),
+    lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                    AS INTEGER) AS lex_rank
+        FROM bm
+        QUALIFY lex_rank <= {HYBRID_K}
+    )
+    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+           lex_rank, sem_rank,
+           round(COALESCE(1.0 / ({RRF_C} + lex_rank), 0)
+                 + COALESCE(1.0 / ({RRF_C} + sem_rank), 0), 6) AS rrf
+    FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+    ORDER BY rrf DESC, COALESCE(lex.doc_id, sem.doc_id)
+    LIMIT {HYBRID_TOPK}
+    """
+
+
+@register(
+    "text_hybrid_topk",
+    oracle=_hybrid_oracle(),
+    tags=("ext", "text", "search", "similarity"),
+)
+def text_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-k fused with embedding-cosine
+    top-k by reciprocal-rank fusion (sum of 1/(60+rank) over both lists)
+    — the canonical retrieval shape for training-data curation, wiring
+    the lexical half (text_bm25_topk) to the semantic half
+    (brute_force_topk) over the shared doc_id==vec_id key.
+
+    Scale shape: both branches were built for 100 TB on their own (BM25 =
+    scan + 1-row broadcast stats + TakeOrderedAndProject; cosine = map-side
+    scoring against a broadcast query, bounded take) and each emits at most
+    k rows, so the fusion itself — a full outer join of two k-row lists, a
+    projection and a bounded take — is driver-trivial at any corpus size.
+    Ranks tie-break on doc_id in both engines, making the fused set
+    deterministic."""
+    from pyspark.sql import Window
+
+    from component_iceberg_spark.operators import similarity as S
+
+    lex = (
+        text_bm25_topk(spark, sf_dir)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+            ),
+        )
+        .select("doc_id", "lex_rank")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    sem = S.brute_force_topk(
+        e, e.filter(F.col("vec_id") == HYBRID_QUERY_ID), HYBRID_K
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("sem_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(HYBRID_TOPK)
     )

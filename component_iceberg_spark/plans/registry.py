@@ -70,23 +70,24 @@ _QUERY_MODULES = (
 #      last checked in round 1; round 5 takes the round-2 cohort, etc.).
 # Names here that don't exist are ignored (safe across refactors).
 _GATE_PRIORITY = (
-    # --- 1. never gate-checked (registered after the r3 window was spent,
-    #     plus the three r4 additions)
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "ext_cardinality_hll",
-    "ext_quantile_kll",
-    "ext_overlap_theta",
-    "text_chunk_windows",
-    "text_quality_classifier",
-    "ext_embedding_mean_pool",
+    # --- 1a. changed in r4 but NOT re-gated there (VERDICT r4 "What's
+    #     wrong" #2) — the similarity/cast-hoist rewrite, the
+    #     connected-components reuse, the upsert tie-break encoding, the
+    #     streaming schema-probe memo — plus pipeline_pretrain_prep whose
+    #     ORACLE changed in r5 (BIGINT cast fix for the red r4 row).
     "pipeline_pretrain_prep",
-    "text_bm25_topk",
-    # --- 1. changed this round: new exact oracles (were no_oracle) and
-    #     the upsert tie-break encoding change
-    "stream_session_window",
-    "stream_stateful_totals",
-    "upsert_by_key",
+    "sim_ann_hyperplane",
+    "sim_topk_bruteforce",
+    "sim_neardup_embedding",
+    "sim_quantized_topk",
+    "dedup_clusters",
+    "snap_upsert",
+    "stream_dedup_watermark",
+    "stream_stream_join",
+    "stream_upsert_snaptable",
+    # --- 1b. new in r5 (never gate-checked)
+    "text_hybrid_topk",
+    "snap_compact_manifests",
     # --- 2. pinned sentinels (keep this set stable round over round)
     "q1_pricing_summary",
     "q5_local_supplier_volume",
@@ -96,45 +97,53 @@ _GATE_PRIORITY = (
     "mm_feature_extract",
     "ext_sessionize",
     "sim_ann_ivf",
-    # --- 3. oldest-first backlog: last checked in round 1
-    "scan_full",
-    "scan_projection",
-    "scan_limit",
-    "scan_filter_pushdown",
-    "scan_custom_sql",
-    "source_csv_typed",
-    "source_csv_all_varchar",
-    "sink_csv",
-    "sink_parquet",
-    "order_preserve",
-    "meta_describe",
-    "cast_coerce",
-    "insert_union",
-    "sink_parquet_partitioned",
-    "source_json",
-    "q3_shipping_priority",
-    "join_anti",
-    "join_semi",
-    "ext_window_rank",
-    "ext_window_analytic",
-    "ext_topk",
-    "ext_setop_intersect",
-    "ext_setop_except",
-    "ext_agg_rollup",
-    "ext_agg_groupby",
-    "ext_pivot",
-    "ext_asof_join",
-    "ext_agg_cube",
-    "ext_unpivot",
-    "join_outer",
-    "ext_range_join",
+    # --- 3. oldest-first backlog: the 9 round-1 stragglers that fell
+    #     past the r4 window's ~50 cutoff, then the round-2 cohort
+    #     (its remainder + snap family rotate in r6).
     "ext_agg_approx",
     "ext_agg_salted",
+    "ext_range_join",
+    "join_outer",
+    "q12_priority_shipmode",
+    "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q18_large_volume_orders",
-    "q13_customer_distribution",
     "q6_forecast_revenue",
-    "q12_priority_shipmode",
+    # round-2 cohort (oldest-first tier)
+    "dedup_exact",
+    "dedup_last_wins",
+    "dedup_ngram_jaccard",
+    "ext_global_rank",
+    "ext_grouped_pandas",
+    "ext_string_agg",
+    "ext_window_distribution",
+    "func_conditional",
+    "func_datetime",
+    "func_json",
+    "func_string",
+    "incremental_load_flag",
+    "mm_dedup_content",
+    "mm_frame_sample",
+    "mm_ingest_hash",
+    "pipeline_curation",
+    "snap_append_current",
+    "snap_append_timetravel",
+    "snap_catalog_meta",
+    "snap_compact",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_span_dedup",
+    "text_tokens",
+    "text_top_ngrams",
+    # r2 snap remainder — likely past the ~50 cutoff; completes in r6
+    "snap_delete_where",
+    "snap_partitioned_scan",
+    "snap_replace",
+    "snap_schema_evolution",
+    "snap_snapshots_list",
+    "snap_stats_pruned_scan",
+    "snap_update_where",
 )
 
 

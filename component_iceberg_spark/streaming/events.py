@@ -26,18 +26,42 @@ from pyspark.sql import types as T
 
 # Schema-probe memo: the batch read that discovers the physical ts type
 # is metadata-only but still lists the directory and parses a footer per
-# call. One probe per (session, path) is enough — fixtures are immutable
-# within a session, and entries from dead sessions are evicted on access
-# (same lifecycle rule as queries_text._PAIRS_CACHE).
-_SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
+# call. One probe per (session, path, stage-fingerprint) is enough; the
+# fingerprint term invalidates the memo when the staging layer rebuilds a
+# fixture dir IN PLACE with different content (queries_streaming restages
+# when the source fingerprint changes — a (session, path)-only key would
+# keep serving the stale physical ts type). Entries from dead sessions
+# are evicted on access (same lifecycle rule as queries_text._PAIRS_CACHE).
+_SCHEMA_CACHE: dict[tuple[str, str, str], T.StructType] = {}
+
+
+def _stage_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a staged stream dir: the _SRC sidecar
+    written by the staging layer when present (one tiny file read — no
+    footer parse), else the directory mtime (changes whenever files are
+    added/removed/rewritten)."""
+    import os
+
+    sidecar = os.path.join(path, "_SRC")
+    try:
+        with open(sidecar) as f:
+            return f.read().strip()
+    except OSError:
+        try:
+            return str(os.stat(path).st_mtime_ns)
+        except OSError:
+            return "?"
 
 
 def _scanned_schema(spark: SparkSession, path: str) -> T.StructType:
     app_id = spark.sparkContext.applicationId
-    key = (app_id, path)
+    key = (app_id, path, _stage_fingerprint(path))
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
-        for k in [k for k in _SCHEMA_CACHE if k[0] != app_id]:
+        for k in [
+            k for k in _SCHEMA_CACHE
+            if k[0] != app_id or (k[1] == path and k[2] != key[2])
+        ]:
             del _SCHEMA_CACHE[k]
         schema = spark.read.parquet(path).schema
         _SCHEMA_CACHE[key] = schema

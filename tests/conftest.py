@@ -75,9 +75,15 @@ def canonical_rows(columns, rows):
 def compare_with_oracle(spark_df, con, sql, name=""):
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
-    rel = con.execute(sql)
-    o_cols = [d[0] for d in rel.description]
-    o_rows = rel.fetchall()
+    # Fetch via DuckDB's Arrow export — the driver's path — NOT fetchall().
+    # fetchall() converts HUGEINT to native int, silently masking the
+    # HUGEINT -> decimal128 -> "975.0" canonicalization divergence that the
+    # driver gate sees (CORRECTNESS_r04 pipeline_pretrain_prep); Arrow
+    # preserves it, so an uncast integer-sum oracle now fails locally too.
+    tbl = con.execute(sql).arrow()
+    o_cols = tbl.schema.names
+    cols_data = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    o_rows = list(zip(*cols_data)) if cols_data else []
 
     assert sorted(s_cols) == sorted(o_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} oracle={sorted(o_cols)}"

@@ -151,6 +151,33 @@ def test_sync_action_query_preview_is_readonly(spark, sf_dir, warehouse, tmp_pat
     with pytest.raises(UserConfigError):
         preview("SELEKT * FROM nation")
 
+    # JVM-reflection escape hatches parse as a plain Project but reach out
+    # of the sandbox (System.exit / System.getenv) → rejected by function
+    # name, wherever the call hides.
+    for bad in (
+        "SELECT java_method('java.lang.System', 'exit', 0)",
+        "SELECT reflect('java.lang.System', 'getenv', 'HOME') FROM nation",
+        "SELECT JAVA_METHOD('java.lang.Thread', 'sleep', 9999L) AS x",
+        # inside a subquery expression
+        "SELECT * FROM nation WHERE n_name = "
+        "(SELECT reflect('java.lang.System', 'getProperty', 'user.dir'))",
+        # inside a CTE body
+        "WITH c AS (SELECT java_method('java.lang.System', 'gc') AS g) "
+        "SELECT * FROM c",
+    ):
+        with pytest.raises(UserConfigError, match="reflection|reference"):
+            preview(bad)
+    # table-valued functions never name the allowed view → rejected
+    with pytest.raises(UserConfigError):
+        preview("SELECT * FROM range(10)")
+
+    # benign functions still work, and a trailing line comment must not
+    # swallow the outer-LIMIT wrapper
+    ok = preview(
+        "SELECT upper(n_name) AS u FROM nation -- trailing comment"
+    )
+    assert len(ok) == 25
+
 
 def test_writer_csv_typed_upsert_cycle(spark, sf_dir, tmp_path):
     wh = str(tmp_path / "wh2")

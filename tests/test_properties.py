@@ -293,3 +293,32 @@ def test_bucketed_pairs_match_expression_join(spark, hyp, vecs, threshold):
         .collect()
     }
     assert got == want
+
+
+def test_bucketed_pairs_row_blocks_match_one_shot(spark, monkeypatch):
+    """Row-block scoring (the O(B·n_b) peak-memory path for degenerate
+    LSH buckets, ADVICE r4) must emit exactly the one-shot gram matrix's
+    pairs — same survivors, same rounded cosines."""
+    import numpy as np
+
+    from component_iceberg_spark.operators import similarity as S
+
+    rng = np.random.RandomState(7)
+    n, dim = 300, 16
+    X = rng.randn(n, dim)
+    rows = [(i, 0, [float(x) for x in X[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vid long, bucket int, v array<double>")
+
+    def run():
+        return {
+            (r["pa"], r["pb"], r["c"])
+            for r in S.bucketed_threshold_pairs(
+                df, "bucket", "vid", "v", 0.3, sim_col="c"
+            ).collect()
+        }
+
+    one_shot = run()  # n=300 < blk → single block == dense gram
+    monkeypatch.setattr(S, "PAIR_BLOCK_TARGET", 1)  # blk floors at 64 → 5 blocks
+    blocked = run()
+    assert blocked == one_shot
+    assert len(one_shot) > 0  # threshold chosen so the check is non-vacuous

@@ -633,3 +633,88 @@ def test_partition_spec_literal_rewrite_matches_spark():
     assert ps.derive_predicates([f], [("k", "=", 5)]) == [
         ("_pt_bucket8_k", f"(_pt_bucket8_k IS NULL OR _pt_bucket8_k = {bucket})")
     ]
+
+
+def test_compact_manifests_folds_entries_metadata_only(spark, sf_dir, tmp_path):
+    """compact_manifests: many manifest entries -> one, via hard links —
+    content identical, time travel preserved, merged stats/row-counts
+    still answer metadata-only queries, and NO data bytes are duplicated."""
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "t", n.filter("n_regionkey < 2"))
+    cat.append("ns", "t", n.filter("n_regionkey = 2"))
+    cat.append("ns", "t", n.filter("n_regionkey > 2"))
+    pre = cat._manifest("ns", "t", 3)
+    assert len(pre["files"]) == 3
+    pre_rows = cat.read(spark, "ns", "t").count()
+
+    sid = cat.compact_manifests("ns", "t")
+    post = cat._manifest("ns", "t", sid)
+    assert len(post["files"]) == 1
+    assert post["operation"] == "compact_manifests"
+    # content identical, prior snapshots untouched
+    assert cat.read(spark, "ns", "t").count() == pre_rows == n.count()
+    assert cat.read(spark, "ns", "t", snapshot_id=2).count() == n.filter(
+        "n_regionkey <= 2"
+    ).count()
+    # metadata-only row_count works off the MERGED dir_rows (no scan)
+    assert cat.row_count("ns", "t") == n.count()
+    # merged stats: min-of-mins / max-of-maxs over the folded dirs
+    folded = post["files"][0]
+    lo, hi = post["dir_stats"][folded]["n_regionkey"]
+    assert (lo, hi) == (0, 4)
+    # hard links, not copies: every linked file shares its source inode
+    import glob as _g
+
+    data_root = os.path.join(wh, "ns", "t", "data")
+    linked = _g.glob(os.path.join(data_root, folded, "*.parquet"))
+    assert linked and all(os.stat(p).st_nlink >= 2 for p in linked)
+    # idempotent: a second call is a no-op (no new snapshot)
+    assert cat.compact_manifests("ns", "t") == sid
+
+
+def test_compact_manifests_respects_delete_groups(spark, sf_dir, tmp_path):
+    """Dirs are folded PER pending-delete signature: a delete registered
+    before a later append must not start applying to the newer rows."""
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "t", n.filter("n_regionkey < 2"))
+    cat.append("ns", "t", n.filter("n_regionkey = 2"))
+    # MoR delete of key 3 — applies to snapshots 1-2's dirs only
+    cat.delete_keys(
+        spark, "ns", "t",
+        n.filter("n_nationkey = 3").select("n_nationkey"),
+        key_cols=["n_nationkey"],
+    )
+    # later append RE-ADDS key 3: the pending delete must not touch it
+    cat.append("ns", "t", n.filter("n_nationkey = 3"))
+    cat.append("ns", "t", n.filter("n_regionkey > 2 AND n_nationkey <> 3"))
+    want = {r.n_nationkey for r in cat.read(spark, "ns", "t").collect()}
+    assert 3 in want  # re-added row visible pre-compaction
+
+    sid = cat.compact_manifests("ns", "t")
+    post = cat._manifest("ns", "t", sid)
+    # two delete-signature groups -> two folded entries, not one
+    assert len(post["files"]) == 2
+    got = {r.n_nationkey for r in cat.read(spark, "ns", "t").collect()}
+    assert got == want
+    # the remapped delete names only the folded dir of its group
+    (entry,) = post["deletes"]
+    assert len(entry["applies_to"]) == 1
+    assert entry["applies_to"][0] in post["files"]
+
+
+def test_compact_manifests_gc_safe_with_hard_links(spark, sf_dir, tmp_path):
+    """Expiring the pre-fold snapshots rmtree's the ORIGINAL dirs; the
+    folded dir's hard links must keep the data alive."""
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "t", n.filter("n_regionkey < 2"))
+    cat.append("ns", "t", n.filter("n_regionkey >= 2"))
+    cat.compact_manifests("ns", "t")
+    cat.expire_snapshots("ns", "t", keep_last=1)
+    assert cat.read(spark, "ns", "t").count() == n.count()
+    assert cat.row_count("ns", "t") == n.count()

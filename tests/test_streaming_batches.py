@@ -123,3 +123,33 @@ def test_stage_freshness_tracks_source_changes(tmp_path):
     assert _fresh_stage(str(stage), str(src))
     os.utime(src)                                  # touch: mtime-only change
     assert not _fresh_stage(str(stage), str(src))  # conservative restage
+
+
+def test_schema_probe_memo_invalidates_on_restage(spark, tmp_path):
+    """The schema-probe memo must not serve a stale schema after the
+    staging layer rebuilds a fixture dir IN PLACE with a different ts
+    physical type (ADVICE r4: a (session, path)-only key would)."""
+    import pyspark.sql.functions as F
+
+    from component_iceberg_spark.plans.queries_streaming import _mark_stage
+    from component_iceberg_spark.streaming.events import _scanned_schema
+
+    src = tmp_path / "src.parquet"
+    src.write_bytes(b"fingerprint-v1")
+    d = str(tmp_path / "stage")
+    base = spark.range(3).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(F.col("id") * 1000000).alias("ts"),
+    )
+    base.write.mode("overwrite").parquet(d)
+    _mark_stage(d, str(src))
+    t1 = _scanned_schema(spark, d)["ts"].dataType.simpleString()
+    assert t1.startswith("timestamp")
+    # restage in place: ts becomes a plain long (the ns-as-long shape)
+    base.withColumn("ts", F.lit(7).cast("long")).write.mode(
+        "overwrite"
+    ).parquet(d)
+    src.write_bytes(b"fingerprint-v2!")  # source changed → new sidecar
+    _mark_stage(d, str(src))
+    t2 = _scanned_schema(spark, d)["ts"].dataType.simpleString()
+    assert t2 == "bigint", f"stale schema memo served: {t2}"
