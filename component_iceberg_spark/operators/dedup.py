@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from component_iceberg_spark.operators.text import shingles, tokens
+from component_iceberg_spark.operators.text import text_shingles, tokens
 
 NUM_HASHES = 12
 BANDS = 4
@@ -49,7 +49,7 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return (
         spread.select(
             F.col(id_col).alias("doc"),
-            shingles(tokens(F.col(text_col)), SHINGLE_N).alias("sh"),
+            text_shingles(F.col(text_col), SHINGLE_N).alias("sh"),
         )
         .select("doc", F.explode("sh").alias("shingle"))
     )
@@ -159,15 +159,21 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str, threshold: floa
     """Full MinHash-LSH pipeline: shingle → sign → band → candidates →
     exact-verify. Returns verified (doc_a, doc_b, jaccard ≥ threshold).
 
-    The shingle table feeds four consumers (signatures, both verify sides,
-    per-doc counts); without materialization each re-runs the regex
-    tokenize + explode, the pipeline's dominant cost. Persisted
-    MEMORY_AND_DISK — at 100 TB this is the stage you checkpoint to the
-    lake (it also feeds reporting), same plan shape."""
+    What persists and what recomputes (profiled at sf1, 3.2M shingles):
+    caching the exploded SHINGLE table cost ~12.5 s of row
+    serialization to store ~1.4 s of recompute — the regex shingle build
+    (text_shingles, one codegen'd pass) is cheaper to re-run per consumer
+    than to materialize. The SIGNATURES (one short row per doc, ~60×
+    smaller than the shingle table) are what candidate generation banding
+    reads B times — they persist instead. At 100 TB the same logic holds
+    harder: the shingle table is corpus-sized × shingle-count (you
+    checkpoint it to the lake only if it also feeds reporting), the
+    signature table is corpus-row-sized."""
     from pyspark import StorageLevel
 
-    sh = doc_shingles(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = lsh_candidates(minhash_signatures(sh))
+    sh = doc_shingles(df, id_col, text_col)
+    sig = minhash_signatures(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = lsh_candidates(sig)
     cnt = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -155,6 +155,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(d, "doc_id", X.fingerprint(F.col("text")))
 
 
+# Edge whitespace is stripped with a regex, not trim(): trim removes only
+# spaces, so a doc edged with \t/\n would mint a phantom '' token and a
+# phantom shingle — the Spark side (text_shingles) never does. Same
+# strings either way on the all-space fixture; this pins the semantics.
 _SHINGLE_SQL = r"""
 sh AS (
     SELECT doc_id AS doc,
@@ -162,7 +166,9 @@ sh AS (
                list_transform(range(1, len(arr)-1),
                               i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])
                ELSE [] END)) AS shingle
-    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(
+                     regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS arr
           FROM documents)
 )
 """

@@ -322,3 +322,45 @@ def test_bucketed_pairs_row_blocks_match_one_shot(spark, monkeypatch):
     blocked = run()
     assert blocked == one_shot
     assert len(one_shot) > 0  # threshold chosen so the check is non-vacuous
+
+
+@pytest.mark.parametrize("hyp", [None])
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab9!.é \t\n")), max_size=60
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.sampled_from([1, 2, 3]),
+)
+def test_text_shingles_matches_python_model(spark, hyp, texts, n):
+    """The one-pass regex-lookahead shingle builder must agree with an
+    independent Python model (ASCII-whitespace split, n-token windows,
+    first-occurrence dedup) for any whitespace shape — tabs/newlines/
+    runs/edges, short docs, punctuation-only tokens."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.operators.text import text_shingles
+
+    ws = " \t\n\x0b\f\r"
+
+    def model(t: str) -> list[str]:
+        toks = [x for x in _re.split(r"[ \t\n\x0b\f\r]+", t.strip(ws)) if x]
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        return list(dict.fromkeys(grams))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    rows = df.select("i", text_shingles(F.col("t"), n).alias("got")).collect()
+    for r in rows:
+        assert r["got"] == model(texts[r["i"]]), (texts[r["i"]], n, r["got"])
