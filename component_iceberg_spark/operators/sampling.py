@@ -61,6 +61,32 @@ def sample_stratified(
     return df.filter(hash_uniform(F.col(id_col), salt) < frac)
 
 
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: list[tuple[str, float]],
+    salt: str = "split",
+) -> DataFrame:
+    """Disjoint, exhaustive train/val/test assignment: each row gets
+    exactly one split label by where its deterministic uniform draw falls
+    among the cumulative fractions. ``splits`` is ordered
+    [(label, fraction), …]; fractions must sum to 1 (the last split takes
+    the remainder including rounding slack). A pure projection — no
+    shuffle, stable under repartitioning, re-runs, and engine swaps, so a
+    doc can never migrate between train and eval across pipeline runs
+    (the property that actually matters for leakage)."""
+    u = hash_uniform(F.col(id_col), salt)
+    expr = F.lit(splits[-1][0])
+    cum = 0.0
+    bounds = []
+    for label, frac in splits[:-1]:
+        cum += frac
+        bounds.append((label, cum))
+    for label, bound in reversed(bounds):
+        expr = F.when(u < F.lit(bound), F.lit(label)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 def contamination_screen(
     corpus_shingles: DataFrame,
     benchmark_shingles: DataFrame,

@@ -298,6 +298,31 @@ def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_split_train_test",
+    oracle=f"""
+    SELECT doc_id, source,
+           CASE WHEN {_uniform_sql('doc_id', 'split')} < 0.8 THEN 'train'
+                WHEN {_uniform_sql('doc_id', 'split')} < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("ext", "sampling"),
+)
+def ext_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint 80/10/10 train/val/test assignment via cumulative
+    thresholds on one deterministic hash draw — unlike two independent
+    samples, the splits are exhaustive and can never overlap, and a doc
+    can never migrate between train and eval across runs, partitionings,
+    or engines (the leakage-relevant property, proven by the oracle)."""
+    from component_iceberg_spark.operators import sampling as SA
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return SA.split_assign(
+        d, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+
+
+@register(
     "ext_contamination_screen",
     oracle=f"""
     WITH {_SHINGLE_CTE},

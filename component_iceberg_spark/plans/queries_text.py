@@ -159,8 +159,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # spaces, so a doc edged with \t/\n would mint a phantom '' token and a
 # phantom shingle — the Spark side (text_shingles) never does. Same
 # strings either way on the all-space fixture; this pins the semantics.
-_SHINGLE_SQL = r"""
-sh AS (
+def _shingle_cte(name: str = "sh", where: str = "TRUE") -> str:
+    """Oracle-side twin of operators.text.text_shingles as a named CTE,
+    optionally restricted to a doc_id predicate (used by the incremental
+    dedup oracle to carve corpus/batch halves)."""
+    return rf"""
+{name} AS (
     SELECT doc_id AS doc,
            unnest(list_distinct(CASE WHEN len(arr) >= 3 THEN
                list_transform(range(1, len(arr)-1),
@@ -169,9 +173,12 @@ sh AS (
     FROM (SELECT doc_id,
                  regexp_split_to_array(
                      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS arr
-          FROM documents)
+          FROM documents WHERE {where})
 )
 """
+
+
+_SHINGLE_SQL = _shingle_cte()
 
 _JACCARD_ORACLE = f"""
 WITH {_SHINGLE_SQL},
@@ -295,6 +302,71 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     path for 100 TB: every stage is one keyed shuffle with tunable
     candidate volume (B×R), vs. the brute join's data-determined fan-out."""
     return verified_minhash_pairs(spark, sf_dir, 0.8)
+
+
+def _incremental_minhash_oracle() -> str:
+    """SQL twin of operators.dedup.incremental_minhash_pairs on a
+    corpus/batch carve of documents (batch = doc_id % 5 = 0): same hash
+    family, same banding, but the candidate join is DIRECTED batch→corpus
+    — no corpus self-join anywhere."""
+    h = ", ".join(
+        f"min({D.minhash_hash_sql(k)}) AS h{k}" for k in range(D.NUM_HASHES)
+    )
+
+    def bands(sig: str) -> str:
+        rows = []
+        for b in range(D.BANDS):
+            cols = " || '|' || ".join(
+                f"h{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)
+            )
+            rows.append(f"SELECT doc, {b} AS band, md5({cols}) AS key FROM {sig}")
+        return " UNION ALL ".join(rows)
+
+    return f"""WITH {_shingle_cte("shc", "doc_id % 5 <> 0")},
+{_shingle_cte("shb", "doc_id % 5 = 0")},
+sigc AS (SELECT doc, {h} FROM shc GROUP BY doc),
+sigb AS (SELECT doc, {h} FROM shb GROUP BY doc),
+bandsc AS ({bands("sigc")}),
+bandsb AS ({bands("sigb")}),
+cand AS (
+    SELECT DISTINCT nb.doc AS doc_new, cb.doc AS doc_corpus
+    FROM bandsb nb JOIN bandsc cb ON nb.band = cb.band AND nb.key = cb.key
+),
+cntc AS (SELECT doc, count(*) AS n FROM shc GROUP BY doc),
+cntb AS (SELECT doc, count(*) AS n FROM shb GROUP BY doc),
+inter AS (
+    SELECT doc_new, doc_corpus, count(*) AS i
+    FROM cand
+    JOIN shb a ON a.doc = doc_new
+    JOIN shc b ON b.doc = doc_corpus AND a.shingle = b.shingle
+    GROUP BY 1, 2
+)
+SELECT doc_new, doc_corpus,
+       round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+FROM inter
+JOIN cntb ca ON ca.doc = doc_new
+JOIN cntc cb ON cb.doc = doc_corpus
+WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8"""
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_incremental_minhash_oracle(),
+    tags=("ext", "dedup"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screen: the arriving batch (doc_id % 5 = 0,
+    ~20% of documents) probed against the already-ingested corpus (the
+    other 80%) — the production shape for a GROWING corpus, where the
+    corpus's signature table is computed once and stored, and each batch
+    pays only its own shingle+sign cost plus a directed band join
+    (operators/dedup.py incremental_minhash_pairs). The reference's
+    incremental-load mode (ex-iceberg/src/component.py:104-117, new rows
+    past a stored watermark) is this pattern's scan half."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    return D.incremental_minhash_pairs(corpus, batch, "doc_id", "text", 0.8)
 
 
 def _simhash_oracle() -> str:
@@ -878,4 +950,109 @@ def text_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf"))
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(HYBRID_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture sampling
+# ---------------------------------------------------------------------------
+
+_MIX_U32 = "4294967296.0"  # 2^32: md5-prefix → uniform [0,1) denominator
+
+
+def _domain_mix_oracle() -> str:
+    # uniform hash u(doc) ∈ [0,1): first 8 hex chars of md5(doc_id) as a
+    # 32-bit int (nibble-by-nibble, DuckDB has no base-conv builtin),
+    # over 2^32. IEEE double division is exactly rounded, so Spark and
+    # DuckDB compute bit-identical u and keep_frac — the comparison
+    # u < keep_frac is deterministic cross-engine.
+    nib = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    u32 = " + ".join(
+        f"{nib.format(p=p + 1)} * {16 ** (7 - p)}" for p in range(8)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, source,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+),
+u AS (SELECT doc_id, source, n_tokens, ({u32}) / {_MIX_U32} AS u FROM tok),
+stats AS (SELECT source, count(*) AS docs_in,
+                 CAST(sum(n_tokens) AS BIGINT) AS tokens_in
+          FROM u GROUP BY source),
+target AS (SELECT min(tokens_in) AS floor_tokens FROM stats)
+SELECT s.source,
+       s.docs_in,
+       s.tokens_in,
+       round(t.floor_tokens * 1.0 / s.tokens_in, 6) AS keep_frac,
+       CAST(count(*) FILTER (WHERE u.u < t.floor_tokens * 1.0 / s.tokens_in)
+            AS BIGINT) AS docs_kept,
+       CAST(coalesce(sum(u.n_tokens)
+            FILTER (WHERE u.u < t.floor_tokens * 1.0 / s.tokens_in), 0)
+            AS BIGINT) AS tokens_kept
+FROM stats s CROSS JOIN target t
+JOIN u ON u.source = s.source
+GROUP BY s.source, s.docs_in, s.tokens_in, t.floor_tokens
+"""
+
+
+@register(
+    "pipeline_domain_mix",
+    oracle=_domain_mix_oracle(),
+    tags=("ext", "pipeline", "text"),
+)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: equalize token mass across sources by
+    down-sampling every domain to the smallest domain's token count, with
+    a DETERMINISTIC per-doc Bernoulli draw (md5(doc_id) as uniform [0,1))
+    so the sample is reproducible run-over-run and engine-over-engine —
+    the mixture-reweighting step every pretraining pipeline runs before
+    packing.
+
+    Scale shape: pass 1 is a hash-aggregate to per-source token totals
+    (source cardinality is tiny — the result is a broadcast row set);
+    pass 2 re-scans, joins the per-source keep fraction map-side
+    (broadcast), filters on the hash draw, and re-aggregates. Two scans,
+    zero wide shuffles beyond the two small aggs; at 100 TB the stats
+    pass is the cheap one and the filter is expression-level inside the
+    scan. Returns per-source admission stats (docs/tokens in vs kept)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(X.tokens(F.col("text")))
+    u = d.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("double")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    stats = u.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_in"),
+    )
+    floor_tok = stats.agg(F.min("tokens_in").alias("floor_tokens"))
+    per_source = stats.crossJoin(F.broadcast(floor_tok)).withColumn(
+        "keep_frac_raw", F.col("floor_tokens") * 1.0 / F.col("tokens_in")
+    )
+    kept = F.col("u") < F.col("keep_frac_raw")
+    return (
+        u.join(F.broadcast(per_source), "source")
+        .groupBy("source", "docs_in", "tokens_in", "keep_frac_raw")
+        .agg(
+            F.count_if(kept).cast("bigint").alias("docs_kept"),
+            F.coalesce(
+                F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0)
+            ).cast("bigint").alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            "docs_in",
+            "tokens_in",
+            F.round("keep_frac_raw", 6).alias("keep_frac"),
+            "docs_kept",
+            "tokens_kept",
+        )
     )

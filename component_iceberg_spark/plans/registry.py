@@ -88,6 +88,10 @@ _GATE_PRIORITY = (
     # --- 1b. new in r5 (never gate-checked)
     "text_hybrid_topk",
     "snap_compact_manifests",
+    "dedup_incremental_minhash",
+    "pipeline_domain_mix",
+    "ext_split_train_test",
+    "sim_ann_pq",
     # --- 2. pinned sentinels (keep this set stable round over round)
     "q1_pricing_summary",
     "q5_local_supplier_volume",
