@@ -229,3 +229,94 @@ def sim_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return hyperplane_lsh_pairs(e, _planes(), N_BANDS, NEARDUP_THRESHOLD)
+
+
+PQ_SUB = 64 // S.PQ_M  # subspace width (embeddings are 64-dim)
+
+_PQ_DIST = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "z -> (z[1] - z[2]) * (z[1] - z[2])))"
+)
+
+
+def _pq_oracle() -> str:
+    """SQL twin of operators.similarity.pq_topk: same unit normalization,
+    same codebook (sub-slices of the lowest-id vectors), same squared-L2
+    left-folds (bit-identical to numpy's sequential reduce over
+    <128-element axes), same first-min code tie-break, same fixed
+    subspace-order ADC sum, same shortlist/re-rank boundaries."""
+    m, k, rr = S.PQ_M, S.PQ_K, S.PQ_RERANK
+
+    def slc(v: str) -> str:
+        return f"list_slice({v}, cb.m * {PQ_SUB} + 1, cb.m * {PQ_SUB} + {PQ_SUB})"
+
+    enc_dist = _PQ_DIST.format(a=slc("x.uv"), b="cb.cv")
+    lut_dist = _PQ_DIST.format(a=slc("q.uv"), b="cb.cv")
+    cos_exact = _cos("qn.v", "qn.nrm", "cn.v", "cn.nrm")
+    return f"""
+WITH {_D},
+u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uv FROM n),
+seeds AS (SELECT vec_id AS j, uv FROM u ORDER BY vec_id LIMIT {k}),
+cb AS (
+    SELECT mm.m, seeds.j,
+           list_slice(seeds.uv, mm.m * {PQ_SUB} + 1, mm.m * {PQ_SUB} + {PQ_SUB}) AS cv
+    FROM seeds CROSS JOIN (SELECT unnest(range({m})) AS m) mm
+),
+codes AS (
+    SELECT vec_id, m, j AS code FROM (
+        SELECT x.vec_id, cb.m, cb.j,
+               row_number() OVER (
+                   PARTITION BY x.vec_id, cb.m
+                   ORDER BY {enc_dist} ASC, cb.j
+               ) AS rn
+        FROM u x CROSS JOIN cb
+    ) WHERE rn = 1
+),
+lut AS (
+    SELECT q.vec_id AS query_id, cb.m, cb.j, {lut_dist} AS dd
+    FROM u q CROSS JOIN cb WHERE q.vec_id IN {QUERY_IDS}
+),
+adc AS (
+    -- list(dd ORDER BY m) then list_sum: the same left-to-right
+    -- subspace-order fold as the numpy kernel, without an m-way self-join
+    SELECT l.query_id, c.vec_id AS neighbor_id,
+           list_sum(list(l.dd ORDER BY l.m)) AS dist
+    FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.code
+    WHERE c.vec_id <> l.query_id
+    GROUP BY l.query_id, c.vec_id
+),
+shortlist AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY dist ASC, neighbor_id
+               ) AS srank
+        FROM adc
+    ) WHERE srank <= {rr}
+)
+SELECT s.query_id, s.neighbor_id,
+       {cos_exact} AS cosine_sim,
+       CAST(row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY {cos_exact} DESC, s.neighbor_id
+       ) AS INTEGER) AS rank
+FROM shortlist s
+JOIN n qn ON qn.vec_id = s.query_id
+JOIN n cn ON cn.vec_id = s.neighbor_id
+QUALIFY rank <= {TOPK}
+"""
+
+
+@register("sim_ann_pq", oracle=_pq_oracle(), tags=("ext", "similarity"))
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN top-10: ADC shortlist (8 sub-codes per
+    vector — a 32× scan-bandwidth cut vs float32 at 100 TB) then exact
+    cosine re-rank of the best 50 (operators/similarity.pq_topk). The
+    oracle replays normalization, codebook construction, encoding, the
+    ADC shortlist, and the re-rank exactly, so the gate validates the
+    quantizer itself — not just the final list. Recall vs the exact
+    baseline is pinned by tests/test_approx.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.pq_topk(
+        e, e.filter(F.col("vec_id").isin(list(QUERY_IDS))), TOPK
+    )
