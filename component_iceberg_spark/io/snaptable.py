@@ -509,6 +509,87 @@ class SnapCatalog:
                 shutil.rmtree(d, ignore_errors=True)
             raise
 
+    def cluster_rewrite(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        table: str,
+        sort_col: str,
+        n_buckets: int = 8,
+    ) -> int:
+        """Sort-order data rewrite (Iceberg ``rewrite_data_files`` with a
+        sort order — the engine half of ``ALTER TABLE … WRITE ORDERED
+        BY``): range-partition the table on ``sort_col`` into
+        ``n_buckets`` data directories, each sorted within, and commit
+        them as one new snapshot. Content-identical; what changes is the
+        STATS SHAPE: every directory's min/max interval on ``sort_col``
+        becomes narrow and disjoint, so a predicate scan
+        (``read(where=…)``) skips ~(n_buckets − 1)/n_buckets of the data
+        via manifest pruning instead of opening every file. This is the
+        standard cure for append-order tables where each commit spans the
+        full key range and stats pruning can never skip anything — at
+        100 TB the difference between a clustered and an append-ordered
+        table on a range query is the difference between reading one
+        bucket and reading everything.
+
+        One Spark job: ``repartitionByRange`` (range boundaries by
+        sampling — layout, not content, so determinism of results is
+        unaffected) + per-partition sort, written once via a hive
+        ``partitionBy`` on the bucket id, whose subdirectories are then
+        promoted to top-level data dirs of the new manifest with their
+        own footer-derived stats. Pending merge-on-read deletes are
+        materialized (the read applies them) and cleared, as in
+        :meth:`compact`. Tables with a hive partition spec are refused —
+        cluster order and hive layout are competing physical designs;
+        Iceberg tracks them separately and so do we."""
+        base = self._current_sid(namespace, table)
+        manifest = self._manifest(namespace, table, base)
+        if manifest.get("partition_by") or manifest.get("partition_spec"):
+            raise ValueError(
+                "cluster_rewrite on a partitioned table: drop the "
+                "partition spec first (competing physical layouts)"
+            )
+        df = self.read(spark, namespace, table, snapshot_id=base)
+        bucketed = (
+            df.repartitionByRange(n_buckets, F.col(sort_col))
+            .sortWithinPartitions(sort_col)
+            .withColumn("_cluster_bucket", F.spark_partition_id())
+        )
+        data_root = self._tbl(namespace, table, "data")
+        tmp_name = f"cluster-{uuid.uuid4().hex[:12]}"
+        tmp_root = os.path.join(data_root, f"_tmp_{tmp_name}")
+        bucketed.write.mode("overwrite").partitionBy(
+            "_cluster_bucket"
+        ).parquet(tmp_root)
+        new_files: list[str] = []
+        extra_stats: dict[str, dict] = {}
+        extra_rows: dict[str, int] = {}
+        try:
+            for sub in sorted(os.listdir(tmp_root)):
+                if not sub.startswith("_cluster_bucket="):
+                    continue
+                nd = f"{tmp_name}-b{sub.split('=')[1]}"
+                dst = os.path.join(data_root, nd)
+                os.rename(os.path.join(tmp_root, sub), dst)
+                new_files.append(nd)
+                stats = dir_column_stats(dst)
+                if stats is not None:
+                    extra_stats[nd] = stats
+                extra_rows[nd] = dir_row_count(dst)
+            shutil.rmtree(tmp_root, ignore_errors=True)
+            return self._commit(
+                namespace, table, None, operation="cluster_rewrite",
+                carry=False, base_sid=base, carry_dirs=new_files,
+                clear_deletes=True, extra_dir_stats=extra_stats,
+                extra_dir_rows=extra_rows,
+            )
+        except CommitConflict:
+            for d in new_files:
+                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+            raise
+        finally:
+            shutil.rmtree(tmp_root, ignore_errors=True)
+
     def rollback_to(self, namespace: str, table: str, snapshot_id: int) -> int:
         """Iceberg ``rollback_to_snapshot``: publish a NEW snapshot whose
         content is the target snapshot's manifest verbatim (files, spec,

@@ -296,6 +296,42 @@ def snap_compact_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snap_cluster_rewrite",
+    oracle="""
+    SELECT o.*, 1 AS pruning_effective FROM orders o
+    WHERE o_orderkey <= (SELECT max(o_orderkey) // 8 FROM orders)
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_cluster_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-order data rewrite (Iceberg ``rewrite_data_files`` with a
+    sort order): three key-interleaved appends make every data dir span
+    the FULL o_orderkey range — stats pruning can skip nothing;
+    ``cluster_rewrite`` range-partitions into 8 sorted directories with
+    narrow disjoint min/max intervals, after which a range predicate
+    scan must skip at least half the directories via manifest stats
+    alone. Content must be identical to a plain filter over the source
+    (the oracle), and ``pruning_effective`` pins that the skip really
+    happened — the oracle expects exactly 1."""
+    cat = _warehouse(sf_dir, "cluster_rewrite")
+    o = load_table(spark, sf_dir, "orders")
+    # modulo interleave: each append commit contains keys from the whole
+    # range, the worst case for stats pruning
+    cat.create_or_replace("ns", "orders", o.filter(F.col("o_orderkey") % 3 == 0))
+    cat.append("ns", "orders", o.filter(F.col("o_orderkey") % 3 == 1))
+    cat.append("ns", "orders", o.filter(F.col("o_orderkey") % 3 == 2))
+    sid = cat.cluster_rewrite(spark, "ns", "orders", "o_orderkey", n_buckets=8)
+    max_key = o.agg(F.max("o_orderkey")).collect()[0][0]
+    pred = f"o_orderkey <= {max_key // 8}"
+    manifest = cat._manifest("ns", "orders", sid)
+    _cands, skipped = cat._prune_dirs(manifest, pred)
+    effective = 1 if len(skipped) >= 4 else 0
+    return cat.read(spark, "ns", "orders", where=pred).withColumn(
+        "pruning_effective", F.lit(effective)
+    )
+
+
+@register(
     "snap_schema_evolution",
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey,

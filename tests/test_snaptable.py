@@ -718,3 +718,71 @@ def test_compact_manifests_gc_safe_with_hard_links(spark, sf_dir, tmp_path):
     cat.expire_snapshots("ns", "t", keep_last=1)
     assert cat.read(spark, "ns", "t").count() == n.count()
     assert cat.row_count("ns", "t") == n.count()
+
+
+def test_cluster_rewrite_prunes_and_preserves(spark, sf_dir, tmp_path):
+    """cluster_rewrite: key-interleaved appends (every dir spans the full
+    key range, zero pruning possible) -> 8 range-disjoint sorted dirs.
+    Content identical, time travel intact, and a range predicate now
+    skips most directories on manifest stats alone."""
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    o = load_table(spark, sf_dir, "orders")
+    cat.create_or_replace("ns", "t", o.filter(F.col("o_orderkey") % 3 == 0))
+    cat.append("ns", "t", o.filter(F.col("o_orderkey") % 3 == 1))
+    cat.append("ns", "t", o.filter(F.col("o_orderkey") % 3 == 2))
+    max_key = o.agg(F.max("o_orderkey")).collect()[0][0]
+    pred = f"o_orderkey <= {max_key // 8}"
+    pre_manifest = cat._manifest("ns", "t", 3)
+    _pre_cands, pre_skipped = cat._prune_dirs(pre_manifest, pred)
+    assert pre_skipped == []  # interleaved appends: nothing skippable
+
+    sid = cat.cluster_rewrite(spark, "ns", "t", "o_orderkey", n_buckets=8)
+    post = cat._manifest("ns", "t", sid)
+    assert post["operation"] == "cluster_rewrite"
+    assert len(post["files"]) == 8
+    # disjoint narrow ranges: a 1/8th-range predicate skips >= half
+    _cands, skipped = cat._prune_dirs(post, pred)
+    assert len(skipped) >= 4, (len(skipped), post["dir_stats"])
+    # content identical (full scan) and exact under the predicate
+    assert cat.read(spark, "ns", "t").count() == o.count()
+    expect = o.filter(pred).count()
+    assert cat.read(spark, "ns", "t", where=pred).count() == expect
+    # prior snapshots untouched
+    assert (
+        cat.read(spark, "ns", "t", snapshot_id=1).count()
+        == o.filter(F.col("o_orderkey") % 3 == 0).count()
+    )
+
+
+def test_cluster_rewrite_refuses_partitioned(spark, sf_dir, tmp_path):
+    """Cluster order and a partition spec are competing physical layouts:
+    the rewrite must refuse rather than silently de-partition."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "t", n, partition_by=["n_regionkey"])
+    with pytest.raises(ValueError, match="partitioned"):
+        cat.cluster_rewrite(spark, "ns", "t", "n_nationkey")
+
+
+def test_cluster_rewrite_materializes_deletes(spark, sf_dir, tmp_path):
+    """Pending merge-on-read deletes are applied and cleared by the
+    rewrite (same contract as compact)."""
+    from pyspark.sql import functions as F
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "t", n)
+    doomed = spark.createDataFrame(
+        [(0,), (1,), (2,)], schema="n_nationkey bigint"
+    )
+    cat.delete_keys(spark, "ns", "t", doomed, ["n_nationkey"])
+    sid = cat.cluster_rewrite(spark, "ns", "t", "n_nationkey", n_buckets=2)
+    post = cat._manifest("ns", "t", sid)
+    assert not post.get("deletes")
+    assert cat.read(spark, "ns", "t").count() == n.count() - 3
