@@ -110,3 +110,75 @@ def theta_overlap(df: DataFrame, key: str, label_col: str,
             F.theta_sketch_estimate(F.theta_union(F.col("_a"), F.col("_b")))
         ).cast("long").alias("n_union"),
     )
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    item_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """φ-heavy hitters (φ = 1/(k+1)) with BOUNDED-MEMORY candidate
+    generation and exact verification — the candidate/verify split the
+    dedup family uses, applied to frequency mining.
+
+    Why not a plain groupBy at 100 TB: exact global token counts shuffle
+    one row per DISTINCT item (web-scale n-gram vocabularies run to
+    billions). Misra-Gries summaries cap that: each Arrow batch reduces
+    to ≤ k (item, weight) rows — its exact batch counts, trimmed to the
+    top k with the (k+1)-th count subtracted (the classic MG summary of
+    the segment) — so the shuffle carries ≤ k rows per batch no matter
+    the vocabulary. Merged MG weights undercount true frequency by at
+    most n/(k+1) in total, which yields the completeness guarantee:
+    every item with true count ≥ T = ⌊n/(k+1)⌋ + 1 survives into the
+    candidate set. A broadcast semi-join then counts ONLY the candidates
+    exactly and keeps those with count ≥ T.
+
+    The output is therefore EXACTLY {item: true count ≥ T}, independent
+    of partitioning or batch boundaries — the approximation affects cost,
+    never the answer — so unlike the estimate-valued sketches above this
+    op carries a hash-match DuckDB oracle (GROUP BY … HAVING count ≥ T).
+
+    Returns (item, n_occurrences) for items above the frequency floor.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    items = df.select(F.col(item_col).alias("item"))
+    n = items.count()  # driver scalar — one cheap aggregated job
+    threshold = n // (k + 1) + 1
+
+    item_type = items.schema["item"].dataType
+    summary_schema = T.StructType(
+        [
+            T.StructField("item", item_type),
+            T.StructField("w", T.LongType()),
+        ]
+    )
+
+    def mg_summaries(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            counts = pdf["item"].value_counts()  # exact within the batch
+            if len(counts) > k:
+                cut = int(counts.iloc[k])  # (k+1)-th largest count
+                counts = (counts.iloc[:k] - cut)
+                counts = counts[counts > 0]
+            yield pd.DataFrame(
+                {"item": counts.index, "w": counts.to_numpy()}
+            )
+
+    candidates = (
+        items.mapInPandas(mg_summaries, schema=summary_schema)
+        .groupBy("item")
+        .agg(F.sum("w").alias("lb"))
+        .select("item")
+    )
+    return (
+        items.join(F.broadcast(candidates), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= threshold)
+    )

@@ -56,3 +56,38 @@ def ext_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_approx.py."""
     ev = load_table(spark, sf_dir, "events")
     return SK.theta_overlap(ev, "user_id", "event_type", "view", "purchase")
+
+
+@register(
+    "ext_heavy_hitters",
+    oracle=r"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT token, count(*) AS n_occurrences
+    FROM tok, tot
+    GROUP BY token, tot.n
+    HAVING count(*) >= tot.n // 33 + 1
+    """,
+    tags=("ext", "sketch"),
+)
+def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ-heavy hitters over the corpus token stream (φ = 1/33): Misra-
+    Gries bounded-memory candidate generation (≤ 32 summary rows per
+    Arrow batch shuffle, regardless of vocabulary size) + exact
+    verification of the candidates (operators/sketch.heavy_hitters_exact).
+    Unlike the estimate-valued sketches above, the MG approximation
+    affects COST, never the answer — the completeness guarantee makes the
+    output exactly {token: count ≥ ⌊n/33⌋+1}, so this op carries a full
+    hash-match oracle."""
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.operators import text as X
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(X.tokens(F.col("text"))).alias("token"))
+    return SK.heavy_hitters_exact(tok, "token", k=32).select(
+        F.col("item").alias("token"), "n_occurrences"
+    )

@@ -93,6 +93,7 @@ _GATE_PRIORITY = (
     "ext_split_train_test",
     "sim_ann_pq",
     "snap_cluster_rewrite",
+    "ext_heavy_hitters",
     # --- 2. pinned sentinels (keep this set stable round over round)
     "q1_pricing_summary",
     "q5_local_supplier_volume",

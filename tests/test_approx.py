@@ -189,3 +189,27 @@ def test_theta_overlap_bounds(spark, sf_dir, oracle_con):
         (n_a, n_b, n_i, n_u),
     ):
         assert true > 0 and abs(est - true) / true < 0.05, (row, (n_a, n_b, n_i, n_u))
+
+
+def test_heavy_hitters_partition_independent(spark, sf_dir):
+    """The MG candidate set varies with batch boundaries; the verified
+    answer must not — identical output under different partitionings,
+    and every reported count is the exact global count."""
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.io.tables import load_table
+    from component_iceberg_spark.operators import sketch as SK
+    from component_iceberg_spark.operators import text as X
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(X.tokens(F.col("text"))).alias("token"))
+    a = SK.heavy_hitters_exact(tok.repartition(13), "token", k=32).collect()
+    b = SK.heavy_hitters_exact(tok.coalesce(1), "token", k=32).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    exact = {
+        r["token"]: r["cnt"]
+        for r in tok.groupBy("token").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert a, "fixture should have heavy hitters"
+    for r in a:
+        assert exact[r["item"]] == r["n_occurrences"]
