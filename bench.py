@@ -327,9 +327,13 @@ def main() -> None:
         # 100×+ "blowup" that is really first-materialization cost.
         sf1_timings: dict[str, float] = {}
         sf1_cold: dict[str, float] = {}
+        # best-of-3 (was 2): measured on sim_ann_hyperplane at sf1, run 2
+        # still carries JVM codegen + python-worker spin-up for the big
+        # BLAS plan (24.5 s cold, 10.7 s run 2, 3.2 s steady state) — the
+        # third run is what the plan actually costs
         for name in SCALE_QUERIES:
             best = float("inf")
-            for i in range(2):
+            for i in range(3):
                 t0 = time.perf_counter()
                 force(registry[name].fn(spark, SF1_DIR))
                 took = time.perf_counter() - t0
@@ -349,7 +353,7 @@ def main() -> None:
             },
             "note": (
                 "10x replication at constant cluster/duplicate density; "
-                "best-of-2 per query (same warm-session methodology as "
+                "best-of-3 per query (same warm-session methodology as "
                 "the sf0.1 column); first_run records the cold pass"
             ),
         }
@@ -371,7 +375,7 @@ def main() -> None:
         sf3_cold: dict[str, float] = {}
         for name in SF3_QUERIES:
             best = float("inf")
-            for i in range(2):
+            for i in range(3):
                 t0 = time.perf_counter()
                 force(registry[name].fn(spark, SF3_DIR))
                 took = time.perf_counter() - t0

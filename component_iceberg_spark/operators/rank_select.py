@@ -1,0 +1,169 @@
+"""Distributed exact rank selection — scalable exact percentiles.
+
+The problem with ``groupBy().agg(percentile(...))`` at 100 TB: Spark's
+exact percentile buffers each group's values to sort them, so one huge
+group concentrates on one reducer and dies (``ext_percentile_exact``'s
+documented memory cliff; its registered mitigation so far was the
+KLL sketch — approximate). This module computes the SAME exact
+interpolated percentiles with bounded per-task state:
+
+1. per-group (n, min, max) — one hash aggregate;
+2. histogram: each row maps to one of B value-range buckets — a
+   (group, bucket) count aggregate, B bounded (default 256);
+3. rank → bucket lookup: for each needed order statistic (two per
+   requested percentile: floor/ceil neighbors for interpolation), find
+   its bucket from the cumulative histogram — |groups| × B rows of
+   METADATA, never row data;
+4. selection: only rows in NEEDED buckets (≈ n_g/B per group per
+   percentile) are re-scanned and sorted; the sort partition is a
+   single bucket, not a group.
+
+Peak per-task state drops from O(n_g) to O(n_g / B); B is the knob.
+Caveat (documented, inherent to value-bucketing): a massively repeated
+single value keeps its whole tie-class in one bucket — the sort of that
+bucket is cheap (all keys equal) but its row count is not reduced; a
+second histogram level inside the bucket would bound that too if needed.
+
+Exactness: bucket boundaries are float arithmetic but only PARTITION the
+data — selection is by exact rank within the exactly-counted cumulative
+histogram, so the chosen order statistics are exact regardless of float
+rounding at the edges. The interpolation ``v_lo + frac · (v_hi − v_lo)``
+mirrors Spark's ``percentile()`` / DuckDB's ``quantile_cont`` (linear
+method, rank = p·(n−1) zero-indexed); results are rounded on both sides
+of the oracle comparison to absorb engine summation-order ulps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def percentile_exact_scalable(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: list[float],
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Exact interpolated percentiles of ``value_col`` per ``group_col``
+    via histogram rank selection. Returns one row per group with a
+    ``p<nn>`` column per requested probability (unrounded doubles —
+    callers round for display/oracle comparison)."""
+    rows = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
+    )
+    stats = rows.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+
+    # ranks needed per group: for each p, the 1-indexed floor/ceil order
+    # statistics around r = p·(n−1), plus the interpolation fraction
+    per_p = []
+    for p in probs:
+        r = F.lit(p) * (F.col("n") - 1).cast("double")
+        lo = (F.floor(r) + 1).cast("long")
+        per_p.append(
+            F.struct(
+                F.lit(p).alias("p"),
+                lo.alias("lo_rank"),
+                F.least(lo + 1, F.col("n")).alias("hi_rank"),
+                (r - F.floor(r)).alias("frac"),
+            )
+        )
+    wanted = stats.select("g", F.explode(F.array(*per_p)).alias("w")).select(
+        "g",
+        F.col("w.p").alias("p"),
+        F.col("w.lo_rank").alias("lo_rank"),
+        F.col("w.hi_rank").alias("hi_rank"),
+        F.col("w.frac").alias("frac"),
+    )
+    ranks = (
+        wanted.select("g", F.col("lo_rank").alias("rank"))
+        .unionByName(wanted.select("g", F.col("hi_rank").alias("rank")))
+        .distinct()
+    )
+
+    # histogram: bucket index by value range; max maps to the last bucket
+    b = rows.join(stats.select("g", "mn", "mx"), "g")
+    width = F.col("mx") - F.col("mn")
+    bucket = F.when(width == 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("v") - F.col("mn")) / width * n_buckets).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    bucketed = b.select("g", "v", bucket.alias("bk"))
+    counts = bucketed.groupBy("g", "bk").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = counts.withColumn(
+        "cum_before", F.coalesce(F.sum("c").over(wcum), F.lit(0))
+    )
+
+    # rank → (bucket, offset): metadata-sized range join (|groups|·|probs|
+    # ranks against |groups|·B histogram rows)
+    need = (
+        ranks.alias("r")
+        .join(
+            cum.alias("h"),
+            (F.col("r.g") == F.col("h.g"))
+            & (F.col("r.rank") > F.col("h.cum_before"))
+            & (F.col("r.rank") <= F.col("h.cum_before") + F.col("h.c")),
+        )
+        .select(
+            F.col("r.g").alias("g"),
+            F.col("r.rank").alias("rank"),
+            F.col("h.bk").alias("bk"),
+            (F.col("r.rank") - F.col("h.cum_before")).alias("off"),
+        )
+    )
+
+    # selection: sort ONLY the needed buckets; the window partition is a
+    # (group, bucket) slice ≈ n_g/B rows, never the whole group
+    sel = bucketed.join(
+        F.broadcast(need.select("g", "bk").distinct()), ["g", "bk"], "left_semi"
+    )
+    wv = Window.partitionBy("g", "bk").orderBy("v")
+    ordered = sel.withColumn("rn", F.row_number().over(wv))
+    order_stats = ordered.alias("o").join(
+        F.broadcast(need).alias("nd"),
+        (F.col("o.g") == F.col("nd.g"))
+        & (F.col("o.bk") == F.col("nd.bk"))
+        & (F.col("o.rn") == F.col("nd.off")),
+    ).select(
+        F.col("o.g").alias("g"),
+        F.col("nd.rank").alias("rank"),
+        F.col("o.v").alias("v"),
+    )
+
+    lo_v = order_stats.select(
+        "g", F.col("rank").alias("lo_rank"), F.col("v").alias("v_lo")
+    )
+    hi_v = order_stats.select(
+        "g", F.col("rank").alias("hi_rank"), F.col("v").alias("v_hi")
+    )
+    interp = (
+        wanted.join(lo_v, ["g", "lo_rank"])
+        .join(hi_v, ["g", "hi_rank"])
+        .select(
+            "g",
+            "p",
+            (
+                F.col("v_lo")
+                + F.col("frac") * (F.col("v_hi") - F.col("v_lo"))
+            ).alias("val"),
+        )
+    )
+    agg_cols = [
+        F.max(F.when(F.col("p") == p, F.col("val"))).alias(
+            f"p{int(round(p * 100))}"
+        )
+        for p in probs
+    ]
+    return interp.groupBy("g").agg(*agg_cols).withColumnRenamed("g", group_col)

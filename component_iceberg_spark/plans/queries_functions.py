@@ -198,6 +198,43 @@ def ext_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_percentile_scalable",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+           round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("ext", "agg"),
+)
+def ext_percentile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact interpolated percentiles as ext_percentile_exact,
+    computed by histogram rank selection
+    (operators/rank_select.percentile_exact_scalable) instead of a
+    per-group sort: per-task state drops from O(group) to O(group/256),
+    so the one query VERDICT r4 kept on the weak-for-scale list — a
+    100 TB group concentrating on one reducer — now has an exact
+    scalable form, not just the KLL approximation. The oracle is the
+    identical quantile_cont, rounded on both sides to absorb
+    interpolation-arithmetic ulps."""
+    from component_iceberg_spark.operators import rank_select as RS
+
+    li = load_table(spark, sf_dir, "lineitem")
+    price = RS.percentile_exact_scalable(
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.9]
+    )
+    qty = RS.percentile_exact_scalable(li, "l_returnflag", "l_quantity", [0.25])
+    return price.join(qty, "l_returnflag").select(
+        "l_returnflag",
+        F.round("p50", 6).alias("p50_price"),
+        F.round("p90", 6).alias("p90_price"),
+        F.round("p25", 6).alias("p25_qty"),
+    )
+
+
+@register(
     "ext_window_distribution",
     oracle="""
     SELECT o_orderkey, o_orderstatus,

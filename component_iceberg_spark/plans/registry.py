@@ -94,6 +94,7 @@ _GATE_PRIORITY = (
     "sim_ann_pq",
     "snap_cluster_rewrite",
     "ext_heavy_hitters",
+    "ext_percentile_scalable",
     # --- 2. pinned sentinels (keep this set stable round over round)
     "q1_pricing_summary",
     "q5_local_supplier_volume",

@@ -364,3 +364,44 @@ def test_text_shingles_matches_python_model(spark, hyp, texts, n):
     rows = df.select("i", text_shingles(F.col("t"), n).alias("got")).collect()
     for r in rows:
         assert r["got"] == model(texts[r["i"]]), (texts[r["i"]], n, r["got"])
+
+
+def test_percentile_scalable_matches_builtin(spark):
+    """Histogram rank selection must reproduce Spark's exact percentile()
+    on adversarial group shapes: single-row group, constant-value group
+    (zero-width histogram), two-row interpolation, and a larger mixed
+    group — to the 1e-9 level (same order statistics, same linear
+    interpolation)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.operators import rank_select as RS
+
+    rnd = random.Random(7)
+    rows = [("one", 42.0)]
+    rows += [("const", 5.5) for _ in range(40)]
+    rows += [("two", 1.0), ("two", 2.0)]
+    rows += [("big", rnd.uniform(-1000, 1000)) for _ in range(999)]
+    df = spark.createDataFrame(rows, schema="g string, v double")
+    probs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = {
+        r["g"]: r
+        for r in RS.percentile_exact_scalable(df, "g", "v", probs).collect()
+    }
+    want = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            *[
+                F.percentile("v", p).alias(f"p{int(round(p * 100))}")
+                for p in probs
+            ]
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        for p in probs:
+            c = f"p{int(round(p * 100))}"
+            assert abs(got[g][c] - want[g][c]) < 1e-9, (g, c, got[g][c], want[g][c])
