@@ -656,6 +656,7 @@ def pq_topk(
     rerank: int = PQ_RERANK,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook_override=None,
 ) -> DataFrame:
     """Product-quantized ANN: ADC shortlist, then exact cosine re-rank —
     the memory-bound ANN pipeline (Jégou et al., "Product Quantization
@@ -695,26 +696,31 @@ def pq_topk(
     vecs = corpus.select(
         F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_v")
     )
-    seed_rows = vecs.orderBy("_vid").limit(n_codes).collect()
-    if len(seed_rows) < n_codes:
-        n_codes = len(seed_rows)  # tiny fixtures: every vector is a seed
-    dim = len(seed_rows[0]["_v"])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
 
     def unit(rows):
         X = np.stack([np.asarray(r, dtype=np.float64) for r in rows])
         nrm = np.sqrt((X * X).sum(axis=1))  # sequential: dim < 128
         return X / nrm[:, None]
 
-    # codebook[mi, j, :] = subspace mi of the j-th lowest-id unit vector
-    codebook = (
-        unit([r["_v"] for r in seed_rows[:n_codes]])
-        .reshape(n_codes, m, sub)
-        .transpose(1, 0, 2)
-        .copy()
-    )
+    if codebook_override is not None:
+        # a fitted codebook (pq_fit) — shape (m, n_codes, sub)
+        codebook = np.asarray(codebook_override, dtype=np.float64)
+        m, n_codes, sub = codebook.shape
+    else:
+        seed_rows = vecs.orderBy("_vid").limit(n_codes).collect()
+        if len(seed_rows) < n_codes:
+            n_codes = len(seed_rows)  # tiny fixtures: every vector is a seed
+        dim = len(seed_rows[0]["_v"])
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+        # codebook[mi, j, :] = subspace mi of the j-th lowest-id unit vector
+        codebook = (
+            unit([r["_v"] for r in seed_rows[:n_codes]])
+            .reshape(n_codes, m, sub)
+            .transpose(1, 0, 2)
+            .copy()
+        )
 
     q_rows = queries.select(
         F.col(id_col).alias("_qid"), as_double(F.col(vec_col)).alias("_qv")
@@ -808,3 +814,110 @@ def pq_topk(
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Per-subspace Lloyd's k-means for PQ codebooks — the production
+    fit behind :func:`pq_topk`'s seed-vector default (same relationship
+    as ``kmeans_fit`` to ``ivf_topk``'s seed centroids).
+
+    One Spark job per iteration, ALL m subspaces fitted simultaneously:
+    each Arrow batch L2-normalizes its vectors, encodes them against the
+    broadcast current codebook (the same first-min argmin as search),
+    and emits per-(subspace, code, dimension) partial sums + counts —
+    ≤ m·K·sub rows per batch (2 k rows at the defaults), which one hash
+    aggregate folds and the driver turns into new sub-centroids
+    (codebook IS metadata: m·K·sub floats, the payload a broadcast
+    ships anyway). Empty codes keep their previous sub-centroid.
+    Deterministic given the seed codebook and iteration count.
+
+    Returns the fitted codebook as an (m, n_codes, sub) ndarray for
+    ``pq_topk(codebook_override=...)``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    vecs = corpus.select(
+        F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_v")
+    )
+    seed_rows = vecs.orderBy("_vid").limit(n_codes).collect()
+    if len(seed_rows) < n_codes:
+        n_codes = len(seed_rows)
+    dim = len(seed_rows[0]["_v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    X0 = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in seed_rows])
+    X0 = X0 / np.sqrt((X0 * X0).sum(axis=1))[:, None]
+    codebook = X0.reshape(n_codes, m, sub).transpose(1, 0, 2).copy()
+
+    partial_schema = T.StructType(
+        [
+            T.StructField("m", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+            T.StructField("d", T.IntegerType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+    for _ in range(iters):
+        cb = codebook  # rebind: the closure must see THIS iteration's book
+
+        def partials(batches, cb=cb):
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                X = X / np.sqrt((X * X).sum(axis=1))[:, None]
+                Xs = X.reshape(n, m, sub)
+                d2 = Xs.transpose(1, 0, 2)[:, :, None, :] - cb[:, None, :, :]
+                codes = (d2 * d2).sum(axis=-1).argmin(axis=2)  # (m, n)
+                out_m, out_c, out_d, out_s, out_n = [], [], [], [], []
+                for mi in range(m):
+                    uniq, inv, cnts = np.unique(
+                        codes[mi], return_inverse=True, return_counts=True
+                    )
+                    sums = np.zeros((len(uniq), sub))
+                    np.add.at(sums, inv, Xs[:, mi, :])
+                    for ui, code in enumerate(uniq):
+                        out_m.extend([mi] * sub)
+                        out_c.extend([int(code)] * sub)
+                        out_d.extend(range(sub))
+                        out_s.extend(sums[ui])
+                        out_n.extend([int(cnts[ui])] * sub)
+                yield pd.DataFrame(
+                    {"m": out_m, "code": out_c, "d": out_d,
+                     "s": out_s, "cnt": out_n}
+                )
+
+        folded = (
+            vecs.mapInPandas(partials, schema=partial_schema)
+            .groupBy("m", "code", "d")
+            .agg(F.sum("s").alias("s"),
+                 F.sum(F.when(F.col("d") == 0, F.col("cnt"))).alias("n0"))
+            .collect()
+        )  # ≤ m·K·sub rows — metadata-sized
+        counts = {}
+        sums = {}
+        for r in folded:
+            key = (r["m"], r["code"])
+            sums.setdefault(key, np.zeros(sub))[r["d"]] = r["s"]
+            if r["d"] == 0 and r["n0"] is not None:
+                counts[key] = r["n0"]
+        new = codebook.copy()
+        for (mi, code), n_mem in counts.items():
+            if n_mem > 0:
+                new[mi, code] = sums[(mi, code)] / n_mem
+        codebook = new
+    return codebook

@@ -477,6 +477,33 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_ann_pq_kmeans", oracle=None, tags=("ext", "similarity"))
+def sim_ann_pq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k with per-subspace k-means-fitted codebooks
+    (similarity.pq_fit): one Spark job per Lloyd iteration fits ALL 8
+    subspaces at once (per-(subspace, code, dim) partial sums, a
+    metadata-sized fold, driver-side centroid update), then the
+    identical shortlist + exact-re-rank search runs with the fitted
+    codebook (pq_topk unchanged — the fit is a drop-in). Rows-only
+    check (iterative float means have no tractable SQL twin);
+    determinism and recall vs brute force are pinned in
+    tests/test_approx.py."""
+    from component_iceberg_spark.operators import similarity as S
+    from component_iceberg_spark.plans.queries_similarity import (
+        QUERY_IDS,
+        TOPK,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    fitted = S.pq_fit(e, iters=3)
+    return S.pq_topk(
+        e,
+        e.filter(F.col("vec_id").isin(list(QUERY_IDS))),
+        TOPK,
+        codebook_override=fitted,
+    )
+
+
 @register("sim_ann_ivf_kmeans", oracle=None, tags=("ext", "similarity"))
 def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with k-means-fitted centroids: Lloyd iterations as pure

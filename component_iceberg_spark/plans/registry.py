@@ -95,6 +95,7 @@ _GATE_PRIORITY = (
     "snap_cluster_rewrite",
     "ext_heavy_hitters",
     "ext_percentile_scalable",
+    "sim_ann_pq_kmeans",
     # --- 2. pinned sentinels (keep this set stable round over round)
     "q1_pricing_summary",
     "q5_local_supplier_volume",
