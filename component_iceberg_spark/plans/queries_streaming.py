@@ -300,3 +300,80 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("view_ts") <= F.col("purchase_ts")),
     ).select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")
     return SE.stream_to_memory(joined, spark, mode="append")
+
+
+def _incr_dedup_oracle() -> str:
+    """Batch twin of the streaming drop rule: reuse the verified MinHash
+    pair CTE (same hash family, bands, 0.8 threshold) and anti-join on
+    the (batch, doc_id) order — a doc is admitted iff no verified
+    near-dup precedes it in stream order (batch = doc_id % 3, the staged
+    file carve)."""
+    from component_iceberg_spark.plans.queries_text import _minhash_cte_body
+
+    return f"""
+WITH {_minhash_cte_body()}
+SELECT d.doc_id, CAST(d.doc_id % 3 AS BIGINT) AS batch_no
+FROM documents d
+WHERE NOT EXISTS (
+    SELECT 1 FROM pairs p
+    WHERE (p.doc_b = d.doc_id
+           AND (p.doc_a % 3 < d.doc_id % 3
+                OR (p.doc_a % 3 = d.doc_id % 3 AND p.doc_a < d.doc_id)))
+       OR (p.doc_a = d.doc_id AND p.doc_b % 3 < d.doc_id % 3)
+)
+"""
+
+
+@register(
+    "stream_incremental_dedup",
+    oracle=_incr_dedup_oracle(),
+    tags=("ext", "streaming", "dedup"),
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous near-dup screening (streaming.events.
+    stream_incremental_dedup): documents arrive as three ordered
+    micro-batches (staged files, doc_id % 3, maxFilesPerTrigger=1); each
+    batch is MinHash-verified against its own lower-id rows and every
+    previously seen doc, survivors append atomically to the admitted
+    snapshot table. The oracle replays the identical drop rule in SQL
+    (verified pair CTE + stream-order anti-join) — EXACT, covering the
+    LSH, the verification, and the ordering semantics end-to-end."""
+    from pyspark.sql import functions as F
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = table_path(sf_dir, "documents")
+    stage = os.path.join(SCRATCH_ROOT, tag, "docs_stream_src")
+    if not _fresh_stage(stage, src):
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        base = spark.read.parquet(src)
+        for b in range(3):
+            part_dir = os.path.join(stage, f"_tmp_{b}")
+            base.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(part_dir)
+            import glob as _g
+
+            files = _g.glob(os.path.join(part_dir, "part-*.parquet"))
+            assert len(files) == 1
+            dst = os.path.join(stage, f"batch-{b:02d}.parquet")
+            shutil.move(files[0], dst)
+            shutil.rmtree(part_dir)
+            # ascending mtimes pin the file-source processing order
+            t = 1_600_000_000 + b
+            os.utime(dst, (t, t))
+        _mark_stage(stage, src)
+    wh = os.path.join(SCRATCH_ROOT, tag, "warehouse", "stream_incr_dedup")
+    if os.path.isdir(wh):
+        shutil.rmtree(wh)
+    cat = SnapCatalog(wh)
+    schema = spark.read.parquet(stage).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    SE.stream_incremental_dedup(docs, cat)
+    return cat.read(spark, "stream", "admitted").select(
+        "doc_id", (F.col("doc_id") % 3).cast("bigint").alias("batch_no")
+    )

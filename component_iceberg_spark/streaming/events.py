@@ -176,3 +176,79 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_incremental_dedup(
+    docs: DataFrame,
+    catalog,
+    namespace: str = "stream",
+    seen_table: str = "seen",
+    admitted_table: str = "admitted",
+    threshold: float = 0.8,
+) -> None:
+    """Continuous near-dup screening: each micro-batch of documents is
+    MinHash-verified against (a) its own lower-id rows and (b) every
+    document seen in ANY earlier batch, and only the survivors land in
+    the admitted table — the streaming form of the incremental corpus
+    dedup (`operators.dedup.incremental_minhash_pairs`), i.e. what a
+    continuously-ingesting 100 TB pipeline runs instead of re-deduping
+    the whole corpus per drop.
+
+    Drop rule (deterministic given batch order): a doc is dropped iff it
+    verified-near-dups any doc that is EARLIER in (batch, doc_id) order
+    — seen docs count whether or not they were themselves admitted
+    (conservative-drop, matching the pair semantics of
+    ``dedup_minhash_lsh``). Both tables commit atomically per batch via
+    the snapshot catalog; replaying a batch after a crash re-derives the
+    same decision because the seen-store append and the admitted append
+    share the batch boundary.
+
+    Scale note: the seen store here keeps (doc_id, text) and re-signs it
+    per batch for verification simplicity; the production variant
+    persists the SIGNATURE table (corpus-row-sized, 60× smaller) and
+    band-bucketed layout exactly as incremental_minhash_pairs documents —
+    the probe side of this operator is unchanged."""
+    from pyspark.sql import functions as _F
+
+    from component_iceberg_spark.operators import dedup as D
+
+    def screen(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        from pyspark import StorageLevel
+
+        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            intra = (
+                D.minhash_lsh_dedup(batch, "doc_id", "text", threshold)
+                .select(_F.col("doc_b").alias("doc_id"))
+                .distinct()
+            )
+            spark = batch.sparkSession
+            have_seen = catalog.table_exists(namespace, seen_table)
+            if have_seen:
+                prior = catalog.read(spark, namespace, seen_table)
+                cross = (
+                    D.incremental_minhash_pairs(
+                        prior, batch, "doc_id", "text", threshold
+                    )
+                    .select(_F.col("doc_new").alias("doc_id"))
+                    .distinct()
+                )
+                dropped = intra.unionByName(cross).distinct()
+            else:
+                dropped = intra
+            admitted = batch.join(dropped, "doc_id", "left_anti")
+            if have_seen:
+                catalog.append(namespace, seen_table, batch)
+                catalog.append(namespace, admitted_table, admitted)
+            else:
+                catalog.create_or_replace(namespace, seen_table, batch)
+                catalog.create_or_replace(namespace, admitted_table, admitted)
+        finally:
+            batch.unpersist()
+
+    run_to_completion(
+        docs.writeStream.outputMode("append").foreachBatch(screen),
+        docs.sparkSession,
+    )
