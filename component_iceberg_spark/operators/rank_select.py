@@ -50,14 +50,23 @@ def percentile_exact_scalable(
     via histogram rank selection. Returns one row per group with a
     ``p<nn>`` column per requested probability (unrounded doubles —
     callers round for display/oracle comparison)."""
+    from pyspark import StorageLevel
+
     rows = df.select(
         F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
     )
+    # stats and need are |groups|-sized and referenced by several branches
+    # below; without persistence every branch re-derives them from the
+    # base table and the physical plan re-scans the fact table ~40× (
+    # measured: 84 parquet scans). Persisted, the plan is the designed
+    # three data passes: stats, histogram, selection. Both caches are
+    # metadata-sized; they live until the session drops them (same
+    # lifecycle as the codebook broadcasts in the similarity family).
     stats = rows.groupBy("g").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("v").alias("mn"),
         F.max("v").alias("mx"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # ranks needed per group: for each p, the 1-indexed floor/ceil order
     # statistics around r = p·(n−1), plus the interpolation fraction
@@ -122,6 +131,7 @@ def percentile_exact_scalable(
             F.col("h.bk").alias("bk"),
             (F.col("r.rank") - F.col("h.cum_before")).alias("off"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # selection: sort ONLY the needed buckets; the window partition is a
@@ -140,7 +150,21 @@ def percentile_exact_scalable(
         F.col("o.g").alias("g"),
         F.col("nd.rank").alias("rank"),
         F.col("o.v").alias("v"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # order_stats is |groups|·|probs|·2 rows and is read twice below (as
+    # the lo and hi sides) — unpersisted, each side re-runs the whole
+    # selection chain including its base-table scan
+
+    # Materialize the three metadata caches in dependency order NOW:
+    # lazy persists would let the final plan's parallel branches race to
+    # compute (and duplicate) the shared subtrees before any cache is
+    # populated. Three small actions; the data passes run exactly once.
+    stats.count()
+    need.count()
+    order_stats.count()
+    # the returned plan reads only `wanted` (from cached stats) and
+    # order_stats; need's cache has served its purpose
+    need.unpersist()
 
     lo_v = order_stats.select(
         "g", F.col("rank").alias("lo_rank"), F.col("v").alias("v_lo")
