@@ -774,6 +774,21 @@ def pq_topk(
             )
 
     adc = vecs.mapInPandas(score, schema=out_schema)
+    return _pq_rerank(adc, corpus, queries, k, rerank, id_col, vec_col)
+
+
+def _pq_rerank(
+    adc: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    rerank: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared PQ tail: trim the per-batch ADC rows to the exact global
+    shortlist, then exact-cosine re-rank via a candidate-sized join back
+    to the corpus (the family's standard left-fold cosine)."""
     w_short = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id")
     )
@@ -782,8 +797,6 @@ def pq_topk(
         .filter(F.col("_srank") <= rerank)
         .select("query_id", "neighbor_id")
     )
-    # exact re-rank: candidate-sized join back to the corpus for full
-    # vectors, the family's standard left-fold cosine
     cvec = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("c_vec"),
@@ -921,3 +934,150 @@ def pq_fit(
                 new[mi, code] = sums[(mi, code)] / n_mem
         codebook = new
     return codebook
+
+
+def pq_encode(
+    corpus: DataFrame,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook_override=None,
+):
+    """Encode the corpus into its PQ codes table — the WRITE half of the
+    stored-codes layout: ``(id, codes array<int>)``, ~m small ints per
+    row vs dim floats (32× smaller at the defaults). Materialized once
+    at ingest (here: committed to a snapshot table), it is what query
+    traffic scans instead of the embedding column. Same codebook
+    construction, normalization, and first-min tie-break as
+    :func:`pq_topk`, so a search over these codes returns identical
+    results. Returns ``(codes_df, codebook)``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    vecs = corpus.select(
+        F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_v")
+    )
+
+    def unit(rows):
+        X = np.stack([np.asarray(r, dtype=np.float64) for r in rows])
+        nrm = np.sqrt((X * X).sum(axis=1))
+        return X / nrm[:, None]
+
+    if codebook_override is not None:
+        codebook = np.asarray(codebook_override, dtype=np.float64)
+        m, n_codes, sub = codebook.shape
+    else:
+        seed_rows = vecs.orderBy("_vid").limit(n_codes).collect()
+        if len(seed_rows) < n_codes:
+            n_codes = len(seed_rows)
+        dim = len(seed_rows[0]["_v"])
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+        codebook = (
+            unit([r["_v"] for r in seed_rows[:n_codes]])
+            .reshape(n_codes, m, sub)
+            .transpose(1, 0, 2)
+            .copy()
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", vecs.schema["_vid"].dataType),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            Xs = unit(pdf["_v"].to_numpy()).reshape(n, m, sub)
+            d2 = Xs.transpose(1, 0, 2)[:, :, None, :] - codebook[:, None, :, :]
+            codes = (d2 * d2).sum(axis=-1).argmin(axis=2)  # (m, n)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["_vid"].to_numpy(),
+                    "codes": list(codes.T.astype("int32")),
+                }
+            )
+
+    return vecs.mapInPandas(encode, schema=out_schema), codebook
+
+
+def pq_topk_from_codes(
+    codes_df: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook,
+    k: int,
+    rerank: int = PQ_RERANK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The READ half of the stored-codes PQ layout: ADC-score a
+    PRE-ENCODED codes table (:func:`pq_encode` output — the only thing
+    query traffic scans; the embedding column is touched solely by the
+    candidate-sized re-rank join). Byte-for-byte the same lookup-table
+    gathers, shortlist boundary, and exact re-rank as :func:`pq_topk`,
+    so both carry the same exact oracle — what changes is the I/O:
+    per-query scan bandwidth drops by ~dim·4/m (32× at the defaults)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    codebook = np.asarray(codebook, dtype=np.float64)
+    m, n_codes, sub = codebook.shape
+
+    def unit(rows):
+        X = np.stack([np.asarray(r, dtype=np.float64) for r in rows])
+        nrm = np.sqrt((X * X).sum(axis=1))
+        return X / nrm[:, None]
+
+    q_rows = queries.select(
+        F.col(id_col).alias("_qid"), as_double(F.col(vec_col)).alias("_qv")
+    ).collect()
+    q_ids = np.array([r["_qid"] for r in q_rows])
+    Qu = unit([r["_qv"] for r in q_rows])
+    diff_q = Qu.reshape(len(q_rows), 1, m, sub).transpose(0, 2, 1, 3) - codebook
+    lut = (diff_q * diff_q).sum(axis=-1)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", codes_df.schema["vec_id"].dataType),
+            T.StructField("neighbor_id", codes_df.schema["vec_id"].dataType),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy()).T  # (m, n)
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(q_ids)):
+                dist = lut[qi][np.arange(m)[:, None], codes].sum(axis=0)
+                sel = ids != q_ids[qi]
+                d_k, i_k = dist[sel], ids[sel]
+                if len(d_k) > rerank:
+                    order = np.lexsort((i_k, d_k))[:rerank]
+                    d_k, i_k = d_k[order], i_k[order]
+                out_q.append(np.full(len(d_k), q_ids[qi]))
+                out_n.append(i_k)
+                out_d.append(d_k)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc_dist": np.concatenate(out_d),
+                }
+            )
+
+    adc = codes_df.mapInPandas(score, schema=out_schema)
+    return _pq_rerank(adc, corpus, queries, k, rerank, id_col, vec_col)

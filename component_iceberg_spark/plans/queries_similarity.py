@@ -320,3 +320,38 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(
         e, e.filter(F.col("vec_id").isin(list(QUERY_IDS))), TOPK
     )
+
+
+@register("sim_ann_pq_stored", oracle=_pq_oracle(), tags=("ext", "similarity"))
+def sim_ann_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-codes PQ layout end-to-end: encode the corpus ONCE and
+    commit the (id, codes) table to the snapshot catalog (pq_encode —
+    the ingest-time write, 32× smaller than the embedding column), then
+    serve the query by scanning ONLY the codes table (pq_topk_from_codes;
+    embeddings are touched solely by the candidate-sized re-rank join).
+    Same codebook, boundaries, and re-rank as sim_ann_pq, so the SAME
+    exact oracle gates it — the check proves the store/read round-trip
+    changes nothing but I/O."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+
+    from component_iceberg_spark.io.snaptable import SnapCatalog
+
+    scratch = _os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/cis_scratch")
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = _os.path.join(scratch, tag, "warehouse", "pq_codes")
+    if _os.path.isdir(wh):
+        _sh.rmtree(wh)
+    cat = SnapCatalog(wh)
+    e = load_table(spark, sf_dir, "embeddings")
+    codes, codebook = S.pq_encode(e)
+    cat.create_or_replace("ann", "pq_codes", codes)
+    stored = cat.read(spark, "ann", "pq_codes")
+    return S.pq_topk_from_codes(
+        stored,
+        e,
+        e.filter(F.col("vec_id").isin(list(QUERY_IDS))),
+        codebook,
+        TOPK,
+    )

@@ -97,6 +97,7 @@ _GATE_PRIORITY = (
     "ext_percentile_scalable",
     "sim_ann_pq_kmeans",
     "stream_incremental_dedup",
+    "sim_ann_pq_stored",
     # --- 2. pinned sentinels (keep this set stable round over round)
     "q1_pricing_summary",
     "q5_local_supplier_volume",
