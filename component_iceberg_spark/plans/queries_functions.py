@@ -367,3 +367,45 @@ def ext_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         zscore, schema="event_id long, event_type string, z_score double"
     )
+
+
+@register(
+    "func_array",
+    oracle="""
+    WITH d AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(v) AS INTEGER) AS n_dims,
+           round(list_sum(list_transform(v, x -> abs(x))), 6) AS l1_norm,
+           round(list_max(list_transform(v, x -> abs(x))), 6) AS max_abs,
+           CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos,
+           round(list_reverse_sort(v)[3], 6) AS third_largest
+    FROM d
+    """,
+    tags=("ext", "functions"),
+)
+def func_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order function family over the embedding column:
+    transform / filter / aggregate (left fold) / array_sort /
+    element_at — all JVM-side expressions inside the scan stage, the
+    codegen'd path for array-typed columns (no UDF, no explode). The l1
+    fold is order-pinned, matching DuckDB's list_sum exactly."""
+    from component_iceberg_spark.operators.similarity import as_double
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    absv = F.transform(v, lambda x: F.abs(x))
+    l1 = F.aggregate(absv, F.lit(0.0), lambda acc, x: acc + x)
+    return e.select(
+        "vec_id",
+        F.size(v).alias("n_dims"),
+        F.round(l1, 6).alias("l1_norm"),
+        F.round(F.array_max(absv), 6).alias("max_abs"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.element_at(F.reverse(F.array_sort(v)), 3), 6
+        ).alias("third_largest"),
+    )

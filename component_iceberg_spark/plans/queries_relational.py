@@ -824,3 +824,74 @@ def q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
     )
+
+
+@register(
+    "ext_agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spend
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+    tags=("relational", "agg"),
+)
+def ext_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube) with
+    grouping_id disambiguation — one Expand + one hash aggregate, partial
+    aggregation per set, shuffle still group-bounded. grouping_id lets
+    consumers tell a real NULL group value from a superaggregate row."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "n_orders",
+            "total_spend",
+        )
+    )
+
+
+@register(
+    "ext_join_salted",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_suppkey, s_name, s_nationkey
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    """,
+    tags=("relational", "join", "skew"),
+)
+def ext_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof dimension join (operators/skew.salted_broadcast_join):
+    the big side's key is salted into 16 buckets and the broadcast dim is
+    exploded 16x, so one hot key spreads over 16 tasks instead of
+    pinning a single reducer — the standard mitigation when a 100 TB
+    fact table has power-law key frequencies. The salt is placement-only:
+    the RESULT is byte-identical to the plain equi-join, which is exactly
+    what the oracle asserts."""
+    from component_iceberg_spark.operators.skew import salted_broadcast_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_suppkey").alias("s_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    return salted_broadcast_join(li, s, "s_suppkey", salt_buckets=16).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("s_suppkey").alias("l_suppkey"),
+        "s_name",
+        "s_nationkey",
+    )

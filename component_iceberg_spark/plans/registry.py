@@ -98,6 +98,9 @@ _GATE_PRIORITY = (
     "sim_ann_pq_kmeans",
     "stream_incremental_dedup",
     "sim_ann_pq_stored",
+    "ext_agg_grouping_sets",
+    "ext_join_salted",
+    "func_array",
     # --- 2. pinned sentinels (keep this set stable round over round)
     "q1_pricing_summary",
     "q5_local_supplier_volume",
