@@ -895,3 +895,89 @@ def ext_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         "s_nationkey",
     )
+
+
+def _bucketed_table(
+    spark: SparkSession, sf_dir: str, table: str, key: str, n_buckets: int = 8
+) -> DataFrame:
+    """Materialize a fixture table as a bucketed+sorted catalog table
+    (once per fixture content — rewrites only when the source file
+    changes). Bucketing is the ingest-time contract that buys
+    shuffle-free joins forever after."""
+    import hashlib as _hl
+    import os as _os
+
+    src = _os.path.join(sf_dir, f"{table}.parquet")
+    st = _os.stat(src)
+    tag = _hl.md5(f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:10]
+    name = f"b_{table}_{tag}"
+    if not spark.catalog.tableExists(name):
+        # the catalog is session-scoped but the warehouse dir persists: a
+        # previous session's table files would block this name — they are
+        # a content-tagged cache this write recreates, so clear them
+        import shutil as _sh
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        _sh.rmtree(_os.path.join(wh, name), ignore_errors=True)
+        (
+            load_table(spark, sf_dir, table)
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
+@register(
+    "ext_join_bucketed",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) / 10000.0 AS revenue,
+           count(*) AS n_items
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_custkey
+    """,
+    tags=("relational", "join", "bucketed"),
+)
+def ext_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-to-fact join via storage bucketing: both sides are
+    written ONCE as 8-bucket tables hashed and sorted on the join key, so
+    the join (and the bucket-key-prefixed aggregation behind it) runs
+    with ZERO Exchange — no shuffle at any data size. This is the
+    ingest-time contract a 100 TB lakehouse buys for its hottest join
+    key: the per-query cost of the orders⋈lineitem shuffle is paid once
+    at write time instead of every query. tests/test_plans.py pins the
+    exchange-free physical plan; the oracle pins result identity with
+    the plain join."""
+    o = _bucketed_table(spark, sf_dir, "orders", "o_orderkey").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            # exact integer-cents arithmetic: price and discount are
+            # 2-dp values, so the per-group sum is an exact bigint —
+            # order-independent, immune to the half-cent rounding flips
+            # float summation order causes on many tiny groups
+            # no final rounding: the cents sum is an exact bigint, so
+            # the /10000.0 division is the same IEEE double in any
+            # engine — rounding would REINTRODUCE the half-cent
+            # boundary disagreement it was meant to prevent (Spark
+            # rounds via decimal string, DuckDB in binary)
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+                )
+                / 10000.0
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

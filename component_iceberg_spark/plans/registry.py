@@ -101,6 +101,7 @@ _GATE_PRIORITY = (
     "ext_agg_grouping_sets",
     "ext_join_salted",
     "func_array",
+    "ext_join_bucketed",
     # --- 2. pinned sentinels (keep this set stable round over round)
     "q1_pricing_summary",
     "q5_local_supplier_volume",

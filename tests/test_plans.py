@@ -309,3 +309,30 @@ def test_no_antipatterns_any_query(spark, sf_dir):
             if pattern in p:
                 bad.setdefault(name, []).append(pattern)
     assert not bad, f"anti-patterns found: {bad}"
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """ext_join_bucketed's contract: with both sides bucketed+sorted on
+    the join key, the join AND the bucket-key-prefixed aggregation run
+    without any shuffle Exchange. Broadcast is disabled so the plan
+    cannot sidestep the claim at small fixtures — what remains must be a
+    bucket-aligned SortMergeJoin with zero 'Exchange hashpartitioning'."""
+    import re
+
+    from component_iceberg_spark.plans import load_all
+
+    reg = load_all()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = reg["ext_join_bucketed"].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("Bucketed: true") == 2, plan[:2000]
+    assert "SortMergeJoin" in plan
+    assert not re.search(r"Exchange hashpartitioning", plan), plan[:2000]
