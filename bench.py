@@ -309,6 +309,39 @@ def main() -> None:
         "sf": sf,
     }
 
+    # Ops added this round, timed under their own key so the headline
+    # stays comparable round-over-round (promotion into HEADLINE happens
+    # the round AFTER a gate row exists).
+    NEW_OPS = (
+        "dedup_incremental_minhash",
+        "pipeline_domain_mix",
+        "ext_split_train_test",
+        "sim_ann_pq",
+        "sim_ann_pq_stored",
+        "sim_ann_pq_kmeans",
+        "snap_cluster_rewrite",
+        "ext_heavy_hitters",
+        "ext_percentile_scalable",
+        "stream_incremental_dedup",
+        "ext_agg_grouping_sets",
+        "ext_join_salted",
+        "func_array",
+        "ext_join_bucketed",
+        "text_hybrid_topk",
+        "snap_compact_manifests",
+    )
+    new_ops: dict[str, float] = {}
+    for name in NEW_OPS:
+        if name not in registry:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(registry[name].fn(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        new_ops[name] = round(best, 3)
+    result["new_ops_r5"] = new_ops
+
     if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         t0 = time.perf_counter()
         ensure_scale(spark, SF1_DIR, SF1_REPLICAS)
