@@ -54,7 +54,7 @@ def percentile_exact_scalable(
 
     rows = df.select(
         F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
-    )
+    ).filter(F.col("v").isNotNull())  # percentile() ignores NULLs; so do we
     # stats and need are |groups|-sized and referenced by several branches
     # below; without persistence every branch re-derives them from the
     # base table and the physical plan re-scans the fact table ~40× (

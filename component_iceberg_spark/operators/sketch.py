@@ -145,7 +145,12 @@ def heavy_hitters_exact(
     from pyspark.sql import types as T
 
     spark = df.sparkSession
-    items = df.select(F.col(item_col).alias("item"))
+    # NULL items are excluded up front: pandas value_counts drops NaN
+    # inside the summaries, so keeping NULLs would silently break the
+    # completeness guarantee for the NULL "item"
+    items = df.select(F.col(item_col).alias("item")).filter(
+        F.col(item_col).isNotNull()
+    )
     n = items.count()  # driver scalar — one cheap aggregated job
     threshold = n // (k + 1) + 1
 

@@ -405,3 +405,33 @@ def test_percentile_scalable_matches_builtin(spark):
         for p in probs:
             c = f"p{int(round(p * 100))}"
             assert abs(got[g][c] - want[g][c]) < 1e-9, (g, c, got[g][c], want[g][c])
+
+
+def test_percentile_scalable_ignores_nulls(spark):
+    """NULL values must be excluded exactly as Spark's percentile() does
+    — a group that is half NULLs ranks only over its non-null values."""
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.operators import rank_select as RS
+
+    rows = [("a", float(i)) for i in range(1, 11)] + [("a", None)] * 10
+    df = spark.createDataFrame(rows, schema="g string, v double")
+    got = RS.percentile_exact_scalable(df, "g", "v", [0.5]).collect()[0]
+    want = df.groupBy("g").agg(F.percentile("v", 0.5).alias("p50")).collect()[0]
+    assert abs(got["p50"] - want["p50"]) < 1e-12
+
+
+def test_heavy_hitters_excludes_nulls(spark):
+    """NULL items are excluded up front — pandas value_counts drops NaN
+    inside the MG summaries, so NULLs could never satisfy the
+    completeness guarantee; the contract is explicit instead."""
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.operators import sketch as SK
+
+    rows = [("x",)] * 40 + [(None,)] * 60 + [("y",)] * 5
+    df = spark.createDataFrame(rows, schema="item string")
+    out = SK.heavy_hitters_exact(df, "item", k=4).collect()
+    got = {r["item"]: r["n_occurrences"] for r in out}
+    # n = 45 non-null items, T = 45 // 5 + 1 = 10 → only 'x' qualifies
+    assert got == {"x": 40}
