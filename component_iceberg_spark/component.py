@@ -262,7 +262,11 @@ def sync_action(spark: SparkSession, cfg, action: str, **kwargs) -> list:
 _PREVIEW_BANNED = re.compile(
     r"Command|Insert|Create|Drop|Alter|Delete|Update|Merge|Truncate|"
     r"SetOperation$|^Set|Use|Show|Analyze|Cache|Uncache|Refresh|Repair|"
-    r"Load|Write|AddArtifact|Call"
+    r"Load|Write|AddArtifact|Call|"
+    # SELECT TRANSFORM ... USING '<cmd>' parses to ScriptTransformation —
+    # a plain-looking query node that runs an arbitrary shell command on
+    # the driver host (no-serde script transform works without Hive)
+    r"ScriptTransformation"
 )
 
 # Expression-level escape hatches: these FUNCTIONS parse as a plain

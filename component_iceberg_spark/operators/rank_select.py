@@ -52,9 +52,13 @@ def percentile_exact_scalable(
     callers round for display/oracle comparison)."""
     from pyspark import StorageLevel
 
+    # percentile() ignores NULLs; so do we. NaN is excluded too (stated
+    # contract): a NaN would poison the group's max → NaN histogram width
+    # → NULL bucket keys, silently dropping the WHOLE group from the
+    # output — exclusion keeps every finite value ranked correctly.
     rows = df.select(
         F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
-    ).filter(F.col("v").isNotNull())  # percentile() ignores NULLs; so do we
+    ).filter(F.col("v").isNotNull() & ~F.isnan(F.col("v")))
     # stats and need are |groups|-sized and referenced by several branches
     # below; without persistence every branch re-derives them from the
     # base table and the physical plan re-scans the fact table ~40× (

@@ -647,6 +647,92 @@ PQ_K = 32  # codes per subspace (sub-centroids)
 PQ_RERANK = 50  # ADC shortlist size fed to the exact re-rank
 
 
+def _pq_unit(rows):
+    """L2-normalize a sequence/array of vectors (float64). The norm is a
+    sequential numpy reduce (dim < 128), bit-identical to the SQL
+    left-fold — every PQ stage shares this exact normalization."""
+    import numpy as np
+
+    X = np.stack([np.asarray(r, dtype=np.float64) for r in rows])
+    nrm = np.sqrt((X * X).sum(axis=1))
+    return X / nrm[:, None]
+
+
+def _pq_seed_codebook(vecs: DataFrame, m: int, n_codes: int):
+    """The deterministic seed codebook shared by every PQ entry point:
+    normalized sub-slices of the ``n_codes`` lowest-id corpus vectors.
+    Returns ``(codebook (m, n_codes, sub), n_codes)`` — n_codes shrinks
+    on tiny fixtures where the corpus has fewer rows."""
+    seed_rows = vecs.orderBy("_vid").limit(n_codes).collect()
+    if len(seed_rows) < n_codes:
+        n_codes = len(seed_rows)
+    dim = len(seed_rows[0]["_v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    codebook = (
+        _pq_unit([r["_v"] for r in seed_rows[:n_codes]])
+        .reshape(n_codes, m, sub)
+        .transpose(1, 0, 2)
+        .copy()
+    )
+    return codebook, n_codes
+
+
+def _pq_encode_batch(Xs, codebook):
+    """Codes for one normalized batch reshaped to (n, m, sub): nearest
+    sub-centroid per subspace, first-min ⇒ ties to the lower code id.
+    Returns (m, n). One definition — pq_topk, pq_encode, and pq_fit must
+    assign identically or the shared oracle desynchronizes."""
+    d2 = Xs.transpose(1, 0, 2)[:, :, None, :] - codebook[:, None, :, :]
+    return (d2 * d2).sum(axis=-1).argmin(axis=2)
+
+
+def _pq_adc_batch(lut, q_ids, ids, codes, rerank):
+    """ADC-score one batch's codes against every query's lookup table and
+    keep the per-batch shortlist. Shared verbatim by the fused
+    (pq_topk) and stored-codes (pq_topk_from_codes) paths — the lexsort
+    honors the (dist, id) tie-break so a tied boundary candidate is
+    never dropped. Yields a pandas DataFrame of adc rows."""
+    import numpy as np
+    import pandas as pd
+
+    m = codes.shape[0]
+    out_q, out_n, out_d = [], [], []
+    for qi in range(len(q_ids)):
+        dist = lut[qi][np.arange(m)[:, None], codes].sum(axis=0)
+        sel = ids != q_ids[qi]
+        d_k, i_k = dist[sel], ids[sel]
+        if len(d_k) > rerank:
+            order = np.lexsort((i_k, d_k))[:rerank]
+            d_k, i_k = d_k[order], i_k[order]
+        out_q.append(np.full(len(d_k), q_ids[qi]))
+        out_n.append(i_k)
+        out_d.append(d_k)
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_n),
+            "adc_dist": np.concatenate(out_d),
+        }
+    )
+
+
+def _pq_query_lut(queries: DataFrame, codebook, id_col: str, vec_col: str):
+    """Per-query (m × n_codes) exact sub-distance lookup tables from the
+    broadcast-sized query set. Returns (q_ids ndarray, lut ndarray)."""
+    import numpy as np
+
+    m, _k, sub = codebook.shape
+    q_rows = queries.select(
+        F.col(id_col).alias("_qid"), as_double(F.col(vec_col)).alias("_qv")
+    ).collect()  # bounded by contract (broadcast-sized query set)
+    q_ids = np.array([r["_qid"] for r in q_rows])
+    Qu = _pq_unit([r["_qv"] for r in q_rows])
+    diff_q = Qu.reshape(len(q_rows), 1, m, sub).transpose(0, 2, 1, 3) - codebook
+    return q_ids, (diff_q * diff_q).sum(axis=-1)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -696,40 +782,15 @@ def pq_topk(
     vecs = corpus.select(
         F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_v")
     )
-
-    def unit(rows):
-        X = np.stack([np.asarray(r, dtype=np.float64) for r in rows])
-        nrm = np.sqrt((X * X).sum(axis=1))  # sequential: dim < 128
-        return X / nrm[:, None]
-
     if codebook_override is not None:
         # a fitted codebook (pq_fit) — shape (m, n_codes, sub)
         codebook = np.asarray(codebook_override, dtype=np.float64)
         m, n_codes, sub = codebook.shape
     else:
-        seed_rows = vecs.orderBy("_vid").limit(n_codes).collect()
-        if len(seed_rows) < n_codes:
-            n_codes = len(seed_rows)  # tiny fixtures: every vector is a seed
-        dim = len(seed_rows[0]["_v"])
-        if dim % m:
-            raise ValueError(f"dim {dim} not divisible by m={m}")
-        sub = dim // m
-        # codebook[mi, j, :] = subspace mi of the j-th lowest-id unit vector
-        codebook = (
-            unit([r["_v"] for r in seed_rows[:n_codes]])
-            .reshape(n_codes, m, sub)
-            .transpose(1, 0, 2)
-            .copy()
-        )
+        codebook, n_codes = _pq_seed_codebook(vecs, m, n_codes)
+        sub = codebook.shape[2]
 
-    q_rows = queries.select(
-        F.col(id_col).alias("_qid"), as_double(F.col(vec_col)).alias("_qv")
-    ).collect()  # bounded by contract (broadcast-sized query set)
-    q_ids = np.array([r["_qid"] for r in q_rows])
-    Qu = unit([r["_qv"] for r in q_rows])
-    # lut[qi, mi, j]: exact sub-distance of query subspace to sub-centroid
-    diff_q = Qu.reshape(len(q_rows), 1, m, sub).transpose(0, 2, 1, 3) - codebook
-    lut = (diff_q * diff_q).sum(axis=-1)  # (|Q|, m, n_codes)
+    q_ids, lut = _pq_query_lut(queries, codebook, id_col, vec_col)
 
     id_field = vecs.schema["_vid"].dataType
     out_schema = T.StructType(
@@ -746,32 +807,9 @@ def pq_topk(
             if n == 0:
                 continue
             ids = pdf["_vid"].to_numpy()
-            Xs = unit(pdf["_v"].to_numpy()).reshape(n, m, sub)
-            # encode: nearest sub-centroid per subspace (first-min ⇒ ties
-            # go to the lower code id)
-            d2 = Xs.transpose(1, 0, 2)[:, :, None, :] - codebook[:, None, :, :]
-            d2 = (d2 * d2).sum(axis=-1)  # (m, n, n_codes)
-            codes = d2.argmin(axis=2)
-            out_q, out_n, out_d = [], [], []
-            for qi in range(len(q_ids)):
-                dist = lut[qi][np.arange(m)[:, None], codes].sum(axis=0)
-                sel = ids != q_ids[qi]
-                d_k, i_k = dist[sel], ids[sel]
-                if len(d_k) > rerank:  # per-batch prefilter; lexsort
-                    # honors the (dist, id) tie-break so a tied boundary
-                    # candidate is never dropped
-                    order = np.lexsort((i_k, d_k))[:rerank]
-                    d_k, i_k = d_k[order], i_k[order]
-                out_q.append(np.full(len(d_k), q_ids[qi]))
-                out_n.append(i_k)
-                out_d.append(d_k)
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "adc_dist": np.concatenate(out_d),
-                }
-            )
+            Xs = _pq_unit(pdf["_v"].to_numpy()).reshape(n, m, sub)
+            codes = _pq_encode_batch(Xs, codebook)
+            yield _pq_adc_batch(lut, q_ids, ids, codes, rerank)
 
     adc = vecs.mapInPandas(score, schema=out_schema)
     return _pq_rerank(adc, corpus, queries, k, rerank, id_col, vec_col)
@@ -849,7 +887,11 @@ def pq_fit(
     aggregate folds and the driver turns into new sub-centroids
     (codebook IS metadata: m·K·sub floats, the payload a broadcast
     ships anyway). Empty codes keep their previous sub-centroid.
-    Deterministic given the seed codebook and iteration count.
+    Deterministic given the seed codebook, iteration count, AND input
+    partitioning: the per-key double partials are sorted before folding,
+    so shuffle fetch-arrival order cannot perturb the means (a plain SUM
+    would), but re-partitioning the corpus regroups the partials
+    themselves — double sums cannot be partition-count-invariant.
 
     Returns the fitted codebook as an (m, n_codes, sub) ndarray for
     ``pq_topk(codebook_override=...)``.
@@ -869,9 +911,12 @@ def pq_fit(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
 
-    X0 = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in seed_rows])
-    X0 = X0 / np.sqrt((X0 * X0).sum(axis=1))[:, None]
-    codebook = X0.reshape(n_codes, m, sub).transpose(1, 0, 2).copy()
+    codebook = (
+        _pq_unit([r["_v"] for r in seed_rows])
+        .reshape(n_codes, m, sub)
+        .transpose(1, 0, 2)
+        .copy()
+    )
 
     partial_schema = T.StructType(
         [
@@ -891,11 +936,8 @@ def pq_fit(
                 n = len(pdf)
                 if n == 0:
                     continue
-                X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-                X = X / np.sqrt((X * X).sum(axis=1))[:, None]
-                Xs = X.reshape(n, m, sub)
-                d2 = Xs.transpose(1, 0, 2)[:, :, None, :] - cb[:, None, :, :]
-                codes = (d2 * d2).sum(axis=-1).argmin(axis=2)  # (m, n)
+                Xs = _pq_unit(pdf["_v"].to_numpy()).reshape(n, m, sub)
+                codes = _pq_encode_batch(Xs, cb)  # (m, n)
                 out_m, out_c, out_d, out_s, out_n = [], [], [], [], []
                 for mi in range(m):
                     uniq, inv, cnts = np.unique(
@@ -917,8 +959,20 @@ def pq_fit(
         folded = (
             vecs.mapInPandas(partials, schema=partial_schema)
             .groupBy("m", "code", "d")
-            .agg(F.sum("s").alias("s"),
-                 F.sum(F.when(F.col("d") == 0, F.col("cnt"))).alias("n0"))
+            # sort the per-batch double partials before folding: a plain
+            # SUM merges shuffle partials in fetch-arrival order, which
+            # varies run to run — low-order-bit drift in the means could
+            # flip near-tie code assignments and break the documented
+            # determinism. Same multiset → same sorted order → same fold.
+            # (n0 is an integer sum: order-independent as is.)
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list("s")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("s"),
+                F.sum(F.when(F.col("d") == 0, F.col("cnt"))).alias("n0"),
+            )
             .collect()
         )  # ≤ m·K·sub rows — metadata-sized
         counts = {}
@@ -959,29 +1013,12 @@ def pq_encode(
     vecs = corpus.select(
         F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_v")
     )
-
-    def unit(rows):
-        X = np.stack([np.asarray(r, dtype=np.float64) for r in rows])
-        nrm = np.sqrt((X * X).sum(axis=1))
-        return X / nrm[:, None]
-
     if codebook_override is not None:
         codebook = np.asarray(codebook_override, dtype=np.float64)
         m, n_codes, sub = codebook.shape
     else:
-        seed_rows = vecs.orderBy("_vid").limit(n_codes).collect()
-        if len(seed_rows) < n_codes:
-            n_codes = len(seed_rows)
-        dim = len(seed_rows[0]["_v"])
-        if dim % m:
-            raise ValueError(f"dim {dim} not divisible by m={m}")
-        sub = dim // m
-        codebook = (
-            unit([r["_v"] for r in seed_rows[:n_codes]])
-            .reshape(n_codes, m, sub)
-            .transpose(1, 0, 2)
-            .copy()
-        )
+        codebook, n_codes = _pq_seed_codebook(vecs, m, n_codes)
+        sub = codebook.shape[2]
 
     out_schema = T.StructType(
         [
@@ -995,9 +1032,8 @@ def pq_encode(
             n = len(pdf)
             if n == 0:
                 continue
-            Xs = unit(pdf["_v"].to_numpy()).reshape(n, m, sub)
-            d2 = Xs.transpose(1, 0, 2)[:, :, None, :] - codebook[:, None, :, :]
-            codes = (d2 * d2).sum(axis=-1).argmin(axis=2)  # (m, n)
+            Xs = _pq_unit(pdf["_v"].to_numpy()).reshape(n, m, sub)
+            codes = _pq_encode_batch(Xs, codebook)  # (m, n)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["_vid"].to_numpy(),
@@ -1030,20 +1066,7 @@ def pq_topk_from_codes(
     from pyspark.sql import types as T
 
     codebook = np.asarray(codebook, dtype=np.float64)
-    m, n_codes, sub = codebook.shape
-
-    def unit(rows):
-        X = np.stack([np.asarray(r, dtype=np.float64) for r in rows])
-        nrm = np.sqrt((X * X).sum(axis=1))
-        return X / nrm[:, None]
-
-    q_rows = queries.select(
-        F.col(id_col).alias("_qid"), as_double(F.col(vec_col)).alias("_qv")
-    ).collect()
-    q_ids = np.array([r["_qid"] for r in q_rows])
-    Qu = unit([r["_qv"] for r in q_rows])
-    diff_q = Qu.reshape(len(q_rows), 1, m, sub).transpose(0, 2, 1, 3) - codebook
-    lut = (diff_q * diff_q).sum(axis=-1)
+    q_ids, lut = _pq_query_lut(queries, codebook, id_col, vec_col)
 
     out_schema = T.StructType(
         [
@@ -1055,29 +1078,11 @@ def pq_topk_from_codes(
 
     def score(batches):
         for pdf in batches:
-            n = len(pdf)
-            if n == 0:
+            if len(pdf) == 0:
                 continue
             ids = pdf["vec_id"].to_numpy()
             codes = np.stack(pdf["codes"].to_numpy()).T  # (m, n)
-            out_q, out_n, out_d = [], [], []
-            for qi in range(len(q_ids)):
-                dist = lut[qi][np.arange(m)[:, None], codes].sum(axis=0)
-                sel = ids != q_ids[qi]
-                d_k, i_k = dist[sel], ids[sel]
-                if len(d_k) > rerank:
-                    order = np.lexsort((i_k, d_k))[:rerank]
-                    d_k, i_k = d_k[order], i_k[order]
-                out_q.append(np.full(len(d_k), q_ids[qi]))
-                out_n.append(i_k)
-                out_d.append(d_k)
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "adc_dist": np.concatenate(out_d),
-                }
-            )
+            yield _pq_adc_batch(lut, q_ids, ids, codes, rerank)
 
     adc = codes_df.mapInPandas(score, schema=out_schema)
     return _pq_rerank(adc, corpus, queries, k, rerank, id_col, vec_col)

@@ -238,6 +238,22 @@ def test_pq_kmeans_recall(spark, sf_dir):
     km1 = reg["sim_ann_pq_kmeans"].fn(spark, sf_dir).collect()
     km2 = reg["sim_ann_pq_kmeans"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, km1)) == sorted(map(tuple, km2)), "nondeterministic"
+
+    # run-to-run determinism of the fit at a FIXED partitioning: the
+    # per-(m,code,d) fold sorts its double partials before summing, so
+    # shuffle fetch-arrival order (which varies run to run) cannot change
+    # the codebook. (Changing the partitioning changes the partial
+    # multiset itself — double sums cannot be partition-count-invariant,
+    # and the documented guarantee deliberately doesn't claim it.)
+    import numpy as np
+
+    from component_iceberg_spark.io.tables import load_table
+    from component_iceberg_spark.operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings").repartition(7)
+    cb_a = S.pq_fit(e, iters=2)
+    cb_b = S.pq_fit(e, iters=2)
+    assert np.array_equal(cb_a, cb_b), "pq_fit codebook is run-dependent"
     r_km = recall(km1)
     r_seed = recall(reg["sim_ann_pq"].fn(spark, sf_dir).collect())
     assert r_km >= 0.5, f"PQ k-means recall too low: {r_km}"

@@ -147,6 +147,13 @@ def test_sync_action_query_preview_is_readonly(spark, sf_dir, warehouse, tmp_pat
             "SELECT * FROM nation WHERE n_nationkey IN "
             "(SELECT id FROM other_view)"
         )
+    # SELECT TRANSFORM ... USING '<cmd>' parses as ScriptTransformation —
+    # a query-shaped node that runs a shell command on the driver host
+    with pytest.raises(UserConfigError):
+        preview("SELECT TRANSFORM(n_name) USING 'touch /tmp/pwned' FROM nation")
+    import os as _os
+
+    assert not _os.path.exists("/tmp/pwned")
     # parse garbage → UserConfigError, not a raw stack trace
     with pytest.raises(UserConfigError):
         preview("SELEKT * FROM nation")
