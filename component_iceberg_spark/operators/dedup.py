@@ -163,7 +163,13 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str, threshold: float) -> DataFrame:
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    persisted_out: list | None = None,
+) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band → candidates →
     exact-verify. Returns verified (doc_a, doc_b, jaccard ≥ threshold).
 
@@ -181,6 +187,11 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str, threshold: floa
 
     sh = doc_shingles(df, id_col, text_col)
     sig = minhash_signatures(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    if persisted_out is not None:
+        # callers that fully materialize the result (streaming
+        # foreachBatch) receive the cache handle so they can release it —
+        # lazy consumers leave it session-scoped as before
+        persisted_out.append(sig)
     cand = lsh_candidates(sig)
     cnt = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
@@ -213,6 +224,7 @@ def incremental_minhash_pairs(
     id_col: str,
     text_col: str,
     threshold: float,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Incremental near-dup screen: a NEW batch against an already-ingested
     corpus, without re-deduping the corpus against itself.
@@ -234,10 +246,19 @@ def incremental_minhash_pairs(
     batch minus doc_new set; corpus-internal duplicates are by
     construction NOT re-reported.
     """
+    from pyspark import StorageLevel
+
     sh_c = doc_shingles(corpus, id_col, text_col)
     sh_b = doc_shingles(batch, id_col, text_col)
-    bands_c = signature_bands(minhash_signatures(sh_c))
-    bands_b = signature_bands(minhash_signatures(sh_b))
+    # persist the signature tables: banding reads each B times, and the
+    # whole point of the incremental contract is not re-deriving the
+    # corpus work per consumer (same decision as minhash_lsh_dedup's sig)
+    sig_c = minhash_signatures(sh_c).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_b = minhash_signatures(sh_b).persist(StorageLevel.MEMORY_AND_DISK)
+    if persisted_out is not None:
+        persisted_out += [sig_c, sig_b]
+    bands_c = signature_bands(sig_c)
+    bands_b = signature_bands(sig_b)
     cand = (
         bands_b.alias("nb")
         .join(

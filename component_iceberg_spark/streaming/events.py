@@ -178,6 +178,76 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def screen_batch_incremental(
+    catalog,
+    batch: DataFrame,
+    namespace: str = "stream",
+    seen_table: str = "seen",
+    admitted_table: str = "admitted",
+    threshold: float = 0.8,
+) -> None:
+    """One micro-batch of the incremental near-dup screen — REPLAY-
+    IDEMPOTENT, so a crash between the two table commits cannot corrupt
+    state when Structured Streaming re-runs the epoch:
+
+    - the prior set is the seen store MINUS the current batch's own doc
+      ids (an anti-join): a half-committed replay, where the batch
+      already landed in the seen store, reaches the same drop decision
+      as the first attempt instead of self-matching every doc at
+      jaccard 1.0;
+    - both stores are written by UPSERT on doc_id, so re-running the
+      epoch overwrites the same keys rather than duplicating rows.
+
+    The persisted signature tables built inside the dedup operators are
+    released at the end of the batch (they are fully materialized by the
+    commits) — without that, a long-running stream accumulates one
+    cached signature table per micro-batch."""
+    from pyspark import StorageLevel
+
+    from component_iceberg_spark.operators import dedup as D
+
+    caches: list = []
+    batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        intra = (
+            D.minhash_lsh_dedup(
+                batch, "doc_id", "text", threshold, persisted_out=caches
+            )
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        spark = batch.sparkSession
+        have_seen = catalog.table_exists(namespace, seen_table)
+        if have_seen:
+            prior = catalog.read(spark, namespace, seen_table).join(
+                batch.select("doc_id"), "doc_id", "left_anti"
+            )
+            cross = (
+                D.incremental_minhash_pairs(
+                    prior, batch, "doc_id", "text", threshold,
+                    persisted_out=caches,
+                )
+                .select(F.col("doc_new").alias("doc_id"))
+                .distinct()
+            )
+            dropped = intra.unionByName(cross).distinct()
+        else:
+            dropped = intra
+        admitted = batch.join(dropped, "doc_id", "left_anti")
+        if have_seen:
+            catalog.upsert(namespace, seen_table, batch, keys=["doc_id"])
+            catalog.upsert(
+                namespace, admitted_table, admitted, keys=["doc_id"]
+            )
+        else:
+            catalog.create_or_replace(namespace, seen_table, batch)
+            catalog.create_or_replace(namespace, admitted_table, admitted)
+    finally:
+        batch.unpersist()
+        for c in caches:
+            c.unpersist()
+
+
 def stream_incremental_dedup(
     docs: DataFrame,
     catalog,
@@ -198,55 +268,21 @@ def stream_incremental_dedup(
     verified-near-dups any doc that is EARLIER in (batch, doc_id) order
     — seen docs count whether or not they were themselves admitted
     (conservative-drop, matching the pair semantics of
-    ``dedup_minhash_lsh``). Both tables commit atomically per batch via
-    the snapshot catalog; replaying a batch after a crash re-derives the
-    same decision because the seen-store append and the admitted append
-    share the batch boundary.
+    ``dedup_minhash_lsh``). Crash-replay safety and per-batch cache
+    release are :func:`screen_batch_incremental`'s contract.
 
     Scale note: the seen store here keeps (doc_id, text) and re-signs it
     per batch for verification simplicity; the production variant
     persists the SIGNATURE table (corpus-row-sized, 60× smaller) and
     band-bucketed layout exactly as incremental_minhash_pairs documents —
     the probe side of this operator is unchanged."""
-    from pyspark.sql import functions as _F
-
-    from component_iceberg_spark.operators import dedup as D
 
     def screen(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        from pyspark import StorageLevel
-
-        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            intra = (
-                D.minhash_lsh_dedup(batch, "doc_id", "text", threshold)
-                .select(_F.col("doc_b").alias("doc_id"))
-                .distinct()
-            )
-            spark = batch.sparkSession
-            have_seen = catalog.table_exists(namespace, seen_table)
-            if have_seen:
-                prior = catalog.read(spark, namespace, seen_table)
-                cross = (
-                    D.incremental_minhash_pairs(
-                        prior, batch, "doc_id", "text", threshold
-                    )
-                    .select(_F.col("doc_new").alias("doc_id"))
-                    .distinct()
-                )
-                dropped = intra.unionByName(cross).distinct()
-            else:
-                dropped = intra
-            admitted = batch.join(dropped, "doc_id", "left_anti")
-            if have_seen:
-                catalog.append(namespace, seen_table, batch)
-                catalog.append(namespace, admitted_table, admitted)
-            else:
-                catalog.create_or_replace(namespace, seen_table, batch)
-                catalog.create_or_replace(namespace, admitted_table, admitted)
-        finally:
-            batch.unpersist()
+        screen_batch_incremental(
+            catalog, batch, namespace, seen_table, admitted_table, threshold
+        )
 
     run_to_completion(
         docs.writeStream.outputMode("append").foreachBatch(screen),

@@ -153,3 +153,35 @@ def test_schema_probe_memo_invalidates_on_restage(spark, tmp_path):
     _mark_stage(d, str(src))
     t2 = _scanned_schema(spark, d)["ts"].dataType.simpleString()
     assert t2 == "bigint", f"stale schema memo served: {t2}"
+
+
+def test_incremental_dedup_screen_is_replay_idempotent(spark, sf_dir, tmp_path):
+    """Crash-replay contract of screen_batch_incremental: re-running a
+    batch whose seen-store commit already landed (the worst half-crash
+    window) must reach the SAME admitted set — no doc may be dropped as
+    a near-dup of its own half-committed copy — and upsert-based writes
+    must not duplicate rows."""
+    from pyspark.sql import functions as F
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    d = load_table(spark, sf_dir, "documents")
+    b0 = d.filter(F.col("doc_id") % 3 == 0)
+    b1 = d.filter(F.col("doc_id") % 3 == 1)
+
+    SE.screen_batch_incremental(cat, b0)
+    SE.screen_batch_incremental(cat, b1)
+    admitted_once = sorted(
+        r["doc_id"]
+        for r in cat.read(spark, "stream", "admitted").select("doc_id").collect()
+    )
+    seen_once = cat.read(spark, "stream", "seen").count()
+
+    # full replay of batch 1 (covers the crash-after-seen-commit window:
+    # the seen store already contains b1 before the re-run)
+    SE.screen_batch_incremental(cat, b1)
+    admitted_again = sorted(
+        r["doc_id"]
+        for r in cat.read(spark, "stream", "admitted").select("doc_id").collect()
+    )
+    assert admitted_again == admitted_once, "replay changed the admitted set"
+    assert cat.read(spark, "stream", "seen").count() == seen_once
