@@ -7,18 +7,21 @@ documented memory cliff; its registered mitigation so far was the
 KLL sketch — approximate). This module computes the SAME exact
 interpolated percentiles with bounded per-task state:
 
-1. per-group (n, min, max) — one hash aggregate;
-2. histogram: each row maps to one of B value-range buckets — a
-   (group, bucket) count aggregate, B bounded (default 256);
+1. per-(group, column) (n, min, max) — one hash aggregate;
+2. histogram: each value maps to one of B value-range buckets — a
+   (group, column, bucket) count aggregate, B bounded (default 256);
 3. rank → bucket lookup: for each needed order statistic (two per
    requested percentile: floor/ceil neighbors for interpolation), find
    its bucket from the cumulative histogram — |groups| × B rows of
    METADATA, never row data;
-4. selection: only rows in NEEDED buckets (≈ n_g/B per group per
+4. selection: only values in NEEDED buckets (≈ n_g/B per group per
    percentile) are re-scanned and sorted; the sort partition is a
    single bucket, not a group.
 
 Peak per-task state drops from O(n_g) to O(n_g / B); B is the knob.
+ALL requested value columns ride through the machinery together (long
+format: one scan emits (group, column-id, value) rows), so the data
+passes stay at three regardless of how many columns are requested.
 Caveat (documented, inherent to value-bucketing): a massively repeated
 single value keeps its whole tie-class in one bucket — the sort of that
 bucket is cheap (all keys equal) but its row count is not reduced; a
@@ -31,6 +34,9 @@ rounding at the edges. The interpolation ``v_lo + frac · (v_hi − v_lo)``
 mirrors Spark's ``percentile()`` / DuckDB's ``quantile_cont`` (linear
 method, rank = p·(n−1) zero-indexed); results are rounded on both sides
 of the oracle comparison to absorb engine summation-order ulps.
+NULL and NaN values are excluded (stated contract): percentile() ignores
+NULLs, and a NaN would poison the group's max → NaN histogram width →
+NULL bucket keys, silently dropping the whole group.
 """
 
 from __future__ import annotations
@@ -39,68 +45,86 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def percentile_exact_scalable(
+def percentiles_exact_scalable(
     df: DataFrame,
     group_col: str,
-    value_col: str,
-    probs: list[float],
+    specs: list[tuple[str, list[float]]],
     n_buckets: int = 256,
 ) -> DataFrame:
-    """Exact interpolated percentiles of ``value_col`` per ``group_col``
-    via histogram rank selection. Returns one row per group with a
-    ``p<nn>`` column per requested probability (unrounded doubles —
-    callers round for display/oracle comparison)."""
+    """Exact interpolated percentiles for SEVERAL value columns per
+    ``group_col`` in one shared three-pass plan. ``specs`` is
+    ``[(value_col, [probs…]), …]``; the result has one row per group and
+    a ``<value_col>_p<nn>`` column per requested probability (unrounded
+    doubles — callers round for display/oracle comparison)."""
     from pyspark import StorageLevel
 
-    # percentile() ignores NULLs; so do we. NaN is excluded too (stated
-    # contract): a NaN would poison the group's max → NaN histogram width
-    # → NULL bucket keys, silently dropping the WHOLE group from the
-    # output — exclusion keeps every finite value ranked correctly.
-    rows = df.select(
-        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
-    ).filter(F.col("v").isNotNull() & ~F.isnan(F.col("v")))
-    # stats and need are |groups|-sized and referenced by several branches
-    # below; without persistence every branch re-derives them from the
-    # base table and the physical plan re-scans the fact table ~40× (
-    # measured: 84 parquet scans). Persisted, the plan is the designed
-    # three data passes: stats, histogram, selection. Both caches are
-    # metadata-sized; they live until the session drops them (same
-    # lifecycle as the codebook broadcasts in the similarity family).
-    stats = rows.groupBy("g").agg(
+    # long format: ONE scan yields (g, c, v) for every requested column
+    structs = [
+        F.struct(F.lit(ci).alias("c"), F.col(col).cast("double").alias("v"))
+        for ci, (col, _probs) in enumerate(specs)
+    ]
+    rows = (
+        df.select(F.col(group_col).alias("g"), F.explode(F.array(*structs)).alias("e"))
+        .select("g", F.col("e.c").alias("c"), F.col("e.v").alias("v"))
+        .filter(F.col("v").isNotNull() & ~F.isnan(F.col("v")))
+    )
+    # stats and need are |groups|·|columns|-sized and referenced by
+    # several branches below; without persistence every branch re-derives
+    # them from the base table and the physical plan re-scans the fact
+    # table ~40× (measured: 84 parquet scans before this was bounded).
+    # Persisted and materialized in dependency order, the runtime is the
+    # designed three data passes: stats, histogram, selection.
+    stats = rows.groupBy("g", "c").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("v").alias("mn"),
         F.max("v").alias("mx"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    # ranks needed per group: for each p, the 1-indexed floor/ceil order
-    # statistics around r = p·(n−1), plus the interpolation fraction
-    per_p = []
-    for p in probs:
-        r = F.lit(p) * (F.col("n") - 1).cast("double")
-        lo = (F.floor(r) + 1).cast("long")
-        per_p.append(
-            F.struct(
-                F.lit(p).alias("p"),
-                lo.alias("lo_rank"),
-                F.least(lo + 1, F.col("n")).alias("hi_rank"),
-                (r - F.floor(r)).alias("frac"),
+    # ranks needed per (group, column): for each p, the 1-indexed
+    # floor/ceil order statistics around r = p·(n−1), plus the
+    # interpolation fraction
+    per_c = []
+    for ci, (_col, probs) in enumerate(specs):
+        for p in probs:
+            r = F.lit(p) * (F.col("n") - 1).cast("double")
+            lo = (F.floor(r) + 1).cast("long")
+            per_c.append(
+                F.when(
+                    F.col("c") == ci,
+                    F.array(
+                        F.struct(
+                            F.lit(float(p)).alias("p"),
+                            lo.alias("lo_rank"),
+                            F.least(lo + 1, F.col("n")).alias("hi_rank"),
+                            (r - F.floor(r)).alias("frac"),
+                        )
+                    ),
+                ).otherwise(F.array().cast(
+                    "array<struct<p:double,lo_rank:bigint,"
+                    "hi_rank:bigint,frac:double>>"
+                ))
             )
+    wanted = (
+        stats.select(
+            "g", "c", F.explode(F.flatten(F.array(*per_c))).alias("w")
         )
-    wanted = stats.select("g", F.explode(F.array(*per_p)).alias("w")).select(
-        "g",
-        F.col("w.p").alias("p"),
-        F.col("w.lo_rank").alias("lo_rank"),
-        F.col("w.hi_rank").alias("hi_rank"),
-        F.col("w.frac").alias("frac"),
+        .select(
+            "g",
+            "c",
+            F.col("w.p").alias("p"),
+            F.col("w.lo_rank").alias("lo_rank"),
+            F.col("w.hi_rank").alias("hi_rank"),
+            F.col("w.frac").alias("frac"),
+        )
     )
     ranks = (
-        wanted.select("g", F.col("lo_rank").alias("rank"))
-        .unionByName(wanted.select("g", F.col("hi_rank").alias("rank")))
+        wanted.select("g", "c", F.col("lo_rank").alias("rank"))
+        .unionByName(wanted.select("g", "c", F.col("hi_rank").alias("rank")))
         .distinct()
     )
 
     # histogram: bucket index by value range; max maps to the last bucket
-    b = rows.join(stats.select("g", "mn", "mx"), "g")
+    b = rows.join(stats.select("g", "c", "mn", "mx"), ["g", "c"])
     width = F.col("mx") - F.col("mn")
     bucket = F.when(width == 0, F.lit(0)).otherwise(
         F.least(
@@ -108,29 +132,30 @@ def percentile_exact_scalable(
             F.lit(n_buckets - 1),
         )
     )
-    bucketed = b.select("g", "v", bucket.alias("bk"))
-    counts = bucketed.groupBy("g", "bk").agg(F.count(F.lit(1)).alias("c"))
+    bucketed = b.select("g", "c", "v", bucket.alias("bk"))
+    counts = bucketed.groupBy("g", "c", "bk").agg(F.count(F.lit(1)).alias("cnt"))
     wcum = (
-        Window.partitionBy("g")
+        Window.partitionBy("g", "c")
         .orderBy("bk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum = counts.withColumn(
-        "cum_before", F.coalesce(F.sum("c").over(wcum), F.lit(0))
+        "cum_before", F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
     )
 
-    # rank → (bucket, offset): metadata-sized range join (|groups|·|probs|
-    # ranks against |groups|·B histogram rows)
+    # rank → (bucket, offset): metadata-sized range join
     need = (
         ranks.alias("r")
         .join(
             cum.alias("h"),
             (F.col("r.g") == F.col("h.g"))
+            & (F.col("r.c") == F.col("h.c"))
             & (F.col("r.rank") > F.col("h.cum_before"))
-            & (F.col("r.rank") <= F.col("h.cum_before") + F.col("h.c")),
+            & (F.col("r.rank") <= F.col("h.cum_before") + F.col("h.cnt")),
         )
         .select(
             F.col("r.g").alias("g"),
+            F.col("r.c").alias("c"),
             F.col("r.rank").alias("rank"),
             F.col("h.bk").alias("bk"),
             (F.col("r.rank") - F.col("h.cum_before")).alias("off"),
@@ -139,25 +164,28 @@ def percentile_exact_scalable(
     )
 
     # selection: sort ONLY the needed buckets; the window partition is a
-    # (group, bucket) slice ≈ n_g/B rows, never the whole group
+    # (group, column, bucket) slice ≈ n_g/B rows, never the whole group
     sel = bucketed.join(
-        F.broadcast(need.select("g", "bk").distinct()), ["g", "bk"], "left_semi"
+        F.broadcast(need.select("g", "c", "bk").distinct()),
+        ["g", "c", "bk"],
+        "left_semi",
     )
-    wv = Window.partitionBy("g", "bk").orderBy("v")
+    wv = Window.partitionBy("g", "c", "bk").orderBy("v")
     ordered = sel.withColumn("rn", F.row_number().over(wv))
     order_stats = ordered.alias("o").join(
         F.broadcast(need).alias("nd"),
         (F.col("o.g") == F.col("nd.g"))
+        & (F.col("o.c") == F.col("nd.c"))
         & (F.col("o.bk") == F.col("nd.bk"))
         & (F.col("o.rn") == F.col("nd.off")),
     ).select(
         F.col("o.g").alias("g"),
+        F.col("o.c").alias("c"),
         F.col("nd.rank").alias("rank"),
         F.col("o.v").alias("v"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # order_stats is |groups|·|probs|·2 rows and is read twice below (as
-    # the lo and hi sides) — unpersisted, each side re-runs the whole
-    # selection chain including its base-table scan
+    # order_stats is read twice below (lo and hi sides) — unpersisted,
+    # each side re-runs the whole selection chain including the scan
 
     # Materialize the three metadata caches in dependency order NOW:
     # lazy persists would let the final plan's parallel branches race to
@@ -171,16 +199,17 @@ def percentile_exact_scalable(
     need.unpersist()
 
     lo_v = order_stats.select(
-        "g", F.col("rank").alias("lo_rank"), F.col("v").alias("v_lo")
+        "g", "c", F.col("rank").alias("lo_rank"), F.col("v").alias("v_lo")
     )
     hi_v = order_stats.select(
-        "g", F.col("rank").alias("hi_rank"), F.col("v").alias("v_hi")
+        "g", "c", F.col("rank").alias("hi_rank"), F.col("v").alias("v_hi")
     )
     interp = (
-        wanted.join(lo_v, ["g", "lo_rank"])
-        .join(hi_v, ["g", "hi_rank"])
+        wanted.join(lo_v, ["g", "c", "lo_rank"])
+        .join(hi_v, ["g", "c", "hi_rank"])
         .select(
             "g",
+            "c",
             "p",
             (
                 F.col("v_lo")
@@ -189,9 +218,28 @@ def percentile_exact_scalable(
         )
     )
     agg_cols = [
-        F.max(F.when(F.col("p") == p, F.col("val"))).alias(
-            f"p{int(round(p * 100))}"
-        )
+        F.max(
+            F.when(
+                (F.col("c") == ci) & (F.col("p") == p), F.col("val")
+            )
+        ).alias(f"{col}_p{int(round(p * 100))}")
+        for ci, (col, probs) in enumerate(specs)
         for p in probs
     ]
     return interp.groupBy("g").agg(*agg_cols).withColumnRenamed("g", group_col)
+
+
+def percentile_exact_scalable(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: list[float],
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Single-column convenience wrapper over
+    :func:`percentiles_exact_scalable`: columns come back as ``p<nn>``."""
+    out = percentiles_exact_scalable(df, group_col, [(value_col, probs)], n_buckets)
+    for p in probs:
+        pp = int(round(p * 100))
+        out = out.withColumnRenamed(f"{value_col}_p{pp}", f"p{pp}")
+    return out

@@ -222,15 +222,16 @@ def ext_percentile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from component_iceberg_spark.operators import rank_select as RS
 
     li = load_table(spark, sf_dir, "lineitem")
-    price = RS.percentile_exact_scalable(
-        li, "l_returnflag", "l_extendedprice", [0.5, 0.9]
-    )
-    qty = RS.percentile_exact_scalable(li, "l_returnflag", "l_quantity", [0.25])
-    return price.join(qty, "l_returnflag").select(
+    out = RS.percentiles_exact_scalable(
+        li,
         "l_returnflag",
-        F.round("p50", 6).alias("p50_price"),
-        F.round("p90", 6).alias("p90_price"),
-        F.round("p25", 6).alias("p25_qty"),
+        [("l_extendedprice", [0.5, 0.9]), ("l_quantity", [0.25])],
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("l_extendedprice_p50", 6).alias("p50_price"),
+        F.round("l_extendedprice_p90", 6).alias("p90_price"),
+        F.round("l_quantity_p25", 6).alias("p25_qty"),
     )
 
 
