@@ -578,3 +578,38 @@ def snap_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         where="o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'",
     )
     return filtered.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "snap_expire",
+    oracle="""
+    SELECT n.*, 4 AS n_expired, 2 AS n_remaining FROM nation n
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot GC (Iceberg ``expire_snapshots`` analogue): six commits
+    accrete six snapshots; expiring with keep_last=2 must drop exactly
+    the four oldest manifests AND the data directories only they
+    referenced, while the current content stays byte-identical (pinned
+    by the oracle over the source) and the retained previous snapshot
+    stays time-travelable. The emitted counters pin the retention
+    arithmetic — the oracle expects exactly (4 expired, 2 remaining)."""
+    cat = _warehouse(sf_dir, "expire")
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "nation", n.filter(F.col("n_regionkey") == 0))
+    for rk in (1, 2, 3, 4):
+        cat.append("ns", "nation", n.filter(F.col("n_regionkey") == rk))
+    # one replace so the final content is the WHOLE table regardless of
+    # which earlier snapshots get expired
+    cat.create_or_replace("ns", "nation", n)
+    expired = cat.expire_snapshots("ns", "nation", keep_last=2)
+    remaining = len(cat._snapshots("ns", "nation"))
+    # retained previous snapshot must still be readable (time travel)
+    prev_sid = cat._snapshots("ns", "nation")[0]["snapshot_id"]
+    assert cat.read(spark, "ns", "nation", snapshot_id=prev_sid).count() >= 0
+    return cat.read(spark, "ns", "nation").select(
+        "*",
+        F.lit(len(expired)).alias("n_expired"),
+        F.lit(remaining).alias("n_remaining"),
+    )

@@ -102,6 +102,7 @@ _GATE_PRIORITY = (
     "ext_join_salted",
     "func_array",
     "ext_join_bucketed",
+    "snap_expire",
     # --- 2. pinned sentinels (keep this set stable round over round)
     "q1_pricing_summary",
     "q5_local_supplier_volume",
