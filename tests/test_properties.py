@@ -435,3 +435,33 @@ def test_heavy_hitters_excludes_nulls(spark):
     got = {r["item"]: r["n_occurrences"] for r in out}
     # n = 45 non-null items, T = 45 // 5 + 1 = 10 → only 'x' qualifies
     assert got == {"x": 40}
+
+
+@given(
+    fracs=st.lists(
+        st.floats(min_value=0.05, max_value=0.9), min_size=2, max_size=4
+    ),
+    n=st.integers(min_value=1, max_value=60),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_split_assign_exhaustive_and_stable(spark, fracs, n):
+    """split_assign invariants for arbitrary split vectors: every row gets
+    exactly one label drawn from the declared splits (disjoint AND
+    exhaustive — the last split absorbs normalization slack), and the
+    assignment is a pure function of the id: repartitioning cannot move
+    a row between splits."""
+    total = sum(fracs)
+    splits = [(f"s{i}", f / total) for i, f in enumerate(fracs)]
+    from component_iceberg_spark.operators import sampling as SA
+
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = SA.split_assign(df, "doc_id", splits).collect()
+    labels = {r["doc_id"]: r["split"] for r in out}
+    assert len(labels) == n  # one row out per row in
+    assert set(labels.values()) <= {name for name, _ in splits}
+    out2 = SA.split_assign(df.repartition(5), "doc_id", splits).collect()
+    assert {r["doc_id"]: r["split"] for r in out2} == labels
