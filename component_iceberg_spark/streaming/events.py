@@ -195,8 +195,11 @@ def screen_batch_incremental(
       already landed in the seen store, reaches the same drop decision
       as the first attempt instead of self-matching every doc at
       jaccard 1.0;
-    - both stores are written by UPSERT on doc_id, so re-running the
-      epoch overwrites the same keys rather than duplicating rows.
+    - both stores are APPEND-ONLY with an already-present filter (an
+      anti-join on doc_id before the append): a replayed epoch appends
+      nothing, and the write cost stays O(batch) — an upsert would be
+      copy-on-write and, with interleaved id ranges across batches,
+      rewrite ~the whole store every epoch.
 
     The persisted signature tables built inside the dedup operators are
     released at the end of the batch (they are fully materialized by the
@@ -219,9 +222,12 @@ def screen_batch_incremental(
         spark = batch.sparkSession
         have_seen = catalog.table_exists(namespace, seen_table)
         if have_seen:
-            prior = catalog.read(spark, namespace, seen_table).join(
-                batch.select("doc_id"), "doc_id", "left_anti"
-            )
+            # one lazy read serves the prior set and the replay filter —
+            # re-reading the parquet store is cheaper than persisting the
+            # text rows (the expensive derived signatures ARE persisted,
+            # inside incremental_minhash_pairs)
+            seen_full = catalog.read(spark, namespace, seen_table)
+            prior = seen_full.join(batch.select("doc_id"), "doc_id", "left_anti")
             cross = (
                 D.incremental_minhash_pairs(
                     prior, batch, "doc_id", "text", threshold,
@@ -235,10 +241,18 @@ def screen_batch_incremental(
             dropped = intra
         admitted = batch.join(dropped, "doc_id", "left_anti")
         if have_seen:
-            catalog.upsert(namespace, seen_table, batch, keys=["doc_id"])
-            catalog.upsert(
-                namespace, admitted_table, admitted, keys=["doc_id"]
+            # no isEmpty guards: they would evaluate each anti-join a
+            # second time just to (rarely) skip an append; an empty
+            # append on a replayed epoch is a harmless empty commit
+            new_seen = batch.join(
+                seen_full.select("doc_id"), "doc_id", "left_anti"
             )
+            catalog.append(namespace, seen_table, new_seen)
+            adm_ids = catalog.read(spark, namespace, admitted_table).select(
+                "doc_id"
+            )
+            new_adm = admitted.join(adm_ids, "doc_id", "left_anti")
+            catalog.append(namespace, admitted_table, new_adm)
         else:
             catalog.create_or_replace(namespace, seen_table, batch)
             catalog.create_or_replace(namespace, admitted_table, admitted)
