@@ -218,6 +218,21 @@ def minhash_lsh_dedup(
     )
 
 
+def corpus_minhash_profile(
+    corpus: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The stored dedup artifact for a corpus: one row per doc with its
+    K min-hash signature columns AND its distinct-shingle count ``n`` —
+    everything the incremental screen needs from old data except the
+    candidate-restricted text re-read. Corpus-row-sized (~60× smaller
+    than the shingle table); at 100 TB this is the table you persist to
+    the lake at ingest, bucketed by band key."""
+    sh = doc_shingles(corpus, id_col, text_col)
+    sig = minhash_signatures(sh)
+    cnt = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    return sig.join(cnt, "doc")
+
+
 def incremental_minhash_pairs(
     corpus: DataFrame,
     batch: DataFrame,
@@ -225,6 +240,7 @@ def incremental_minhash_pairs(
     text_col: str,
     threshold: float,
     persisted_out: list | None = None,
+    corpus_profile: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup screen: a NEW batch against an already-ingested
     corpus, without re-deduping the corpus against itself.
@@ -248,16 +264,19 @@ def incremental_minhash_pairs(
     """
     from pyspark import StorageLevel
 
-    sh_c = doc_shingles(corpus, id_col, text_col)
     sh_b = doc_shingles(batch, id_col, text_col)
-    # persist the signature tables: banding reads each B times, and the
-    # whole point of the incremental contract is not re-deriving the
-    # corpus work per consumer (same decision as minhash_lsh_dedup's sig)
-    sig_c = minhash_signatures(sh_c).persist(StorageLevel.MEMORY_AND_DISK)
+    if corpus_profile is None:
+        corpus_profile = corpus_minhash_profile(corpus, id_col, text_col)
+        # persist when built here: banding reads it B times and the count
+        # join reads it again (a caller-provided profile is typically a
+        # stored table or already persisted)
+        corpus_profile = corpus_profile.persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted_out is not None:
+            persisted_out.append(corpus_profile)
     sig_b = minhash_signatures(sh_b).persist(StorageLevel.MEMORY_AND_DISK)
     if persisted_out is not None:
-        persisted_out += [sig_c, sig_b]
-    bands_c = signature_bands(sig_c)
+        persisted_out.append(sig_b)
+    bands_c = signature_bands(corpus_profile)
     bands_b = signature_bands(sig_b)
     cand = (
         bands_b.alias("nb")
@@ -269,12 +288,20 @@ def incremental_minhash_pairs(
         .select(F.col("nb.doc").alias("doc_new"), F.col("cb.doc").alias("doc_corpus"))
         .distinct()
     )
-    cnt_c = sh_c.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    cnt_c = corpus_profile.select("doc", "n")
     cnt_b = sh_b.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    # exact verification re-reads corpus TEXT only for candidate docs —
+    # a candidate-sized semi-join + shingle pass, never a corpus scan
+    corpus_cand = corpus.join(
+        cand.select(F.col("doc_corpus").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    sh_c_cand = doc_shingles(corpus_cand, id_col, text_col)
     inter = (
         cand.join(sh_b.alias("a"), F.col("doc_new") == F.col("a.doc"))
         .join(
-            sh_c.alias("b"),
+            sh_c_cand.alias("b"),
             (F.col("doc_corpus") == F.col("b.doc"))
             & (F.col("a.shingle") == F.col("b.shingle")),
         )

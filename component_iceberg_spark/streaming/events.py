@@ -185,6 +185,7 @@ def screen_batch_incremental(
     seen_table: str = "seen",
     admitted_table: str = "admitted",
     threshold: float = 0.8,
+    profile_table: str = "seen_profile",
 ) -> None:
     """One micro-batch of the incremental near-dup screen — REPLAY-
     IDEMPOTENT, so a crash between the two table commits cannot corrupt
@@ -195,11 +196,18 @@ def screen_batch_incremental(
       already landed in the seen store, reaches the same drop decision
       as the first attempt instead of self-matching every doc at
       jaccard 1.0;
-    - both stores are APPEND-ONLY with an already-present filter (an
-      anti-join on doc_id before the append): a replayed epoch appends
-      nothing, and the write cost stays O(batch) — an upsert would be
-      copy-on-write and, with interleaved id ranges across batches,
-      rewrite ~the whole store every epoch.
+    - all three stores (text, signature profile, admitted) are
+      APPEND-ONLY with an already-present filter (an anti-join before
+      the append): a replayed epoch appends nothing, and the write cost
+      stays O(batch) — an upsert would be copy-on-write and, with
+      interleaved id ranges across batches, rewrite ~the whole store
+      every epoch.
+
+    The signature PROFILE table (``corpus_minhash_profile``) is the
+    artifact that makes per-batch cost O(batch + candidates): candidate
+    generation probes stored signatures, old text is re-read only
+    candidate-restricted inside verification, and each batch's profile
+    rows are computed once and appended for all future batches.
 
     The persisted signature tables built inside the dedup operators are
     released at the end of the batch (they are fully materialized by the
@@ -220,18 +228,29 @@ def screen_batch_incremental(
             .distinct()
         )
         spark = batch.sparkSession
+        # the batch's profile (signatures + shingle counts) is computed
+        # ONCE — it both probes the stored profile and becomes the rows
+        # appended to it, so the per-batch signing cost is paid once ever
+        batch_profile = D.corpus_minhash_profile(
+            batch, "doc_id", "text"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(batch_profile)
         have_seen = catalog.table_exists(namespace, seen_table)
         if have_seen:
-            # one lazy read serves the prior set and the replay filter —
-            # re-reading the parquet store is cheaper than persisting the
-            # text rows (the expensive derived signatures ARE persisted,
-            # inside incremental_minhash_pairs)
+            # the stored PROFILE answers candidate generation; the seen
+            # TEXT store is only read candidate-restricted inside the
+            # verification stage — per-batch cost is O(batch + candidates),
+            # never a corpus re-sign
+            profile_full = catalog.read(spark, namespace, profile_table)
+            prior_profile = profile_full.join(
+                batch.select(F.col("doc_id").alias("doc")), "doc", "left_anti"
+            )
             seen_full = catalog.read(spark, namespace, seen_table)
             prior = seen_full.join(batch.select("doc_id"), "doc_id", "left_anti")
             cross = (
                 D.incremental_minhash_pairs(
                     prior, batch, "doc_id", "text", threshold,
-                    persisted_out=caches,
+                    persisted_out=caches, corpus_profile=prior_profile,
                 )
                 .select(F.col("doc_new").alias("doc_id"))
                 .distinct()
@@ -248,6 +267,10 @@ def screen_batch_incremental(
                 seen_full.select("doc_id"), "doc_id", "left_anti"
             )
             catalog.append(namespace, seen_table, new_seen)
+            new_prof = batch_profile.join(
+                profile_full.select("doc"), "doc", "left_anti"
+            )
+            catalog.append(namespace, profile_table, new_prof)
             adm_ids = catalog.read(spark, namespace, admitted_table).select(
                 "doc_id"
             )
@@ -255,6 +278,7 @@ def screen_batch_incremental(
             catalog.append(namespace, admitted_table, new_adm)
         else:
             catalog.create_or_replace(namespace, seen_table, batch)
+            catalog.create_or_replace(namespace, profile_table, batch_profile)
             catalog.create_or_replace(namespace, admitted_table, admitted)
     finally:
         batch.unpersist()
