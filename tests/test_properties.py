@@ -465,3 +465,26 @@ def test_split_assign_exhaustive_and_stable(spark, fracs, n):
     assert set(labels.values()) <= {name for name, _ in splits}
     out2 = SA.split_assign(df.repartition(5), "doc_id", splits).collect()
     assert {r["doc_id"]: r["split"] for r in out2} == labels
+
+
+def test_incremental_pairs_profile_path_equals_direct(spark, sf_dir):
+    """The stored-profile fast path of incremental_minhash_pairs must be
+    result-identical to the build-it-inline path — both feed the same
+    oracle, so a divergence would silently desynchronize the streaming
+    screen from the registered query."""
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.io.tables import load_table
+    from component_iceberg_spark.operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    direct = D.incremental_minhash_pairs(
+        corpus, batch, "doc_id", "text", 0.8
+    ).collect()
+    profile = D.corpus_minhash_profile(corpus, "doc_id", "text")
+    via_profile = D.incremental_minhash_pairs(
+        corpus, batch, "doc_id", "text", 0.8, corpus_profile=profile
+    ).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, via_profile))
