@@ -1,0 +1,180 @@
+"""Event-analytics operators: funnels, cohort retention, gap-filled
+resampling.
+
+The reference engine answers this class of question with ad-hoc SQL over
+its DuckDB layer (custom query mode,
+``ex-iceberg/src/component.py``); here each shape is a first-class
+operator whose Catalyst plan is pinned by tests:
+
+- ``funnel``: ordered multi-step conversion. All step timestamps are
+  per-user window minima over ONE partitioning, so the whole funnel —
+  however many steps — costs a single Exchange on the user key, then a
+  metadata-sized final rollup (k rows, one per step).
+- ``cohort_retention``: first-touch cohorting. Two shuffles total
+  (first-event agg, cohort×offset agg); the user→cohort map joins back
+  sort-merge on the already-partitioned key.
+- ``gap_fill_daily``: calendar densification. The calendar derives from
+  a 1-row global bound aggregate crossed with the distinct-key dim —
+  both broadcast-sized by construction — so the fill never shuffles the
+  fact table at all; the only wide op is the daily pre-aggregation.
+
+All three would run unchanged at 100 TB: nothing materializes per-user
+state beyond the hash-agg/window partitions, and every driver-side
+structure is O(steps) or O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    horizon: str = "INTERVAL 7 DAYS",
+) -> DataFrame:
+    """Ordered-step funnel: a user reaches step *i* when an event of
+    ``steps[i]`` occurs at-or-after their step *i-1* time (and, for
+    ``i >= 1``, within ``horizon`` of their step-0 time).
+
+    Each step time is ``min(CASE WHEN ...) OVER (PARTITION BY user)``;
+    every window shares one partitioning so Catalyst plans a single
+    Exchange for the full chain. Output: one row per step with the
+    distinct-user count and the conversion rate vs step 0.
+    """
+    w = Window.partitionBy(user_col)
+    cur = df
+    step_cols = []
+    for i, step in enumerate(steps):
+        col = f"_t{i}"
+        cond = F.col(type_col) == step
+        if i > 0:
+            prev = F.col(f"_t{i - 1}")
+            cond = (
+                cond
+                & (F.col(ts_col) >= prev)
+                & (F.col(ts_col) <= F.col("_t0") + F.expr(horizon))
+            )
+        cur = cur.withColumn(col, F.min(F.when(cond, F.col(ts_col))).over(w))
+        step_cols.append(col)
+
+    # Window values are per-user constants; max() collapses to one row per
+    # user without a second Exchange (same partitioning as the window).
+    per_user = cur.groupBy(user_col).agg(
+        *[F.max(c).alias(c) for c in step_cols]
+    )
+    counts = per_user.agg(
+        *[F.count(c).alias(f"_c{i}") for i, c in enumerate(step_cols)]
+    )
+    # conversion computed inside the unpivot so no per-row window is
+    # needed on the k-row result (k = number of steps)
+    stack_args = ", ".join(
+        f"cast({i} as int), '{s}', _c{i}, "
+        f"round(_c{i} / nullif(_c0, 0), 6)"
+        for i, s in enumerate(steps)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(steps)}, {stack_args}) "
+            "AS (step_idx, step, n_users, conv_rate)"
+        )
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    max_weeks: int = 4,
+) -> DataFrame:
+    """Weekly cohort retention: cohort = week of a user's first event;
+    a user counts as retained at offset *k* when they have any event in
+    cohort-week + *k* weeks (0 <= k < ``max_weeks``).
+
+    Two shuffles: the first-event aggregation on the user key and the
+    (cohort, offset) distinct-count; the fact→cohort join is sort-merge
+    on the key the first aggregation already partitioned by.
+    """
+    first = df.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).cast("date").alias("cohort_week")
+    )
+    joined = df.select(user_col, ts_col).join(first, user_col)
+    active = (
+        joined.select(
+            user_col,
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col(ts_col)).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .filter(F.col("week_offset") < max_weeks)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct(user_col).alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.countDistinct(user_col).alias("cohort_size")
+    )
+    return active.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+def gap_fill_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Densified daily resample: every (key, day) cell of the full
+    observed date range, zero-filled counts/sums, plus a forward-fill of
+    the last observed daily mean (``last(..., ignorenulls)``).
+
+    The calendar spine is a 1-row min/max aggregate exploded through
+    ``sequence()`` and crossed with the distinct-key dim — both sides
+    broadcast-sized, so densification adds no fact-table shuffle beyond
+    the daily pre-aggregation. The forward-fill window partitions by key,
+    i.e. state is one running value per key.
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    daily = df.select(F.col(key_col).alias("key"), day, F.col(value_col).alias("v")).groupBy(
+        "key", "day"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("v"), 2).alias("value_sum"),
+        F.round(F.avg("v"), 6).alias("_avg"),
+    )
+    bounds = df.select(F.to_date(F.col(ts_col)).alias("d")).agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    calendar = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    keys = df.select(F.col(key_col).alias("key")).distinct()
+    grid = calendar.crossJoin(F.broadcast(keys))
+    filled = grid.join(daily, ["key", "day"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "key",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("value_sum", F.lit(0.0)).alias("value_sum"),
+        F.last("_avg", ignorenulls=True).over(w).alias("carried_avg"),
+    )

@@ -1,0 +1,333 @@
+"""Event-analytics + fuzzy-matching + collocation queries (round 5).
+
+The reference serves this class of question only through hand-written SQL
+in its custom-query mode (``ex-iceberg/src/component.py``: the query
+passes through to DuckDB verbatim); here each shape is a first-class
+operator with a pinned scale story:
+
+- ``ext_funnel``        — ordered conversion funnel, ONE Exchange total.
+- ``ext_cohort_retention`` — first-touch weekly cohorts.
+- ``ext_gap_fill``      — calendar densification + forward fill; the
+                          spine is broadcast-sized by construction.
+- ``ext_fuzzy_join``    — threshold Jaccard self-join with lossless
+                          prefix filtering (never all-pairs).
+- ``text_collocations`` — corpus bigram PMI (pointwise mutual
+                          information) collocation mining.
+- ``pipeline_quality_buckets`` — curriculum deciles over the quality
+                          classifier, ranked without a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from component_iceberg_spark.io.tables import load_table
+from component_iceberg_spark.operators import analytics
+from component_iceberg_spark.operators import relational
+from component_iceberg_spark.operators import text as X
+from component_iceberg_spark.operators.setjoin import jaccard_similarity_join
+from component_iceberg_spark.plans.registry import register
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+_FUNNEL_ORACLE = """
+WITH w0 AS (
+    SELECT user_id, ts, event_type,
+           min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t0
+    FROM events
+), w1 AS (
+    SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t0
+                            AND ts <= t0 + INTERVAL 7 DAY THEN ts END)
+                  OVER (PARTITION BY user_id) AS t1
+    FROM w0
+), w2 AS (
+    SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t1
+                            AND ts <= t0 + INTERVAL 7 DAY THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+    FROM w1
+), per AS (
+    SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+    FROM w2 GROUP BY user_id
+), c AS (
+    SELECT count(t0) AS c0, count(t1) AS c1, count(t2) AS c2 FROM per
+)
+SELECT CAST(0 AS INT) AS step_idx, 'view' AS step, c0 AS n_users,
+       round(c0 * 1.0 / nullif(c0, 0), 6) AS conv_rate FROM c
+UNION ALL
+SELECT CAST(1 AS INT), 'click', c1, round(c1 * 1.0 / nullif(c0, 0), 6) FROM c
+UNION ALL
+SELECT CAST(2 AS INT), 'purchase', c2, round(c2 * 1.0 / nullif(c0, 0), 6) FROM c
+"""
+
+
+@register("ext_funnel", oracle=_FUNNEL_ORACLE, tags=("ext", "analytics"))
+def ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step conversion funnel (view → click → purchase within 7
+    days of the first view): every step time is a conditional window min
+    over the SAME user partitioning, so the whole chain — any number of
+    steps — costs one Exchange; the rollup to per-step counts is
+    metadata-sized (operators/analytics.funnel). The reference would
+    need correlated custom SQL for this (ex-iceberg custom query mode)."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.funnel(ev, "user_id", "ts", "event_type", _FUNNEL_STEPS)
+
+
+_COHORT_ORACLE = """
+WITH first AS (
+    SELECT user_id,
+           CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+), active AS (
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week,
+                          CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                AS INT) AS week_offset,
+           e.user_id
+    FROM events e JOIN first f USING (user_id)
+), agg AS (
+    SELECT cohort_week, week_offset,
+           count(DISTINCT user_id) AS n_active
+    FROM active WHERE week_offset < 4
+    GROUP BY cohort_week, week_offset
+), sizes AS (
+    SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+    FROM first GROUP BY cohort_week
+)
+SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+       round(a.n_active * 1.0 / s.cohort_size, 6) AS retention
+FROM agg a JOIN sizes s USING (cohort_week)
+"""
+
+
+@register(
+    "ext_cohort_retention", oracle=_COHORT_ORACLE, tags=("ext", "analytics")
+)
+def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (cohort = Monday week of first event;
+    retained at offset k = any event in cohort week + k). Two shuffles —
+    the first-touch agg and the (cohort, offset) distinct-count; the
+    fact→cohort join rides the key partitioning the agg already created
+    (operators/analytics.cohort_retention)."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.cohort_retention(ev, "user_id", "ts", max_weeks=4)
+
+
+_GAP_FILL_ORACLE = """
+WITH bounds AS (
+    SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+    FROM events
+), cal AS (
+    SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+           AS day
+    FROM bounds
+), keys AS (
+    SELECT DISTINCT event_type AS key FROM events
+), daily AS (
+    SELECT event_type AS key, CAST(ts AS DATE) AS day,
+           count(*) AS n, round(sum(value), 2) AS vs,
+           round(avg(value), 6) AS av
+    FROM events GROUP BY 1, 2
+)
+SELECT k.key, c.day,
+       coalesce(d.n, 0) AS n_events,
+       coalesce(d.vs, 0.0) AS value_sum,
+       last_value(d.av IGNORE NULLS) OVER (
+           PARTITION BY k.key ORDER BY c.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS carried_avg
+FROM cal c
+CROSS JOIN keys k
+LEFT JOIN daily d ON d.key = k.key AND d.day = c.day
+"""
+
+
+@register("ext_gap_fill", oracle=_GAP_FILL_ORACLE, tags=("ext", "analytics"))
+def ext_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample with zero-fill + forward-filled daily mean: the
+    calendar spine comes from a 1-row bound aggregate × the distinct-key
+    dim (both broadcast-sized), so densification never reshuffles the
+    fact table; forward fill is last(ignorenulls) per key
+    (operators/analytics.gap_fill_daily)."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.gap_fill_daily(ev, "event_type", "ts", "value")
+
+
+_FUZZY_TOKENS = (
+    "list_distinct(string_split(lower(p_name || ' ' || p_brand || ' ' || "
+    "p_type || ' size' || CAST(p_size AS VARCHAR)), ' '))"
+)
+
+_FUZZY_ORACLE = f"""
+WITH r AS (
+    SELECT p_partkey AS id, {_FUZZY_TOKENS} AS toks FROM part
+)
+SELECT a.id AS a_id, b.id AS b_id,
+       round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+             (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+             6) AS jaccard
+FROM r a JOIN r b ON a.id < b.id
+WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6
+"""
+
+
+@register("ext_fuzzy_join", oracle=_FUZZY_ORACLE, tags=("ext", "analytics"))
+def ext_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: all part pairs whose attribute token sets
+    (name+brand+type+size) have Jaccard >= 0.6, via lossless prefix
+    filtering (operators/setjoin) — candidates join only on each
+    record's RAREST tokens, so neither the all-pairs blowup nor the
+    stopword-key skew of naive blocking exists; the brute-force oracle
+    proves losslessness pair-for-pair."""
+    p = load_table(spark, sf_dir, "part")
+    recs = p.select(
+        "p_partkey",
+        F.split(
+            F.lower(
+                F.concat_ws(
+                    " ",
+                    "p_name",
+                    "p_brand",
+                    "p_type",
+                    F.concat(F.lit("size"), F.col("p_size")),
+                )
+            ),
+            " ",
+        ).alias("toks"),
+    )
+    return jaccard_similarity_join(recs, "p_partkey", "toks", threshold=0.6)
+
+
+_PMI_ORACLE = r"""
+WITH t AS (
+    SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+    FROM documents
+), big AS (
+    SELECT z.pair[1] AS w1, z.pair[2] AS w2, count(*) AS c2
+    FROM t, unnest(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)]))
+         AS z(pair)
+    GROUP BY 1, 2
+), uni AS (
+    SELECT u.w AS w, count(*) AS cu
+    FROM t, unnest(toks) AS u(w)
+    GROUP BY 1
+), tot AS (
+    SELECT (SELECT CAST(sum(cu) AS BIGINT) FROM uni) AS t_tokens,
+           (SELECT CAST(sum(c2) AS BIGINT) FROM big) AS t_bigrams
+)
+SELECT w1, w2, c2 AS n_pairs,
+       round(log2((c2 * 1.0 / t_bigrams) /
+                  ((u1.cu * 1.0 / t_tokens) * (u2.cu * 1.0 / t_tokens))),
+             6) AS pmi
+FROM big
+JOIN uni u1 ON big.w1 = u1.w
+JOIN uni u2 ON big.w2 = u2.w
+CROSS JOIN tot
+WHERE c2 >= 5
+ORDER BY pmi DESC, w1, w2
+LIMIT 50
+"""
+
+
+@register("text_collocations", oracle=_PMI_ORACLE, tags=("ext", "text"))
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 corpus bigrams by pointwise mutual
+    information, log2(p(w1,w2) / (p(w1)p(w2))), min support 5. Rides the
+    existing bigram-count aggregates (operators/text.doc_bigram_counts);
+    the unigram/bigram totals are 1-row broadcast scalars and the final
+    cut is a bounded-heap top-k, so corpus size only enters through the
+    two hash aggregations."""
+    d = load_table(spark, sf_dir, "documents")
+    b = X.doc_bigram_counts(d, "doc_id", "text")
+    big = b.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
+    uni = (
+        d.select(F.explode(X.tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    tot = big.agg(F.sum("c2").alias("t_bigrams")).crossJoin(
+        uni.agg(F.sum("cu").alias("t_tokens"))
+    )
+    pmi = F.round(
+        F.log2(
+            (F.col("c2") * 1.0 / F.col("t_bigrams"))
+            / (
+                (F.col("u1.cu") * 1.0 / F.col("t_tokens"))
+                * (F.col("u2.cu") * 1.0 / F.col("t_tokens"))
+            )
+        ),
+        6,
+    )
+    scored = (
+        big.filter(F.col("c2") >= 5)
+        .join(uni.alias("u1"), F.col("w1") == F.col("u1.w"))
+        .join(uni.alias("u2"), F.col("w2") == F.col("u2.w"))
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", F.col("c2").alias("n_pairs"), pmi.alias("pmi"))
+    )
+    return relational.topk(
+        scored, [F.col("pmi").desc(), F.col("w1"), F.col("w2")], 50
+    )
+
+
+def _prob_sql() -> str:
+    from component_iceberg_spark.plans.queries_text import _classifier_prob_sql
+
+    return _classifier_prob_sql()
+
+
+def _buckets_oracle() -> str:
+    return f"""
+    WITH q AS (
+        SELECT doc_id, {_prob_sql()} AS p FROM documents
+    ), r AS (
+        SELECT doc_id, p,
+               row_number() OVER (ORDER BY p DESC, doc_id) AS rk,
+               count(*) OVER () AS n
+        FROM q
+    )
+    SELECT CAST(((rk - 1) * 10) // n AS INT) AS bucket,
+           count(*) AS n_docs,
+           round(avg(p), 6) AS avg_prob,
+           min(p) AS min_prob,
+           max(p) AS max_prob
+    FROM r GROUP BY 1
+    """
+
+
+@register(
+    "pipeline_quality_buckets",
+    oracle=_buckets_oracle(),
+    tags=("ext", "pipeline"),
+)
+def pipeline_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: decile buckets over the quality-classifier
+    score (the data-mixing precursor — train on high deciles first /
+    weight by bucket). Ranking uses the range-partitioned global_rank
+    operator, NOT a single-partition window, so the decile assignment
+    survives any corpus size; bucket = ((rank-1)*10) div n with the
+    1-row count broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", F.round(X.classifier_score("text"), 6).alias("p")
+    )
+    ranked = relational.global_rank(
+        q, [F.col("p").desc(), F.col("doc_id")], rank_col="rk"
+    )
+    n = q.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            F.expr("cast(((rk - 1) * 10) div n as int)").alias("bucket"),
+            "p",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("p"), 6).alias("avg_prob"),
+            F.min("p").alias("min_prob"),
+            F.max("p").alias("max_prob"),
+        )
+    )

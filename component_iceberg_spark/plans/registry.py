@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "component_iceberg_spark.plans.queries_relational",
     "component_iceberg_spark.plans.queries_tpch",
     "component_iceberg_spark.plans.queries_sketch",
+    "component_iceberg_spark.plans.queries_analytics",
 )
 
 # The external gate checks the first ~50 entries of queries() each round.
@@ -86,6 +87,14 @@ _GATE_PRIORITY = (
     "stream_stream_join",
     "stream_upsert_snaptable",
     # --- 1b. new in r5 (never gate-checked)
+    "ext_funnel",
+    "ext_cohort_retention",
+    "ext_gap_fill",
+    "ext_fuzzy_join",
+    "text_collocations",
+    "pipeline_quality_buckets",
+    "snap_wap_publish",
+    "snap_incremental_agg",
     "text_hybrid_topk",
     "snap_compact_manifests",
     "dedup_incremental_minhash",

@@ -336,3 +336,25 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     assert plan.count("Bucketed: true") == 2, plan[:2000]
     assert "SortMergeJoin" in plan
     assert not re.search(r"Exchange hashpartitioning", plan), plan[:2000]
+
+
+def test_funnel_single_user_exchange(spark, sf_dir):
+    """ext_funnel's contract: the whole multi-step chain costs ONE
+    hash-partition Exchange (all step windows + the per-user collapse
+    share the user_id partitioning); only the final k-row count rollup
+    may add its scalar SinglePartition exchange."""
+    import re
+
+    p = plan(spark, sf_dir, "ext_funnel")
+    assert len(re.findall(r"hashpartitioning\(", p)) == 1, p[:2000]
+    assert "CartesianProduct" not in p
+
+
+def test_gap_fill_spine_is_broadcast(spark, sf_dir):
+    """ext_gap_fill must never reshuffle the fact table for the
+    densification: the calendar × key grid is built from broadcast-sized
+    sides, so the only hash Exchanges allowed are the daily
+    pre-aggregation and the per-key forward-fill window."""
+    p = plan(spark, sf_dir, "ext_gap_fill")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row bounds x keys spine

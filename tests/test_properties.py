@@ -488,3 +488,56 @@ def test_incremental_pairs_profile_path_equals_direct(spark, sf_dir):
         corpus, batch, "doc_id", "text", 0.8, corpus_profile=profile
     ).collect()
     assert sorted(map(tuple, direct)) == sorted(map(tuple, via_profile))
+
+
+# --- prefix-filtered set-similarity join (operators/setjoin) -----------
+
+_tok_sets = st.lists(
+    st.lists(
+        st.sampled_from(
+            # skewed vocabulary: 'a'/'b' are stopword-frequent on purpose
+            ["a", "a", "a", "b", "b", "c", "d", "e", "f", "g", "h", "i"]
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=2,
+    max_size=20,
+)
+
+
+def _brute_jaccard_pairs(recs: list[tuple[int, list[str]]], t: float):
+    out = set()
+    for i in range(len(recs)):
+        for j in range(i + 1, len(recs)):
+            a, b = set(recs[i][1]), set(recs[j][1])
+            jac = len(a & b) / len(a | b)
+            if jac >= t:
+                out.add((recs[i][0], recs[j][0]))
+    return out
+
+
+@pytest.mark.parametrize("hyp", [None])
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(toksets=_tok_sets, threshold=st.sampled_from([0.4, 0.5, 0.6, 0.75]))
+def test_jaccard_join_lossless_vs_brute_force(spark, hyp, toksets, threshold):
+    """Prefix filtering must be LOSSLESS: the candidate pruning (index
+    only the n - ceil(t*n) + 1 rarest tokens per record) may never drop
+    a qualifying pair, for any token-frequency skew, set size mix, or
+    threshold — including float-awkward thresholds where ceil(t*n) sits
+    on a representation boundary."""
+    from component_iceberg_spark.operators.setjoin import (
+        jaccard_similarity_join,
+    )
+
+    recs = [(i, ts) for i, ts in enumerate(toksets)]
+    df = spark.createDataFrame(recs, "id long, toks array<string>")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in jaccard_similarity_join(df, "id", "toks", threshold).collect()
+    }
+    assert got == _brute_jaccard_pairs(recs, threshold)

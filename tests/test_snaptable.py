@@ -786,3 +786,38 @@ def test_cluster_rewrite_materializes_deletes(spark, sf_dir, tmp_path):
     post = cat._manifest("ns", "t", sid)
     assert not post.get("deletes")
     assert cat.read(spark, "ns", "t").count() == n.count() - 3
+
+
+def test_wap_failed_audit_leaves_published_branch(spark, sf_dir, tmp_path):
+    """Write-audit-publish refusal path: a staged batch that fails audit
+    (duplicate keys here) must leave the ``published`` ref on the last
+    good snapshot — readers never see the bad batch, and no cleanup is
+    needed (the unpublished snapshot is simply never pointed at, and a
+    later keep_last GC can drop it since only refs pin snapshots)."""
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    n = load_table(spark, sf_dir, "nation")
+    base = n.filter("n_regionkey = 0")
+    good_sid = cat.create_or_replace("ns", "t", base)
+    cat.create_branch("ns", "t", "published", snapshot_id=good_sid)
+
+    # bad batch: re-appends base rows → duplicate n_nationkey values
+    staged_sid = cat.append("ns", "t", base)
+    audit = cat.read(spark, "ns", "t", snapshot_id=staged_sid).groupBy(
+        "n_nationkey"
+    ).count().filter("count > 1").count()
+    assert audit > 0  # audit catches the duplicates
+    # ... so the publish step never runs; the ref still serves base
+    assert cat.resolve_ref("ns", "t", "published") == good_sid
+    got = cat.read(spark, "ns", "t", ref="published")
+    assert got.count() == base.count()
+
+    # retry flow: roll back to the last good state (metadata-only), then
+    # stage + publish a clean batch — the bad batch never reaches readers
+    cat.rollback_to("ns", "t", good_sid)
+    retry = n.filter("n_regionkey = 1")
+    retry_sid = cat.append("ns", "t", retry)
+    cat.retarget_branch("ns", "t", "published", retry_sid)
+    assert cat.read(spark, "ns", "t", ref="published").count() == (
+        base.count() + retry.count()
+    )
