@@ -699,3 +699,34 @@ def snap_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("_cents") / 100.0).alias("total_price"),
         )
     )
+
+
+@register(
+    "snap_changelog_cdc",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, 'delete' AS change_type
+    FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, 'insert' AS change_type
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_changelog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change-data-capture between snapshots (Iceberg
+    ``create_changelog_view`` analogue): after a copy-on-write DELETE and
+    an append, the diff vs the base snapshot must emit exactly the
+    deleted rows as 'delete' and the appended rows as 'insert' — with the
+    CoW rewrite's carried-over rows cancelling out, and cost bounded by
+    the churned files (untouched dirs are never opened — pinned by the
+    inputFiles unit test in tests/test_snaptable.py)."""
+    cat = _warehouse(sf_dir, "cdc")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    sid1 = cat.create_or_replace(
+        "ns", "orders", o.filter(F.col("o_orderkey") % 3 != 0)
+    )
+    cat.delete_where(spark, "ns", "orders", "o_orderkey % 5 = 0")
+    cat.append("ns", "orders", o.filter(F.col("o_orderkey") % 3 == 0))
+    return cat.changelog_diff(spark, "ns", "orders", sid1)

@@ -95,6 +95,7 @@ _GATE_PRIORITY = (
     "pipeline_quality_buckets",
     "snap_wap_publish",
     "snap_incremental_agg",
+    "snap_changelog_cdc",
     "text_hybrid_topk",
     "snap_compact_manifests",
     "dedup_incremental_minhash",

@@ -821,3 +821,39 @@ def test_wap_failed_audit_leaves_published_branch(spark, sf_dir, tmp_path):
     assert cat.read(spark, "ns", "t", ref="published").count() == (
         base.count() + retry.count()
     )
+
+
+def test_changelog_diff_scans_only_churned_dirs(spark, sf_dir, tmp_path):
+    """changelog_diff cost contract: the CDC scan may only open data
+    dirs named by the manifest diff — a directory untouched between the
+    two snapshots must not appear in the plan's input files, no matter
+    how big it is. Also pins the CoW cancellation: carried-over rows of
+    the rewritten file never leak into the delta."""
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    n = load_table(spark, sf_dir, "nation")
+    # disjoint key ranges so the CoW delete's stats pruning provably
+    # leaves dir A untouched (overlapping ranges would rewrite both)
+    sid1 = cat.create_or_replace("ns", "t", n.filter("n_nationkey < 12"))
+    untouched_dir = cat._manifest("ns", "t", sid1)["files"][0]     # dir A
+    sid2 = cat.append("ns", "t", n.filter("n_nationkey >= 12"))    # dir B
+    victim = 20
+    cat.delete_where(spark, "ns", "t", f"n_nationkey = {victim}")  # B only
+
+    diff = cat.changelog_diff(spark, "ns", "t", sid2)
+    rows = diff.collect()
+    assert [(r["n_nationkey"], r["change_type"]) for r in rows] == [
+        (victim, "delete")
+    ]
+    # dir A (the region-0 commit) was untouched -> never opened
+    files = diff.inputFiles()
+    assert files and all(untouched_dir not in f for f in files), files
+
+    # MoR pending deletes refuse (file diff can't see delete files)
+    cat.append("ns", "t", n.filter("n_regionkey = 2"))
+    doomed = n.filter("n_regionkey = 2").select("n_nationkey").limit(1)
+    cat.delete_keys(spark, "ns", "t", doomed, ["n_nationkey"])
+    import pytest
+
+    with pytest.raises(ValueError, match="merge-on-read"):
+        cat.changelog_diff(spark, "ns", "t", sid2)
