@@ -329,6 +329,15 @@ def main() -> None:
         "ext_join_bucketed",
         "text_hybrid_topk",
         "snap_compact_manifests",
+        "ext_funnel",
+        "ext_cohort_retention",
+        "ext_gap_fill",
+        "ext_fuzzy_join",
+        "text_collocations",
+        "pipeline_quality_buckets",
+        "snap_wap_publish",
+        "snap_incremental_agg",
+        "snap_changelog_cdc",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

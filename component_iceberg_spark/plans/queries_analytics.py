@@ -154,50 +154,52 @@ def ext_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.gap_fill_daily(ev, "event_type", "ts", "value")
 
 
-_FUZZY_TOKENS = (
-    "list_distinct(string_split(lower(p_name || ' ' || p_brand || ' ' || "
-    "p_type || ' size' || CAST(p_size AS VARCHAR)), ' '))"
-)
+_FUZZY_TOKENS = "list_distinct(string_split(lower(p_name || ' ' || p_type), ' '))"
 
 _FUZZY_ORACLE = f"""
 WITH r AS (
-    SELECT p_partkey AS id, {_FUZZY_TOKENS} AS toks FROM part
+    SELECT p_partkey AS id, p_brand, p_size, {_FUZZY_TOKENS} AS toks
+    FROM part
 )
 SELECT a.id AS a_id, b.id AS b_id,
        round(len(list_intersect(a.toks, b.toks)) * 1.0 /
              (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
              6) AS jaccard
-FROM r a JOIN r b ON a.id < b.id
+FROM r a JOIN r b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.id < b.id
 WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
-      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6
+      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
 """
 
 
 @register("ext_fuzzy_join", oracle=_FUZZY_ORACLE, tags=("ext", "analytics"))
 def ext_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy entity matching: all part pairs whose attribute token sets
-    (name+brand+type+size) have Jaccard >= 0.6, via lossless prefix
-    filtering (operators/setjoin) — candidates join only on each
-    record's RAREST tokens, so neither the all-pairs blowup nor the
-    stopword-key skew of naive blocking exists; the brute-force oracle
-    proves losslessness pair-for-pair."""
+    """Fuzzy entity matching: part pairs of the SAME (brand, size) block
+    whose name+type token sets have Jaccard >= 0.5, via the PPJoin-style
+    prefix/length/positional cascade (operators/setjoin — every pruning
+    lossless, pinned by the hypothesis property test; the brute-force
+    oracle proves it pair-for-pair here).
+
+    Blocking on (p_brand, p_size) is the standard entity-resolution
+    move and the scale decision: the fixture's token vocabulary is ~95
+    words for 10^4..10^6 records, so NO token is rare and pure prefix
+    filtering degenerates toward all-pairs with single-hot-token join
+    skew (measured: 28M candidates / 80 s at sf0.1 unblocked vs ~50k
+    candidates blocked). Real catalog data picks blocks the same way;
+    the unblocked path stays available on the operator."""
     p = load_table(spark, sf_dir, "part")
     recs = p.select(
         "p_partkey",
+        "p_brand",
+        "p_size",
         F.split(
-            F.lower(
-                F.concat_ws(
-                    " ",
-                    "p_name",
-                    "p_brand",
-                    "p_type",
-                    F.concat(F.lit("size"), F.col("p_size")),
-                )
-            ),
-            " ",
+            F.lower(F.concat_ws(" ", "p_name", "p_type")), " "
         ).alias("toks"),
     )
-    return jaccard_similarity_join(recs, "p_partkey", "toks", threshold=0.6)
+    return jaccard_similarity_join(
+        recs, "p_partkey", "toks", threshold=0.5,
+        block_by=["p_brand", "p_size"],
+    )
 
 
 _PMI_ORACLE = r"""
