@@ -169,6 +169,7 @@ def minhash_lsh_dedup(
     text_col: str,
     threshold: float,
     persisted_out: list | None = None,
+    profile: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band → candidates →
     exact-verify. Returns verified (doc_a, doc_b, jaccard ≥ threshold).
@@ -182,18 +183,28 @@ def minhash_lsh_dedup(
     reads B times — they persist instead. At 100 TB the same logic holds
     harder: the shingle table is corpus-sized × shingle-count (you
     checkpoint it to the lake only if it also feeds reporting), the
-    signature table is corpus-row-sized."""
+    signature table is corpus-row-sized.
+
+    ``profile`` (optional): a precomputed :func:`corpus_minhash_profile`
+    of ``df`` — signatures AND shingle counts are taken from it, so the
+    K-way md5 signing pass (the dominant cost) is never re-run when the
+    caller already holds the stored artifact. Shingles are still built
+    for the exact-verify stage."""
     from pyspark import StorageLevel
 
     sh = doc_shingles(df, id_col, text_col)
-    sig = minhash_signatures(sh).persist(StorageLevel.MEMORY_AND_DISK)
-    if persisted_out is not None:
-        # callers that fully materialize the result (streaming
-        # foreachBatch) receive the cache handle so they can release it —
-        # lazy consumers leave it session-scoped as before
-        persisted_out.append(sig)
+    if profile is not None:
+        sig = profile
+        cnt = profile.select("doc", "n")
+    else:
+        sig = minhash_signatures(sh).persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted_out is not None:
+            # callers that fully materialize the result (streaming
+            # foreachBatch) receive the cache handle so they can release
+            # it — lazy consumers leave it session-scoped as before
+            persisted_out.append(sig)
+        cnt = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     cand = lsh_candidates(sig)
-    cnt = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -241,6 +252,7 @@ def incremental_minhash_pairs(
     threshold: float,
     persisted_out: list | None = None,
     corpus_profile: DataFrame | None = None,
+    batch_profile: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup screen: a NEW batch against an already-ingested
     corpus, without re-deduping the corpus against itself.
@@ -273,9 +285,16 @@ def incremental_minhash_pairs(
         corpus_profile = corpus_profile.persist(StorageLevel.MEMORY_AND_DISK)
         if persisted_out is not None:
             persisted_out.append(corpus_profile)
-    sig_b = minhash_signatures(sh_b).persist(StorageLevel.MEMORY_AND_DISK)
-    if persisted_out is not None:
-        persisted_out.append(sig_b)
+    if batch_profile is not None:
+        # the batch side of a streaming screen is signed ONCE per epoch
+        # (screen_batch_incremental computes the profile it will append
+        # to the store and hands it here) — re-signing it would repeat
+        # the K-way md5 min-aggregation, the dominant per-batch cost
+        sig_b = batch_profile
+    else:
+        sig_b = minhash_signatures(sh_b).persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted_out is not None:
+            persisted_out.append(sig_b)
     bands_c = signature_bands(corpus_profile)
     bands_b = signature_bands(sig_b)
     cand = (
@@ -289,7 +308,10 @@ def incremental_minhash_pairs(
         .distinct()
     )
     cnt_c = corpus_profile.select("doc", "n")
-    cnt_b = sh_b.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    if batch_profile is not None:
+        cnt_b = batch_profile.select("doc", "n")
+    else:
+        cnt_b = sh_b.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     # exact verification re-reads corpus TEXT only for candidate docs —
     # a candidate-sized semi-join + shingle pass, never a corpus scan
     corpus_cand = corpus.join(
@@ -320,6 +342,104 @@ def incremental_minhash_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def screened_drop_ids(
+    batch: DataFrame,
+    batch_profile: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    prior: DataFrame | None = None,
+    prior_profile: DataFrame | None = None,
+) -> DataFrame:
+    """Batch doc ids dropped by the incremental near-dup screen, as ONE
+    fused candidate+verify pipeline instead of two (intra-batch LSH dedup
+    + batch-vs-corpus incremental pairs run separately).
+
+    A batch doc is dropped iff it verified-near-dups (Jaccard ≥
+    threshold) any EARLIER doc: a lower-id doc in the same batch, or any
+    doc of the prior corpus. Fusing matters twice over: at bench scale it
+    halves the per-epoch stage count (one banded-candidate shuffle, one
+    shingle-intersection join, one jaccard filter — measured ~2× fewer
+    jobs per micro-batch than the two-pipeline form), and at 100 TB it
+    reads the candidate-restricted prior text once instead of twice.
+
+    ``batch_profile`` is the batch's :func:`corpus_minhash_profile`
+    (signatures + shingle counts), computed once by the caller;
+    ``prior_profile`` is the stored corpus profile. Prior TEXT is read
+    only candidate-restricted (semi-join) for exact verification.
+
+    The verify filter uses the UNROUNDED intersection ratio — the same
+    predicate as the SQL oracle's pair CTE (queries_text._minhash_cte_body
+    ``WHERE i * 1.0 / (ca.n + cb.n - i) >= t``)."""
+    sh_b = doc_shingles(batch, id_col, text_col)
+    bands_b = signature_bands(batch_profile)
+    cand = (
+        bands_b.alias("x")
+        .join(
+            bands_b.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("y.doc").alias("drop"), F.col("x.doc").alias("other"))
+    )
+    cnt_other = batch_profile.select("doc", "n")
+    sh_other = sh_b
+    if prior is not None and prior_profile is not None:
+        bands_p = signature_bands(prior_profile)
+        cross = (
+            bands_b.alias("nb")
+            .join(
+                bands_p.alias("cb"),
+                (F.col("nb.band") == F.col("cb.band"))
+                & (F.col("nb.key") == F.col("cb.key")),
+            )
+            .select(
+                F.col("nb.doc").alias("drop"), F.col("cb.doc").alias("other")
+            )
+        )
+        cand = cand.unionByName(cross)
+        prior_cand = prior.join(
+            cand.select(F.col("other").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        sh_other = sh_other.unionByName(
+            doc_shingles(prior_cand, id_col, text_col)
+        )
+        cnt_other = cnt_other.unionByName(prior_profile.select("doc", "n"))
+    cand = cand.distinct()
+    inter = (
+        cand.join(sh_b.alias("a"), F.col("drop") == F.col("a.doc"))
+        .join(
+            sh_other.alias("b"),
+            (F.col("other") == F.col("b.doc"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("drop", "other")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    verified = (
+        inter.join(
+            batch_profile.select(
+                F.col("doc").alias("drop"), F.col("n").alias("na")
+            ),
+            "drop",
+        )
+        .join(
+            cnt_other.select(
+                F.col("doc").alias("other"), F.col("n").alias("nb")
+            ),
+            "other",
+        )
+        .filter(
+            F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
+            >= threshold
+        )
+    )
+    return verified.select(F.col("drop").alias(id_col)).distinct()
 
 
 # ---------------------------------------------------------------------------

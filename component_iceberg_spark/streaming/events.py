@@ -220,17 +220,11 @@ def screen_batch_incremental(
     caches: list = []
     batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        intra = (
-            D.minhash_lsh_dedup(
-                batch, "doc_id", "text", threshold, persisted_out=caches
-            )
-            .select(F.col("doc_b").alias("doc_id"))
-            .distinct()
-        )
         spark = batch.sparkSession
         # the batch's profile (signatures + shingle counts) is computed
-        # ONCE — it both probes the stored profile and becomes the rows
-        # appended to it, so the per-batch signing cost is paid once ever
+        # ONCE — it probes the stored profile, drives the intra-batch
+        # dedup, and becomes the rows appended to the store, so the
+        # K-way md5 signing cost is paid once per doc EVER
         batch_profile = D.corpus_minhash_profile(
             batch, "doc_id", "text"
         ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -247,17 +241,15 @@ def screen_batch_incremental(
             )
             seen_full = catalog.read(spark, namespace, seen_table)
             prior = seen_full.join(batch.select("doc_id"), "doc_id", "left_anti")
-            cross = (
-                D.incremental_minhash_pairs(
-                    prior, batch, "doc_id", "text", threshold,
-                    persisted_out=caches, corpus_profile=prior_profile,
-                )
-                .select(F.col("doc_new").alias("doc_id"))
-                .distinct()
-            )
-            dropped = intra.unionByName(cross).distinct()
         else:
-            dropped = intra
+            prior = prior_profile = None
+        # ONE fused candidate+verify pipeline covers both drop sources
+        # (own lower-id rows and the whole seen corpus) — see
+        # dedup.screened_drop_ids for why fusing halves the epoch's stages
+        dropped = D.screened_drop_ids(
+            batch, batch_profile, "doc_id", "text", threshold,
+            prior=prior, prior_profile=prior_profile,
+        )
         admitted = batch.join(dropped, "doc_id", "left_anti")
         if have_seen:
             # no isEmpty guards: they would evaluate each anti-join a
