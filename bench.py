@@ -338,6 +338,12 @@ def main() -> None:
         "snap_wap_publish",
         "snap_incremental_agg",
         "snap_changelog_cdc",
+        "func_stats",
+        "ext_window_time_range",
+        "ext_event_transitions",
+        "ext_profile_columns",
+        "ext_hierarchy_flatten",
+        "ext_entity_merge",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

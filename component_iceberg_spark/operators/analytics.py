@@ -178,3 +178,44 @@ def gap_fill_daily(
         F.coalesce("value_sum", F.lit(0.0)).alias("value_sum"),
         F.last("_avg", ignorenulls=True).over(w).alias("carried_avg"),
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """First-order Markov transition model over per-user event sequences:
+    for every ordered (prev_type → next_type) step, its count and the
+    conditional probability P(next | prev).
+
+    One Exchange on the user key + one sort serves the lag; the rollup
+    to the |types|² transition matrix is a hash aggregate whose output is
+    metadata-sized, and the row-probability normalization joins that tiny
+    matrix against its own per-prev totals (broadcast by size). Ties in
+    the timestamp are broken by ``tiebreak_col`` so the sequence — and
+    therefore the matrix — is deterministic."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    steps = (
+        df.select(
+            F.col(user_col),
+            F.col(type_col).alias("next_type"),
+            F.lag(type_col).over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_steps"))
+    )
+    totals = steps.groupBy("prev_type").agg(
+        F.sum("n_steps").alias("n_from_prev")
+    )
+    return steps.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_steps",
+        F.round(F.col("n_steps") * 1.0 / F.col("n_from_prev"), 6).alias(
+            "p_next"
+        ),
+    )

@@ -115,3 +115,79 @@ def sessionize(
             F.max(ts_col).alias("session_end"),
         )
     )
+
+
+def flatten_hierarchy(
+    edges: DataFrame,
+    child_col: str,
+    parent_col: str,
+    max_iter: int = 20,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Flatten a parent-pointer hierarchy to ``(node, root, depth)`` —
+    the recursive-CTE shape (org charts, BOM explosion, category trees)
+    Spark SQL lacks, expressed as pointer-doubling: each round joins the
+    state with itself (``ptr → ptr's ptr``, accumulating the hop count),
+    so a depth-d tree converges in O(log d) rounds, not d — 1 B nodes at
+    depth 30 is 5 keyed self-joins, each one shuffle on the pointer key.
+
+    A node's initial pointer is its parent (itself for roots, hop 0);
+    once a pointer reaches a root it is absorbed (root.ptr = root, hop 0),
+    so ``depth`` converges to the full root distance. Convergence is
+    detected from the hop-count SUM — non-decreasing and bounded, it is
+    stable exactly at fixpoint and costs one metadata-sized driver value
+    per round (same discipline as dedup.connected_components: per-round
+    persist, previous round unpersisted, lineage kept flat).
+
+    Assumes a forest (each child one parent, no cycles); ``max_iter``
+    bounds the loop under cycle-corrupted input — 2^20 depth exceeds any
+    real hierarchy. ``nodes`` (one column, the node ids) widens the
+    node universe beyond edge endpoints — isolated nodes come out as
+    their own roots at depth 0; when omitted the universe is the edge
+    endpoints."""
+    from pyspark import StorageLevel
+
+    e = edges.select(
+        F.col(child_col).alias("node"), F.col(parent_col).alias("parent")
+    )
+    if nodes is None:
+        nodes = (
+            e.select("node")
+            .union(e.select(F.col("parent").alias("node")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.toDF("node")
+    state = (
+        nodes.join(e, "node", "left")
+        .select(
+            "node",
+            F.coalesce("parent", F.col("node")).alias("ptr"),
+            F.when(F.col("parent").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("d"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prev_sum = state.agg(F.sum("d")).collect()[0][0] or 0
+    for _ in range(max_iter):
+        s, t = state.alias("s"), state.alias("t")
+        new_state = (
+            s.join(t, F.col("s.ptr") == F.col("t.node"))
+            .select(
+                F.col("s.node").alias("node"),
+                F.col("t.ptr").alias("ptr"),
+                (F.col("s.d") + F.col("t.d")).alias("d"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cur_sum = new_state.agg(F.sum("d")).collect()[0][0] or 0
+        state.unpersist()
+        state = new_state
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return state.select(
+        "node", F.col("ptr").alias("root"), F.col("d").alias("depth")
+    )

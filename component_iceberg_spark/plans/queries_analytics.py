@@ -333,3 +333,128 @@ def pipeline_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p").alias("max_prob"),
         )
     )
+
+
+_TRANSITIONS_ORACLE = """
+WITH s AS (
+    SELECT user_id, event_type AS next_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type
+    FROM events
+), m AS (
+    SELECT prev_type, next_type, count(*) AS n_steps
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_steps,
+       round(n_steps * 1.0 /
+             sum(n_steps) OVER (PARTITION BY prev_type), 6) AS p_next
+FROM m
+"""
+
+
+@register(
+    "ext_event_transitions",
+    oracle=_TRANSITIONS_ORACLE,
+    tags=("ext", "analytics"),
+)
+def ext_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: counts
+    and P(next | prev) for every observed (prev → next) event-type step
+    within a user's timeline (ties broken by event_id) — the session-flow
+    / anomalous-path analysis shape (operators/analytics.
+    event_transitions: one user-key Exchange, matrix-sized rollup,
+    broadcast normalization)."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.event_transitions(
+        ev, "user_id", "ts", "event_type", "event_id"
+    )
+
+
+_ENTITY_ORACLE = f"""
+WITH RECURSIVE fp AS (
+    {_FUZZY_ORACLE}
+),
+und AS (
+    SELECT a_id AS a, b_id AS b FROM fp
+    UNION ALL
+    SELECT b_id, a_id FROM fp
+),
+reach AS (
+    SELECT p_partkey AS id, p_partkey AS r FROM part
+    UNION
+    SELECT reach.id, u.b FROM reach JOIN und u ON u.a = reach.r
+),
+lbl AS (
+    SELECT id, min(r) AS entity_id FROM reach GROUP BY id
+),
+agg AS (
+    SELECT entity_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(avg(pp.p_retailprice), 2) AS avg_price,
+           round(min(pp.p_retailprice), 2) AS min_price,
+           round(max(pp.p_retailprice), 2) AS max_price
+    FROM lbl JOIN part pp ON pp.p_partkey = lbl.id
+    GROUP BY entity_id
+)
+SELECT a.entity_id, a.n_members, a.avg_price, a.min_price, a.max_price,
+       c.p_name AS canonical_name,
+       c.p_brand AS canonical_brand,
+       c.p_size AS canonical_size
+FROM agg a JOIN part c ON c.p_partkey = a.entity_id
+"""
+
+
+@register(
+    "ext_entity_merge", oracle=_ENTITY_ORACLE, tags=("ext", "analytics")
+)
+def ext_entity_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: fuzzy-match (the ext_fuzzy_join
+    PPJoin cascade) → transitive clusters (dedup.connected_components
+    pointer-jumping) → one GOLDEN RECORD per entity with survivorship
+    rules (canonical attributes from the min-id member — deterministic —
+    plus member count and price consensus stats). Singletons become
+    their own entities via a left join, so the output is a complete
+    deduplicated master table. The oracle rebuilds the same clusters
+    with a real WITH RECURSIVE transitive closure over the
+    brute-force-verified pair list, covering match, closure and
+    survivorship exactly."""
+    from component_iceberg_spark.operators import dedup as D
+
+    p = load_table(spark, sf_dir, "part")
+    recs = p.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.split(
+            F.lower(F.concat_ws(" ", "p_name", "p_type")), " "
+        ).alias("toks"),
+    )
+    pairs = jaccard_similarity_join(
+        recs, "p_partkey", "toks", threshold=0.5,
+        block_by=["p_brand", "p_size"],
+    )
+    cc = D.connected_components(pairs, "a_id", "b_id")
+    lbl = (
+        p.select("p_partkey", "p_retailprice")
+        .join(cc, F.col("p_partkey") == F.col("doc"), "left")
+        .select(
+            "p_partkey",
+            "p_retailprice",
+            F.coalesce("cluster_id", F.col("p_partkey")).alias("entity_id"),
+        )
+    )
+    agg = lbl.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        F.round(F.min("p_retailprice"), 2).alias("min_price"),
+        F.round(F.max("p_retailprice"), 2).alias("max_price"),
+    )
+    canon = p.select(
+        F.col("p_partkey").alias("entity_id"),
+        F.col("p_name").alias("canonical_name"),
+        F.col("p_brand").alias("canonical_brand"),
+        F.col("p_size").alias("canonical_size"),
+    )
+    return agg.join(canon, "entity_id")

@@ -981,3 +981,107 @@ def ext_embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         avgs[-1].alias("c_last"),
         F.round(F.sqrt(norm_sq), 6).alias("pooled_norm"),
     )
+
+
+_PROFILE_COLS = (
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        mn = mx = "CAST(NULL AS DOUBLE)"
+        ms = mxs = "CAST(NULL AS VARCHAR)"
+        mt = mxt = "CAST(NULL AS TIMESTAMP)"
+        if kind == "num":
+            mn, mx = f"CAST(min({c}) AS DOUBLE)", f"CAST(max({c}) AS DOUBLE)"
+        elif kind == "str":
+            ms, mxs = f"min({c})", f"max({c})"
+        else:
+            mt, mxt = f"min({c})", f"max({c})"
+        parts.append(f"""
+    SELECT '{c}' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           {mn} AS min_num, {mx} AS max_num,
+           {ms} AS min_str, {mxs} AS max_str,
+           {mt} AS min_ts, {mxt} AS max_ts
+    FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "ext_profile_columns",
+    oracle=_profile_oracle(),
+    tags=("ext", "profiling"),
+)
+def ext_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling ("ANALYZE"-style data summary): per column, row /
+    null / exact-distinct counts and typed min/max — the data-quality
+    report a pipeline runs before trusting a new drop. The reference
+    exposes only per-table metadata (list_table_columns — Storage API
+    names/types); this computes the content statistics.
+
+    ONE aggregate pass over the table computes every column's metrics
+    (the oracle's UNION ALL per-column form would be N scans), then a
+    metadata-sized struct-explode unpivots the single row. min/max stay
+    in their own TYPE LANE (num / str / ts columns) — stringifying
+    doubles would couple the result to each engine's float-formatting
+    rules. Scale note: N exact count(DISTINCT)s in one aggregate expand
+    the input N-fold before the shuffle; at 100 TB profile with the
+    HLL-sketch twin (`ext_cardinality_hll` / `ext_agg_approx`) and keep
+    this exact form for audit-grade reports."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nn"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__nd"))
+        aggs.append(F.min(c).alias(f"{c}__mn"))
+        aggs.append(F.max(c).alias(f"{c}__mx"))
+    row = o.agg(*aggs)
+    structs = []
+    for c, kind in _PROFILE_COLS:
+        mn_num = mx_num = F.lit(None).cast("double")
+        mn_str = mx_str = F.lit(None).cast("string")
+        mn_ts = mx_ts = F.lit(None).cast("timestamp_ntz")
+        if kind == "num":
+            mn_num = F.col(f"{c}__mn").cast("double")
+            mx_num = F.col(f"{c}__mx").cast("double")
+        elif kind == "str":
+            mn_str, mx_str = F.col(f"{c}__mn"), F.col(f"{c}__mx")
+        else:
+            mn_ts, mx_ts = F.col(f"{c}__mn"), F.col(f"{c}__mx")
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__nn").alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                mn_num.alias("min_num"),
+                mx_num.alias("max_num"),
+                mn_str.alias("min_str"),
+                mx_str.alias("max_str"),
+                mn_ts.alias("min_ts"),
+                mx_ts.alias("max_ts"),
+            )
+        )
+    return row.select(
+        F.explode(F.array(*structs)).alias("p"), "n_rows"
+    ).select(
+        "p.col_name",
+        "n_rows",
+        "p.n_nulls",
+        "p.n_distinct",
+        "p.min_num",
+        "p.max_num",
+        "p.min_str",
+        "p.max_str",
+        "p.min_ts",
+        "p.max_ts",
+    )

@@ -410,3 +410,67 @@ def func_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.reverse(F.array_sort(v)), 3), 6
         ).alias("third_largest"),
     )
+
+
+@register(
+    "func_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
+           round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+           round(var_pop(l_extendedprice), 2) AS var_price,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(skewness(l_extendedprice)
+                 * (count(l_extendedprice) - 2)
+                 / sqrt(count(l_extendedprice)
+                        * (count(l_extendedprice) - 1.0)), 4) AS skew_price,
+           round(kurtosis_pop(l_extendedprice), 4) AS kurt_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("ext", "functions", "stats"),
+)
+def func_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family per group: correlation, sample and
+    population covariance, stddev/variance, OLS regression (slope /
+    intercept / R²), skewness and kurtosis — the feature-engineering /
+    drift-monitoring aggregates a training-data pipeline reports per
+    shard. All are single-pass mergeable moment aggregates (JVM-side,
+    map-side partials — one hash-agg Exchange regardless of corpus
+    size). Spark and DuckDB share the textbook definitions; results are
+    rounded (4-6 dp, moments of large values coarser) to absorb
+    summation-order ulps, the same doctrine as every float oracle here.
+    Two definition pins (verified empirically): Spark ``kurtosis`` is the
+    POPULATION excess kurtosis = DuckDB ``kurtosis_pop`` (equal to
+    1e-11), and Spark ``skewness`` is population g1 while DuckDB's is the
+    bias-corrected sample G1 — the oracle converts via
+    g1 = G1·(n-2)/√(n(n-1))."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_s"
+        ),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_p"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
+        F.round(F.var_pop("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias(
+            "slope"
+        ),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.round(F.skewness("l_extendedprice"), 4).alias("skew_price"),
+        F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt_price"),
+    )

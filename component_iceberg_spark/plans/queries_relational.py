@@ -981,3 +981,86 @@ def ext_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "ext_window_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           round(sum(value) OVER w, 4) AS sum_1h,
+           round(avg(value) OVER w, 6) AS avg_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("relational", "window", "events"),
+)
+def ext_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per event, the rolling count/sum/avg of
+    the SAME user's events in the trailing hour — the sliding-window
+    feature shape (rate limiting, burst detection, rolling engagement)
+    that ROWS frames cannot express when event spacing is irregular.
+
+    The frame orders by epoch MICROseconds (``unix_micros``), not
+    seconds: the fixture's timestamps carry sub-second precision, and a
+    seconds-truncated ordering would disagree with the oracle's
+    ``RANGE INTERVAL`` arithmetic exactly at the frame boundary. One
+    Exchange on user_id + one sort serves all three aggregates (shared
+    window spec); RANGE frames evaluate incrementally per partition, so
+    at 100 TB cost stays O(rows) after the keyed shuffle, same as any
+    other window — no per-row rescans."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+    )
+
+
+_HIERARCHY_ORACLE = """
+WITH RECURSIVE edges AS (
+    SELECT c_custkey AS child, c_custkey // 10 AS parent
+    FROM customer WHERE c_custkey >= 10
+), up AS (
+    SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+    UNION ALL
+    SELECT u.node, e.parent, u.depth + 1
+    FROM up u JOIN edges e ON e.child = u.cur
+)
+SELECT node, cur AS root, CAST(depth AS BIGINT) AS depth
+FROM up
+WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.child = up.cur)
+"""
+
+
+@register(
+    "ext_hierarchy_flatten",
+    oracle=_HIERARCHY_ORACLE,
+    tags=("relational", "graph"),
+)
+def ext_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE equivalent: flatten a parent-pointer hierarchy to
+    (node, root ancestor, depth). The tree is derived deterministically
+    from the customer table (parent = c_custkey // 10, roots below 10 —
+    a ~5-level tree at test SF), standing in for any org-chart /
+    category-tree edge list; the DuckDB oracle walks the SAME edges with
+    a real WITH RECURSIVE, so the comparison covers the full transitive
+    closure. Spark-side this is pointer-doubling (operators/relational.
+    flatten_hierarchy): O(log depth) self-joins instead of one join per
+    level — the plan a 100 TB hierarchy needs."""
+    c = load_table(spark, sf_dir, "customer")
+    edges = c.filter(F.col("c_custkey") >= 10).select(
+        F.col("c_custkey").alias("child"),
+        (F.col("c_custkey") / 10).cast("long").alias("parent"),
+    )
+    return relational.flatten_hierarchy(
+        edges, "child", "parent", nodes=c.select("c_custkey")
+    )

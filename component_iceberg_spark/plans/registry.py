@@ -86,7 +86,13 @@ _GATE_PRIORITY = (
     "stream_dedup_watermark",
     "stream_stream_join",
     "stream_upsert_snaptable",
-    # --- 1b. new in r5 (never gate-checked)
+    # --- 1b. new in r5 (never gate-checked; newest batch first)
+    "func_stats",
+    "ext_window_time_range",
+    "ext_event_transitions",
+    "ext_profile_columns",
+    "ext_hierarchy_flatten",
+    "ext_entity_merge",
     "ext_funnel",
     "ext_cohort_retention",
     "ext_gap_fill",

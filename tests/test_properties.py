@@ -541,3 +541,66 @@ def test_jaccard_join_lossless_vs_brute_force(spark, hyp, toksets, threshold):
         for r in jaccard_similarity_join(df, "id", "toks", threshold).collect()
     }
     assert got == _brute_jaccard_pairs(recs, threshold)
+
+
+def test_flatten_hierarchy_chain_forest_isolated(spark):
+    """Pointer-doubling must resolve a deep chain (depth > 2^1 so the
+    doubling actually engages), a separate shallow tree, and an isolated
+    node supplied via the explicit node universe."""
+    from component_iceberg_spark.operators.relational import flatten_hierarchy
+
+    # chain 1<-2<-3<-4<-5<-6, tree 10<-11, 10<-12, isolated 99
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3), (5, 4), (6, 5), (11, 10), (12, 10)],
+        "child long, parent long",
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in [1, 2, 3, 4, 5, 6, 10, 11, 12, 99]], "node long"
+    )
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in flatten_hierarchy(edges, "child", "parent", nodes=nodes).collect()
+    }
+    assert got == {
+        1: (1, 0), 2: (1, 1), 3: (1, 2), 4: (1, 3), 5: (1, 4), 6: (1, 5),
+        10: (10, 0), 11: (10, 1), 12: (10, 1), 99: (99, 0),
+    }
+
+
+def test_screened_drop_ids_matches_two_pipeline_form(spark):
+    """The fused single-pipeline screen must reproduce exactly the drop
+    set of the original two-pipeline form (intra-batch LSH dedup ∪
+    batch-vs-prior incremental pairs)."""
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank "
+    rows = []
+    for i in range(40):
+        # clusters of 4 near-identical docs + distinct tails
+        text = base * 3 + f"tail {i % 10} unique words {'x' * (i % 4)}"
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prior = df.filter(F.col("doc_id") < 20)
+    batch = df.filter(F.col("doc_id") >= 20)
+    prior_profile = D.corpus_minhash_profile(prior, "doc_id", "text")
+    batch_profile = D.corpus_minhash_profile(batch, "doc_id", "text")
+    fused = {
+        r["doc_id"]
+        for r in D.screened_drop_ids(
+            batch, batch_profile, "doc_id", "text", 0.8,
+            prior=prior, prior_profile=prior_profile,
+        ).collect()
+    }
+    intra = {
+        r["doc_b"]
+        for r in D.minhash_lsh_dedup(batch, "doc_id", "text", 0.8).collect()
+    }
+    cross = {
+        r["doc_new"]
+        for r in D.incremental_minhash_pairs(
+            prior, batch, "doc_id", "text", 0.8
+        ).collect()
+    }
+    assert fused == (intra | cross)
