@@ -344,6 +344,9 @@ def main() -> None:
         "ext_profile_columns",
         "ext_hierarchy_flatten",
         "ext_entity_merge",
+        "text_tfidf_topterms",
+        "ext_anomaly_zscore",
+        "ext_session_paths",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

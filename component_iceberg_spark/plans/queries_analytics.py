@@ -19,7 +19,7 @@ operator with a pinned scale story:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from component_iceberg_spark.io.tables import load_table
@@ -458,3 +458,133 @@ def ext_entity_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").alias("canonical_size"),
     )
     return agg.join(canon, "entity_id")
+
+
+_ZSCORE_ORACLE = """
+WITH stats AS (
+    SELECT event_type,
+           avg(value) AS mu,
+           stddev_samp(value) AS sd
+    FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       round(e.value, 4) AS value,
+       round((e.value - s.mu) / s.sd, 4) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE abs((e.value - s.mu) / s.sd) > 2.5
+"""
+
+
+@register(
+    "ext_anomaly_zscore", oracle=_ZSCORE_ORACLE, tags=("ext", "analytics")
+)
+def ext_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier screen: events whose value deviates more than
+    2.5 sample standard deviations from their event-type mean — the
+    drift/anomaly gate a pipeline runs on arriving metrics. The per-type
+    stats are ONE hash aggregate (group-count-sized) broadcast back
+    over the fact scan, so the screen costs a single pass + map-side
+    join at any scale — no window over the fact table, no second
+    Exchange. (The window-function form would shuffle the full fact
+    table just to attach two scalars per type.)"""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
+_SESSION_PATHS_ORACLE = """
+WITH g AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT user_id, event_type, ts, event_id,
+           sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_id
+    FROM g
+), paths AS (
+    SELECT user_id, session_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM s GROUP BY 1, 2
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+@register(
+    "ext_session_paths",
+    oracle=_SESSION_PATHS_ORACLE,
+    tags=("ext", "analytics"),
+)
+def ext_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: the 20 most common full event-type journeys
+    through a 30-minute-gap session (the flow-analysis complement of the
+    per-step ext_funnel and the one-step ext_event_transitions). Session
+    assignment is the sessionize lag + running-sum pair on ONE user
+    Exchange; the path string is built ORDER-DETERMINISTICALLY by
+    sorting each session's collected (ts, event_id, type) structs —
+    array_sort inside the aggregate, no second window — and the final
+    cut is a bounded-heap top-k on (count, path)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_sess = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (ts_us > F.lag(ts_us).over(w) + 1_800_000_000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    s = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        new_sess.alias("new_sess"),
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    paths = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    return relational.topk(
+        counts, [F.col("n_sessions").desc(), F.col("path")], 20
+    )

@@ -9,7 +9,7 @@ the same hash constructions, generated from the same constants.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from component_iceberg_spark.io.tables import load_table
@@ -1055,4 +1055,70 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "docs_kept",
             "tokens_kept",
         )
+    )
+
+
+_TFIDF_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id, u.w AS w
+    FROM documents,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS u(w)
+), tf AS (
+    SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+), dfc AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (
+    SELECT count(*) AS n_docs FROM documents
+), scored AS (
+    SELECT doc_id, w, tf, df,
+           round(tf * ln(n_docs * 1.0 / df), 6) AS score
+    FROM tf JOIN dfc USING (w) CROSS JOIN n
+)
+SELECT doc_id, w, tf, df, score, rnk
+FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, w
+    ) AS INT) AS rnk
+    FROM scored
+)
+WHERE rnk <= 5
+"""
+
+
+@register("text_tfidf_topterms", oracle=_TFIDF_ORACLE, tags=("ext", "text"))
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 terms by TF-IDF (tf · ln(N/df)) — the keyword
+    extraction / document-representation stage beside BM25 (corpus-level
+    ranking) and text_top_ngrams (corpus-level vocabulary). Two hash
+    aggregates build tf and df; N is a 1-row broadcast scalar; df joins
+    back vocabulary-sized (broadcast at any corpus scale — vocabulary
+    grows sub-linearly); the top-5 cut is a per-doc window on the
+    (rounded) score with term tie-break, so the set is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfc), "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("w")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "w", "tf", "df", "score", "rnk")
     )

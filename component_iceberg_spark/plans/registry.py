@@ -87,6 +87,9 @@ _GATE_PRIORITY = (
     "stream_stream_join",
     "stream_upsert_snaptable",
     # --- 1b. new in r5 (never gate-checked; newest batch first)
+    "text_tfidf_topterms",
+    "ext_anomaly_zscore",
+    "ext_session_paths",
     "func_stats",
     "ext_window_time_range",
     "ext_event_transitions",
