@@ -193,10 +193,13 @@ def event_transitions(
 
     One Exchange on the user key + one sort serves the lag; the rollup
     to the |types|² transition matrix is a hash aggregate whose output is
-    metadata-sized, and the row-probability normalization joins that tiny
-    matrix against its own per-prev totals (broadcast by size). Ties in
-    the timestamp are broken by ``tiebreak_col`` so the sequence — and
-    therefore the matrix — is deterministic."""
+    metadata-sized, and the row-probability normalization is a window SUM
+    over that tiny matrix — NOT a join back to a second totals aggregate,
+    which would duplicate the fact-scan subtree in the plan (Spark does
+    not share unmaterialized subtrees; the audit measured 6 Exchanges in
+    the join form vs 3 here). Ties in the timestamp are broken by
+    ``tiebreak_col`` so the sequence — and therefore the matrix — is
+    deterministic."""
     w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
     steps = (
         df.select(
@@ -208,14 +211,12 @@ def event_transitions(
         .groupBy("prev_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n_steps"))
     )
-    totals = steps.groupBy("prev_type").agg(
-        F.sum("n_steps").alias("n_from_prev")
-    )
-    return steps.join(F.broadcast(totals), "prev_type").select(
+    w_prev = Window.partitionBy("prev_type")
+    return steps.select(
         "prev_type",
         "next_type",
         "n_steps",
-        F.round(F.col("n_steps") * 1.0 / F.col("n_from_prev"), 6).alias(
-            "p_next"
-        ),
+        F.round(
+            F.col("n_steps") * 1.0 / F.sum("n_steps").over(w_prev), 6
+        ).alias("p_next"),
     )

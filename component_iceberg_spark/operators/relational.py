@@ -145,8 +145,6 @@ def flatten_hierarchy(
     node universe beyond edge endpoints — isolated nodes come out as
     their own roots at depth 0; when omitted the universe is the edge
     endpoints."""
-    from pyspark import StorageLevel
-
     e = edges.select(
         F.col(child_col).alias("node"), F.col(parent_col).alias("parent")
     )
@@ -158,6 +156,11 @@ def flatten_hierarchy(
         )
     else:
         nodes = nodes.toDF("node")
+    # localCheckpoint, not persist: each doubling round self-joins the
+    # state, so a persisted-but-not-cut lineage SQUARES per round (the
+    # audit measured 170 Exchanges in the final plan before the cut; with
+    # the checkpoint it is one join's worth). Same discipline as
+    # dedup.connected_components.
     state = (
         nodes.join(e, "node", "left")
         .select(
@@ -168,23 +171,21 @@ def flatten_hierarchy(
             .cast("long")
             .alias("d"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     prev_sum = state.agg(F.sum("d")).collect()[0][0] or 0
     for _ in range(max_iter):
         s, t = state.alias("s"), state.alias("t")
-        new_state = (
+        state = (
             s.join(t, F.col("s.ptr") == F.col("t.node"))
             .select(
                 F.col("s.node").alias("node"),
                 F.col("t.ptr").alias("ptr"),
                 (F.col("s.d") + F.col("t.d")).alias("d"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
-        cur_sum = new_state.agg(F.sum("d")).collect()[0][0] or 0
-        state.unpersist()
-        state = new_state
+        cur_sum = state.agg(F.sum("d")).collect()[0][0] or 0
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

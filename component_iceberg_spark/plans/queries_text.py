@@ -1089,20 +1089,22 @@ WHERE rnk <= 5
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 terms by TF-IDF (tf · ln(N/df)) — the keyword
     extraction / document-representation stage beside BM25 (corpus-level
-    ranking) and text_top_ngrams (corpus-level vocabulary). Two hash
-    aggregates build tf and df; N is a 1-row broadcast scalar; df joins
-    back vocabulary-sized (broadcast at any corpus scale — vocabulary
-    grows sub-linearly); the top-5 cut is a per-doc window on the
-    (rounded) score with term tie-break, so the set is deterministic."""
+    ranking) and text_top_ngrams (corpus-level vocabulary). ONE pass
+    builds tf; df is a window COUNT over tf's term partitioning — an
+    aggregate-plus-join-back would duplicate the tokenize/explode
+    subtree in the plan (Spark does not share unmaterialized subtrees:
+    the audit measured 7 Exchanges in the join form vs 4 here, two full
+    corpus passes vs one). N is a 1-row broadcast scalar (metadata-only
+    parquet count); the top-5 cut is a per-doc window on the (rounded)
+    score with term tie-break, so the set is deterministic."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("w")
     )
     tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    dfc = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfc), "w")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("w")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
