@@ -347,6 +347,8 @@ def main() -> None:
         "text_tfidf_topterms",
         "ext_anomaly_zscore",
         "ext_session_paths",
+        "ext_pagerank",
+        "snap_expire_branches",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -815,6 +815,57 @@ class SnapCatalog:
         retained = snaps[-keep_last:] + [
             s for s in snaps[:-keep_last] if s["snapshot_id"] in pinned
         ]
+        return self._drop_snapshots(namespace, table, expired, retained)
+
+    def expire_snapshots_policy(
+        self,
+        namespace: str,
+        table: str,
+        keep_last: int = 1,
+        branch_keep: dict[str, int] | None = None,
+    ) -> list[int]:
+        """Per-branch retention GC (the Iceberg branch-level
+        ``min-snapshots-to-keep`` property applied through
+        ``expire_snapshots``): beyond the main history's newest
+        ``keep_last``, each branch named in ``branch_keep`` retains its
+        newest N ANCESTORS — the snapshots at-or-before the branch head
+        in history order — so a long-lived audit/staging branch keeps
+        its own rollback window while the main line is trimmed
+        aggressively. Every ref head (branch or tag) stays pinned
+        regardless, same as :meth:`expire_snapshots`. Returns expired
+        ids."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        snaps = self._snapshots(namespace, table)
+        refs = {r["name"]: r for r in self.list_refs(namespace, table)}
+        retained_ids = {s["snapshot_id"] for s in snaps[-keep_last:]}
+        retained_ids.update(r["snapshot_id"] for r in refs.values())
+        for name, keep in (branch_keep or {}).items():
+            if keep < 1:
+                raise ValueError(f"branch_keep[{name!r}] must be >= 1")
+            if name not in refs:
+                raise SnapshotNotFound(
+                    f"{namespace}.{table} has no ref {name!r}"
+                )
+            head = refs[name]["snapshot_id"]
+            ancestors = [s for s in snaps if s["snapshot_id"] <= head]
+            retained_ids.update(
+                s["snapshot_id"] for s in ancestors[-keep:]
+            )
+        expired = [s for s in snaps if s["snapshot_id"] not in retained_ids]
+        retained = [s for s in snaps if s["snapshot_id"] in retained_ids]
+        return self._drop_snapshots(namespace, table, expired, retained)
+
+    def _drop_snapshots(
+        self,
+        namespace: str,
+        table: str,
+        expired: list[dict],
+        retained: list[dict],
+    ) -> list[int]:
+        """Shared physical GC tail: remove expired manifests
+        metadata-first, then data/delete directories no retained
+        manifest still references."""
         for s in expired:
             os.remove(
                 self._tbl(namespace, table, "snapshots", f"{s['snapshot_id']}.json")

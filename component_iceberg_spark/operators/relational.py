@@ -192,3 +192,59 @@ def flatten_hierarchy(
     return state.select(
         "node", F.col("ptr").alias("root"), F.col("d").alias("depth")
     )
+
+
+def pagerank_undirected(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an undirected edge list (each edge walked both
+    ways, so no dangling-mass correction is needed) → ``(node, rank)``
+    after a FIXED number of power iterations — fixed, not
+    convergence-tested, so an unrolled SQL oracle can replay the exact
+    computation.
+
+    The static (src, dst, src-degree) relation is built once and
+    persisted; each iteration is one join of the node-sized rank vector
+    against it plus one hash aggregate — the classic Spark iteration
+    (what GraphX's Pregel does under the hood), shuffling only rank-
+    vector-sized data per round. The rank vector is localCheckpoint'ed
+    per iteration so lineage/plan size stays flat regardless of
+    iteration count."""
+    from pyspark import StorageLevel
+
+    und = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+                ),
+                F.struct(
+                    F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = und.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    r = deg.select(
+        F.col("src").alias("node"), F.lit(1.0).alias("r")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        r = (
+            ed.join(r, ed.src == r.node)
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.sum(F.col("r") / F.col("d"))
+                ).alias("r")
+            )
+            .select(F.col("dst").alias("node"), "r")
+            .localCheckpoint(eager=True)
+        )
+    ed.unpersist()
+    return r.select("node", F.round("r", 6).alias("rank"))

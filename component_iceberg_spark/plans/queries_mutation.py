@@ -730,3 +730,43 @@ def snap_changelog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.delete_where(spark, "ns", "orders", "o_orderkey % 5 = 0")
     cat.append("ns", "orders", o.filter(F.col("o_orderkey") % 3 == 0))
     return cat.changelog_diff(spark, "ns", "orders", sid1)
+
+
+@register(
+    "snap_expire_branches",
+    oracle="""
+    SELECT n.*, 3 AS n_expired, 3 AS n_remaining FROM nation n
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_expire_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-branch retention GC (Iceberg branch-level
+    ``min-snapshots-to-keep`` through ``expire_snapshots``): six commits,
+    an ``audit`` branch parked at the third snapshot, then
+    ``expire_snapshots_policy(keep_last=1, branch_keep={'audit': 2})``.
+    Main trims to its newest snapshot, but the audit branch keeps its
+    head AND one more ancestor — retained set {s1, s2, s5}, expired
+    {s0, s3, s4} — and both retained ancestors stay time-travelable.
+    The counters pin the retention arithmetic; the oracle pins the
+    current content unchanged."""
+    cat = _warehouse(sf_dir, "expire_br")
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "nation", n.filter(F.col("n_regionkey") == 0))
+    sids = []
+    for rk in (1, 2, 3, 4):
+        sids.append(cat.append("ns", "nation", n.filter(F.col("n_regionkey") == rk)))
+    cat.create_or_replace("ns", "nation", n)
+    # park the audit branch two commits back from the final replace
+    cat.create_branch("ns", "nation", "audit", snapshot_id=sids[1])
+    expired = cat.expire_snapshots_policy(
+        "ns", "nation", keep_last=1, branch_keep={"audit": 2}
+    )
+    remaining = [s["snapshot_id"] for s in cat._snapshots("ns", "nation")]
+    # the branch head and its retained ancestor must both stay readable
+    assert cat.read(spark, "ns", "nation", ref="audit").count() >= 0
+    assert cat.read(spark, "ns", "nation", snapshot_id=sids[0]).count() >= 0
+    return cat.read(spark, "ns", "nation").select(
+        "*",
+        F.lit(len(expired)).alias("n_expired"),
+        F.lit(len(remaining)).alias("n_remaining"),
+    )

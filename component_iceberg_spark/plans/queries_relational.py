@@ -1064,3 +1064,59 @@ def ext_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.flatten_hierarchy(
         edges, "child", "parent", nodes=c.select("c_custkey")
     )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    head = """
+WITH e0 AS (
+    SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), e AS (
+    SELECT c AS src, s AS dst FROM e0
+    UNION ALL
+    SELECT s AS src, c AS dst FROM e0
+), deg AS (
+    SELECT src, count(*) AS d FROM e GROUP BY 1
+), r0 AS (
+    SELECT src AS node, 1.0 AS r FROM deg
+)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""", r{i} AS (
+    SELECT e.dst AS node, 0.15 + 0.85 * sum(p.r / deg.d) AS r
+    FROM e
+    JOIN r{i - 1} p ON p.node = e.src
+    JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+)""")
+    return head + "".join(steps) + f"""
+SELECT node, round(r, 6) AS rank FROM r{iters}
+"""
+
+
+@register(
+    "ext_pagerank",
+    oracle=_pagerank_oracle(3),
+    tags=("relational", "graph"),
+)
+def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, damping 0.85) over the undirected
+    customer↔supplier trade graph derived from lineitem⋈orders — entity
+    importance in a transaction network, the second iterative-graph
+    shape beside connected components and hierarchy flattening. The
+    iteration count is FIXED so the DuckDB oracle can replay the exact
+    computation as unrolled CTE stages; each Spark iteration shuffles
+    only the node-sized rank vector against the persisted
+    (edge, degree) relation, with per-iteration localCheckpoint keeping
+    the plan flat (operators/relational.pagerank_undirected)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    return relational.pagerank_undirected(edges, "c", "s", iterations=3)

@@ -87,6 +87,8 @@ _GATE_PRIORITY = (
     "stream_stream_join",
     "stream_upsert_snaptable",
     # --- 1b. new in r5 (never gate-checked; newest batch first)
+    "ext_pagerank",
+    "snap_expire_branches",
     "text_tfidf_topterms",
     "ext_anomaly_zscore",
     "ext_session_paths",

@@ -857,3 +857,40 @@ def test_changelog_diff_scans_only_churned_dirs(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="merge-on-read"):
         cat.changelog_diff(spark, "ns", "t", sid2)
+
+
+def test_expire_snapshots_policy_per_branch(spark, sf_dir, tmp_path):
+    import pytest
+
+    from component_iceberg_spark.io.snaptable import SnapshotNotFound
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "t", n.filter("n_regionkey = 0"))   # s1
+    for rk in (1, 2, 3, 4):                                         # s2..s5
+        cat.append("ns", "t", n.filter(f"n_regionkey = {rk}"))
+    snaps = [s["snapshot_id"] for s in cat._snapshots("ns", "t")]
+    cat.create_branch("ns", "t", "audit", snapshot_id=snaps[2])     # head s3
+    cat.create_tag("ns", "t", "release", snapshot_id=snaps[0])      # tag s1
+
+    # unknown branch refuses before touching anything
+    with pytest.raises(SnapshotNotFound):
+        cat.expire_snapshots_policy("ns", "t", branch_keep={"nope": 2})
+    assert len(cat._snapshots("ns", "t")) == 5
+
+    expired = cat.expire_snapshots_policy(
+        "ns", "t", keep_last=1, branch_keep={"audit": 2}
+    )
+    # retained: s5 (main keep_last), s3 head + s2 ancestor, s1 (tag pin)
+    assert expired == [snaps[3]]
+    left = [s["snapshot_id"] for s in cat._snapshots("ns", "t")]
+    assert left == [snaps[0], snaps[1], snaps[2], snaps[4]]
+    # branch head, its retained ancestor, and the tag all stay readable
+    assert cat.read(spark, "ns", "t", ref="audit").count() == 3 * (
+        n.count() // 5
+    )
+    assert cat.read(spark, "ns", "t", snapshot_id=snaps[1]).count() > 0
+    assert cat.read(spark, "ns", "t", ref="release").count() > 0
+    # expired snapshot fails fast on the manifest
+    with pytest.raises(SnapshotNotFound):
+        cat.read(spark, "ns", "t", snapshot_id=snaps[3])
