@@ -143,8 +143,10 @@ def ensure_scale(
     if "documents" in tables:
         src_tables.append("documents")
     if "tpch" in tables:
-        src_tables += ["orders", "lineitem", "customer", "supplier", "nation"]
-    stamp = f"v4-tpch|r={n_replicas}|" + "|".join(_fp(t) for t in src_tables)
+        src_tables += [
+            "orders", "lineitem", "customer", "supplier", "part", "nation",
+        ]
+    stamp = f"v5-tpch|r={n_replicas}|" + "|".join(_fp(t) for t in src_tables)
     if os.path.exists(marker) and open(marker).read().strip() == stamp:
         return
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -251,6 +253,7 @@ def ensure_scale(
         "l_orderkey": 10**9, "l_suppkey": 10**6, "l_partkey": 10**6,
         "c_custkey": 10**6,
         "s_suppkey": 10**6,
+        "p_partkey": 10**6,
     }
 
     def keyed(base, r):
@@ -265,6 +268,7 @@ def ensure_scale(
     if "tpch" in tables:
         for table, parts in (
             ("orders", 4), ("lineitem", 8), ("customer", 2), ("supplier", 1),
+            ("part", 1),
         ):
             replicate(table, keyed).coalesce(parts).write.mode(
                 "overwrite"
@@ -370,7 +374,7 @@ def main() -> None:
         # first timed query measures its plan, not first-touch I/O
         for t in (
             "embeddings", "events", "orders", "documents",
-            "lineitem", "customer", "supplier", "nation",
+            "lineitem", "customer", "supplier", "part", "nation",
         ):
             force(spark.read.parquet(os.path.join(SF1_DIR, f"{t}.parquet")))
         # best-of-2, mirroring the sf0.1 methodology: the sf0.1 numbers
