@@ -86,6 +86,12 @@ _GATE_PRIORITY = (
     "stream_dedup_watermark",
     "stream_stream_join",
     "stream_upsert_snaptable",
+    # minhash_lsh_dedup / incremental_minhash_pairs gained profile-reuse
+    # params and the streaming screen was fused in r5 — the LSH family
+    # re-earns rows ahead of the sentinels (dedup_minhash_lsh is listed
+    # here so it stays inside the ~50 window even with 47 new/changed
+    # names ahead of the sentinel block)
+    "dedup_minhash_lsh",
     # --- 1b. new in r5 (never gate-checked; newest batch first)
     "ext_pagerank",
     "snap_expire_branches",
