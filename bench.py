@@ -353,6 +353,8 @@ def main() -> None:
         "ext_session_paths",
         "ext_pagerank",
         "snap_expire_branches",
+        "ext_integrity_check",
+        "func_bitwise",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -1085,3 +1085,63 @@ def ext_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p.min_ts",
         "p.max_ts",
     )
+
+
+_FK_CHECKS = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+)
+
+
+def _integrity_oracle() -> str:
+    parts = []
+    for name, child, fk, parent, pk in _FK_CHECKS:
+        parts.append(f"""
+    SELECT '{name}' AS fk,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE NOT EXISTS (
+               SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}
+           )) AS BIGINT) AS n_orphans
+    FROM {child} c""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "ext_integrity_check",
+    oracle=_integrity_oracle(),
+    tags=("ext", "profiling"),
+)
+def ext_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each
+    foreign-key relation, the child row count and the number of ORPHANS
+    (child keys with no parent row) — the cross-TABLE data-quality gate
+    beside ext_profile_columns' per-column one; a pipeline runs both
+    before trusting a new drop. Each relation is one left-anti
+    aggregation; dimension parents broadcast, and the fact-side scans
+    prune to the single key column, so the audit costs one key-column
+    pass per relation at any scale. The fixture is referentially intact,
+    so the oracle also proves the checks' zero-orphan answers are real
+    (counts, not vacuous truths)."""
+    out = None
+    for name, child, fk, parent, pk in _FK_CHECKS:
+        c = load_table(spark, sf_dir, child).select(F.col(fk))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk))
+        row = (
+            c.join(p, c[fk] == p[pk], "left")
+            .agg(
+                F.lit(name).alias("fk"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(F.col(pk).isNull(), 1)).alias("n_orphans"),
+            )
+            .select("fk", "n_rows", "n_orphans")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -474,3 +474,42 @@ def func_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_extendedprice"), 4).alias("skew_price"),
         F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt_price"),
     )
+
+
+@register(
+    "func_bitwise",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(bit_and(o_orderkey) AS BIGINT) AS key_and,
+           CAST(bit_or(o_orderkey) AS BIGINT) AS key_or,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor,
+           CAST(count(*) FILTER (WHERE (o_orderkey & 7) = 0)
+                AS BIGINT) AS n_mod8,
+           CAST(max(o_orderkey << 1) AS BIGINT) AS max_shl,
+           CAST(min(o_orderkey >> 2) AS BIGINT) AS min_shr,
+           CAST(sum(xor(o_orderkey, o_custkey) & 255)
+                AS BIGINT) AS xor_lowbyte_sum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("ext", "functions"),
+)
+def func_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family: the bit_and/bit_or/bit_xor aggregates
+    plus shift/mask/xor scalars — the bucket-assignment and flag-field
+    arithmetic (hash partitioners, bitmap flags, low-byte sampling)
+    pipelines lean on. All integer-exact, all codegen'd expressions
+    inside one hash aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and(k).alias("key_and"),
+        F.bit_or(k).alias("key_or"),
+        F.bit_xor(k).alias("key_xor"),
+        F.count(F.when(k.bitwiseAND(F.lit(7)) == 0, 1)).alias("n_mod8"),
+        F.max(F.shiftleft(k, 1)).alias("max_shl"),
+        F.min(F.shiftright(k, 2)).alias("min_shr"),
+        F.sum(k.bitwiseXOR(c).bitwiseAND(F.lit(255))).alias(
+            "xor_lowbyte_sum"
+        ),
+    )

@@ -93,6 +93,8 @@ _GATE_PRIORITY = (
     # names ahead of the sentinel block)
     "dedup_minhash_lsh",
     # --- 1b. new in r5 (never gate-checked; newest batch first)
+    "ext_integrity_check",
+    "func_bitwise",
     "ext_pagerank",
     "snap_expire_branches",
     "text_tfidf_topterms",
@@ -130,11 +132,12 @@ _GATE_PRIORITY = (
     "func_array",
     "ext_join_bucketed",
     "snap_expire",
-    # --- 2. pinned sentinels (keep this set stable round over round)
+    # --- 2. pinned sentinels (keep this set stable round over round;
+    #     dedup_minhash_lsh is serving its sentinel turn from section 1a
+    #     this round — changed code leads — and returns here in r6)
     "q1_pricing_summary",
     "q5_local_supplier_volume",
     "stream_window_counts",
-    "dedup_minhash_lsh",
     "dedup_semantic",
     "mm_feature_extract",
     "ext_sessionize",
