@@ -134,7 +134,14 @@ _GATE_PRIORITY = (
     "snap_expire",
     # --- 2. pinned sentinels (keep this set stable round over round;
     #     dedup_minhash_lsh is serving its sentinel turn from section 1a
-    #     this round — changed code leads — and returns here in r6)
+    #     this round — changed code leads — and returns here in r6).
+    #     r5 NOTE: sections 1a+1b hold 49 names, so most sentinels fall
+    #     past a strict-50 window this round. That is rule #1 working as
+    #     intended — a new query with NO row ever is worse than an
+    #     unchanged sentinel retaining its r4 green row. r6 MUST lead
+    #     with the sentinels that missed (q5, stream_window_counts,
+    #     dedup_semantic, mm_feature_extract, ext_sessionize,
+    #     sim_ann_ivf) plus any query changed in r6.
     "q1_pricing_summary",
     "q5_local_supplier_volume",
     "stream_window_counts",
