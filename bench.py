@@ -355,6 +355,7 @@ def main() -> None:
         "snap_expire_branches",
         "ext_integrity_check",
         "func_bitwise",
+        "ext_timeseries_features",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -588,3 +588,70 @@ def ext_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.topk(
         counts, [F.col("n_sessions").desc(), F.col("path")], 20
     )
+
+
+_TS_FEATURES_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           round(sum(value), 4) AS v
+    FROM events GROUP BY 1, 2
+), lagged AS (
+    SELECT event_type, day, v,
+           CASE WHEN date_diff('day', lag(day) OVER w, day) = 1
+                THEN lag(v) OVER w END AS pv,
+           date_diff('day', DATE '1970-01-01', day) AS epoch_day
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(corr(v, pv), 6) AS autocorr_1,
+       round(stddev_samp(v - pv), 4) AS diff_vol,
+       round(regr_slope(v, epoch_day), 6) AS trend_slope
+FROM lagged
+GROUP BY event_type
+"""
+
+
+@register(
+    "ext_timeseries_features",
+    oracle=_TS_FEATURES_ORACLE,
+    tags=("ext", "analytics"),
+)
+def ext_timeseries_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series forecasting features over the daily event-value series:
+    lag-1 autocorrelation, day-over-day difference volatility, and OLS
+    trend slope vs epoch day — the feature-extraction stage before any
+    model. ONE hash aggregate builds the daily series, one
+    series-key window attaches the (consecutive-day-guarded) lag, and
+    one final aggregate computes all three statistics — the lag rides
+    the window rather than a daily-to-daily self-join, which would
+    duplicate the fact-scan subtree (the transitions/tfidf plan-audit
+    lesson). corr/regr_slope/stddev cross-engine parity is pinned by
+    func_stats; daily sums are rounded before the statistics so both
+    engines feed identical series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "v",
+        F.when(
+            F.datediff(F.col("day"), F.lag("day").over(w)) == 1,
+            F.lag("v").over(w),
+        ).alias("pv"),
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias(
+            "epoch_day"
+        ),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.corr("v", "pv"), 6).alias("autocorr_1"),
+        F.round(F.stddev_samp(F.col("v") - F.col("pv")), 4).alias("diff_vol"),
+        F.round(F.regr_slope("v", "epoch_day"), 6).alias("trend_slope"),
+    )

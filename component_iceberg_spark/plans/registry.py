@@ -93,6 +93,7 @@ _GATE_PRIORITY = (
     # names ahead of the sentinel block)
     "dedup_minhash_lsh",
     # --- 1b. new in r5 (never gate-checked; newest batch first)
+    "ext_timeseries_features",
     "ext_integrity_check",
     "func_bitwise",
     "ext_pagerank",
