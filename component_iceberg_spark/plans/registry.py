@@ -130,9 +130,13 @@ _GATE_PRIORITY = (
     "sim_ann_pq_stored",
     "ext_agg_grouping_sets",
     "ext_join_salted",
-    "func_array",
     "ext_join_bucketed",
     "snap_expire",
+    # func_array sits last in 1b deliberately: with 51 new/changed names
+    # and a ~50 window, ONE must risk the cutoff, and a pure-expression
+    # query whose oracle already CASTs every aggregate is the least
+    # likely to diverge on the driver's Arrow path
+    "func_array",
     # --- 2. pinned sentinels (keep this set stable round over round;
     #     dedup_minhash_lsh is serving its sentinel turn from section 1a
     #     this round — changed code leads — and returns here in r6).
