@@ -847,6 +847,14 @@ class SnapCatalog:
                 raise SnapshotNotFound(
                     f"{namespace}.{table} has no ref {name!r}"
                 )
+            if refs[name]["type"] != "branch":
+                # a tag is immutable: granting it an ancestor-retention
+                # window would pin history forever behind a ref that can
+                # never advance — refuse, like retarget_branch does
+                raise ValueError(
+                    f"ref {name!r} is a tag; branch_keep applies to "
+                    "branches only (tag heads are always pinned)"
+                )
             head = refs[name]["snapshot_id"]
             ancestors = [s for s in snaps if s["snapshot_id"] <= head]
             retained_ids.update(

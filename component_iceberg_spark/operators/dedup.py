@@ -286,10 +286,11 @@ def incremental_minhash_pairs(
         if persisted_out is not None:
             persisted_out.append(corpus_profile)
     if batch_profile is not None:
-        # the batch side of a streaming screen is signed ONCE per epoch
-        # (screen_batch_incremental computes the profile it will append
-        # to the store and hands it here) — re-signing it would repeat
-        # the K-way md5 min-aggregation, the dominant per-batch cost
+        # a caller that already holds the batch's stored profile (e.g. a
+        # pipeline that just appended it to the lake at ingest) passes it
+        # here so the K-way md5 min-aggregation — the dominant signing
+        # cost — is never repeated; equivalence with the direct path is
+        # pinned by test_incremental_pairs_profile_path_equals_direct
         sig_b = batch_profile
     else:
         sig_b = minhash_signatures(sh_b).persist(StorageLevel.MEMORY_AND_DISK)
@@ -375,15 +376,11 @@ def screened_drop_ids(
     ``WHERE i * 1.0 / (ca.n + cb.n - i) >= t``)."""
     sh_b = doc_shingles(batch, id_col, text_col)
     bands_b = signature_bands(batch_profile)
-    cand = (
-        bands_b.alias("x")
-        .join(
-            bands_b.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.doc") < F.col("y.doc")),
-        )
-        .select(F.col("y.doc").alias("drop"), F.col("x.doc").alias("other"))
+    # intra-batch candidates come from the SAME generator as the batch
+    # dedup operator (single source of truth for the banding semantics);
+    # the higher doc of a pair is the drop candidate (lower-id wins)
+    cand = lsh_candidates(batch_profile).select(
+        F.col("doc_b").alias("drop"), F.col("doc_a").alias("other")
     )
     cnt_other = batch_profile.select("doc", "n")
     sh_other = sh_b

@@ -141,10 +141,13 @@ def flatten_hierarchy(
 
     Assumes a forest (each child one parent, no cycles); ``max_iter``
     bounds the loop under cycle-corrupted input — 2^20 depth exceeds any
-    real hierarchy. ``nodes`` (one column, the node ids) widens the
-    node universe beyond edge endpoints — isolated nodes come out as
-    their own roots at depth 0; when omitted the universe is the edge
-    endpoints."""
+    real hierarchy. ``nodes`` (one column, the node ids) REPLACES the
+    node universe: output rows are exactly the given nodes — isolated
+    ones become their own roots at depth 0, and a node whose parent
+    chain LEAVES the universe stops at the first outside ancestor (that
+    ancestor has no state row, so the left self-join below carries the
+    pointer unchanged — an inner join would silently DROP such nodes).
+    When omitted the universe is the edge endpoints."""
     e = edges.select(
         F.col(child_col).alias("node"), F.col(parent_col).alias("parent")
     )
@@ -177,11 +180,13 @@ def flatten_hierarchy(
     for _ in range(max_iter):
         s, t = state.alias("s"), state.alias("t")
         state = (
-            s.join(t, F.col("s.ptr") == F.col("t.node"))
+            s.join(t, F.col("s.ptr") == F.col("t.node"), "left")
             .select(
                 F.col("s.node").alias("node"),
-                F.col("t.ptr").alias("ptr"),
-                (F.col("s.d") + F.col("t.d")).alias("d"),
+                F.coalesce(F.col("t.ptr"), F.col("s.ptr")).alias("ptr"),
+                (F.col("s.d") + F.coalesce(F.col("t.d"), F.lit(0))).alias(
+                    "d"
+                ),
             )
             .localCheckpoint(eager=True)
         )

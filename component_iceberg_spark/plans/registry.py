@@ -89,8 +89,8 @@ _GATE_PRIORITY = (
     # minhash_lsh_dedup / incremental_minhash_pairs gained profile-reuse
     # params and the streaming screen was fused in r5 — the LSH family
     # re-earns rows ahead of the sentinels (dedup_minhash_lsh is listed
-    # here so it stays inside the ~50 window even with 47 new/changed
-    # names ahead of the sentinel block)
+    # here so it stays inside the ~50 window despite the 1a+1b overflow
+    # documented at the sentinel block)
     "dedup_minhash_lsh",
     # --- 1b. new in r5 (never gate-checked; newest batch first)
     "ext_timeseries_features",
@@ -140,13 +140,15 @@ _GATE_PRIORITY = (
     # --- 2. pinned sentinels (keep this set stable round over round;
     #     dedup_minhash_lsh is serving its sentinel turn from section 1a
     #     this round — changed code leads — and returns here in r6).
-    #     r5 NOTE: sections 1a+1b hold 49 names, so most sentinels fall
+    #     r5 NOTE: sections 1a+1b hold 51 names, so func_array (the
+    #     designated risk slot, position 51) and EVERY sentinel fall
     #     past a strict-50 window this round. That is rule #1 working as
     #     intended — a new query with NO row ever is worse than an
-    #     unchanged sentinel retaining its r4 green row. r6 MUST lead
-    #     with the sentinels that missed (q5, stream_window_counts,
-    #     dedup_semantic, mm_feature_extract, ext_sessionize,
-    #     sim_ann_ivf) plus any query changed in r6.
+    #     unchanged sentinel retaining its r4 green row (and the driver
+    #     separately smoke-runs entry() == the q1 flagship each round).
+    #     r6 MUST lead with ALL EIGHT sentinels (q1_pricing_summary
+    #     included) plus func_array if it missed, plus any query changed
+    #     in r6.
     "q1_pricing_summary",
     "q5_local_supplier_volume",
     "stream_window_counts",

@@ -488,6 +488,19 @@ def test_incremental_pairs_profile_path_equals_direct(spark, sf_dir):
         corpus, batch, "doc_id", "text", 0.8, corpus_profile=profile
     ).collect()
     assert sorted(map(tuple, direct)) == sorted(map(tuple, via_profile))
+    # the BATCH-side profile fast path must be identical too
+    b_profile = D.corpus_minhash_profile(batch, "doc_id", "text")
+    via_both = D.incremental_minhash_pairs(
+        corpus, batch, "doc_id", "text", 0.8,
+        corpus_profile=profile, batch_profile=b_profile,
+    ).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, via_both))
+    # ... and minhash_lsh_dedup's profile reuse path on the batch alone
+    lsh_direct = D.minhash_lsh_dedup(batch, "doc_id", "text", 0.8).collect()
+    lsh_via = D.minhash_lsh_dedup(
+        batch, "doc_id", "text", 0.8, profile=b_profile
+    ).collect()
+    assert sorted(map(tuple, lsh_direct)) == sorted(map(tuple, lsh_via))
 
 
 # --- prefix-filtered set-similarity join (operators/setjoin) -----------
@@ -549,13 +562,16 @@ def test_flatten_hierarchy_chain_forest_isolated(spark):
     node supplied via the explicit node universe."""
     from component_iceberg_spark.operators.relational import flatten_hierarchy
 
-    # chain 1<-2<-3<-4<-5<-6, tree 10<-11, 10<-12, isolated 99
+    # chain 1<-2<-3<-4<-5<-6, tree 10<-11, 10<-12, isolated 99,
+    # and 20 whose parent 7 is OUTSIDE the node universe — the walk must
+    # stop at the first outside ancestor, not silently drop the node
     edges = spark.createDataFrame(
-        [(2, 1), (3, 2), (4, 3), (5, 4), (6, 5), (11, 10), (12, 10)],
+        [(2, 1), (3, 2), (4, 3), (5, 4), (6, 5), (11, 10), (12, 10),
+         (20, 7)],
         "child long, parent long",
     )
     nodes = spark.createDataFrame(
-        [(n,) for n in [1, 2, 3, 4, 5, 6, 10, 11, 12, 99]], "node long"
+        [(n,) for n in [1, 2, 3, 4, 5, 6, 10, 11, 12, 99, 20]], "node long"
     )
     got = {
         r["node"]: (r["root"], r["depth"])
@@ -563,7 +579,7 @@ def test_flatten_hierarchy_chain_forest_isolated(spark):
     }
     assert got == {
         1: (1, 0), 2: (1, 1), 3: (1, 2), 4: (1, 3), 5: (1, 4), 6: (1, 5),
-        10: (10, 0), 11: (10, 1), 12: (10, 1), 99: (99, 0),
+        10: (10, 0), 11: (10, 1), 12: (10, 1), 99: (99, 0), 20: (7, 1),
     }
 
 

@@ -894,3 +894,16 @@ def test_expire_snapshots_policy_per_branch(spark, sf_dir, tmp_path):
     # expired snapshot fails fast on the manifest
     with pytest.raises(SnapshotNotFound):
         cat.read(spark, "ns", "t", snapshot_id=snaps[3])
+
+
+def test_expire_policy_refuses_tags_in_branch_keep(spark, sf_dir, tmp_path):
+    import pytest
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "t", n)
+    cat.append("ns", "t", n.limit(1))
+    cat.create_tag("ns", "t", "release")
+    with pytest.raises(ValueError, match="tag"):
+        cat.expire_snapshots_policy("ns", "t", branch_keep={"release": 2})
+    assert len(cat._snapshots("ns", "t")) == 2
