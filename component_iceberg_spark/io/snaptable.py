@@ -345,12 +345,29 @@ class SnapCatalog:
             )
         base = self._current_sid(namespace, table)
         manifest = self._manifest(namespace, table, base)
-        # File-pruned copy-on-write (Iceberg MERGE cost shape): a data dir
-        # whose key-range stats cannot overlap the delta's key range cannot
-        # contain a matched row — carry it into the new snapshot untouched.
-        # The bounds job is a column-pruned min/max agg over the delta
-        # (metadata-sized result; the delta plan runs once more in the
-        # merge itself).
+        candidates, untouched = self._delta_key_pruning(manifest, delta, keys)
+        if candidates:
+            target = self._read_with_deletes(
+                spark, namespace, table, manifest, candidates
+            )
+            survivors = target.join(delta.select(*keys), keys, "left_anti")
+            merged = survivors.unionByName(delta)
+        else:
+            merged = delta
+        return self._commit(
+            namespace, table, merged, operation="upsert", carry=False,
+            base_sid=base, inherit_spec=True, carry_dirs=untouched,
+        )
+
+    def _delta_key_pruning(
+        self, manifest: dict, delta: DataFrame, keys: list[str]
+    ) -> tuple[list[str], list[str]]:
+        """File-pruned copy-on-write (Iceberg MERGE cost shape): a data dir
+        whose key-range stats cannot overlap the delta's key range cannot
+        contain a matched row — carry it into the new snapshot untouched.
+        The bounds job is a column-pruned min/max agg over the delta
+        (metadata-sized result; the delta plan runs once more in the
+        merge itself). Returns (candidate_dirs, untouched_dirs)."""
         conjuncts: list[tuple[str, str, object]] = []
         aggs = [F.min(k).alias(f"_mn_{k}") for k in keys] + [
             F.max(k).alias(f"_mx_{k}") for k in keys
@@ -364,19 +381,123 @@ class SnapCatalog:
                 break
             conjuncts += [(k, ">=", mn), (k, "<=", mx)]
         if conjuncts:
-            candidates, untouched = self._split_by_stats(manifest, conjuncts)
+            return self._split_by_stats(manifest, conjuncts)
+        return list(manifest["files"]), []
+
+    def merge(
+        self,
+        namespace: str,
+        table: str,
+        source: DataFrame,
+        keys: list[str],
+        *,
+        delete_when: str | None = None,
+        update_when: str | None = None,
+        insert_when: str | None = None,
+        order_by: str | None = None,
+    ) -> int:
+        """Multi-action MERGE (Iceberg ``MERGE INTO`` with several WHEN
+        clauses — the general form of :meth:`upsert`, which is the
+        two-clause UPDATE*/INSERT* special case the reference drives
+        through pyiceberg ``table.upsert``,
+        ``wr-iceberg/src/component.py:107-108``):
+
+        - matched  & ``delete_when``            → target row deleted
+        - matched  & else & ``update_when``     → row replaced by source
+        - matched  & else & not ``update_when`` → target row kept
+        - unmatched source & ``insert_when``    → source row inserted
+        - unmatched target                      → kept
+
+        Conditions are SQL boolean expressions over the SOURCE row's
+        columns (the CDC-apply shape: the source carries the op
+        discriminator). Defaults: no deletes, update all matched, insert
+        all unmatched — i.e. plain upsert.
+
+        Plan: ONE shuffle — a full-outer join on the key columns with both
+        sides packed into structs, then a single CASE projection picks the
+        surviving row. File-pruned copy-on-write carries data dirs whose
+        key-range stats cannot overlap the source untouched, exactly like
+        :meth:`upsert`; source-internal key duplicates resolve with the
+        same deterministic last-wins rule.
+        """
+        spark = source.sparkSession
+        if order_by is not None:
+            rank_key = F.col(order_by).desc()
         else:
-            candidates, untouched = list(manifest["files"]), []
+            non_keys = [c for c in source.columns if c not in keys]
+            rank_key = F.md5(
+                F.to_json(F.struct(*[F.col(c) for c in non_keys]))
+            ).desc() if non_keys else F.lit(1).asc()
+        w = Window.partitionBy(*keys).orderBy(rank_key)
+        source = (
+            source.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # action flags evaluated on the source row BEFORE packing, so the
+        # conditions see plain column names
+        flagged = (
+            source.withColumn("_del", F.expr(delete_when or "false"))
+            .withColumn("_upd", F.expr(update_when or "true"))
+            .withColumn("_ins", F.expr(insert_when or "true"))
+        )
+        cols = source.columns
+        s_pack = flagged.select(
+            *[F.col(k).alias(f"_k_{k}") for k in keys],
+            F.struct(*[F.col(c) for c in cols]).alias("_s"),
+            "_del", "_upd", "_ins",
+        )
+        if not self.table_exists(namespace, table):
+            # every source row is unmatched: insert_when is the only guard
+            # (matched-clause conditions never apply, same as below)
+            inserts = s_pack.filter(F.col("_ins")).select("_s.*")
+            return self._commit(
+                namespace, table, inserts, operation="merge", carry=False,
+                inherit_spec=True,
+            )
+        base = self._current_sid(namespace, table)
+        manifest = self._manifest(namespace, table, base)
+        candidates, untouched = self._delta_key_pruning(
+            manifest, source, keys
+        )
         if candidates:
             target = self._read_with_deletes(
                 spark, namespace, table, manifest, candidates
             )
-            survivors = target.join(delta.select(*keys), keys, "left_anti")
-            merged = survivors.unionByName(delta)
+            if set(target.columns) != set(cols):
+                raise ValueError(
+                    "merge source schema must match the target: "
+                    f"target={sorted(target.columns)} source={sorted(cols)}"
+                )
+            t_pack = target.select(
+                *[F.col(k).alias(f"_k_{k}") for k in keys],
+                F.struct(*[F.col(c) for c in cols]).alias("_t"),
+            )
+            joined = t_pack.join(
+                s_pack, on=[f"_k_{k}" for k in keys], how="full_outer"
+            )
+            # Iceberg MERGE clause order: matched rows consult the
+            # matched-clauses only (delete wins over update); unmatched
+            # source rows consult insert_when only.
+            survivor = (
+                F.when(F.col("_s").isNull(), F.col("_t"))
+                .when(
+                    F.col("_t").isNull(),
+                    F.when(F.col("_ins"), F.col("_s")),
+                )
+                .when(F.col("_del"), F.lit(None))
+                .when(F.col("_upd"), F.col("_s"))
+                .otherwise(F.col("_t"))
+            )
+            merged = (
+                joined.withColumn("_row", survivor)
+                .filter(F.col("_row").isNotNull())
+                .select("_row.*")
+            )
         else:
-            merged = delta
+            merged = s_pack.filter(F.col("_ins")).select("_s.*")
         return self._commit(
-            namespace, table, merged, operation="upsert", carry=False,
+            namespace, table, merged, operation="merge", carry=False,
             base_sid=base, inherit_spec=True, carry_dirs=untouched,
         )
 

@@ -770,3 +770,93 @@ def snap_expire_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(expired)).alias("n_expired"),
         F.lit(len(remaining)).alias("n_remaining"),
     )
+
+
+# Multi-action MERGE fixture: the upsert base/delta split plus two WHEN
+# guards — matched 'F' rows are tombstones (deleted), matched updates only
+# land when the bumped price clears 150k (else the target row survives),
+# and 'F' source rows never insert (the CDC-apply shape: delete events for
+# unseen keys are no-ops).
+_MERGE_MULTI_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 3 <> 0
+), src AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice * 1.1 AS o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice
+FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+WHERE s.o_orderkey IS NULL
+   OR (s.o_orderstatus <> 'F' AND NOT (s.o_totalprice > 150000))
+UNION ALL
+SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice
+FROM src s
+WHERE s.o_orderstatus <> 'F'
+  AND (s.o_totalprice > 150000
+       OR s.o_orderkey NOT IN (SELECT o_orderkey FROM base))
+"""
+
+
+@register("snap_merge_multi", oracle=_MERGE_MULTI_ORACLE,
+          tags=("parity", "snapshot", "mutation"))
+def snap_merge_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg multi-clause ``MERGE INTO`` (WHEN MATCHED AND cond THEN
+    DELETE / WHEN MATCHED AND cond THEN UPDATE / WHEN NOT MATCHED AND
+    cond THEN INSERT) through the snapshot layer — the general form of
+    ``snap_upsert``'s two-clause special case and the shape a CDC apply
+    job needs (the source row carries the action discriminator).
+
+    Physical plan: ONE shuffle — full-outer join of the file-pruned
+    target against the deduped source on the key, both sides packed as
+    structs, a single CASE projection picking the surviving row
+    (io/snaptable.py merge). Data dirs whose key-range stats cannot
+    overlap the source carry into the new snapshot untouched, so at
+    100 TB the rewrite cost tracks the touched key range, not the table
+    size."""
+    cat = _warehouse(sf_dir, "merge_multi")
+    base, src = _upsert_inputs(spark, sf_dir)
+    cat.create_or_replace("ns", "orders", base)
+    cat.merge(
+        "ns", "orders", src, keys=["o_orderkey"],
+        delete_when="o_orderstatus = 'F'",
+        update_when="o_totalprice > 150000",
+        insert_when="o_orderstatus <> 'F'",
+    )
+    return cat.read(spark, "ns", "orders")
+
+
+@register(
+    "snap_orphan_cleanup",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS n_removed,
+           (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_rows
+    """,
+    tags=("parity", "snapshot", "meta"),
+)
+def snap_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file GC (Iceberg ``remove_orphan_files``): a failed commit
+    leaves its data directory behind with no manifest referencing it —
+    simulated here by writing a parquet dir straight into the table's
+    data root, exactly the state a crash between data write and metadata
+    publish produces (io/snaptable.py _commit writes data first,
+    metadata second, so this is the real failure artifact). The sweep
+    must remove exactly the orphan and leave every snapshot-referenced
+    dir intact: the output pins both the removal count and the table
+    content after GC. The age threshold (0 here, 24 h in production) is
+    what makes the sweep safe to run beside in-flight commits."""
+    cat = _warehouse(sf_dir, "orphans")
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "nation", n.filter(F.col("n_regionkey") < 3))
+    cat.append("ns", "nation", n.filter(F.col("n_regionkey") >= 3))
+    orphan_dir = os.path.join(
+        cat.warehouse, "ns", "nation", "data", "commit-failed-sim"
+    )
+    n.limit(5).write.mode("overwrite").parquet(orphan_dir)
+    removed = cat.remove_orphans("ns", "nation", older_than_ms=0)
+    assert removed == ["commit-failed-sim"], removed
+    out = cat.read(spark, "ns", "nation")
+    return out.agg(F.count(F.lit(1)).alias("n_rows")).select(
+        F.lit(len(removed)).cast("long").alias("n_removed"), "n_rows"
+    )

@@ -137,6 +137,16 @@ _GATE_PRIORITY = (
     # query whose oracle already CASTs every aggregate is the least
     # likely to diverge on the driver's Arrow path
     "func_array",
+    # --- 1c. late-r5 newborns: registered after the window was already
+    #     oversubscribed, so they deliberately queue BEHIND func_array
+    #     (outside the ~50 cutoff) and re-earn in r6 right after the
+    #     sentinel block — all carry exact oracles and local pytest rows.
+    "snap_merge_multi",
+    "snap_orphan_cleanup",
+    "ext_interval_join",
+    "ext_graph_triangles",
+    "ext_corr_matrix",
+    "ext_pca_project",
     # --- 2. pinned sentinels (keep this set stable round over round;
     #     dedup_minhash_lsh is serving its sentinel turn from section 1a
     #     this round — changed code leads — and returns here in r6).

@@ -907,3 +907,102 @@ def test_expire_policy_refuses_tags_in_branch_keep(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="tag"):
         cat.expire_snapshots_policy("ns", "t", branch_keep={"release": 2})
     assert len(cat._snapshots("ns", "t")) == 2
+
+
+def test_merge_multi_action_semantics(spark, tmp_path):
+    """Clause-by-clause MERGE contract: matched+delete_when removes,
+    matched+update_when replaces, matched without either keeps the target
+    row, unmatched source consults insert_when ONLY (a delete event for an
+    unseen key is a no-op, but an insert-eligible row lands even when
+    delete_when would also be true — matched clauses never apply to
+    unmatched rows, same as Iceberg MERGE INTO)."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    target = spark.createDataFrame(
+        [(1, "keep", 10.0), (2, "del", 20.0), (3, "upd", 30.0), (4, "hold", 40.0)],
+        "k long, tag string, v double",
+    )
+    cat.create_or_replace("ns", "t", target)
+    source = spark.createDataFrame(
+        [
+            (2, "D", 0.0),     # matched delete
+            (3, "U", 99.0),    # matched, update_when true (v > 50)
+            (4, "U", 5.0),     # matched, update_when false -> target kept
+            (5, "U", 77.0),    # unmatched insert
+            (6, "D", 0.0),     # unmatched delete event -> no-op
+        ],
+        "k long, tag string, v double",
+    )
+    cat.merge(
+        "ns", "t", source, keys=["k"],
+        delete_when="tag = 'D'",
+        update_when="v > 50",
+        insert_when="tag <> 'D'",
+    )
+    got = {
+        (r.k, r.tag, r.v) for r in cat.read(spark, "ns", "t").collect()
+    }
+    assert got == {
+        (1, "keep", 10.0),   # untouched target
+        (3, "U", 99.0),      # updated
+        (4, "hold", 40.0),   # guard false -> target survives
+        (5, "U", 77.0),      # inserted
+    }
+    # snapshot history: create + merge
+    ops = [s.operation for s in cat.snapshots(spark, "ns", "t").collect()]
+    assert ops == ["replace", "merge"]
+
+
+def test_merge_defaults_equal_upsert(spark, sf_dir, tmp_path):
+    """With no clause conditions, merge IS upsert: same surviving rows."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") % 3 != 0)
+    delta = o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    a = SnapCatalog(str(tmp_path / "a"))
+    a.create_or_replace("ns", "t", base)
+    a.upsert("ns", "t", delta, keys=["o_orderkey"])
+    b = SnapCatalog(str(tmp_path / "b"))
+    b.create_or_replace("ns", "t", base)
+    b.merge("ns", "t", delta, keys=["o_orderkey"])
+    ra = {tuple(r) for r in a.read(spark, "ns", "t").collect()}
+    rb = {tuple(r) for r in b.read(spark, "ns", "t").collect()}
+    assert ra == rb and len(ra) > 0
+
+
+def test_merge_missing_table_inserts_only_insert_when(spark, tmp_path):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    src = spark.createDataFrame(
+        [(1, "D"), (2, "U")], "k long, tag string"
+    )
+    cat.merge(
+        "ns", "t", src, keys=["k"],
+        delete_when="tag = 'D'", insert_when="tag <> 'D'",
+    )
+    got = {(r.k, r.tag) for r in cat.read(spark, "ns", "t").collect()}
+    assert got == {(2, "U")}
+
+
+def test_merge_file_pruning_carries_untouched_dirs(spark, tmp_path):
+    """A source whose key range misses a data dir's stats must leave that
+    dir physically untouched in the new snapshot (same carry contract as
+    upsert's)."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    lo = spark.createDataFrame([(i, "lo") for i in range(10)], "k long, tag string")
+    hi = spark.createDataFrame([(i, "hi") for i in range(100, 110)], "k long, tag string")
+    cat.create_or_replace("ns", "t", lo)
+    cat.append("ns", "t", hi)
+    before = set(os.listdir(os.path.join(str(tmp_path / "wh"), "ns", "t", "data")))
+    src = spark.createDataFrame([(105, "D"), (106, "U2")], "k long, tag string")
+    cat.merge("ns", "t", src, keys=["k"], delete_when="tag = 'D'")
+    after = set(os.listdir(os.path.join(str(tmp_path / "wh"), "ns", "t", "data")))
+    # the lo dir from the first two snapshots must still be present and
+    # referenced (carried), so the old dirs are a subset of the new listing
+    assert before <= after
+    got = {(r.k, r.tag) for r in cat.read(spark, "ns", "t").collect()}
+    assert (105, "D") not in got and (106, "U2") in got
+    assert {(i, "lo") for i in range(10)} <= got
