@@ -253,3 +253,84 @@ def pagerank_undirected(
         )
     ed.unpersist()
     return r.select("node", F.round("r", 6).alias("rank"))
+
+
+def triangle_stats(edges: DataFrame, u_col: str, v_col: str) -> DataFrame:
+    """Global triangle census over an undirected edge list → one row
+    ``(n_edges, n_wedges, n_triangles, clustering_coeff)``.
+
+    Scale design: the compact-forward algorithm. Each edge is oriented
+    from its lower-degree endpoint to the higher (ties by id), which
+    bounds every node's OUT-degree by O(sqrt(m)) — so the wedge join
+    (out-edges ⋈ out-edges on the pivot node) materializes O(m^1.5)
+    candidate wedges worst-case instead of sum(deg²), and each triangle
+    is produced exactly once. Closing the wedge is a semi-join shaped
+    equi-join against the oriented edge set: three shuffles total
+    (degree agg, wedge join, closing join), no driver-side state.
+    Wedge COUNT (for the clustering coefficient) needs no join at all:
+    sum over nodes of C(deg, 2) from the same degree aggregate.
+    """
+    e = edges.select(
+        F.col(u_col).cast("long").alias("u"), F.col(v_col).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    # canonical undirected form (u < v), defensively deduped
+    canon = e.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+    und = canon.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    # wedge count = sum C(d, 2); edges = sum(d) / 2 — one metadata-sized row
+    totals = deg.agg(
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    # degree-ordered orientation: (deg, id) ascending from tail to head
+    du = deg.select(F.col("a").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("a").alias("v"), F.col("d").alias("dv"))
+    ranked = (
+        canon.join(du, "u").join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("o")
+        )
+        .select("o.s", "o.t")
+    )
+    w1 = ranked.select(F.col("s").alias("pivot"), F.col("t").alias("b"))
+    w2 = ranked.select(F.col("s").alias("pivot"), F.col("t").alias("c"))
+    wedges = w1.join(w2, "pivot").filter(F.col("b") < F.col("c"))
+    # closing edge may be oriented either way; ranked holds one direction,
+    # so join against its canonical (min, max) form
+    closing = ranked.select(
+        F.least("s", "t").alias("b"), F.greatest("s", "t").alias("c")
+    )
+    tri = (
+        wedges.select(
+            F.least("b", "c").alias("b"), F.greatest("b", "c").alias("c")
+        )
+        .join(closing, ["b", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return totals.crossJoin(tri).select(
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                3.0 * F.col("n_triangles") / F.col("n_wedges"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering_coeff"),
+    )

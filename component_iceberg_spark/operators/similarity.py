@@ -1086,3 +1086,126 @@ def pq_topk_from_codes(
 
     adc = codes_df.mapInPandas(score, schema=out_schema)
     return _pq_rerank(adc, corpus, queries, k, rerank, id_col, vec_col)
+
+
+def pca_fit(
+    corpus: DataFrame,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed PCA fit over an embedding column: ONE data pass
+    computes per-Arrow-batch moment partials ``(n, sum_x, X^T X)`` via
+    ``mapInPandas`` (each batch row is metadata-sized: d + d² doubles),
+    the driver folds the handful of partial rows and eigendecomposes the
+    d×d covariance — the exact split a 100 TB corpus needs: the data
+    never moves, only O(d²) state per partition does, and the
+    eigendecomposition is a constant-time driver step because d is the
+    embedding dimension, not the row count.
+
+    Returns ``(mean, components, explained_ratio)`` as numpy arrays of
+    shapes (d,), (k, d), (k,). Component signs are canonicalized (the
+    largest-|loading| coordinate is made positive) so the decomposition
+    is unique wherever the spectrum is simple. Double-precision partial
+    sums are folded in sorted order, so the fit is deterministic for a
+    fixed input partitioning.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    vecs = corpus.select(as_double(F.col(vec_col)).alias("_v"))
+
+    partial_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("g", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["_v"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    rows = vecs.mapInPandas(partials, schema=partial_schema).collect()
+    if not rows:
+        raise ValueError("pca_fit: empty corpus")
+    # fold in a content-sorted order: same multiset of partials → same
+    # double-precision fold, independent of collect() arrival order
+    rows = sorted(rows, key=lambda r: (r["n"], r["s"]))
+    d = len(rows[0]["s"])
+    n = sum(r["n"] for r in rows)
+    if n < 2:
+        raise ValueError("pca_fit: need at least 2 vectors")
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for r in rows:
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"]).reshape(d, d)
+    mean = s / n
+    cov = (g - np.outer(s, s) / n) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T.copy()  # (k, d)
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total = float(np.trace(cov))
+    ratio = np.maximum(evals[order], 0.0) / total if total > 0 else (
+        np.zeros(len(order))
+    )
+    return mean, comps, ratio
+
+
+def pca_project(
+    corpus: DataFrame,
+    mean,
+    components,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto fitted principal components: the (k, d)
+    component matrix broadcasts inside the closure and each Arrow batch
+    is one BLAS matmul ``(X - mean) @ C.T`` — zero shuffle, linear scan,
+    the same zero-movement shape as ``nearest_assign``. Output columns:
+    ``id_col, pc1..pck`` (doubles)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+    k = C.shape[0]
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())]
+        + [T.StructField(f"pc{i + 1}", T.DoubleType()) for i in range(k)]
+    )
+
+    vecs = corpus.select(
+        F.col(id_col).cast("long").alias(id_col),
+        as_double(F.col(vec_col)).alias("_v"),
+    )
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["_v"].to_numpy())
+            P = (X - mu) @ C.T
+            out = {id_col: pdf[id_col].to_numpy()}
+            for i in range(k):
+                out[f"pc{i + 1}"] = P[:, i]
+            yield pd.DataFrame(out)
+
+    return vecs.mapInPandas(project, schema=out_schema)

@@ -655,3 +655,200 @@ def ext_timeseries_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp(F.col("v") - F.col("pv")), 4).alias("diff_vol"),
         F.round(F.regr_slope("v", "epoch_day"), 6).alias("trend_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph: triangle census over the part co-order graph
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+WITH pairs AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), edges AS (
+    SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2
+), und AS (
+    SELECT u AS a FROM edges UNION ALL SELECT v FROM edges
+), deg AS (
+    SELECT a, count(*) AS d FROM und GROUP BY a
+), w AS (
+    SELECT CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+           CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+    FROM deg
+), tri AS (
+    SELECT count(*) AS n_tri
+    FROM edges e1
+    JOIN edges e2 ON e1.v = e2.u
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT w.n_edges,
+       w.n_wedges,
+       CAST(tri.n_tri AS BIGINT) AS n_triangles,
+       round(CASE WHEN w.n_wedges > 0
+                  THEN 3.0 * tri.n_tri / w.n_wedges
+                  ELSE 0.0 END, 6) AS clustering_coeff
+FROM w, tri
+"""
+
+
+@register("ext_graph_triangles", oracle=_TRIANGLE_ORACLE,
+          tags=("ext", "analytics", "graph"))
+def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census (edges / wedges / triangles / global clustering
+    coefficient) of the part co-order graph: parts are linked when they
+    appear together in >= 2 orders — the co-occurrence weight threshold
+    is itself the scale lever, thinning a dense co-occurrence graph to
+    its significant edges BEFORE any quadratic step. The oracle's naive
+    id-ordered 3-way join replays the exact count; Spark-side the count
+    runs compact-forward (operators/relational.triangle_stats): edges
+    oriented low-degree -> high-degree bound every out-degree by
+    O(sqrt(m)), so the wedge join is O(m^1.5) worst-case instead of
+    sum(deg^2) — the difference between a night and a minute on a
+    100 TB co-occurrence graph with power-law hubs."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+    )
+    edges = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .drop("w")
+    )
+    return relational.triangle_stats(edges, "u", "v")
+
+
+# ---------------------------------------------------------------------------
+# Interval overlap self-join: concurrent shipments of the same part
+# ---------------------------------------------------------------------------
+
+_INTERVAL_ORACLE = """
+WITH iv AS (
+    SELECT l_partkey, l_orderkey, l_linenumber,
+           CAST(l_shipdate AS DATE) AS s,
+           CAST(l_shipdate AS DATE)
+               + (CAST(l_quantity AS INT) % 14 + 1) AS e
+    FROM lineitem
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+           AS overlap_days
+FROM iv a
+JOIN iv b
+  ON a.l_partkey = b.l_partkey
+ AND (a.l_orderkey < b.l_orderkey
+      OR (a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber))
+ AND a.s <= b.e AND b.s <= a.e
+JOIN part ON p_partkey = a.l_partkey
+GROUP BY p_brand
+"""
+
+
+@register("ext_interval_join", oracle=_INTERVAL_ORACLE,
+          tags=("ext", "analytics", "join"))
+def ext_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: pairs of shipments of the SAME part
+    whose delivery windows ([shipdate, shipdate + quantity-derived
+    duration]) overlap, rolled up to brand with total overlapping days.
+    This is the equi-key + band-predicate form of interval joins — the
+    one that actually scales: the join shuffles ONLY on the equi key
+    (partkey), each key's group is bounded, and the overlap predicate
+    evaluates inside the joined group, so there is no all-pairs blow-up
+    and no time-bucket replication (contrast ext_range_join, which
+    handles the keyless banded case by bucket replication). Pair
+    identity is tie-broken on the unique (orderkey, linenumber), so the
+    result multiset is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.to_date("l_shipdate").alias("s"),
+        F.date_add(
+            F.to_date("l_shipdate"),
+            F.col("l_quantity").cast("int") % 14 + 1,
+        ).alias("e"),
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_partkey") == F.col("b.l_partkey"))
+        & (
+            (F.col("a.l_orderkey") < F.col("b.l_orderkey"))
+            | (
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+            )
+        )
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e")),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        pairs.select(
+            F.col("a.l_partkey").alias("l_partkey"),
+            F.datediff(
+                F.least(F.col("a.e"), F.col("b.e")),
+                F.greatest(F.col("a.s"), F.col("b.s")),
+            ).alias("ov"),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("ov").cast("long").alias("overlap_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlation matrix: pairwise Pearson over the measure columns
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_CORR_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+    f"round(corr({a}, {b}), 6) AS corr FROM lineitem"
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1:]
+)
+
+
+@register("ext_corr_matrix", oracle=_CORR_ORACLE,
+          tags=("ext", "analytics", "stats"))
+def ext_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the lineitem measure columns —
+    the feature-screening pass every dataset profile / feature-selection
+    job runs. All C(4,2)=6 coefficients come from ONE hash aggregate in
+    one data pass (each corr is a co-moment accumulator, constant state),
+    then a stack() pivots the single row to (col_a, col_b, corr) rows:
+    no per-pair scans, no shuffle beyond the one aggregate. At 100 TB
+    this is the same single pass — corr state size is independent of
+    row count. Both engines round to 6 dp to absorb summation-order
+    ulps in the co-moments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        F.round(F.corr(a, b), 6).alias(f"c_{i}_{j}")
+        for i, a in enumerate(_CORR_COLS)
+        for j, b in enumerate(_CORR_COLS)
+        if i < j
+    ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', c_{i}_{j}"
+        for i, a in enumerate(_CORR_COLS)
+        for j, b in enumerate(_CORR_COLS)
+        if i < j
+    )
+    n_pairs = len(_CORR_COLS) * (len(_CORR_COLS) - 1) // 2
+    return one.selectExpr(
+        f"stack({n_pairs}, {stack_args}) AS (col_a, col_b, corr)"
+    )

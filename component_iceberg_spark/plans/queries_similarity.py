@@ -355,3 +355,27 @@ def sim_ann_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebook,
         TOPK,
     )
+
+
+@register("ext_pca_project", oracle=None, tags=("ext", "similarity", "stats"))
+def ext_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the embedding corpus (fit on ALL vectors, project the 20
+    lowest ids): whitening / visualization / decorrelation — the standard
+    pre-step before clustering or semantic dedup at corpus scale. The fit
+    is one zero-shuffle pass emitting (n, Σx, XᵀX) partials per Arrow
+    batch (operators/similarity.pca_fit — O(d²) state per partition, the
+    data never moves); projection is a broadcast matmul per batch
+    (pca_project). No SQL oracle — eigendecomposition isn't expressible
+    in DuckDB SQL — so the driver records the rows-only check; the exact
+    cross-validation against a single-node numpy PCA (same
+    canonicalization) lives in tests/test_approx.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    mean, comps, ratio = S.pca_fit(e, k=2)
+    proj = S.pca_project(e.filter(F.col("vec_id") < 20), mean, comps)
+    return proj.select(
+        "vec_id",
+        F.round("pc1", 4).alias("pc1"),
+        F.round("pc2", 4).alias("pc2"),
+        F.round(F.lit(float(ratio[0])), 4).alias("explained_1"),
+        F.round(F.lit(float(ratio[1])), 4).alias("explained_2"),
+    )

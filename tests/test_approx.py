@@ -258,3 +258,51 @@ def test_pq_kmeans_recall(spark, sf_dir):
     r_seed = recall(reg["sim_ann_pq"].fn(spark, sf_dir).collect())
     assert r_km >= 0.5, f"PQ k-means recall too low: {r_km}"
     assert r_km >= r_seed - 0.1, f"PQ fit degraded recall: {r_km} vs {r_seed}"
+
+
+def test_pca_matches_single_node_numpy(spark, sf_dir):
+    """Distributed moment-partial PCA == numpy PCA on the collected
+    matrix (same sign canonicalization), to float tolerance: the fold
+    order of double partials may differ from numpy's sum order, so exact
+    bitwise equality isn't required — 1e-8 relative is."""
+    import numpy as np
+
+    from component_iceberg_spark.io.tables import load_table
+    from component_iceberg_spark.operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mean, comps, ratio = S.pca_fit(e, k=3)
+
+    X = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64)
+         for r in e.select("vec_id", "embedding").orderBy("vec_id").collect()]
+    )
+    mu = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    ref = evecs[:, order].T.copy()
+    for i in range(3):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+
+    assert np.allclose(mean, mu, atol=1e-8)
+    assert np.allclose(comps, ref, atol=1e-6), (
+        np.abs(comps - ref).max()
+    )
+    # spectrum properties: orthonormal rows, descending explained ratio
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-8)
+    assert ratio[0] >= ratio[1] >= ratio[2] >= 0
+    assert ratio.sum() <= 1.0 + 1e-9
+
+    # projection: distributed matmul == local matmul
+    proj = {
+        r["vec_id"]: (r["pc1"], r["pc2"], r["pc3"])
+        for r in S.pca_project(e, mean, comps).collect()
+    }
+    ids = [r["vec_id"] for r in
+           e.select("vec_id").orderBy("vec_id").collect()]
+    local = (X - mu) @ ref.T
+    got = np.array([proj[i] for i in ids])
+    assert np.allclose(got, local, atol=1e-6)
