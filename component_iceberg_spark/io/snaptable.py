@@ -663,17 +663,106 @@ class SnapCatalog:
         :meth:`compact`. Tables with a hive partition spec are refused —
         cluster order and hive layout are competing physical designs;
         Iceberg tracks them separately and so do we."""
+        return self._clustered_rewrite(
+            spark, namespace, table, n_buckets, "cluster_rewrite",
+            lambda df: F.col(sort_col),
+        )
+
+    def zorder_rewrite(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        table: str,
+        cols: list[str],
+        n_buckets: int = 8,
+        bits: int = 8,
+    ) -> int:
+        """Z-order data rewrite (Iceberg ``rewrite_data_files`` with a
+        ``zorder(...)`` strategy): cluster on the bit-interleaved
+        space-filling-curve value of SEVERAL columns, so every data
+        directory's min/max interval is narrow on EACH of them and a
+        predicate on ANY clustered column prunes directories —
+        single-column ``cluster_rewrite`` can only ever serve its one
+        sort column. This is the standard physical design for tables
+        queried along two+ independent dimensions (user × time,
+        key × price): at 100 TB the z-curve turns either filter into a
+        ~(1 − 1/√n_buckets) directory skip instead of a full scan on
+        the unsorted dimension.
+
+        Mechanics: each column is affinely mapped onto a ``bits``-wide
+        integer rank using its table-wide min/max (one metadata-sized
+        agg), the ranks' bits are interleaved into the z-value with pure
+        bit expressions (stays inside whole-stage codegen — no UDF),
+        and the shared clustered-commit tail range-partitions on it.
+        The z column itself is never written; only the layout changes.
+        """
+        if not cols or len(cols) < 2:
+            raise ValueError("zorder_rewrite needs >= 2 columns")
+
+        def make_z(df: DataFrame) -> Column:
+            aggs = []
+            for c in cols:
+                aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+            b = df.agg(*aggs).collect()[0]  # 1-row bounds: metadata-sized
+            max_rank = (1 << bits) - 1
+            ranks = []
+            for c in cols:
+                mn, mx = b[f"_mn_{c}"], b[f"_mx_{c}"]
+                if mn is None or mx is None or mx == mn:
+                    ranks.append(F.lit(0).cast("long"))
+                    continue
+                span = float(mx) - float(mn)
+                scaled = F.floor(
+                    (F.col(c).cast("double") - float(mn)) / span * max_rank
+                ).cast("long")
+                ranks.append(
+                    F.least(F.greatest(scaled, F.lit(0)), F.lit(max_rank))
+                )
+            z = F.lit(0).cast("long")
+            n = len(cols)
+            for bit in range(bits):
+                for ci, r in enumerate(ranks):
+                    z = z.bitwiseOR(
+                        F.shiftleft(
+                            F.shiftright(r, bit).bitwiseAND(F.lit(1)),
+                            bit * n + ci,
+                        )
+                    )
+            return z
+
+        return self._clustered_rewrite(
+            spark, namespace, table, n_buckets, "zorder_rewrite", make_z
+        )
+
+    def _clustered_rewrite(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        table: str,
+        n_buckets: int,
+        operation: str,
+        make_cluster_col,
+    ) -> int:
+        """Shared clustered-commit tail for :meth:`cluster_rewrite` /
+        :meth:`zorder_rewrite`: range-partition the current content on
+        the cluster expression, sort within partitions, hive-write by
+        bucket id, promote the bucket dirs to manifest entries with
+        footer-derived stats. The cluster column is internal: dropped
+        before write (a Project above Sort preserves partition order),
+        and the hive bucket column never lands in the data files."""
         base = self._current_sid(namespace, table)
         manifest = self._manifest(namespace, table, base)
         if manifest.get("partition_by") or manifest.get("partition_spec"):
             raise ValueError(
-                "cluster_rewrite on a partitioned table: drop the "
+                f"{operation} on a partitioned table: drop the "
                 "partition spec first (competing physical layouts)"
             )
         df = self.read(spark, namespace, table, snapshot_id=base)
         bucketed = (
-            df.repartitionByRange(n_buckets, F.col(sort_col))
-            .sortWithinPartitions(sort_col)
+            df.withColumn("_ck", make_cluster_col(df))
+            .repartitionByRange(n_buckets, F.col("_ck"))
+            .sortWithinPartitions("_ck")
+            .drop("_ck")
             .withColumn("_cluster_bucket", F.spark_partition_id())
         )
         data_root = self._tbl(namespace, table, "data")

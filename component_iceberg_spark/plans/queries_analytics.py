@@ -799,7 +799,10 @@ def ext_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.greatest(F.col("a.s"), F.col("b.s")),
             ).alias("ov"),
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        # no broadcast hint: part grows with the scale factor (only
+        # bounded dims like region/nation earn hints — test_plans rule);
+        # AQE may still demote this join to broadcast at small SF
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),

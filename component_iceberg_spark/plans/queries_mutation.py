@@ -860,3 +860,46 @@ def snap_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.agg(F.count(F.lit(1)).alias("n_rows")).select(
         F.lit(len(removed)).cast("long").alias("n_removed"), "n_rows"
     )
+
+
+@register(
+    "snap_zorder_rewrite",
+    oracle="""
+    SELECT o.*, 1 AS prune_custkey, 1 AS prune_price FROM orders o
+    WHERE o_custkey <= (SELECT max(o_custkey) // 4 FROM orders)
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data rewrite (Iceberg ``rewrite_data_files`` zorder
+    strategy): after key-interleaved appends, ``zorder_rewrite`` on
+    (o_custkey, o_totalprice) re-lays the table along the interleaved
+    space-filling curve, so a range predicate on EITHER column skips
+    directories via manifest stats — the capability single-column
+    clustering (snap_cluster_rewrite) cannot provide for the second
+    dimension. The oracle pins content identity under the custkey
+    filter plus two flags asserting that a custkey predicate AND a
+    price predicate each pruned at least a quarter of the 16 bucket
+    dirs (both must be 1)."""
+    cat = _warehouse(sf_dir, "zorder_rewrite")
+    o = load_table(spark, sf_dir, "orders")
+    cat.create_or_replace("ns", "orders", o.filter(F.col("o_orderkey") % 3 == 0))
+    cat.append("ns", "orders", o.filter(F.col("o_orderkey") % 3 == 1))
+    cat.append("ns", "orders", o.filter(F.col("o_orderkey") % 3 == 2))
+    sid = cat.zorder_rewrite(
+        spark, "ns", "orders", ["o_custkey", "o_totalprice"], n_buckets=16
+    )
+    bounds = o.agg(
+        F.max("o_custkey").alias("ck"), F.max("o_totalprice").alias("tp")
+    ).collect()[0]
+    pred_ck = f"o_custkey <= {int(bounds['ck']) // 4}"
+    pred_tp = f"o_totalprice <= {float(bounds['tp']) / 4}"
+    manifest = cat._manifest("ns", "orders", sid)
+    n_dirs = len(manifest["files"])
+    _c1, skip_ck = cat._prune_dirs(manifest, pred_ck)
+    _c2, skip_tp = cat._prune_dirs(manifest, pred_tp)
+    return cat.read(spark, "ns", "orders", where=pred_ck).select(
+        "*",
+        F.lit(1 if len(skip_ck) >= n_dirs // 4 else 0).alias("prune_custkey"),
+        F.lit(1 if len(skip_tp) >= n_dirs // 4 else 0).alias("prune_price"),
+    )

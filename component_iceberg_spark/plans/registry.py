@@ -147,6 +147,9 @@ _GATE_PRIORITY = (
     "ext_graph_triangles",
     "ext_corr_matrix",
     "ext_pca_project",
+    "snap_zorder_rewrite",
+    # snap_cluster_rewrite's shared tail was refactored in late r5
+    # (zorder extraction); it already sits in the r5 window at 1b.
     # --- 2. pinned sentinels (keep this set stable round over round;
     #     dedup_minhash_lsh is serving its sentinel turn from section 1a
     #     this round — changed code leads — and returns here in r6).

@@ -1006,3 +1006,60 @@ def test_merge_file_pruning_carries_untouched_dirs(spark, tmp_path):
     got = {(r.k, r.tag) for r in cat.read(spark, "ns", "t").collect()}
     assert (105, "D") not in got and (106, "U2") in got
     assert {(i, "lo") for i in range(10)} <= got
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """The z-order contract vs single-column clustering: after
+    zorder_rewrite on (a, b), range predicates on a AND on b each skip
+    directories; after cluster_rewrite on a alone, a b-predicate skips
+    (almost) nothing. Content and time travel preserved in both."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zc = SnapCatalog(str(tmp_path / "z"))
+    zc.create_or_replace("ns", "t", o)
+    before = {tuple(r) for r in zc.read(spark, "ns", "t").collect()}
+    sid = zc.zorder_rewrite(
+        spark, "ns", "t", ["o_custkey", "o_totalprice"], n_buckets=16
+    )
+    m = zc._manifest("ns", "t", sid)
+    n_dirs = len(m["files"])
+    ck = o.agg(F.max("o_custkey")).collect()[0][0]
+    tp = o.agg(F.max("o_totalprice")).collect()[0][0]
+    _c, skip_a = zc._prune_dirs(m, f"o_custkey <= {int(ck) // 4}")
+    _c, skip_b = zc._prune_dirs(m, f"o_totalprice <= {float(tp) / 4}")
+    assert len(skip_a) >= n_dirs // 4, (len(skip_a), n_dirs)
+    assert len(skip_b) >= n_dirs // 4, (len(skip_b), n_dirs)
+    # content identical, prior snapshot still readable
+    after = {tuple(r) for r in zc.read(spark, "ns", "t").collect()}
+    assert after == before
+    assert zc.read(spark, "ns", "t", snapshot_id=1).count() == len(before)
+
+    # comparative: single-column clustering cannot serve dimension b
+    cc = SnapCatalog(str(tmp_path / "c"))
+    cc.create_or_replace("ns", "t", o)
+    sid_c = cc.cluster_rewrite(spark, "ns", "t", "o_custkey", n_buckets=16)
+    mc = cc._manifest("ns", "t", sid_c)
+    _c, skip_c = cc._prune_dirs(mc, f"o_totalprice <= {float(tp) / 4}")
+    assert len(skip_c) <= len(skip_b) // 2, (
+        "sorted-on-a layout should not prune b-predicates"
+    )
+
+
+def test_zorder_refuses_single_column_and_partitioned(spark, sf_dir, tmp_path):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.create_or_replace("ns", "t", o)
+    with _pt.raises(ValueError, match=">= 2 columns"):
+        cat.zorder_rewrite(spark, "ns", "t", ["o_custkey"])
+    cat2 = SnapCatalog(str(tmp_path / "wh2"))
+    cat2.create_or_replace(
+        "ns", "t", o, partition_by=["o_orderstatus"]
+    )
+    with _pt.raises(ValueError, match="partitioned"):
+        cat2.zorder_rewrite(spark, "ns", "t", ["o_custkey", "o_totalprice"])
