@@ -322,7 +322,9 @@ def triangle_stats(edges: DataFrame, u_col: str, v_col: str) -> DataFrame:
         .join(closing, ["b", "c"])
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    return totals.crossJoin(tri).select(
+    # 1-row × 1-row scalar combine; the hint keeps it a broadcast join
+    # even where auto-broadcast is disabled (plan-sweep contract)
+    return totals.crossJoin(F.broadcast(tri)).select(
         "n_edges",
         "n_wedges",
         "n_triangles",

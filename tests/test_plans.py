@@ -358,3 +358,48 @@ def test_gap_fill_spine_is_broadcast(spark, sf_dir):
     p = plan(spark, sf_dir, "ext_gap_fill")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p  # 1-row bounds x keys spine
+
+
+def test_interval_join_shuffles_on_equi_key_only(spark, sf_dir):
+    """ext_interval_join's contract: the self-join must be an equi-join
+    on l_partkey (SMJ at scale) carrying the overlap predicate as a join
+    condition — never a nested-loop over time buckets — and with
+    auto-broadcast off, no side of the big self-join may broadcast."""
+    import re
+
+    p = plan_no_auto_broadcast(spark, sf_dir, "ext_interval_join")
+    assert "SortMergeJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the equi key is partkey; the band predicate rides along as a
+    # join condition, not a post-join filter of an exploded product
+    m = re.search(r"Left keys \[1\]: \[l_partkey", p)
+    assert m, p[:2000]
+
+
+def test_graph_triangles_no_unbounded_broadcast(spark, sf_dir):
+    """The triangle census joins edge/degree relations that all grow
+    with the graph: with auto-broadcast disabled nothing may remain
+    hint-broadcast except metadata-sized scalar combiners (the final
+    1-row totals × 1-row count join)."""
+    p = plan_no_auto_broadcast(spark, sf_dir, "ext_graph_triangles")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" not in p, (
+        "edge/degree joins must shuffle, not broadcast"
+    )
+
+
+def test_corr_matrix_single_aggregate_pass(spark, sf_dir):
+    """All six Pearson coefficients must come from ONE aggregation over
+    one scan: exactly one pair of partial/final HashAggregate (or
+    SortAggregate for corr's imperative agg) and one scan of lineitem."""
+    import re
+
+    p = plan(spark, sf_dir, "ext_corr_matrix")
+    # formatted explain lists each node twice (tree + detail): count the
+    # numbered detail headers, which are unique per physical node
+    scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    assert scans == 1, f"expected one lineitem scan, got {scans}\n{p[:1500]}"
+    # corr is a DeclarativeAggregate: partial + final = 2 aggregate nodes
+    aggs = len(re.findall(r"\(\d+\) (?:Hash|Sort|ObjectHash)Aggregate", p))
+    assert aggs == 2, f"expected partial+final aggregate, got {aggs}\n{p[:1500]}"
