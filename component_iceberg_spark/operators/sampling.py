@@ -139,3 +139,35 @@ def sample_group_cap(
         .filter(F.col("_rk") <= cap)
         .drop("_rk")
     )
+
+
+def shard_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "ep1",
+) -> DataFrame:
+    """Deterministic epoch shuffle + shard assignment for training-data
+    serving: every row gets ``(shard, pos)`` from a salted hash — a
+    reproducible global permutation, readable shard by shard, identical
+    on any cluster size, partitioning, or engine (change ``salt`` per
+    epoch for a fresh permutation; no RNG state anywhere).
+
+    Plan: ONE hash exchange (the window's partition on shard) and a
+    per-shard sort. At 100 TB this holds because n_shards is chosen so a
+    shard is task-sized (training shards are ~1 GB by construction —
+    shard count scales WITH the data, the per-task sort does not).
+    Hash ties are broken by the unique id, so ``pos`` is total and
+    deterministic."""
+    from pyspark.sql import Window
+
+    u = hash_uniform(F.col(id_col), salt)
+    w = Window.partitionBy("shard").orderBy(F.col("_u"), F.col(id_col))
+    return (
+        df.withColumn("_u", u)
+        .withColumn(
+            "shard", F.floor(F.col("_u") * n_shards).cast("int")
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_u")
+    )

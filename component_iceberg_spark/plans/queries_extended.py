@@ -1145,3 +1145,33 @@ def ext_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "ext_shard_shuffle",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, source, {_uniform_sql('doc_id', 'ep1')} AS u
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(floor(u * 8) AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY floor(u * 8) ORDER BY u, doc_id
+           ) AS INT) AS pos
+    FROM h
+    """,
+    tags=("ext", "sampling"),
+)
+def ext_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch shuffle for training-order serving: a salted md5 hash gives
+    every document a reproducible (shard, pos) — the global permutation
+    a data loader reads shard-by-shard. Engine-independence is the whole
+    point (the oracle replays the identical permutation in DuckDB), and
+    the plan is one exchange + task-sized per-shard sorts
+    (operators/sampling.shard_shuffle): shard count scales with the
+    data, so no task ever sorts more than a shard."""
+    from component_iceberg_spark.operators import sampling as SA
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return SA.shard_shuffle(d, "doc_id", n_shards=8)
