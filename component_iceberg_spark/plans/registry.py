@@ -148,6 +148,7 @@ _GATE_PRIORITY = (
     "ext_corr_matrix",
     "ext_pca_project",
     "snap_zorder_rewrite",
+    "ext_shard_shuffle",
     # snap_cluster_rewrite's shared tail was refactored in late r5
     # (zorder extraction); it already sits in the r5 window at 1b.
     # --- 2. pinned sentinels (keep this set stable round over round;
