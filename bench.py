@@ -97,6 +97,10 @@ SCALE_QUERIES = (
     "upsert_by_key",
     "dedup_last_wins",
     "ext_sessionize",
+    # late-r5: interval-overlap join — the equi-key + band shape's
+    # candidate volume must stay linear in replicas (keys are offset per
+    # replica, so co-shipment groups never cross replicas)
+    "ext_interval_join",
 )
 
 
@@ -356,6 +360,15 @@ def main() -> None:
         "ext_integrity_check",
         "func_bitwise",
         "ext_timeseries_features",
+        # late-r5 batch (gate rows land in r6; timed here from day one)
+        "snap_merge_multi",
+        "snap_orphan_cleanup",
+        "snap_zorder_rewrite",
+        "ext_graph_triangles",
+        "ext_interval_join",
+        "ext_corr_matrix",
+        "ext_pca_project",
+        "ext_shard_shuffle",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:
@@ -387,6 +400,7 @@ def main() -> None:
         # 100×+ "blowup" that is really first-materialization cost.
         sf1_timings: dict[str, float] = {}
         sf1_cold: dict[str, float] = {}
+        base_t = {**new_ops, **timings}  # sf0.1 baselines for ratios
         # best-of-3 (was 2): measured on sim_ann_hyperplane at sf1, run 2
         # still carries JVM codegen + python-worker spin-up for the big
         # BLAS plan (24.5 s cold, 10.7 s run 2, 3.2 s steady state) — the
@@ -407,9 +421,9 @@ def main() -> None:
             "gen_sec": gen_sec,
             "replicas": SF1_REPLICAS,
             "ratio_vs_sf0.1": {
-                n: round(sf1_timings[n] / timings[n], 2)
+                n: round(sf1_timings[n] / base_t[n], 2)
                 for n in SCALE_QUERIES
-                if timings.get(n)
+                if base_t.get(n)
             },
             "note": (
                 "10x replication at constant cluster/duplicate density; "
