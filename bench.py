@@ -369,6 +369,7 @@ def main() -> None:
         "ext_corr_matrix",
         "ext_pca_project",
         "ext_shard_shuffle",
+        "ext_dbscan_grid",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

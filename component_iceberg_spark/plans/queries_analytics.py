@@ -855,3 +855,121 @@ def ext_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.selectExpr(
         f"stack({n_pairs}, {stack_args}) AS (col_a, col_b, corr)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-density clustering (DBSCAN on grid cells)
+# ---------------------------------------------------------------------------
+
+# minPts scales with the data (total/5000, floor 5): grid density grows
+# linearly with corpus size, so an absolute threshold degenerates at any
+# other SF — integer math, replayed exactly by the oracle
+_DBSCAN_DIV = 5000
+
+_DBSCAN_ORACLE = """
+WITH RECURSIVE cells AS (
+    SELECT CAST(floor(l_quantity) AS BIGINT) AS cx,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS cy,
+           count(*) AS n
+    FROM lineitem GROUP BY 1, 2
+), tot AS (
+    SELECT CAST(greatest(5, sum(n) // 5000) AS BIGINT) AS mp FROM cells
+), dense AS (
+    SELECT cx, cy, cx * 1000 + cy AS id, n
+    FROM cells, tot WHERE n >= mp
+), e AS (
+    SELECT a.id AS a, b.id AS b
+    FROM dense a JOIN dense b
+      ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+     AND a.id <> b.id
+), reach AS (
+    SELECT id, id AS r FROM dense
+    UNION
+    SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r
+), lbl AS (
+    SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(d.n) AS BIGINT) AS n_points,
+       min(d.cx) AS x_min, max(d.cx) AS x_max,
+       min(d.cy) AS y_min, max(d.cy) AS y_max
+FROM lbl JOIN dense d USING (id)
+GROUP BY cluster_id
+"""
+
+
+@register("ext_dbscan_grid", oracle=_DBSCAN_ORACLE,
+          tags=("ext", "analytics", "clustering"))
+def ext_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clustering, grid flavor (the way DBSCAN actually scales):
+    bucket the (quantity, price) plane into unit×1000 cells, keep cells
+    clearing the data-scaled minPts density test (total/5000, the
+    oracle replays the integer math), merge 8-adjacent
+    dense cells into clusters via the SAME pointer-jumping connected
+    components that powers near-dup clustering, and report each
+    cluster's cell/point counts + bounding box. The plan is the scale
+    story: the only full-data pass is the ONE grid aggregate (cell
+    count is bounded by grid resolution, not row count); density
+    filtering, the 8-neighbor adjacency join, and the O(log diameter)
+    CC rounds all run on the metadata-sized dense-cell relation.
+    Isolated dense cells become singleton clusters via the label left
+    join (the entity-merge pattern). The DuckDB oracle replays the
+    closure with WITH RECURSIVE over the identical adjacency."""
+    from component_iceberg_spark.operators.dedup import connected_components
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor("l_quantity").alias("cx"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("cy"),
+    )
+    # ONE pass over the data builds the grid; the cell relation is
+    # bounded by grid resolution (~5k rows), so it is checkpointed and
+    # every later step (total, density filter, adjacency probes, label
+    # join) reads the materialized cells — lineitem is scanned once.
+    cells = (
+        li.groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    total = cells.agg(F.sum("n")).collect()[0][0]  # 1 scalar to the driver
+    minpts = max(5, int(total) // _DBSCAN_DIV)
+    dense = cells.filter(F.col("n") >= minpts).withColumn(
+        "id", F.col("cx") * 1000 + F.col("cy")
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)
+        ]
+    )
+    probes = (
+        dense.select("cx", "cy", "id")
+        .withColumn("o", F.explode(offsets))
+        .select(
+            (F.col("cx") + F.col("o.dx")).alias("nx"),
+            (F.col("cy") + F.col("o.dy")).alias("ny"),
+            F.col("id").alias("a"),
+        )
+    )
+    nbrs = dense.select(
+        F.col("cx").alias("nx"), F.col("cy").alias("ny"),
+        F.col("id").alias("b"),
+    )
+    edges = (
+        probes.join(nbrs, ["nx", "ny"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    labels = connected_components(edges, "a", "b")
+    clustered = (
+        dense.join(labels, dense.id == labels.doc, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "id"))
+    )
+    return clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").cast("long").alias("n_points"),
+        F.min("cx").alias("x_min"), F.max("cx").alias("x_max"),
+        F.min("cy").alias("y_min"), F.max("cy").alias("y_max"),
+    )

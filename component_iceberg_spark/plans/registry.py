@@ -149,6 +149,7 @@ _GATE_PRIORITY = (
     "ext_pca_project",
     "snap_zorder_rewrite",
     "ext_shard_shuffle",
+    "ext_dbscan_grid",
     # snap_cluster_rewrite's shared tail was refactored in late r5
     # (zorder extraction); it already sits in the r5 window at 1b.
     # --- 2. pinned sentinels (keep this set stable round over round;

@@ -403,3 +403,19 @@ def test_corr_matrix_single_aggregate_pass(spark, sf_dir):
     # corr is a DeclarativeAggregate: partial + final = 2 aggregate nodes
     aggs = len(re.findall(r"\(\d+\) (?:Hash|Sort|ObjectHash)Aggregate", p))
     assert aggs == 2, f"expected partial+final aggregate, got {aggs}\n{p[:1500]}"
+
+
+def test_dbscan_grid_single_data_pass(spark, sf_dir):
+    """ext_dbscan_grid's scale contract: lineitem is scanned ONCE (the
+    grid aggregate); density filter, adjacency and labeling all run on
+    the checkpointed cell relation, which is bounded by grid resolution,
+    not row count."""
+    import re
+
+    p = plan(spark, sf_dir, "ext_dbscan_grid")
+    scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    assert scans == 0, (
+        f"post-checkpoint plan must read NO parquet (cells are "
+        f"materialized), got {scans} scans\n{p[:1500]}"
+    )
+    assert "Scan ExistingRDD" in p or "LocalTableScan" in p, p[:1500]
