@@ -370,6 +370,7 @@ def main() -> None:
         "ext_pca_project",
         "ext_shard_shuffle",
         "ext_dbscan_grid",
+        "stream_anomaly_alerts",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -377,3 +377,37 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.read(spark, "stream", "admitted").select(
         "doc_id", (F.col("doc_id") % 3).cast("bigint").alias("batch_no")
     )
+
+
+@register(
+    "stream_anomaly_alerts",
+    oracle="""
+    WITH w AS (
+        SELECT event_type, event_id, ts, value,
+               count(value) OVER pre AS n_prev,
+               avg(value) OVER pre AS mu,
+               stddev_samp(value) OVER pre AS sd
+        FROM events
+        WINDOW pre AS (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, event_id, ts, value, n_prev,
+           round((value - mu) / sd, 3) AS z
+    FROM w
+    WHERE n_prev >= 30 AND sd > 0 AND abs((value - mu) / sd) > 3
+    """,
+    tags=("ext", "streaming"),
+)
+def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly alerts: every event scored against the running
+    (Welford) moments of all PRIOR events of its type — |z| > 3 after a
+    30-event warm-up emits an alert row. One three-double state tuple
+    per key (streaming/events.running_zscore_alerts); rows process in
+    (ts, event_id) order so the alert set is batch-boundary-independent
+    for event-time-ordered streams (pinned by the multi-batch test).
+    The oracle replays the identical strictly-preceding-frame z-scores
+    as a batch window; the fixture's minimum |z − 3| margin (≥ 2.4e-3
+    at the gate SF) is orders of magnitude above cross-engine float
+    drift, so the inequality can never flip between engines."""
+    alerts = SE.running_zscore_alerts(_stream(spark, sf_dir))
+    return SE.stream_to_memory(alerts, spark, mode="append")

@@ -178,6 +178,81 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_zscore_alerts(
+    events: DataFrame, min_n: int = 30, k: float = 3.0
+) -> DataFrame:
+    """Streaming anomaly detection via per-key running moments
+    (applyInPandasWithState): each event type carries ONE (n, mean, M2)
+    Welford state tuple; every arriving row is scored against the stats
+    of all PRIOR rows (strictly-preceding frame, so a spike never masks
+    itself) and emitted as an alert when |z| > k after a min_n warm-up.
+
+    Ordering contract: rows are processed in (ts, event_id) order within
+    each micro-batch, and batches are assumed event-time ordered (the
+    staged-fixture splitter and any replayed log satisfy this), so the
+    alert set is independent of batch boundaries — state carries the
+    exact prefix moments across batches. Scale: state is three doubles
+    per key; each batch is one Arrow-batched pass per key, no shuffle
+    beyond the keyed exchange streaming already pays.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "event_type string, event_id long, ts timestamp_ntz, "
+        "value double, n_prev long, z double"
+    )
+    state_schema = "n long, mean double, m2 double"
+
+    def update(key, pdfs, state: GroupState):
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        out_type, out_id, out_ts, out_val, out_n, out_z = (
+            [], [], [], [], [], []
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, eid, x in zip(
+                pdf["ts"], pdf["event_id"], pdf["value"].astype(float)
+            ):
+                if n >= min_n and m2 > 0:
+                    sd = float(np.sqrt(m2 / (n - 1)))
+                    if sd > 0:
+                        z = (x - mean) / sd
+                        if abs(z) > k:
+                            out_type.append(key[0])
+                            out_id.append(int(eid))
+                            out_ts.append(ts)
+                            out_val.append(x)
+                            out_n.append(n)
+                            out_z.append(round(z, 3))
+                # Welford update AFTER scoring: the row joins the stats
+                # only for its successors (strictly-preceding frame)
+                n += 1
+                d = x - mean
+                mean += d / n
+                m2 += d * (x - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame(
+            {
+                "event_type": out_type,
+                "event_id": out_id,
+                "ts": out_ts,
+                "value": out_val,
+                "n_prev": out_n,
+                "z": out_z,
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def screen_batch_incremental(
     catalog,
     batch: DataFrame,

@@ -185,3 +185,77 @@ def test_incremental_dedup_screen_is_replay_idempotent(spark, sf_dir, tmp_path):
     )
     assert admitted_again == admitted_once, "replay changed the admitted set"
     assert cat.read(spark, "stream", "seen").count() == seen_once
+
+
+def test_anomaly_alerts_batch_boundary_independent(spark, sf_dir, tmp_path):
+    """running_zscore_alerts' contract: for an event-time-ordered stream,
+    the alert set is identical whether the fixture arrives as one
+    micro-batch or as three time-sliced ones (state carries the exact
+    prefix moments across batches), and equals the batch window twin
+    (strictly-preceding frame z-scores)."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    # three time-ordered files: tertile boundaries from ntile over ts
+    b = ev.select(
+        F.percentile_approx("ts", [1.0 / 3, 2.0 / 3], 10000).alias("qs")
+    ).collect()[0]["qs"]
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    slices = [
+        ev.filter(F.col("ts") <= b[0]),
+        ev.filter((F.col("ts") > b[0]) & (F.col("ts") <= b[1])),
+        ev.filter(F.col("ts") > b[1]),
+    ]
+    for i, sl in enumerate(slices):
+        d = str(tmp_path / f"part{i}")
+        sl.coalesce(1).write.parquet(d)
+        [f] = _glob.glob(_os.path.join(d, "part-*.parquet"))
+        dst = _os.path.join(src, f"{i}.parquet")
+        _os.rename(f, dst)
+        _os.utime(dst, (1000 + i, 1000 + i))  # mtime order == time order
+
+    raw = (
+        spark.readStream.schema(
+            "event_id long, event_type string, ts timestamp_ntz, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    streamed = SE.stream_to_memory(
+        SE.running_zscore_alerts(raw), spark, mode="append"
+    )
+    got = {
+        (r.event_type, r.event_id, r.n_prev, r.z)
+        for r in streamed.collect()
+    }
+
+    # batch twin: strictly-preceding-frame z over the whole fixture
+    pre = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = ev.select(
+        "event_type",
+        "event_id",
+        F.count("value").over(pre).alias("n_prev"),
+        ((F.col("value") - F.avg("value").over(pre))
+         / F.stddev_samp("value").over(pre)).alias("z"),
+    ).filter(
+        (F.col("n_prev") >= 30) & (F.abs(F.col("z")) > 3)
+    )
+    want = {
+        (r.event_type, r.event_id, r.n_prev, round(r.z, 3))
+        for r in scored.collect()
+    }
+    assert got == want and len(want) > 0, (
+        f"streamed={len(got)} batch={len(want)} "
+        f"diff={list(got ^ want)[:5]}"
+    )
