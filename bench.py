@@ -371,6 +371,7 @@ def main() -> None:
         "ext_shard_shuffle",
         "ext_dbscan_grid",
         "stream_anomaly_alerts",
+        "snap_scd2_apply",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -903,3 +903,76 @@ def snap_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1 if len(skip_ck) >= n_dirs // 4 else 0).alias("prune_custkey"),
         F.lit(1 if len(skip_tp) >= n_dirs // 4 else 0).alias("prune_price"),
     )
+
+
+_SCD2_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey, o_totalprice AS price, o_orderdate AS valid_from
+    FROM orders WHERE o_orderkey % 3 <> 0
+), delta AS (
+    SELECT o_orderkey, o_totalprice * 1.1 AS price,
+           o_orderdate + INTERVAL 30 DAY AS eff
+    FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT b.o_orderkey, b.price, b.valid_from,
+       d.eff AS valid_to, FALSE AS is_current
+FROM base b JOIN delta d USING (o_orderkey)
+UNION ALL
+SELECT b.o_orderkey, b.price, b.valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+FROM base b WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+UNION ALL
+SELECT d.o_orderkey, d.price, d.eff AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+FROM delta d
+"""
+
+
+@register("snap_scd2_apply", oracle=_SCD2_ORACLE,
+          tags=("parity", "snapshot", "mutation"))
+def snap_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 maintenance through the snapshot
+    layer: a change batch CLOSES each key's open version (valid_to =
+    effective ts, is_current = false) and INSERTS the new version — full
+    history preserved, one open row per key. The whole apply is ONE
+    upsert on the composite key (business key, valid_from): closed rows
+    are updates to the existing open versions (same valid_from), new
+    versions are inserts — so the snapshot layer's file-pruned
+    copy-on-write, conflict detection, and time travel all apply
+    unchanged, and the rewrite cost tracks the touched key range.
+    Unmatched delta keys become first versions (no close row), matching
+    the oracle's three-way union."""
+    cat = _warehouse(sf_dir, "scd2")
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    cat.create_or_replace("ns", "dim", base)
+    delta = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.1).alias("price"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("eff"),
+    )
+    cur = cat.read(spark, "ns", "dim").filter(F.col("is_current"))
+    closed = cur.join(
+        delta.select("o_orderkey", "eff"), "o_orderkey"
+    ).select(
+        "o_orderkey", "price", "valid_from",
+        F.col("eff").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    new_versions = delta.select(
+        "o_orderkey", "price",
+        F.col("eff").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    cat.upsert(
+        "ns", "dim", closed.unionByName(new_versions),
+        keys=["o_orderkey", "valid_from"],
+    )
+    return cat.read(spark, "ns", "dim")
