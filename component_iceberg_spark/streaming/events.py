@@ -233,16 +233,17 @@ def running_zscore_alerts(
                 mean += d / n
                 m2 += d * (x - mean)
         state.update((n, mean, m2))
-        yield pd.DataFrame(
-            {
-                "event_type": out_type,
-                "event_id": out_id,
-                "ts": out_ts,
-                "value": out_val,
-                "n_prev": out_n,
-                "z": out_z,
-            }
-        )
+        if out_type:  # empty yields trip pandas' all-NA concat warning
+            yield pd.DataFrame(
+                {
+                    "event_type": out_type,
+                    "event_id": out_id,
+                    "ts": out_ts,
+                    "value": out_val,
+                    "n_prev": out_n,
+                    "z": out_z,
+                }
+            )
 
     return events.groupBy("event_type").applyInPandasWithState(
         update,
