@@ -620,3 +620,67 @@ def test_screened_drop_ids_matches_two_pipeline_form(spark):
         ).collect()
     }
     assert fused == (intra | cross)
+
+
+def _model_merge(
+    base: dict[int, int],
+    source: dict[int, int],
+    *,
+    delete_when,
+    update_when,
+    insert_when,
+) -> dict[int, int]:
+    """Reference multi-action MERGE in plain Python: matched keys consult
+    delete_when then update_when (else keep target); unmatched source
+    keys consult insert_when ONLY."""
+    state = dict(base)
+    for k, v in source.items():
+        if k in state:
+            if delete_when(v):
+                del state[k]
+            elif update_when(v):
+                state[k] = v
+        else:
+            if insert_when(v):
+                state[k] = v
+    return state
+
+
+@pytest.mark.parametrize("hyp", [None])
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(base=rows, source=rows, dmod=st.integers(2, 5), umod=st.integers(2, 5))
+def test_merge_matches_model(
+    spark, tmp_path_factory, hyp, base, source, dmod, umod
+):
+    """cat.merge against the Python model under randomized value-derived
+    clause conditions (delete when v % dmod == 0, update when
+    v % umod != 0, insert unless deletable) — covers every clause
+    combination the fixture query can't reach by construction."""
+    b = dict(base)
+    s = dict(source)
+    cat = SnapCatalog(str(tmp_path_factory.mktemp("wh")))
+    bdf = spark.createDataFrame(
+        list(b.items()) or [(None, None)], schema="k int, v int"
+    ).dropna()
+    sdf = spark.createDataFrame(
+        list(s.items()) or [(None, None)], schema="k int, v int"
+    ).dropna()
+    cat.create_or_replace("ns", "t", bdf)
+    cat.merge(
+        "ns", "t", sdf, keys=["k"],
+        delete_when=f"v % {dmod} = 0",
+        update_when=f"v % {umod} <> 0",
+        insert_when=f"v % {dmod} <> 0",
+    )
+    got = {r.k: r.v for r in cat.read(spark, "ns", "t").collect()}
+    want = _model_merge(
+        b, s,
+        delete_when=lambda v: v % dmod == 0,
+        update_when=lambda v: v % umod != 0,
+        insert_when=lambda v: v % dmod != 0,
+    )
+    assert got == want
