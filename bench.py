@@ -372,6 +372,7 @@ def main() -> None:
         "ext_dbscan_grid",
         "stream_anomaly_alerts",
         "snap_scd2_apply",
+        "text_url_canonicalize",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -1124,3 +1124,96 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("doc_id", "w", "tf", "df", "score", "rnk")
     )
+
+
+# Messy synthetic URL per document — mixed-case scheme/host, default
+# port, www prefix, tracking params — built identically in both engines,
+# then CANONICALIZED by parsing, which is the operator under test.
+_URL_EXPR_SQL = (
+    "'HTTPS://WWW.' || source || '.Example.COM:443/Docs/' || "
+    "CAST(doc_id AS VARCHAR) || '/?utm_source=feed&ref=' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x'"
+)
+
+_URL_ORACLE = f"""
+WITH raw AS (
+    SELECT doc_id, {_URL_EXPR_SQL} AS url FROM documents
+), parts AS (
+    SELECT doc_id, url,
+           lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+           regexp_replace(
+               regexp_replace(
+                   lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                   ':443$', ''),
+               '^www\\.', '') AS host,
+           regexp_replace(
+               regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+               '/$', '') AS path,
+           list_aggregate(
+               list_sort(list_filter(
+                   string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                   x -> NOT starts_with(x, 'utm_') AND x <> '')),
+               'string_agg', '&') AS q
+    FROM raw
+)
+SELECT doc_id, host,
+       scheme || '://' || host || path ||
+       CASE WHEN q IS NOT NULL AND q <> '' THEN '?' || q ELSE '' END
+           AS canon_url
+FROM parts
+"""
+
+
+@register("text_url_canonicalize", oracle=_URL_ORACLE, tags=("ext", "text"))
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the first step of web-corpus dedup (the
+    same page arrives under WWW./case/port/tracking-param variants; a
+    byte-level dedup misses all of them). Pure codegen'd expressions:
+    regex-parse scheme/host/path/query, lowercase the authority, strip
+    the default port and www prefix, drop utm_* tracking params, sort
+    the survivors, strip the trailing slash — no UDF, no shuffle, scales
+    as a projection inside the scan. The messy input URL is built
+    identically in both engines so the ORACLE tests the parsing, not
+    the fixture."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"),
+        F.lit(".Example.COM:443/Docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&ref="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&utm_campaign=x"),
+    )
+    raw = d.withColumn("url", url)
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)),
+            r":443$", ""),
+        r"^www\.", "")
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+        r"/$", "")
+    q = F.array_join(
+        F.array_sort(F.filter(
+            F.split(F.regexp_extract("url", r"\?([^#]*)", 1), "&"),
+            lambda x: (~x.startswith("utm_")) & (x != ""),
+        )),
+        "&",
+    )
+    parts = raw.select(
+        "doc_id",
+        host.alias("host"),
+        scheme.alias("scheme"),
+        path.alias("path"),
+        q.alias("q"),
+    )
+    return parts.select(
+        "doc_id",
+        "host",
+        F.concat(
+            F.col("scheme"), F.lit("://"), F.col("host"), F.col("path"),
+            F.when(F.col("q") != "", F.concat(F.lit("?"), F.col("q")))
+            .otherwise(F.lit("")),
+        ).alias("canon_url"),
+    )
