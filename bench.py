@@ -373,6 +373,7 @@ def main() -> None:
         "stream_anomaly_alerts",
         "snap_scd2_apply",
         "text_url_canonicalize",
+        "ext_histogram",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -513,3 +513,46 @@ def func_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             "xor_lowbyte_sum"
         ),
     )
+
+
+_HIST_BINS = 20
+
+_HIST_ORACLE = f"""
+WITH b AS (
+    SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+    FROM lineitem
+)
+SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / {_HIST_BINS})),
+                  {_HIST_BINS - 1}) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS total
+FROM lineitem, b
+GROUP BY 1
+"""
+
+
+@register("ext_histogram", oracle=_HIST_ORACLE, tags=("ext", "functions", "stats"))
+def ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 bins over the price range): the standard
+    distribution-profiling pass. Two metadata-sized jobs: a 1-row
+    min/max bounds aggregate, then ONE hash aggregate keyed on the bin
+    expression — bin arithmetic is pure IEEE double ops ((x−mn)/w with
+    w=(mx−mn)/20), computed identically in both engines so even the
+    edge-of-bin rows land identically (no rounding needed on the bin
+    itself). The top bin is closed (least(…, 19)) so the maximum lands
+    in-range."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    b = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    ).collect()[0]
+    mn, mx = float(b["mn"]), float(b["mx"])
+    w = (mx - mn) / _HIST_BINS
+    bin_col = F.least(
+        F.floor((F.col("l_extendedprice") - mn) / w),
+        F.lit(_HIST_BINS - 1),
+    ).cast("int")
+    return li.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )
