@@ -374,6 +374,7 @@ def main() -> None:
         "snap_scd2_apply",
         "text_url_canonicalize",
         "ext_histogram",
+        "mm_train_record",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

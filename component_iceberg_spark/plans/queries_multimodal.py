@@ -135,3 +135,57 @@ def mm_dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_copies"),
         F.min(F.col("meta.n_bytes")).alias("n_bytes"),
     )
+
+
+@register(
+    "mm_train_record",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings
+    )
+    SELECT d.doc_id,
+           sha256(d.text) AS content_hash,
+           strlen(d.text) AS n_bytes,
+           'text/plain' AS mime,
+           d.lang,
+           d.source,
+           round(sqrt(list_sum(list_transform(v.dv, x -> x * x))), 4)
+               AS vec_norm
+    FROM documents d JOIN v ON v.vec_id = d.doc_id
+    """,
+    tags=("ext", "multimodal"),
+)
+def mm_train_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-record assembly — the last step before sharding a
+    multimodal corpus: join the binary-ingested media (payload sha256
+    content address + typed metadata) with the embedding table on the
+    document key and emit one flat record per example (id, content
+    address, byte size, mime, lang/source provenance, embedding L2
+    norm). One equi-join shuffle on the id; the norm folds left-to-right
+    in both engines (the similarity family's arithmetic contract), so
+    the record — including the float column — is exactly
+    oracle-checked. Feeds ext_shard_shuffle for the serving order."""
+    from component_iceberg_spark.operators.similarity import norm
+
+    b = _binary_docs(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.round(norm(F.col("embedding")), 4).alias("vec_norm")
+    )
+    return (
+        b.select(
+            "doc_id", "content_hash",
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.col("meta.mime").alias("mime"),
+        )
+        .join(d, "doc_id")
+        .join(e, F.col("doc_id") == F.col("vec_id"))
+        .select(
+            "doc_id", "content_hash", "n_bytes", "mime",
+            "lang", "source", "vec_norm",
+        )
+    )

@@ -154,6 +154,7 @@ _GATE_PRIORITY = (
     "snap_scd2_apply",
     "text_url_canonicalize",
     "ext_histogram",
+    "mm_train_record",
     # snap_cluster_rewrite's shared tail was refactored in late r5
     # (zorder extraction); it already sits in the r5 window at 1b.
     # --- 2. pinned sentinels (keep this set stable round over round;
