@@ -490,12 +490,22 @@ def main() -> None:
     # Durable copy: the driver captures stdout, which has been observed
     # truncated (BENCH_r04.json "parsed": null lost q1/q3/q5 and the
     # headline total). A file in the repo survives regardless.
-    local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
-    try:
-        with open(local, "w") as fh:
-            fh.write(blob + "\n")
-    except OSError:
-        pass
+    # Durable artifact (VERDICT r4 ask #3: survive driver stdout
+    # truncation) — written ONLY for the canonical full run, so a smoke
+    # run at another SF or with the scale sections skipped can never
+    # clobber the real numbers.
+    canonical = SF_DIR.rstrip("/").endswith("sf0.1") and not os.environ.get(
+        "SPARK_GRAFT_SKIP_SF1"
+    )
+    if canonical:
+        local = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        )
+        try:
+            with open(local, "w") as fh:
+                fh.write(blob + "\n")
+        except OSError:
+            pass
     print(blob)
 
 
