@@ -375,6 +375,7 @@ def main() -> None:
         "text_url_canonicalize",
         "ext_histogram",
         "mm_train_record",
+        "sim_knn_graph_clusters",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -425,6 +425,7 @@ def ivf_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: assign every corpus vector to its nearest
     centroid (broadcast argmin), probe each query's ``nprobe`` nearest
@@ -475,8 +476,12 @@ def ivf_topk(
     )
     probed = q.join(probes, "query_id")
 
+    # a small query SET broadcasts (the top-k search shape); when the
+    # queries ARE the corpus (knn-graph construction) the probe side is
+    # corpus-sized and must SHUFFLE on the bucket key instead
+    probe_side = F.broadcast(probed) if broadcast_probes else probed
     scored = (
-        bucketed.join(F.broadcast(probed), "bucket")
+        bucketed.join(probe_side, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -1209,3 +1214,133 @@ def pca_project(
             yield pd.DataFrame(out)
 
     return vecs.mapInPandas(project, schema=out_schema)
+
+
+def ivf_knn_graph(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF top-k with the corpus AS the query set — knn-graph
+    construction, the input to mutual-kNN clustering. Same quantization,
+    probing, ranking, and tie-breaks as :func:`ivf_topk`, but shaped for
+    n queries instead of a handful:
+
+    - corpus bucketing via :func:`nearest_assign` (zero-shuffle BLAS),
+    - probe lists from the bounded centroid set (|corpus| × k_cent
+      scored rows — centroids are metadata-sized by design),
+    - the quadratic scoring runs as ONE ``applyInPandas`` per bucket
+      over members ∪ probing queries: a gram matrix per (queries ×
+      members) block instead of |probes|·n_b interpreted per-element
+      folds — the same kernel-vs-expression trade
+      :func:`bucketed_threshold_pairs` makes, with the same np.round
+      parity contract,
+    - per-bucket top-k (ordered by rounded cosine DESC, id ASC) merges
+      into the global top-k with one |corpus|·nprobe·k-row window.
+
+    Output: ``(query_id, neighbor_id, cosine_sim, rank)``, identical to
+    ``ivf_topk(corpus, corpus, …)`` and to the SQL oracle that replays
+    the expression arithmetic.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent = centroids.select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("cent_vec"),
+        norm(F.col(vec_col)).alias("cent_norm"),
+    )
+    corpus_named = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("c_vec")
+    )
+    bucketed = nearest_assign(
+        corpus_named, cent, "nid", "c_vec", "bucket", keep=("c_vec",)
+    )
+    q = corpus.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored_q = q.withColumn("_nrm", norm(F.col("q_vec"))).crossJoin(
+        F.broadcast(cent)
+    ).select(
+        "query_id",
+        "cent_id",
+        F.round(
+            dot(F.col("q_vec"), F.col("cent_vec"))
+            / (F.col("_nrm") * F.col("cent_norm")),
+            6,
+        ).alias("csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cent_id")
+    )
+    probes = (
+        scored_q.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", F.col("cent_id").alias("bucket"))
+    )
+    probers = q.join(probes, "query_id").select(
+        "bucket",
+        F.col("query_id").alias("rid"),
+        as_double(F.col("q_vec")).alias("rvec"),
+        F.lit(1).alias("role"),
+    )
+    members = bucketed.select(
+        "bucket",
+        F.col("nid").alias("rid"),
+        as_double(F.col("c_vec")).alias("rvec"),
+        F.lit(0).alias("role"),
+    )
+    both = members.unionByName(probers)
+
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def topk_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        mem = pdf[pdf["role"] == 0]
+        qs = pdf[pdf["role"] == 1]
+        if not len(mem) or not len(qs):
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine_sim": []}
+            )
+        mids = mem["rid"].to_numpy()
+        qids = qs["rid"].to_numpy()
+        M = np.stack(mem["rvec"].to_numpy())
+        Q = np.stack(qs["rvec"].to_numpy())
+        mn = np.sqrt((M * M).sum(axis=1))
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        S = np.round((Q @ M.T) / np.outer(qn, mn), round_to)
+        S[qids[:, None] == mids[None, :]] = -np.inf  # mask self
+        out_q, out_n, out_s = [], [], []
+        kk = min(k, S.shape[1])
+        for i in range(len(qids)):
+            # top-k by (cosine DESC, neighbor_id ASC): lexsort is stable,
+            # primary key last
+            order = np.lexsort((mids, -S[i]))[:kk]
+            keep = order[np.isfinite(S[i][order])]
+            out_q.extend([qids[i]] * len(keep))
+            out_n.extend(mids[keep])
+            out_s.extend(S[i][keep])
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "cosine_sim": out_s}
+        )
+
+    candidates = both.groupBy("bucket").applyInPandas(
+        topk_in_bucket, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return candidates.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -379,3 +379,126 @@ def ext_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(float(ratio[0])), 4).alias("explained_1"),
         F.round(F.lit(float(ratio[1])), 4).alias("explained_2"),
     )
+
+
+KNN_K = 3
+
+
+def _knn_clusters_oracle() -> str:
+    cos_ac = _cos("a.v", "a.nrm", "c.cv", "c.cnrm")
+    cos_qc = _cos("q.qv", "q.qn", "c.cv", "c.cnrm")
+    cos_qn = _cos("q.qv", "q.qn", "b.v", "b.nrm")
+    return f"""
+WITH RECURSIVE {_D},
+cent AS (
+    SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM (
+        SELECT n.*, e.label,
+               row_number() OVER (PARTITION BY e.label ORDER BY n.vec_id) AS rn
+        FROM n JOIN embeddings e USING (vec_id)
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n),
+assign AS (
+    SELECT vec_id AS neighbor_id, cent_id AS bucket FROM (
+        SELECT a.vec_id, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY a.vec_id ORDER BY {cos_ac} DESC, c.cent_id
+               ) AS rn
+        FROM n a CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT query_id, cent_id AS bucket FROM (
+        SELECT q.query_id, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id ORDER BY {cos_qc} DESC, c.cent_id
+               ) AS rn
+        FROM q CROSS JOIN cent c
+    ) WHERE rn <= {NPROBE}
+),
+knn AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               row_number() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY s.cosine_sim DESC, s.neighbor_id
+               ) AS rank
+        FROM (
+            SELECT q.query_id, b.vec_id AS neighbor_id,
+                   {cos_qn} AS cosine_sim
+            FROM probes p
+            JOIN q ON q.query_id = p.query_id
+            JOIN assign a2 ON a2.bucket = p.bucket
+            JOIN n b ON b.vec_id = a2.neighbor_id
+            WHERE b.vec_id <> q.query_id
+        ) s
+    ) WHERE rank <= {KNN_K}
+),
+me AS (
+    SELECT k1.query_id AS a, k1.neighbor_id AS b
+    FROM knn k1 JOIN knn k2
+      ON k2.query_id = k1.neighbor_id AND k2.neighbor_id = k1.query_id
+    WHERE k1.query_id < k1.neighbor_id
+),
+und AS (SELECT a, b FROM me UNION ALL SELECT b, a FROM me),
+reach AS (
+    SELECT vec_id AS id, vec_id AS r FROM n
+    UNION
+    SELECT reach.id, u.b FROM reach JOIN und u ON u.a = reach.r
+),
+lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+FROM lbl GROUP BY cluster_id
+"""
+
+
+@register("sim_knn_graph_clusters", oracle=_knn_clusters_oracle(),
+          tags=("ext", "similarity", "graph", "dedup"))
+def sim_knn_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN-graph clustering — the similarity family's capstone
+    composite and the standard corpus-structure discovery pass (SemDeDup
+    / SSL-prototype style): build each vector's IVF top-3 neighbor list
+    with the corpus AS the query set (the probe join SHUFFLES on the
+    bucket key — `broadcast_probes=False` — because nothing is small
+    when the queries are the corpus), keep edges that are MUTUAL (a
+    robust-to-hubs symmetrization), then pointer-jumping connected
+    components; every vector lands in a cluster (singletons = its own
+    id). The oracle replays quantization, probing, ranking, mutuality
+    AND the transitive closure. At 100 TB: assignment is the zero-
+    shuffle BLAS scan, the knn self-join shuffles once on bucket, and
+    CC is O(log diameter) rounds on the mutual-edge relation, which is
+    ≤ 3n/2 edges by construction."""
+    from pyspark.sql import Window
+
+    from component_iceberg_spark.operators.dedup import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    centroids = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "label")
+    )
+    knn = S.ivf_knn_graph(e, centroids, NPROBE, KNN_K).select(
+        "query_id", "neighbor_id"
+    )
+    x, y = knn.alias("x"), knn.alias("y")
+    mutual = (
+        x.join(
+            y,
+            (F.col("x.query_id") == F.col("y.neighbor_id"))
+            & (F.col("x.neighbor_id") == F.col("y.query_id")),
+        )
+        .filter(F.col("x.query_id") < F.col("x.neighbor_id"))
+        .select(
+            F.col("x.query_id").alias("a"), F.col("x.neighbor_id").alias("b")
+        )
+    )
+    labels = connected_components(mutual, "a", "b")
+    return (
+        e.select("vec_id")
+        .join(labels, F.col("vec_id") == F.col("doc"), "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "vec_id"))
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )

@@ -155,6 +155,7 @@ _GATE_PRIORITY = (
     "text_url_canonicalize",
     "ext_histogram",
     "mm_train_record",
+    "sim_knn_graph_clusters",
     # snap_cluster_rewrite's shared tail was refactored in late r5
     # (zorder extraction); it already sits in the r5 window at 1b.
     # --- 2. pinned sentinels (keep this set stable round over round;

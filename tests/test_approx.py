@@ -306,3 +306,34 @@ def test_pca_matches_single_node_numpy(spark, sf_dir):
     local = (X - mu) @ ref.T
     got = np.array([proj[i] for i in ids])
     assert np.allclose(got, local, atol=1e-6)
+
+
+def test_ivf_knn_graph_matches_expression_path(spark, sf_dir):
+    """The BLAS per-bucket knn-graph kernel must reproduce the expression
+    path (ivf_topk with corpus-as-queries) EXACTLY — same quantization,
+    probing, rounding, and tie-breaks — so the SQL oracle that replays
+    the expression arithmetic also certifies the kernel."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.io.tables import load_table
+    from component_iceberg_spark.operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    cents = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn", "label")
+    )
+    blas = {
+        tuple(r)
+        for r in S.ivf_knn_graph(e, cents, 4, 3).collect()
+    }
+    expr = {
+        tuple(r)
+        for r in S.ivf_topk(
+            e, e, cents, 4, 3, broadcast_probes=False
+        ).collect()
+    }
+    assert blas == expr and len(blas) > 0
