@@ -187,8 +187,10 @@ def ext_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles — Spark's percentile() and DuckDB's
     quantile_cont use the same linear interpolation, verified bit-exact.
-    (The sketch-based approx twin is ext_agg_approx; this one pays a sort
-    per group and is the small-group / final-report path.)"""
+    This is the built-in small-group / final-report path (a sort per
+    group); at scale use ext_percentile_scalable — the SAME exact values
+    via histogram rank selection in bounded passes — or the
+    ext_quantile_kll sketch when a few-percent error is acceptable."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", 0.5).alias("p50_price"),
