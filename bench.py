@@ -376,6 +376,7 @@ def main() -> None:
         "ext_histogram",
         "mm_train_record",
         "sim_knn_graph_clusters",
+        "ext_sample_weighted",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -171,3 +171,40 @@ def shard_shuffle(
         .withColumn("pos", F.row_number().over(w))
         .drop("_u")
     )
+
+
+def sample_weighted_topk(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    k: int,
+    salt: str = "w0",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, fixed size k (Efraimidis-
+    Spirakis exponential race): each row draws a deterministic uniform
+    from md5(id‖salt) and competes with key ``-ln(u)/w`` — the k
+    smallest keys win, and inclusion probability tracks the weight.
+    Same engine-portability contract as the other hash samplers (no RNG
+    state, identical on any partitioning); the key is ROUNDED to 12 dp
+    before ranking so a final-ulp ln() difference between engines can
+    never flip the selected set, with the unique id as tie-break.
+
+    Plan: a pure projection + TakeOrderedAndProject (bounded heap, no
+    global sort) — the same shape as ext_topk, linear at any scale."""
+    nibble = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("double")
+    # (n + 0.5)/65536 keeps u strictly inside (0, 1): ln(0) is -inf in
+    # one engine and NULL in the other — never let it happen
+    u = (nibble + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    key = F.round(-F.log(u) / weight, 12)
+    return (
+        df.withColumn("_wkey", key)
+        .orderBy(F.col("_wkey"), F.col(id_col))
+        .limit(k)
+        .drop("_wkey")
+    )

@@ -1175,3 +1175,54 @@ def ext_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return SA.shard_shuffle(d, "doc_id", n_shards=8)
+
+
+def _wkey_sql(salt: str, w_expr: str) -> str:
+    m = f"md5(CAST(doc_id AS VARCHAR) || '{salt}')"
+    digits = [
+        f"(strpos('0123456789abcdef', substr({m}, {i}, 1)) - 1)"
+        for i in range(1, 5)
+    ]
+    val = (
+        f"((({digits[0]} * 16 + {digits[1]}) * 16 + {digits[2]}) * 16 "
+        f"+ {digits[3]})"
+    )
+    return f"round(-ln(({val} + 0.5) / 65536.0) / ({w_expr}), 12)"
+
+
+_W_EXPR = ("CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.0 "
+           "ELSE 0.5 END")
+
+
+@register(
+    "ext_sample_weighted",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   ORDER BY {_wkey_sql('w0', _W_EXPR)}, doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 50
+    """,
+    tags=("ext", "sampling"),
+)
+def ext_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, fixed size 50 (Efraimidis-
+    Spirakis exponential race; per-source weights 3/1/0.5 — domain
+    re-weighting with an exact output size, unlike the Bernoulli
+    stratified sampler whose size is only expected). The race key is a
+    deterministic hash draw, rounded to 12 dp before ranking so an ln()
+    final-ulp difference can never flip the set, doc_id tie-break —
+    hence an exact oracle replaying the identical race. Plan: pure
+    projection + bounded-heap top-k (TakeOrderedAndProject), no global
+    sort, no RNG state (operators/sampling.sample_weighted_topk)."""
+    from component_iceberg_spark.operators import sampling as SA
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = (
+        F.when(F.col("source") == "src0", 3.0)
+        .when(F.col("source") == "src1", 1.0)
+        .otherwise(0.5)
+    )
+    return SA.sample_weighted_topk(d, "doc_id", w, 50)

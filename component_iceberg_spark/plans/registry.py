@@ -156,6 +156,7 @@ _GATE_PRIORITY = (
     "ext_histogram",
     "mm_train_record",
     "sim_knn_graph_clusters",
+    "ext_sample_weighted",
     # snap_cluster_rewrite's shared tail was refactored in late r5
     # (zorder extraction); it already sits in the r5 window at 1b.
     # --- 2. pinned sentinels (keep this set stable round over round;
