@@ -457,6 +457,19 @@ class SnapCatalog:
             )
         base = self._current_sid(namespace, table)
         manifest = self._manifest(namespace, table, base)
+        # Schema check BEFORE the pruning branch: when key-range pruning
+        # leaves no candidate dirs the merge still commits the source as
+        # a new data dir next to carried target dirs, so a divergent
+        # source schema must fail HERE, not silently mix schemas.
+        t_cols = [
+            f["name"]
+            for f in (manifest.get("schema") or {}).get("fields", [])
+        ]
+        if t_cols and set(t_cols) != set(cols):
+            raise ValueError(
+                "merge source schema must match the target: "
+                f"target={sorted(t_cols)} source={sorted(cols)}"
+            )
         candidates, untouched = self._delta_key_pruning(
             manifest, source, keys
         )
@@ -464,11 +477,6 @@ class SnapCatalog:
             target = self._read_with_deletes(
                 spark, namespace, table, manifest, candidates
             )
-            if set(target.columns) != set(cols):
-                raise ValueError(
-                    "merge source schema must match the target: "
-                    f"target={sorted(target.columns)} source={sorted(cols)}"
-                )
             t_pack = target.select(
                 *[F.col(k).alias(f"_k_{k}") for k in keys],
                 F.struct(*[F.col(c) for c in cols]).alias("_t"),

@@ -191,9 +191,15 @@ def running_zscore_alerts(
     each micro-batch, and batches are assumed event-time ordered (the
     staged-fixture splitter and any replayed log satisfy this), so the
     alert set is independent of batch boundaries — state carries the
-    exact prefix moments across batches. Scale: state is three doubles
-    per key; each batch is one Arrow-batched pass per key, no shuffle
-    beyond the keyed exchange streaming already pays.
+    exact prefix moments across batches. A group larger than
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` arrives as MULTIPLE
+    Arrow chunks in arbitrary post-shuffle order, so the chunks are
+    buffered and concatenated BEFORE the single global (ts, event_id)
+    sort — sorting each chunk independently would only order within a
+    chunk and break oracle parity for >10k-row groups. Scale: state is
+    three doubles per key; the buffer holds one micro-batch of ONE key
+    (bounded by trigger sizing, the same bound the Welford pass itself
+    needs), no shuffle beyond the keyed exchange streaming already pays.
     """
     import numpy as np
     import pandas as pd
@@ -210,8 +216,16 @@ def running_zscore_alerts(
         out_type, out_id, out_ts, out_val, out_n, out_z = (
             [], [], [], [], [], []
         )
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Buffer ALL Arrow chunks, then ONE global sort: chunk order is
+        # not guaranteed post-shuffle, and per-chunk sorting would leave
+        # interleaved timestamps mis-ordered for groups that span chunks.
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            pdf = (
+                pd.concat(frames, ignore_index=True)
+                if len(frames) > 1
+                else frames[0]
+            ).sort_values(["ts", "event_id"])
             for ts, eid, x in zip(
                 pdf["ts"], pdf["event_id"], pdf["value"].astype(float)
             ):
@@ -377,11 +391,14 @@ def stream_incremental_dedup(
     ``dedup_minhash_lsh``). Crash-replay safety and per-batch cache
     release are :func:`screen_batch_incremental`'s contract.
 
-    Scale note: the seen store here keeps (doc_id, text) and re-signs it
-    per batch for verification simplicity; the production variant
-    persists the SIGNATURE table (corpus-row-sized, 60× smaller) and
-    band-bucketed layout exactly as incremental_minhash_pairs documents —
-    the probe side of this operator is unchanged."""
+    Scale note: the seen store persists BOTH the raw (doc_id, text) rows
+    (the audit/verify source) and a signature-profile table
+    (``seen_profile``): each batch is signed ONCE, the profile store is
+    probed band-by-band for candidates, and only candidate pairs are
+    verified — O(batch + candidates) per epoch with no corpus re-sign
+    (see :func:`screen_batch_incremental`, the fused
+    ``dedup.screened_drop_ids`` pass, and the same layout in
+    ``operators.dedup.incremental_minhash_pairs``)."""
 
     def screen(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():

@@ -1008,6 +1008,32 @@ def test_merge_file_pruning_carries_untouched_dirs(spark, tmp_path):
     assert {(i, "lo") for i in range(10)} <= got
 
 
+def test_merge_no_overlap_rejects_schema_mismatch(spark, tmp_path):
+    """Schema validation must run BEFORE key-range pruning decides there
+    are no candidate dirs: a source whose key range misses every target
+    dir but whose columns diverge used to be committed as a new data dir
+    beside the carried ones, silently producing a mixed-schema table."""
+    import pytest
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    target = spark.createDataFrame(
+        [(i, "t") for i in range(10)], "k long, tag string"
+    )
+    cat.create_or_replace("ns", "t", target)
+    # key range (1000+) misses the lone dir -> zero candidates
+    bad = spark.createDataFrame(
+        [(1000, 3.14)], "k long, other double"
+    )
+    with pytest.raises(ValueError, match="schema must match"):
+        cat.merge("ns", "t", bad, keys=["k"])
+    # matched-path mismatch still raises too (hoisted check covers both)
+    bad2 = spark.createDataFrame([(3, 2.71)], "k long, other double")
+    with pytest.raises(ValueError, match="schema must match"):
+        cat.merge("ns", "t", bad2, keys=["k"])
+    # table unchanged: no mixed-schema dir was committed
+    assert cat.read(spark, "ns", "t").count() == 10
+
+
 def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
     """The z-order contract vs single-column clustering: after
     zorder_rewrite on (a, b), range predicates on a AND on b each skip

@@ -259,3 +259,77 @@ def test_anomaly_alerts_batch_boundary_independent(spark, sf_dir, tmp_path):
         f"streamed={len(got)} batch={len(want)} "
         f"diff={list(got ^ want)[:5]}"
     )
+
+
+def test_anomaly_alerts_multichunk_group_sorted_globally(spark, tmp_path):
+    """A group larger than arrow.maxRecordsPerBatch arrives at
+    applyInPandasWithState as MULTIPLE Arrow chunks in arbitrary order;
+    running_zscore_alerts must buffer + globally sort them, not sort
+    each chunk independently. Fixture: ONE key, 600 rows written in
+    REVERSE time order with maxRecordsPerBatch=50 — per-chunk sorting
+    would score the latest rows first and corrupt every prefix moment."""
+    import numpy as _np
+    import pandas as _pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = _np.random.default_rng(7)
+    n = 600
+    vals = rng.normal(100.0, 5.0, n)
+    vals[::97] += 40.0  # planted spikes
+    pdf = _pd.DataFrame(
+        {
+            "event_id": _np.arange(n, dtype="int64"),
+            "event_type": "solo",
+            "ts": _pd.to_datetime("2024-01-01")
+            + _pd.to_timedelta(_np.arange(n), unit="s"),
+            "value": vals,
+        }
+    )
+    # write in REVERSE ts order so chunk-local sorting != global sorting
+    src = str(tmp_path / "rev")
+    ev = spark.createDataFrame(pdf.iloc[::-1]).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    ev.coalesce(1).write.parquet(src)
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        raw = spark.readStream.schema(
+            "event_id long, event_type string, ts timestamp_ntz, value double"
+        ).parquet(src)
+        streamed = SE.stream_to_memory(
+            SE.running_zscore_alerts(raw), spark, mode="append"
+        )
+        got = {
+            (r.event_type, r.event_id, r.n_prev, r.z)
+            for r in streamed.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    pre = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = (
+        spark.read.parquet(src)
+        .select(
+            "event_type",
+            "event_id",
+            F.count("value").over(pre).alias("n_prev"),
+            (
+                (F.col("value") - F.avg("value").over(pre))
+                / F.stddev_samp("value").over(pre)
+            ).alias("z"),
+        )
+        .filter((F.col("n_prev") >= 30) & (F.abs(F.col("z")) > 3))
+    )
+    want = {
+        (r.event_type, r.event_id, r.n_prev, round(r.z, 3))
+        for r in scored.collect()
+    }
+    assert len(want) >= 4, f"fixture too tame: {len(want)} alerts"
+    assert got == want, f"diff={sorted(got ^ want)[:6]}"
