@@ -101,6 +101,12 @@ SCALE_QUERIES = (
     # candidate volume must stay linear in replicas (keys are offset per
     # replica, so co-shipment groups never cross replicas)
     "ext_interval_join",
+    # r7 additions (ROADMAP item 5, unfrozen once their r6 gate rows
+    # landed): PQ ADC shortlist + exact re-rank, and the Misra-Gries
+    # candidates + exact-verify heavy hitters — both claim sub-linear
+    # per-row cost, which the 10x ratio evidences
+    "sim_ann_pq",
+    "ext_heavy_hitters",
 )
 
 
@@ -377,6 +383,9 @@ def main() -> None:
         "mm_train_record",
         "sim_knn_graph_clusters",
         "ext_sample_weighted",
+        # new in r7
+        "snap_append_ordered",
+        "text_rerank_topk",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:
@@ -388,7 +397,7 @@ def main() -> None:
             force(registry[name].fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         new_ops[name] = round(best, 3)
-    result["new_ops_r5"] = new_ops
+    result["new_ops"] = new_ops  # r5+ additions (key renamed from new_ops_r5 in r7)
 
     if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         t0 = time.perf_counter()

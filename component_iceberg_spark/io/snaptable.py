@@ -261,12 +261,24 @@ class SnapCatalog:
         self, namespace: str, table: str, df: DataFrame,
         partition_by: list[str] | None = None,
         partition_spec: list[str] | None = None,
+        sort_by: list[str] | None = None,
+        sort_partitions: int | None = None,
     ) -> int:
         """Append commit: write new data files, new manifest = old files +
-        new dir. No existing data is touched (metadata-only append)."""
+        new dir. No existing data is touched (metadata-only append).
+
+        ``sort_by`` is the ``preserve_insertion_order=true`` writer path
+        (``ex-iceberg/src/component.py:106-107``): the commit's files are
+        range-partitioned and sorted on the given columns, so a reader
+        ordering by ``(_metadata.file_path, _metadata.row_index)`` within
+        the commit recovers the insertion order exactly — no single-file
+        coalesce, so the ordered export scales like any other write
+        (``sort_partitions`` sizes the files). Ordering is per-commit:
+        across commits the manifest's file list preserves commit order."""
         return self._commit(
             namespace, table, df, operation="append", carry=True,
             partition_by=partition_by, transform_spec=partition_spec,
+            sort_by=sort_by, sort_partitions=sort_partitions,
         )
 
     def create_or_replace(
@@ -345,6 +357,7 @@ class SnapCatalog:
             )
         base = self._current_sid(namespace, table)
         manifest = self._manifest(namespace, table, base)
+        self._validate_source_schema(namespace, table, manifest, delta, "upsert")
         candidates, untouched = self._delta_key_pruning(manifest, delta, keys)
         if candidates:
             target = self._read_with_deletes(
@@ -358,6 +371,53 @@ class SnapCatalog:
             namespace, table, merged, operation="upsert", carry=False,
             base_sid=base, inherit_spec=True, carry_dirs=untouched,
         )
+
+    def _validate_source_schema(
+        self,
+        namespace: str,
+        table: str,
+        manifest: dict,
+        source: DataFrame,
+        op: str,
+    ) -> None:
+        """Source-vs-target schema gate shared by merge and upsert, run
+        BEFORE key-range pruning: on the no-candidate path the source
+        commits as a new data dir beside carried target dirs, so a
+        divergent source must fail HERE — the candidate path at least
+        fails later via unionByName, the no-candidate path would commit
+        a mixed-schema table silently. Compares (name, type) pairs: the
+        manifest schema is the user schema as Spark JSON (``_commit``),
+        so same-name/different-type divergence is caught too, not just
+        missing/extra columns. A manifest with no recorded schema
+        (legacy snapshot) falls back to the table's physical read schema
+        instead of skipping the check."""
+        fields = (manifest.get("schema") or {}).get("fields") or []
+        if fields:
+            t_types = {f["name"]: f["type"] for f in fields}
+        else:
+            t_types = {
+                f.name: f.dataType.jsonValue()
+                for f in self.read(
+                    source.sparkSession, namespace, table
+                ).schema.fields
+            }
+        s_types = {
+            f.name: f.dataType.jsonValue() for f in source.schema.fields
+        }
+        if set(t_types) != set(s_types):
+            raise ValueError(
+                f"{op} source schema must match the target: "
+                f"target={sorted(t_types)} source={sorted(s_types)}"
+            )
+        diverged = {
+            n: {"target": t_types[n], "source": s_types[n]}
+            for n in t_types
+            if t_types[n] != s_types[n]
+        }
+        if diverged:
+            raise ValueError(
+                f"{op} source column types must match the target: {diverged}"
+            )
 
     def _delta_key_pruning(
         self, manifest: dict, delta: DataFrame, keys: list[str]
@@ -457,19 +517,7 @@ class SnapCatalog:
             )
         base = self._current_sid(namespace, table)
         manifest = self._manifest(namespace, table, base)
-        # Schema check BEFORE the pruning branch: when key-range pruning
-        # leaves no candidate dirs the merge still commits the source as
-        # a new data dir next to carried target dirs, so a divergent
-        # source schema must fail HERE, not silently mix schemas.
-        t_cols = [
-            f["name"]
-            for f in (manifest.get("schema") or {}).get("fields", [])
-        ]
-        if t_cols and set(t_cols) != set(cols):
-            raise ValueError(
-                "merge source schema must match the target: "
-                f"target={sorted(t_cols)} source={sorted(cols)}"
-            )
+        self._validate_source_schema(namespace, table, manifest, source, "merge")
         candidates, untouched = self._delta_key_pruning(
             manifest, source, keys
         )
@@ -1520,6 +1568,8 @@ class SnapCatalog:
         clear_deletes: bool = False,
         extra_dir_stats: dict | None = None,
         extra_dir_rows: dict | None = None,
+        sort_by: list[str] | None = None,
+        sort_partitions: int | None = None,
     ) -> int:
         """Write data, then publish a manifest optimistically.
 
@@ -1559,6 +1609,19 @@ class SnapCatalog:
                 fields = partition_spec.parse_spec(transform_spec)
                 df = partition_spec.apply_spec(df, fields)
                 partition_by = partition_spec.partition_columns(fields)
+            if sort_by:
+                if partition_by:
+                    raise ValueError(
+                        "sort_by (ordered write) and partitioning are "
+                        "mutually exclusive — hive layout interleaves files"
+                    )
+                n = sort_partitions or df.sparkSession.sparkContext.defaultParallelism
+                # range partitions are written as part-00000, part-00001, …
+                # in key order, and each is sorted — (file_path, row_index)
+                # is the insertion order, with no single-task sort anywhere
+                df = df.repartitionByRange(
+                    n, *[F.col(c) for c in sort_by]
+                ).sortWithinPartitions(*sort_by)
             data_dir_name = f"commit-{uuid.uuid4().hex[:12]}"
             out_dir = self._tbl(namespace, table, "data", data_dir_name)
             writer = df.write.mode("overwrite")

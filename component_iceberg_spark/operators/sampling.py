@@ -24,6 +24,11 @@ from pyspark.sql import functions as F
 # int conversion cheap to replay in ANSI SQL
 _BUCKETS = 1 << 16
 
+# The weighted race needs a far finer draw: ties resolve by ascending id,
+# so 16 bits would systematically favor low ids at corpus scale. 48 bits
+# (12 hex chars) stay exactly representable in a double.
+_WIDE_BUCKETS = 1 << 48
+
 
 def hash_uniform(id_col: Column, salt: str) -> Column:
     """Deterministic uniform [0, 1) from md5(id ‖ salt) — the first 4 hex
@@ -189,21 +194,31 @@ def sample_weighted_topk(
     before ranking so a final-ulp ln() difference between engines can
     never flip the selected set, with the unique id as tie-break.
 
+    The uniform draw takes 48 bits of the digest (12 hex chars — exactly
+    representable in a double), not 16: at corpus scale a 65,536-value
+    draw collides constantly and every collision resolves by ascending
+    id, a systematic low-id bias. 48 bits put the collision knee past
+    ~16M rows per weight class, and residual ties still break by id.
+    Rows with NULL or non-positive weight are EXCLUDED before the race
+    (w <= 0 means "never sample"; the key would otherwise be NULL or
+    negative and sort first, always winning).
+
     Plan: a pure projection + TakeOrderedAndProject (bounded heap, no
     global sort) — the same shape as ext_topk, linear at any scale."""
-    nibble = F.conv(
+    draw = F.conv(
         F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 12
         ),
         16,
         10,
     ).cast("double")
-    # (n + 0.5)/65536 keeps u strictly inside (0, 1): ln(0) is -inf in
+    # (n + 0.5)/2^48 keeps u strictly inside (0, 1): ln(0) is -inf in
     # one engine and NULL in the other — never let it happen
-    u = (nibble + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    u = (draw + F.lit(0.5)) / F.lit(float(_WIDE_BUCKETS))
     key = F.round(-F.log(u) / weight, 12)
     return (
-        df.withColumn("_wkey", key)
+        df.filter(weight.isNotNull() & (weight > 0))
+        .withColumn("_wkey", key)
         .orderBy(F.col("_wkey"), F.col(id_col))
         .limit(k)
         .drop("_wkey")

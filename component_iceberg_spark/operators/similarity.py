@@ -69,6 +69,38 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def round_half_up(S, nd: int = 6):
+    """Vectorized replay of Spark's ``F.round(double, nd)`` (= DuckDB
+    ``round``): decimal HALF_UP over the double's shortest decimal repr
+    — verified identical across both engines for midpoint values where
+    ``np.round``'s binary half-to-even differs (2.5e-6 → 3e-6 there,
+    2e-6 under numpy). Fast ``np.round`` everywhere except elements whose
+    scaled value sits within 1e-6 of a .5 midpoint (the only place the
+    two rules can disagree — binary scaling error is < 1e-9 there);
+    those few go through exact ``Decimal(repr(x))`` quantization.
+    Keeps BLAS kernels bit-identical to the expression path's
+    ``F.round(cosine(...), 6)`` without a per-element Python loop."""
+    import decimal
+
+    import numpy as np
+
+    S = np.asarray(S, dtype=np.float64)
+    out = np.round(S, nd)
+    scaled = np.abs(S) * (10.0**nd)
+    frac = scaled - np.floor(scaled)
+    risky = np.isfinite(S) & (np.abs(frac - 0.5) < 1e-6)
+    if risky.any():
+        q = decimal.Decimal(1).scaleb(-nd)
+        flat = out.reshape(-1)
+        for i in np.flatnonzero(risky.reshape(-1)):
+            flat[i] = float(
+                decimal.Decimal(repr(float(S.reshape(-1)[i]))).quantize(
+                    q, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+    return out
+
+
 def collect_codebook(
     centroids: DataFrame, id_col: str, vec_col: str
 ) -> list[tuple[object, list[float]]]:
@@ -113,8 +145,8 @@ def nearest_assign(
     so the oracle can replay the decision.
 
     If ``"_nrm"`` is requested in ``keep`` it is computed here (float64
-    norm of the vector), matching the expression-level ``norm()`` to
-    within final-ulp — consumers round before comparing.
+    norm of the vector) via the same dimension-order left fold as the
+    expression-level ``norm()`` — bit-identical, not merely ulp-close.
 
     ``cent`` columns: ``cent_id``, ``cent_vec``, ``cent_norm``."""
     import numpy as np
@@ -128,7 +160,10 @@ def nearest_assign(
     )
     cent_ids = np.array([c for c, _ in codebook])
     C = np.array([v for _, v in codebook], dtype=np.float64)
-    c_norms = np.sqrt((C * C).sum(axis=1))
+    cn2 = np.zeros(len(C))
+    for _d in range(C.shape[1]):
+        cn2 += C[:, _d] * C[:, _d]
+    c_norms = np.sqrt(cn2)
 
     in_schema = df.schema
     cent_id_type = cent.schema["cent_id"].dataType
@@ -146,10 +181,17 @@ def nearest_assign(
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf[vec].to_numpy()).astype(np.float64)
-            x_norms = np.sqrt((X * X).sum(axis=1))
-            S = (X @ C.T) / np.outer(x_norms, c_norms)
+            # dimension-order left folds (see round_half_up): every
+            # pre-round double matches the expression path bit-for-bit
+            xn2 = np.zeros(len(X))
+            D = np.zeros((len(X), len(C)))
+            for d in range(X.shape[1]):
+                xn2 += X[:, d] * X[:, d]
+                D += np.outer(X[:, d], C[:, d])
+            x_norms = np.sqrt(xn2)
+            S = D / np.outer(x_norms, c_norms)
             if round_to is not None:
-                S = np.round(S, round_to)
+                S = round_half_up(S, round_to)
             best = cent_ids[np.argmax(S, axis=1)]
             cols = {vid: pdf[vid].to_numpy()}
             for c in keep:
@@ -389,7 +431,13 @@ def bucketed_threshold_pairs(
         pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].to_numpy()
         X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        nrm = np.sqrt((X * X).sum(axis=1))
+        dim = X.shape[1]
+        # dimension-order left folds (see round_half_up): pre-round
+        # doubles match the expression path / SQL oracle bit-for-bit
+        nrm2 = np.zeros(n)
+        for d in range(dim):
+            nrm2 += X[:, d] * X[:, d]
+        nrm = np.sqrt(nrm2)
         blk = max(64, PAIR_BLOCK_TARGET // n)
         pa_parts, pb_parts, sim_parts = [], [], []
         for i in range(0, n - 1, blk):
@@ -397,8 +445,11 @@ def bucketed_threshold_pairs(
             b = len(Xi)
             # score rows [i, i+b) against columns [i, n) only — columns
             # below i are strictly lower-triangle for every row here
-            S = np.round(
-                (Xi @ X[i:].T) / np.outer(nrm[i : i + b], nrm[i:]), round_to
+            D = np.zeros((b, n - i))
+            for d in range(dim):
+                D += np.outer(Xi[:, d], X[i:, d])
+            S = round_half_up(
+                D / np.outer(nrm[i : i + b], nrm[i:]), round_to
             )
             upper = np.arange(S.shape[1])[None, :] > np.arange(b)[:, None]
             rr, cc = np.nonzero((S >= threshold) & upper)
@@ -653,14 +704,18 @@ PQ_RERANK = 50  # ADC shortlist size fed to the exact re-rank
 
 
 def _pq_unit(rows):
-    """L2-normalize a sequence/array of vectors (float64). The norm is a
-    sequential numpy reduce (dim < 128), bit-identical to the SQL
-    left-fold — every PQ stage shares this exact normalization."""
+    """L2-normalize a sequence/array of vectors (float64) with a
+    dimension-order left-fold norm — bit-identical to the SQL oracle's
+    fold (np.sum's 8-way unrolled reduce is NOT; it only agrees to final
+    ulp). Every PQ stage shares this exact normalization, which is the
+    real contract: encode/fit/search must see identical unit vectors."""
     import numpy as np
 
     X = np.stack([np.asarray(r, dtype=np.float64) for r in rows])
-    nrm = np.sqrt((X * X).sum(axis=1))
-    return X / nrm[:, None]
+    nrm2 = np.zeros(len(X))
+    for d in range(X.shape[1]):
+        nrm2 += X[:, d] * X[:, d]
+    return X / np.sqrt(nrm2)[:, None]
 
 
 def _pq_seed_codebook(vecs: DataFrame, m: int, n_codes: int):
@@ -1237,8 +1292,11 @@ def ivf_knn_graph(
       over members ∪ probing queries: a gram matrix per (queries ×
       members) block instead of |probes|·n_b interpreted per-element
       folds — the same kernel-vs-expression trade
-      :func:`bucketed_threshold_pairs` makes, with the same np.round
-      parity contract,
+      :func:`bucketed_threshold_pairs` makes; scoring runs in
+      dimension-order left folds with HALF_UP rounding
+      (:func:`round_half_up`), so every emitted cosine is bit-identical
+      to the expression path's ``F.round(cosine(...), 6)``, boundary
+      values included,
     - per-bucket top-k (ordered by rounded cosine DESC, id ASC) merges
       into the global top-k with one |corpus|·nprobe·k-row window.
 
@@ -1317,9 +1375,21 @@ def ivf_knn_graph(
         qids = qs["rid"].to_numpy()
         M = np.stack(mem["rvec"].to_numpy())
         Q = np.stack(qs["rvec"].to_numpy())
-        mn = np.sqrt((M * M).sum(axis=1))
-        qn = np.sqrt((Q * Q).sum(axis=1))
-        S = np.round((Q @ M.T) / np.outer(qn, mn), round_to)
+        # dimension-order left folds, NOT gemm/np.sum: acc evolves as
+        # ((0 + x0·y0) + x1·y1) + … — the exact IEEE op sequence of the
+        # expression path's F.aggregate dot/norm, so every pre-round
+        # double here is bit-identical to ivf_topk's
+        dim = M.shape[1]
+        mn2 = np.zeros(len(mids))
+        qn2 = np.zeros(len(qids))
+        D = np.zeros((len(qids), len(mids)))
+        for d in range(dim):
+            mn2 += M[:, d] * M[:, d]
+            qn2 += Q[:, d] * Q[:, d]
+            D += np.outer(Q[:, d], M[:, d])
+        S = round_half_up(
+            D / np.outer(np.sqrt(qn2), np.sqrt(mn2)), round_to
+        )
         S[qids[:, None] == mids[None, :]] = -np.inf  # mask self
         out_q, out_n, out_s = [], [], []
         kk = min(k, S.shape[1])

@@ -1178,16 +1178,16 @@ def ext_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _wkey_sql(salt: str, w_expr: str) -> str:
+    # 48-bit draw (12 hex chars), Horner chain over BIGINT nibbles —
+    # replays operators/sampling.sample_weighted_topk bit-for-bit
     m = f"md5(CAST(doc_id AS VARCHAR) || '{salt}')"
-    digits = [
-        f"(strpos('0123456789abcdef', substr({m}, {i}, 1)) - 1)"
-        for i in range(1, 5)
-    ]
-    val = (
-        f"((({digits[0]} * 16 + {digits[1]}) * 16 + {digits[2]}) * 16 "
-        f"+ {digits[3]})"
+    val = "CAST(0 AS BIGINT)"
+    for i in range(1, 13):
+        d = f"(strpos('0123456789abcdef', substr({m}, {i}, 1)) - 1)"
+        val = f"(({val}) * 16 + {d})"
+    return (
+        f"round(-ln(({val} + 0.5) / 281474976710656.0) / ({w_expr}), 12)"
     )
-    return f"round(-ln(({val} + 0.5) / 65536.0) / ({w_expr}), 12)"
 
 
 _W_EXPR = ("CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.0 "
@@ -1203,6 +1203,7 @@ _W_EXPR = ("CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.0 "
                    ORDER BY {_wkey_sql('w0', _W_EXPR)}, doc_id
                ) AS rn
         FROM documents
+        WHERE ({_W_EXPR}) > 0
     ) WHERE rn <= 50
     """,
     tags=("ext", "sampling"),

@@ -521,13 +521,17 @@ _HIST_BINS = 20
 
 _HIST_ORACLE = f"""
 WITH b AS (
-    SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+    SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+           max(CAST(l_extendedprice AS DOUBLE)) AS mx
     FROM lineitem
 )
-SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / {_HIST_BINS})),
-                  {_HIST_BINS - 1}) AS INT) AS bin,
+SELECT CAST(CASE WHEN mx = mn THEN 0
+            ELSE least(floor((CAST(l_extendedprice AS DOUBLE) - mn)
+                             / ((mx - mn) / {_HIST_BINS})),
+                       {_HIST_BINS - 1})
+            END AS INT) AS bin,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(l_extendedprice), 2) AS total
+       round(sum(CAST(l_extendedprice AS DOUBLE)), 2) AS total
 FROM lineitem, b
 GROUP BY 1
 """
@@ -542,19 +546,28 @@ def ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     w=(mx−mn)/20), computed identically in both engines so even the
     edge-of-bin rows land identically (no rounding needed on the bin
     itself). The top bin is closed (least(…, 19)) so the maximum lands
-    in-range."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
-    b = li.agg(
-        F.min("l_extendedprice").alias("mn"),
-        F.max("l_extendedprice").alias("mx"),
-    ).collect()[0]
+    in-range. Both twins cast the measure to double FIRST (a decimal
+    fixture would otherwise bin under decimal arithmetic in one engine
+    and IEEE in the other) and short-circuit a degenerate mx == mn
+    range to a single bin 0 (bin width 0 would put every row at NaN)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return equi_width_histogram(li, "l_extendedprice", _HIST_BINS)
+
+
+def equi_width_histogram(df: DataFrame, col: str, bins: int) -> DataFrame:
+    """Shared histogram kernel (see ext_histogram for the plan shape and
+    the degenerate-range / decimal-cast contract)."""
+    vals = df.select(F.col(col).cast("double").alias(col))
+    b = vals.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).collect()[0]
     mn, mx = float(b["mn"]), float(b["mx"])
-    w = (mx - mn) / _HIST_BINS
-    bin_col = F.least(
-        F.floor((F.col("l_extendedprice") - mn) / w),
-        F.lit(_HIST_BINS - 1),
-    ).cast("int")
-    return li.groupBy(bin_col.alias("bin")).agg(
+    if mx == mn:
+        bin_col = F.lit(0).cast("int")
+    else:
+        w = (mx - mn) / bins
+        bin_col = F.least(
+            F.floor((F.col(col) - mn) / w), F.lit(bins - 1)
+        ).cast("int")
+    return vals.groupBy(bin_col.alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        F.round(F.sum(col), 2).alias("total"),
     )

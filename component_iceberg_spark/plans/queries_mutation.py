@@ -174,6 +174,55 @@ def snap_append_current(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snap_append_ordered",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CAST(row_number() OVER (ORDER BY n_name) AS INTEGER) AS _row_idx,
+           CAST(row_number() OVER (ORDER BY n_name) AS INTEGER) AS read_pos
+    FROM nation
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_append_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``preserve_insertion_order=true`` through the snapshot catalog
+    end-to-end (``ex-iceberg/src/component.py:106-107``): the source is
+    stamped with an explicit insertion index (by n_name — deliberately
+    NOT the physical fixture order), appended with ``sort_by`` so the
+    commit is range-partitioned + sorted on that index across several
+    files, then read back with the physical read position derived from
+    ``(_metadata.file_path, _metadata.row_index)``. The oracle pins
+    ``read_pos == _row_idx`` for every row — i.e. the scan really does
+    return insertion order, file boundaries included. No coalesce(1) and
+    no single-task sort anywhere: the ordered write is range-partitioned,
+    and the read-back position uses the same scale-safe global_rank that
+    stamps the index (a bare Window.orderBy would sort in one task)."""
+    cat = _warehouse(sf_dir, "append_ordered")
+    from component_iceberg_spark.io.csv_io import with_row_index
+    from component_iceberg_spark.operators.relational import global_rank
+
+    src = with_row_index(load_table(spark, sf_dir, "nation"), ["n_name"])
+    cat.create_namespace("ns")
+    cat.append("ns", "nation_ordered", src, sort_by=["_row_idx"],
+               sort_partitions=4)
+    df = cat.read(spark, "ns", "nation_ordered").select(
+        "n_nationkey",
+        "n_name",
+        "_row_idx",
+        F.col("_metadata.file_path").alias("_fp"),
+        F.col("_metadata.row_index").alias("_ri"),
+    )
+    ranked = global_rank(
+        df, [F.col("_fp"), F.col("_ri")], rank_col="read_pos"
+    )
+    return ranked.select(
+        "n_nationkey",
+        "n_name",
+        "_row_idx",
+        F.col("read_pos").cast("int").alias("read_pos"),
+    )
+
+
+@register(
     "snap_replace",
     oracle="SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'",
     tags=("parity", "snapshot"),

@@ -866,11 +866,13 @@ HYBRID_TOPK = 10
 RRF_C = 60  # the canonical RRF constant (Cormack et al. 2009)
 
 
-def _hybrid_oracle() -> str:
+def _hybrid_cte() -> str:
+    """CTE chain ending in ``cand(doc_id, lex_rank, sem_rank, rrf)`` —
+    the fused candidate list, shared by the hybrid oracle and the
+    re-rank oracle so the generate stage cannot drift between them."""
     from component_iceberg_spark.plans.queries_similarity import _cos, _norm_cte
 
-    return f"""
-    WITH {_bm25_cte()},
+    return f"""{_bm25_cte()},
     {_norm_cte("ed", "en")},
     hq AS (SELECT v AS qv, nrm AS qn FROM en WHERE vec_id = {HYBRID_QUERY_ID}),
     sem0 AS (
@@ -892,14 +894,22 @@ def _hybrid_oracle() -> str:
                     AS INTEGER) AS lex_rank
         FROM bm
         QUALIFY lex_rank <= {HYBRID_K}
-    )
-    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
-           lex_rank, sem_rank,
-           round(COALESCE(1.0 / ({RRF_C} + lex_rank), 0)
-                 + COALESCE(1.0 / ({RRF_C} + sem_rank), 0), 6) AS rrf
-    FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
-    ORDER BY rrf DESC, COALESCE(lex.doc_id, sem.doc_id)
-    LIMIT {HYBRID_TOPK}
+    ),
+    cand AS (
+        SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+               lex_rank, sem_rank,
+               round(COALESCE(1.0 / ({RRF_C} + lex_rank), 0)
+                     + COALESCE(1.0 / ({RRF_C} + sem_rank), 0), 6) AS rrf
+        FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+        ORDER BY rrf DESC, COALESCE(lex.doc_id, sem.doc_id)
+        LIMIT {HYBRID_TOPK}
+    )"""
+
+
+def _hybrid_oracle() -> str:
+    return f"""
+    WITH {_hybrid_cte()}
+    SELECT doc_id, lex_rank, sem_rank, rrf FROM cand
     """
 
 
@@ -951,6 +961,93 @@ def text_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(HYBRID_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-encoder-style re-rank over the hybrid candidates (r7)
+# ---------------------------------------------------------------------------
+
+# Fixed offline "cross-encoder" weights over pair features: per-query-term
+# saturated tf (the query×document cross signal), the two retrieval-stage
+# priors, and the document quality probability. The exact feature ORDER is
+# the contract — both engines sum z left-to-right in this sequence.
+RERANK_BIAS = -1.0
+RERANK_TF_WEIGHTS = (("merge", 0.8), ("scan", 0.5), ("window", 0.4))
+RERANK_LEX_W = 20.0
+RERANK_SEM_W = 15.0
+RERANK_QUALITY_W = 1.2
+
+
+def _rerank_oracle() -> str:
+    prob = _classifier_prob_sql()
+    z = str(RERANK_BIAS)
+    for t, w in RERANK_TF_WEIGHTS:
+        z += (f" + ln(1.0 + len(list_filter("
+             f"regexp_split_to_array(trim(lower(text)), '\\s+'),"
+             f" x -> x = '{t}'))) * {w}")
+    z += f" + COALESCE(1.0 / ({RRF_C} + lex_rank), 0) * {RERANK_LEX_W}"
+    z += f" + COALESCE(1.0 / ({RRF_C} + sem_rank), 0) * {RERANK_SEM_W}"
+    z += f" + {prob} * {RERANK_QUALITY_W}"
+    return f"""
+    WITH {_hybrid_cte()}
+    SELECT doc_id, lex_rank, sem_rank,
+           round(1.0 / (1.0 + exp(-({z}))), 6) AS rerank_score,
+           CAST(row_number() OVER (
+               ORDER BY round(1.0 / (1.0 + exp(-({z}))), 6) DESC, doc_id
+           ) AS INTEGER) AS rerank_pos
+    FROM cand JOIN documents USING (doc_id)
+    """
+
+
+@register(
+    "text_rerank_topk",
+    oracle=_rerank_oracle(),
+    tags=("ext", "text", "search"),
+)
+def text_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate → fuse → RE-RANK, completing the retrieval stack: the
+    hybrid RRF candidates (text_hybrid_topk) are re-scored by a fixed-
+    weight logistic "cross-encoder" over query×document pair features —
+    saturated per-query-term tf (ln(1+tf), the cross signal a real
+    cross-encoder would model), both retrieval-stage priors, and the
+    offline quality probability (text_quality_classifier pattern) — and
+    re-ordered by the calibrated score.
+
+    Scale shape: the candidate list is k-bounded by construction
+    (HYBRID_TOPK rows), so it BROADCASTS into the documents join — the
+    feature extraction touches only the k candidate documents via a
+    broadcast-semi lookup, never rescans the corpus; the final re-rank
+    window runs over k rows. This staged design (cheap generator at
+    corpus scale, expensive scorer at k) is exactly why re-rankers exist.
+    The oracle replays feature extraction and the z-sum in identical
+    left-to-right order."""
+    cand = text_hybrid_topk(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    j = d.join(F.broadcast(cand), "doc_id")
+    toks = X.tokens(F.lower(F.col("text")))
+
+    def _tf(term):
+        # factory, not a default-arg lambda: a 2-parameter lambda would
+        # be interpreted by F.filter as (element, index)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    z = F.lit(float(RERANK_BIAS))
+    for t, w in RERANK_TF_WEIGHTS:
+        z = z + F.log(F.lit(1.0) + _tf(t)) * F.lit(w)
+    z = z + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_C) + F.col("lex_rank")), F.lit(0.0)
+    ) * F.lit(RERANK_LEX_W)
+    z = z + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_C) + F.col("sem_rank")), F.lit(0.0)
+    ) * F.lit(RERANK_SEM_W)
+    z = z + X.classifier_score("text") * F.lit(RERANK_QUALITY_W)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    scored = j.select(
+        "doc_id", "lex_rank", "sem_rank", score.alias("rerank_score")
+    )
+    w = Window.orderBy(F.col("rerank_score").desc(), "doc_id")
+    # k-bounded input (HYBRID_TOPK rows) — the bare window is a k-row sort
+    return scored.withColumn("rerank_pos", F.row_number().over(w))
 
 
 # ---------------------------------------------------------------------------

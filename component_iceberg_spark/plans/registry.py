@@ -58,24 +58,195 @@ _QUERY_MODULES = (
 # The external gate checks the first ~50 entries of queries() each round.
 #
 # ROTATION SCHEDULE (so every query is re-checked within ~3 rounds, and a
-# regression anywhere is externally caught, not just by local pytest):
-#   1. Queries that have NEVER had a gate row, plus queries whose
-#      implementation or oracle CHANGED this round — they must (re)earn
-#      a green row first.
-#   2. PINNED SENTINELS — a fixed set of high-value queries (flagship,
-#      one per family: streaming, dedup, ANN, multimodal, mutation) kept
-#      in the window EVERY round, so a regression in a core path never
-#      waits for the rotation to come back around.
+# regression anywhere is externally caught, not just by local pytest).
+# Revised in r7 after the r5/r6 windows let the sentinels go stale
+# (VERDICT r6 "What's wrong" #1): sentinels now lead UNCONDITIONALLY.
+#   1. PINNED SENTINELS — eight flagships, one per family (TPC-H agg,
+#      TPC-H join, streaming, semantic dedup, LSH dedup, multimodal,
+#      sessionize, ANN), in the window EVERY round, ALWAYS first. A core
+#      path regression must never wait for the rotation.
+#   2. Queries that have NEVER had a gate row, plus queries whose
+#      implementation or oracle CHANGED this round — they (re)earn a
+#      green row before any already-green backlog re-checks.
 #   3. The remaining slots take registered queries ordered by the age of
-#      their last gate row, OLDEST FIRST (r4 fills with the 38 queries
-#      last checked in round 1; round 5 takes the round-2 cohort, etc.).
+#      their last gate row, OLDEST FIRST; queries with a green row from
+#      the immediately preceding round sit at the tail.
 # Names here that don't exist are ignored (safe across refactors).
 _GATE_PRIORITY = (
-    # --- 1a. changed in r4 but NOT re-gated there (VERDICT r4 "What's
-    #     wrong" #2) — the similarity/cast-hoist rewrite, the
-    #     connected-components reuse, the upsert tie-break encoding, the
-    #     streaming schema-probe memo — plus pipeline_pretrain_prep whose
-    #     ORACLE changed in r5 (BIGINT cast fix for the red r4 row).
+    # --- 1. PINNED SENTINELS FIRST (r7 rotation; VERDICT r6 "Next round"
+    #     #1). All eight were last gated in r4 (dedup_minhash_lsh in r6 via
+    #     the changed-code tier) — two-rounds stale is the documented
+    #     maximum, so they lead unconditionally this round and every round
+    #     hereafter. One flagship per family: TPC-H agg, TPC-H join,
+    #     streaming, semantic dedup, LSH dedup, multimodal, sessionize, ANN.
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "dedup_minhash_lsh",
+    "stream_window_counts",
+    "dedup_semantic",
+    "mm_feature_extract",
+    "ext_sessionize",
+    "sim_ann_ivf",
+    # --- 2. the 17 queries with ZERO driver rows ever (late-r5 newborns
+    #     that fell past the oversubscribed r5/r6 windows, plus func_array,
+    #     the designated r5 risk slot that missed). Queries whose code or
+    #     oracle changed in r7 (sample_weighted_topk draw widening,
+    #     histogram degenerate-range guard, knn-graph rounding contract)
+    #     are in this set already — changed code re-earns its row here.
+    "snap_merge_multi",
+    "snap_orphan_cleanup",
+    "ext_interval_join",
+    "ext_graph_triangles",
+    "ext_corr_matrix",
+    "ext_pca_project",
+    "snap_zorder_rewrite",
+    "ext_shard_shuffle",
+    "ext_dbscan_grid",
+    "stream_anomaly_alerts",
+    "snap_scd2_apply",
+    "text_url_canonicalize",
+    "ext_histogram",
+    "mm_train_record",
+    "sim_knn_graph_clusters",
+    "ext_sample_weighted",
+    "func_array",
+    # --- 2b. new-in-r7 queries insert here as they register
+    #     (never gate-checked → ahead of any already-green backlog)
+    "snap_append_ordered",
+    "text_rerank_topk",
+    # --- 3. oldest-first backlog. r1 stragglers (last green r4 via the
+    #     r4 window) then the round-2 cohort and snap remainder (last
+    #     green r2/r4). ~25 of these fit the ~50 window after the 27
+    #     names above; the rest complete in r8.
+    "ext_agg_approx",
+    "ext_agg_salted",
+    "ext_range_join",
+    "join_outer",
+    "q12_priority_shipmode",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q6_forecast_revenue",
+    # round-2 cohort (oldest-first tier)
+    "dedup_exact",
+    "dedup_last_wins",
+    "dedup_ngram_jaccard",
+    "ext_global_rank",
+    "ext_grouped_pandas",
+    "ext_string_agg",
+    "ext_window_distribution",
+    "func_conditional",
+    "func_datetime",
+    "func_json",
+    "func_string",
+    "incremental_load_flag",
+    "mm_dedup_content",
+    "mm_frame_sample",
+    "mm_ingest_hash",
+    "pipeline_curation",
+    "snap_append_current",
+    "snap_append_timetravel",
+    "snap_catalog_meta",
+    "snap_compact",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_span_dedup",
+    "text_tokens",
+    "text_top_ngrams",
+    # r2 snap remainder
+    "snap_delete_where",
+    "snap_partitioned_scan",
+    "snap_replace",
+    "snap_schema_evolution",
+    "snap_snapshots_list",
+    "snap_stats_pruned_scan",
+    "snap_update_where",
+    # --- 3b. remaining mid-age cohorts (last green r3/r4; listed
+    #     explicitly, alphabetical within the tier, so they rank
+    #     AHEAD of the fresh-r6 tail in the r8+ rotation)
+    "cast_coerce",
+    "dedup_simhash",
+    "ext_agg_cube",
+    "ext_agg_groupby",
+    "ext_agg_rollup",
+    "ext_asof_join",
+    "ext_cardinality_hll",
+    "ext_contamination_screen",
+    "ext_embedding_mean_pool",
+    "ext_nested_ops",
+    "ext_overlap_theta",
+    "ext_percentile_exact",
+    "ext_pivot",
+    "ext_quantile_kll",
+    "ext_sample_deterministic",
+    "ext_sample_group_cap",
+    "ext_sample_stratified",
+    "ext_setop_except",
+    "ext_setop_intersect",
+    "ext_topk",
+    "ext_unpivot",
+    "ext_window_analytic",
+    "ext_window_rank",
+    "insert_union",
+    "join_anti",
+    "join_semi",
+    "meta_describe",
+    "mm_audio_segments",
+    "mm_frame_features",
+    "mm_frame_hash",
+    "mm_probe_audio",
+    "mm_probe_video",
+    "order_preserve",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_part_supplier_cnt",
+    "q19_discounted_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "scan_custom_sql",
+    "scan_filter_pushdown",
+    "scan_full",
+    "scan_limit",
+    "scan_projection",
+    "sim_ann_ivf_kmeans",
+    "sink_csv",
+    "sink_orc",
+    "sink_parquet",
+    "sink_parquet_partitioned",
+    "snap_delete_mor",
+    "snap_hidden_partition",
+    "snap_incremental_read",
+    "snap_partition_evolution",
+    "snap_rollback",
+    "snap_tag_read",
+    "source_csv_all_varchar",
+    "source_csv_typed",
+    "source_json",
+    "stream_session_window",
+    "stream_stateful_totals",
+    "text_bm25_topk",
+    "text_chunk_windows",
+    "text_lm_score",
+    "text_normalize",
+    "text_pack_offsets",
+    "text_quality_classifier",
+    "text_redact_pii",
+    "text_repetition",
+    "upsert_by_key",
+    # --- 4. TAIL: the r5 1a/1b cohort — every name below holds a fresh
+    #     r6 green row (CORRECTNESS_r06.json), so they yield the window
+    #     to the stale tiers above and rotate back in r8+ as their rows
+    #     age past the other cohorts'.
     "pipeline_pretrain_prep",
     "sim_ann_hyperplane",
     "sim_topk_bruteforce",
@@ -86,13 +257,6 @@ _GATE_PRIORITY = (
     "stream_dedup_watermark",
     "stream_stream_join",
     "stream_upsert_snaptable",
-    # minhash_lsh_dedup / incremental_minhash_pairs gained profile-reuse
-    # params and the streaming screen was fused in r5 — the LSH family
-    # re-earns rows ahead of the sentinels (dedup_minhash_lsh is listed
-    # here so it stays inside the ~50 window despite the 1a+1b overflow
-    # documented at the sentinel block)
-    "dedup_minhash_lsh",
-    # --- 1b. new in r5 (never gate-checked; newest batch first)
     "ext_timeseries_features",
     "ext_integrity_check",
     "func_bitwise",
@@ -132,99 +296,6 @@ _GATE_PRIORITY = (
     "ext_join_salted",
     "ext_join_bucketed",
     "snap_expire",
-    # func_array sits last in 1b deliberately: with 51 new/changed names
-    # and a ~50 window, ONE must risk the cutoff, and a pure-expression
-    # query whose oracle already CASTs every aggregate is the least
-    # likely to diverge on the driver's Arrow path
-    "func_array",
-    # --- 1c. late-r5 newborns: registered after the window was already
-    #     oversubscribed, so they deliberately queue BEHIND func_array
-    #     (outside the ~50 cutoff) and re-earn in r6 right after the
-    #     sentinel block — all carry exact oracles and local pytest rows.
-    "snap_merge_multi",
-    "snap_orphan_cleanup",
-    "ext_interval_join",
-    "ext_graph_triangles",
-    "ext_corr_matrix",
-    "ext_pca_project",
-    "snap_zorder_rewrite",
-    "ext_shard_shuffle",
-    "ext_dbscan_grid",
-    "stream_anomaly_alerts",
-    "snap_scd2_apply",
-    "text_url_canonicalize",
-    "ext_histogram",
-    "mm_train_record",
-    "sim_knn_graph_clusters",
-    "ext_sample_weighted",
-    # snap_cluster_rewrite's shared tail was refactored in late r5
-    # (zorder extraction); it already sits in the r5 window at 1b.
-    # --- 2. pinned sentinels (keep this set stable round over round;
-    #     dedup_minhash_lsh is serving its sentinel turn from section 1a
-    #     this round — changed code leads — and returns here in r6).
-    #     r5 NOTE: sections 1a+1b hold 51 names, so func_array (the
-    #     designated risk slot, position 51) and EVERY sentinel fall
-    #     past a strict-50 window this round. That is rule #1 working as
-    #     intended — a new query with NO row ever is worse than an
-    #     unchanged sentinel retaining its r4 green row (and the driver
-    #     separately smoke-runs entry() == the q1 flagship each round).
-    #     r6 MUST lead with ALL EIGHT sentinels (q1_pricing_summary
-    #     included) plus func_array if it missed, plus any query changed
-    #     in r6.
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
-    "stream_window_counts",
-    "dedup_semantic",
-    "mm_feature_extract",
-    "ext_sessionize",
-    "sim_ann_ivf",
-    # --- 3. oldest-first backlog: the 9 round-1 stragglers that fell
-    #     past the r4 window's ~50 cutoff, then the round-2 cohort
-    #     (its remainder + snap family rotate in r6).
-    "ext_agg_approx",
-    "ext_agg_salted",
-    "ext_range_join",
-    "join_outer",
-    "q12_priority_shipmode",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q6_forecast_revenue",
-    # round-2 cohort (oldest-first tier)
-    "dedup_exact",
-    "dedup_last_wins",
-    "dedup_ngram_jaccard",
-    "ext_global_rank",
-    "ext_grouped_pandas",
-    "ext_string_agg",
-    "ext_window_distribution",
-    "func_conditional",
-    "func_datetime",
-    "func_json",
-    "func_string",
-    "incremental_load_flag",
-    "mm_dedup_content",
-    "mm_frame_sample",
-    "mm_ingest_hash",
-    "pipeline_curation",
-    "snap_append_current",
-    "snap_append_timetravel",
-    "snap_catalog_meta",
-    "snap_compact",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_span_dedup",
-    "text_tokens",
-    "text_top_ngrams",
-    # r2 snap remainder — likely past the ~50 cutoff; completes in r6
-    "snap_delete_where",
-    "snap_partitioned_scan",
-    "snap_replace",
-    "snap_schema_evolution",
-    "snap_snapshots_list",
-    "snap_stats_pruned_scan",
-    "snap_update_where",
 )
 
 

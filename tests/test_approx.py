@@ -337,3 +337,53 @@ def test_ivf_knn_graph_matches_expression_path(spark, sf_dir):
         ).collect()
     }
     assert blas == expr and len(blas) > 0
+
+
+def test_round_half_up_matches_engines():
+    """round_half_up replays Spark/DuckDB round() at the exact decimal
+    midpoints where np.round's binary half-to-even disagrees (engine
+    values pinned by an empirical probe: Spark 4.1.2 and DuckDB agree on
+    all of these)."""
+    import numpy as np
+
+    from component_iceberg_spark.operators.similarity import round_half_up
+
+    vals = np.array([2.5e-6, -2.5e-6, 0.1234565, 0.12345650000000001,
+                     0.74999995, 0.9999995, 0.6])
+    want = [3e-6, -3e-6, 0.123457, 0.123457, 0.75, 1.0, 0.6]
+    got = round_half_up(vals, 6)
+    assert got.tolist() == want
+    # np.round genuinely differs on the first three — the helper is not
+    # a no-op wrapper
+    assert float(np.round(0.1234565, 6)) == 0.123456
+
+
+def test_ivf_knn_graph_exact_at_half_boundary(spark):
+    """The BLAS kernel == expression path contract pinned on a cosine
+    that lands EXACTLY on a 6dp midpoint (fold-cosine of the two crafted
+    vectors is the double 0.1234565: np.round would emit 0.123456 where
+    the expression path emits 0.123457 — the kernel must follow the
+    expression path bit-for-bit)."""
+    from component_iceberg_spark.operators import similarity as S
+
+    # fold_cos([1,0], [b0,b1]) == 0.1234565 exactly: b0=2*0.1234565 is
+    # exact, b1 chosen so fl(b0²+b1²)==4.0 → norm product exactly 2
+    b0, b1 = 0.246913, 1.9846999698773111
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [b0, b1]),
+        (3, [0.5, 0.5]),
+        (4, [-1.0, 0.25]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    blas = {tuple(r) for r in S.ivf_knn_graph(e, cents, 1, 3).collect()}
+    expr = {
+        tuple(r)
+        for r in S.ivf_topk(e, e, cents, 1, 3, broadcast_probes=False).collect()
+    }
+    assert blas == expr and len(blas) > 0
+    boundary = {r for r in blas if r[2] == 0.123457}
+    assert boundary, "midpoint cosine missing — fixture no longer exercises the fallback"

@@ -276,6 +276,24 @@ def test_no_growing_table_static_broadcast(spark, sf_dir, name):
         )
 
 
+def test_histogram_degenerate_range_single_bin(spark):
+    """equi_width_histogram on a constant column: bin width would be 0
+    (every row at NaN bin); the guard short-circuits to one bin 0
+    carrying all rows. Decimal input exercises the double-cast path."""
+    from decimal import Decimal
+
+    from component_iceberg_spark.plans.queries_functions import (
+        equi_width_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(Decimal("7.50"),)] * 11, schema="x decimal(10,2)"
+    )
+    out = equi_width_histogram(df, "x", 20).collect()
+    assert len(out) == 1
+    assert (out[0]["bin"], out[0]["n"], out[0]["total"]) == (0, 11, 82.5)
+
+
 def test_gate_priority_names_all_registered():
     """_GATE_PRIORITY tolerates unknown names at runtime (safe across
     refactors), which means a typo silently drops a query from the gate

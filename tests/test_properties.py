@@ -467,6 +467,50 @@ def test_split_assign_exhaustive_and_stable(spark, fracs, n):
     assert {r["doc_id"]: r["split"] for r in out2} == labels
 
 
+def test_sample_weighted_topk_matches_model_and_guards(spark):
+    """sample_weighted_topk replays exactly in a Python model of the same
+    48-bit md5 race (so the DuckDB oracle's Horner-chain SQL is the same
+    computation), excludes NULL and non-positive weights instead of
+    letting their NULL/negative race keys sort first and always win, and
+    is invariant to partitioning."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.operators import sampling as SA
+
+    # weights: id%5==0 → NULL, id%5==1 → 0 (both must be excluded),
+    # else 0.5/2.0/4.0 by residue
+    rows = [(i,) for i in range(400)]
+    df = spark.createDataFrame(rows, schema="doc_id int")
+    w = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("double"))
+        .when(F.col("doc_id") % 5 == 1, 0.0)
+        .when(F.col("doc_id") % 5 == 2, 0.5)
+        .when(F.col("doc_id") % 5 == 3, 2.0)
+        .otherwise(4.0)
+    )
+    got = [r.doc_id for r in SA.sample_weighted_topk(df, "doc_id", w, 25).collect()]
+
+    def key(i: int) -> tuple:
+        wt = {2: 0.5, 3: 2.0, 4: 4.0}[i % 5]
+        v = int(hashlib.md5(f"{i}w0".encode()).hexdigest()[:12], 16)
+        u = (v + 0.5) / float(1 << 48)
+        return (round(-math.log(u) / wt, 12), i)
+
+    eligible = [i for i in range(400) if i % 5 in (2, 3, 4)]
+    want = sorted(eligible, key=key)[:25]
+    assert sorted(got) == sorted(want)
+    assert not {i for i in got if i % 5 in (0, 1)}  # guards held
+
+    got2 = [
+        r.doc_id
+        for r in SA.sample_weighted_topk(df.repartition(7), "doc_id", w, 25).collect()
+    ]
+    assert sorted(got2) == sorted(want)
+
+
 def test_incremental_pairs_profile_path_equals_direct(spark, sf_dir):
     """The stored-profile fast path of incremental_minhash_pairs must be
     result-identical to the build-it-inline path — both feed the same

@@ -1034,6 +1034,75 @@ def test_merge_no_overlap_rejects_schema_mismatch(spark, tmp_path):
     assert cat.read(spark, "ns", "t").count() == 10
 
 
+def test_upsert_no_overlap_rejects_schema_mismatch(spark, tmp_path):
+    """upsert shares merge's hoisted schema gate: a delta whose key range
+    misses every target dir (zero candidates) but whose columns diverge
+    used to commit as a new data dir beside the carried ones — a silent
+    mixed-schema table."""
+    import pytest
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.create_or_replace(
+        "ns", "t",
+        spark.createDataFrame([(i, "t") for i in range(10)], "k long, tag string"),
+    )
+    bad = spark.createDataFrame([(1000, 3.14)], "k long, other double")
+    with pytest.raises(ValueError, match="schema must match"):
+        cat.upsert("ns", "t", bad, keys=["k"])
+    bad2 = spark.createDataFrame([(3, 2.71)], "k long, other double")
+    with pytest.raises(ValueError, match="schema must match"):
+        cat.upsert("ns", "t", bad2, keys=["k"])
+    assert cat.read(spark, "ns", "t").count() == 10
+
+
+def test_merge_upsert_reject_type_divergence(spark, tmp_path):
+    """Same column NAMES but divergent TYPES must fail the gate too —
+    name-only validation let a no-candidate merge/upsert commit a
+    type-mixed table (the manifest records the full Spark schema JSON,
+    so types are checkable up front)."""
+    import pytest
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.create_or_replace(
+        "ns", "t",
+        spark.createDataFrame([(i, "t") for i in range(10)], "k long, tag string"),
+    )
+    # no-candidate key range AND tag is double, not string
+    bad = spark.createDataFrame([(1000, 3.14)], "k long, tag double")
+    with pytest.raises(ValueError, match="types must match"):
+        cat.upsert("ns", "t", bad, keys=["k"])
+    with pytest.raises(ValueError, match="types must match"):
+        cat.merge("ns", "t", bad, keys=["k"])
+    assert cat.read(spark, "ns", "t").count() == 10
+
+
+def test_schema_gate_falls_back_without_manifest_schema(spark, tmp_path):
+    """A legacy manifest with no recorded schema must NOT skip the gate:
+    the check falls back to the table's physical read schema, so the
+    no-candidate mixed-schema commit stays impossible."""
+    import json
+    import pytest
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.create_or_replace(
+        "ns", "t",
+        spark.createDataFrame([(i, "t") for i in range(10)], "k long, tag string"),
+    )
+    # simulate a legacy snapshot: blank the recorded schema in-place
+    sid = cat._current_sid("ns", "t")
+    mpath = cat._tbl("ns", "t", "snapshots", f"{sid}.json")
+    m = json.loads(open(mpath).read())
+    m["schema"] = None
+    open(mpath, "w").write(json.dumps(m))
+    bad = spark.createDataFrame([(1000, 3.14)], "k long, other double")
+    with pytest.raises(ValueError, match="schema must match"):
+        cat.upsert("ns", "t", bad, keys=["k"])
+    # a well-formed delta still goes through on the fallback path
+    ok = spark.createDataFrame([(1000, "new")], "k long, tag string")
+    cat.upsert("ns", "t", ok, keys=["k"])
+    assert cat.read(spark, "ns", "t").count() == 11
+
+
 def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
     """The z-order contract vs single-column clustering: after
     zorder_rewrite on (a, b), range predicates on a AND on b each skip
