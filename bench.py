@@ -386,6 +386,9 @@ def main() -> None:
         # new in r7
         "snap_append_ordered",
         "text_rerank_topk",
+        "stream_topk_trending",
+        "ext_histogram_equidepth",
+        "sim_ann_ivf_stored",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

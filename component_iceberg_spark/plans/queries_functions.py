@@ -554,6 +554,70 @@ def ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equi_width_histogram(li, "l_extendedprice", _HIST_BINS)
 
 
+_EQUIDEPTH_ORACLE = """
+WITH r AS (
+    SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+           row_number() OVER (
+               ORDER BY CAST(l_extendedprice AS DOUBLE),
+                        l_orderkey, l_linenumber
+           ) - 1 AS rnk0,
+           count(*) OVER () AS n
+    FROM lineitem
+)
+SELECT CAST(floor(rnk0 * 10 / n) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(min(x), 2) AS lo,
+       round(max(x), 2) AS hi,
+       round(sum(x), 2) AS total
+FROM r
+GROUP BY 1
+"""
+
+
+@register(
+    "ext_histogram_equidepth",
+    oracle=_EQUIDEPTH_ORACLE,
+    tags=("ext", "functions", "stats"),
+)
+def ext_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 equal-population bins over price) — the
+    profiling twin of ext_histogram's equi-width bins, and the exact
+    form of what ntile(10) computes. Bin assignment is pure rank
+    arithmetic, bin = floor((rank-1)·k/n): integer operands are
+    identical in both engines and the one double division is correctly
+    rounded from identical inputs, so bins match EXACTLY — deliberately
+    NOT quantile-boundary comparison, where a data value sitting on an
+    interpolated boundary could flip bins on a final-ulp difference.
+
+    Scale shape: the ranking is operators/relational.global_rank (range
+    partition + per-partition offsets — no single-task sort, unlike a
+    bare ntile window), the total count broadcasts as a 1-row join, and
+    the bin aggregate is one hash Exchange on 10 keys."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("double").alias("x"),
+    )
+    ranked = relational.global_rank(
+        li,
+        [F.col("x"), F.col("l_orderkey"), F.col("l_linenumber")],
+        rank_col="_rnk",
+    )
+    n = li.agg(F.count(F.lit(1)).alias("_n"))
+    binned = ranked.crossJoin(F.broadcast(n)).select(
+        F.floor(
+            (F.col("_rnk") - 1) * 10 / F.col("_n")
+        ).cast("int").alias("bin"),
+        "x",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("x"), 2).alias("lo"),
+        F.round(F.max("x"), 2).alias("hi"),
+        F.round(F.sum("x"), 2).alias("total"),
+    )
+
+
 def equi_width_histogram(df: DataFrame, col: str, bins: int) -> DataFrame:
     """Shared histogram kernel (see ext_histogram for the plan shape and
     the degenerate-range / decimal-cast contract)."""

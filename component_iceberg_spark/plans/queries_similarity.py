@@ -165,6 +165,105 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_ann_ivf_stored", oracle=_ivf_oracle(), tags=("ext", "similarity")
+)
+def sim_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-index IVF layout end-to-end — the claim sim_ann_ivf's
+    docstring makes ("at 100 TB the bucket column becomes the table's
+    partition key") actually executed: assignments are computed ONCE at
+    ingest (nearest_assign) and committed to the snapshot catalog
+    HIVE-PARTITIONED BY BUCKET; the query side computes its probe list
+    (the same rounded expression arithmetic as ivf_topk), collects the
+    probed bucket ids (nprobe × |queries| values — metadata-sized), and
+    reads the stored table with ``where="bucket IN (…)"`` so the scan
+    PRUNES every unprobed partition at file-listing time. Same
+    quantization, probing, rounding, and tie-breaks as sim_ann_ivf, so
+    the SAME exact oracle gates it — the match proves the store/read/
+    prune round-trip changes nothing but I/O."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+
+    from pyspark.sql import Window
+
+    from component_iceberg_spark.io.snaptable import SnapCatalog
+
+    e = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    centroids = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "label")
+    )
+    cent = centroids.select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_vec"),
+        S.norm(F.col("embedding")).alias("cent_norm"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    bucketed = S.nearest_assign(
+        corpus, cent, "neighbor_id", "c_vec", "bucket", keep=("c_vec",)
+    )
+    scratch = _os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/cis_scratch")
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = _os.path.join(scratch, tag, "warehouse", "ivf_assign")
+    if _os.path.isdir(wh):
+        _sh.rmtree(wh)
+    cat = SnapCatalog(wh)
+    cat.create_or_replace("ann", "ivf_assign", bucketed, partition_by=["bucket"])
+
+    q = e.filter(F.col("vec_id").isin(list(QUERY_IDS))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    scored_q = (
+        q.withColumn("_nrm", S.norm(F.col("q_vec")))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "cent_id",
+            F.round(
+                S.dot(F.col("q_vec"), F.col("cent_vec"))
+                / (F.col("_nrm") * F.col("cent_norm")),
+                6,
+            ).alias("csim"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cent_id")
+    )
+    probes = (
+        scored_q.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= NPROBE)
+        .select("query_id", F.col("cent_id").alias("bucket"))
+    )
+    # nprobe × |queries| bucket ids — the serving-side partition list
+    bucket_ids = sorted({r["bucket"] for r in probes.collect()})
+    stored = cat.read(
+        spark, "ann", "ivf_assign",
+        where=f"bucket IN ({', '.join(str(b) for b in bucket_ids)})",
+    )
+    scored = (
+        stored.join(F.broadcast(q.join(probes, "query_id")), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(S.cosine(F.col("q_vec"), F.col("c_vec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= TOPK
+    )
+
+
 N_PLANES = 16
 N_BANDS = 4
 

@@ -83,6 +83,57 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_topk_trending",
+    oracle="""
+    WITH w0 AS (
+        SELECT date_trunc('hour', ts)
+               + INTERVAL 30 MINUTE * CAST(floor(minute(ts) / 30) AS INTEGER)
+               AS ws, event_type
+        FROM events
+    ), w AS (
+        SELECT ws, event_type FROM w0
+        UNION ALL
+        SELECT ws - INTERVAL 30 MINUTE, event_type FROM w0
+    ), c AS (
+        SELECT ws AS window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM w GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, rank
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type
+               ) AS INTEGER) AS rank
+        FROM c
+    ) WHERE rank <= 3
+    """,
+    tags=("ext", "streaming"),
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection: SLIDING 1-hour windows every 30 minutes over
+    the event stream (each event fans out to its 2 covering windows —
+    the state shape is still one row per (window, type)), then the top-3
+    event types per window ranked on the completed aggregate. The rank
+    runs on the materialized complete-mode result — window-local, k
+    bounded, exactly how a trending endpoint serves the state store. The
+    oracle replays the window fan-out as a 2-way UNION of shifted
+    30-minute truncations."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    agg = SE.sliding_window_counts(_stream(spark, sf_dir))
+    done = SE.stream_to_memory(agg, spark, mode="complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        done.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@register(
     "stream_upsert_snaptable",
     oracle="SELECT event_id, user_id, event_type, value FROM events",
     tags=("ext", "streaming", "snapshot"),

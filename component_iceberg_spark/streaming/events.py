@@ -116,6 +116,27 @@ def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_window_counts(
+    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding-window counts per event type with a watermark — the
+    trending-detection aggregate. Each event lands in window/slide
+    overlapping windows (2 here); the state store holds one row per
+    (window, type) and the watermark bounds retention exactly as in the
+    tumbling case — sliding windows change the fan-out constant, not the
+    state shape, so the 100 TB story is identical."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def stream_to_memory(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     """Drive a bounded stream to completion into an in-memory sink and
     return the materialized result (test/demo harness)."""

@@ -1158,3 +1158,28 @@ def test_zorder_refuses_single_column_and_partitioned(spark, sf_dir, tmp_path):
     )
     with _pt.raises(ValueError, match="partitioned"):
         cat2.zorder_rewrite(spark, "ns", "t", ["o_custkey", "o_totalprice"])
+
+
+def test_partitioned_read_prunes_with_in_predicate(spark, tmp_path):
+    """The stored-index serving path (sim_ann_ivf_stored): a table
+    committed hive-partitioned by a bucket column, read back with
+    ``where="bucket IN (…)"``, must prune the unprobed partitions at
+    file-listing time — the physical scan's PartitionFilters carries the
+    IN predicate and the scanned files drop accordingly."""
+    from pyspark.sql import functions as F
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 8).alias("bucket")
+    )
+    cat.create_or_replace("ns", "t", df, partition_by=["bucket"])
+    pruned = cat.read(spark, "ns", "t", where="bucket IN (1, 3)")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the IN predicate must land in the scan's PartitionFilters (listing-
+    # time pruning), not merely in a post-scan Filter. inputFiles() is NOT
+    # usable as evidence — it reports the base relation before pruning.
+    pf = plan[plan.index("PartitionFilters"):]
+    pf = pf[: pf.index("]") + 1]
+    assert "bucket" in pf and "IN(1,3)" in pf.replace(" ", ""), pf
+    got = {r.id for r in pruned.collect()}
+    assert got == {i for i in range(100) if i % 8 in (1, 3)}
