@@ -389,6 +389,8 @@ def main() -> None:
         "stream_topk_trending",
         "ext_histogram_equidepth",
         "sim_ann_ivf_stored",
+        "mm_neardup_features",
+        "dedup_containment",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

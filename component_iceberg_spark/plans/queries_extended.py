@@ -209,6 +209,124 @@ def mm_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mm_pool_sql() -> str:
+    """Order-pinned mean pool of the 4 per-frame stub features into a
+    4-dim document vector — frame terms summed in explicit frame order,
+    NOT avg() (whose fold order follows partitioning)."""
+    ff = (
+        "ff AS (SELECT doc_id, frame_no, "
+        + ", ".join(f"round({_hx(j)} / 255.0, 6) AS f{j}" for j in range(4))
+        + " FROM fh)"
+    )
+    pools = []
+    for j in range(4):
+        terms = " + ".join(
+            f"max(CASE WHEN frame_no = {k} THEN f{j} END)"
+            for k in range(N_FRAMES)
+        )
+        pools.append(f"round(({terms}) / {float(N_FRAMES)}, 6) AS g{j}")
+    return (
+        ff
+        + ", p AS (SELECT doc_id, "
+        + ", ".join(pools)
+        + " FROM ff GROUP BY doc_id)"
+    )
+
+
+def _mm_neardup_oracle() -> str:
+    bucket = "concat(" + ", ".join(
+        f"CAST(g{j} >= 0.5 AS INTEGER)" for j in range(4)
+    ) + ")"
+    dot = " + ".join(f"a.g{j} * b.g{j}" for j in range(4))
+    na = " + ".join(f"a.g{j} * a.g{j}" for j in range(4))
+    nb = " + ".join(f"b.g{j} * b.g{j}" for j in range(4))
+    return f"""
+    WITH {_FRAME_SLICE_SQL},
+    fh AS (SELECT doc_id, frame_no, sha256(slice) AS h FROM frames),
+    {_mm_pool_sql()},
+    bk AS (SELECT *, {bucket} AS bucket FROM p)
+    SELECT pa, pb, cosine_sim FROM (
+        SELECT a.doc_id AS pa, b.doc_id AS pb,
+               round(({dot}) / (sqrt({na}) * sqrt({nb})), 6) AS cosine_sim
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ) WHERE cosine_sim >= 0.999
+    """
+
+
+@register(
+    "mm_neardup_features",
+    oracle=_mm_neardup_oracle(),
+    tags=("ext", "multimodal", "similarity"),
+)
+def mm_neardup_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-vector near-dup over MEDIA: frame features mean-pooled
+    into a per-document vector, candidate pairs blocked on the vector's
+    quantized signature (one bit per dimension — same bucket ⇒ possible
+    near-dup), cosine verified only within blocks. This is the mm twin
+    of the embedding near-dup stack — content-address dedup
+    (mm_dedup_content) catches byte-identical media, feature near-dup is
+    the slot that catches re-encoded media once a real decoder replaces
+    the sha256 stub (with stub features, survivors are exactly the
+    identical-payload pairs — cosine 1.0 — plus any random same-block
+    high-cosine pair, deterministically).
+
+    Determinism: the pool is ONE scalar aggregate per (frame, dim)
+    summed in explicit frame order, not avg() — avg's fold order follows
+    partitioning, so a value landing on a rounding boundary could flip
+    between runs; here both engines execute the identical scalar sums.
+    Scale: blocking keys the self-join (no all-pairs), the same plan
+    shape as dedup_simhash."""
+    sliced = M.slice_frames(_binary_docs(spark, sf_dir), N_FRAMES)
+    feats = M.frame_features(sliced)
+    aggs = [
+        F.max(
+            F.when(F.col("frame_no") == k, F.col("features")[j])
+        ).alias(f"f{j}_{k}")
+        for j in range(4)
+        for k in range(N_FRAMES)
+    ]
+    pooled = feats.groupBy("doc_id").agg(*aggs)
+    gcols = []
+    for j in range(4):
+        expr = F.col(f"f{j}_0")
+        for k in range(1, N_FRAMES):
+            expr = expr + F.col(f"f{j}_{k}")
+        gcols.append(F.round(expr / float(N_FRAMES), 6).alias(f"g{j}"))
+    p = pooled.select("doc_id", *gcols)
+    bucket = F.concat_ws(
+        "", *[(F.col(f"g{j}") >= 0.5).cast("int").cast("string")
+              for j in range(4)]
+    )
+    bk = p.withColumn("bucket", bucket)
+    a, b = bk.alias("a"), bk.alias("b")
+    dot = (
+        F.col("a.g0") * F.col("b.g0") + F.col("a.g1") * F.col("b.g1")
+        + F.col("a.g2") * F.col("b.g2") + F.col("a.g3") * F.col("b.g3")
+    )
+    na = (
+        F.col("a.g0") * F.col("a.g0") + F.col("a.g1") * F.col("a.g1")
+        + F.col("a.g2") * F.col("a.g2") + F.col("a.g3") * F.col("a.g3")
+    )
+    nb = (
+        F.col("b.g0") * F.col("b.g0") + F.col("b.g1") * F.col("b.g1")
+        + F.col("b.g2") * F.col("b.g2") + F.col("b.g3") * F.col("b.g3")
+    )
+    cos = F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("pa"),
+            F.col("b.doc_id").alias("pb"),
+            cos.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.999)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Snapshot refs (branch/tag)
 # ---------------------------------------------------------------------------
@@ -353,6 +471,84 @@ def ext_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 50 == 0), "doc_id", "text"
     )
     return SA.contamination_screen(corpus_sh, bench_sh, min_overlap=5)
+
+
+_CONTAIN_DF_CAP = 50   # shingles in more docs than this carry no signal
+_CONTAIN_MIN_SIZE = 5  # inner doc must have >= this many discriminative shingles
+_CONTAIN_THRESHOLD = 0.6
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+    disc AS (
+        SELECT doc, sh.shingle FROM sh JOIN dfreq USING (shingle)
+        WHERE df <= {_CONTAIN_DF_CAP}
+    ),
+    sz AS (SELECT doc, count(*) AS n FROM disc GROUP BY 1),
+    ov AS (
+        SELECT a.doc AS inner_doc, b.doc AS outer_doc, count(*) AS shared
+        FROM disc a JOIN disc b USING (shingle)
+        WHERE a.doc <> b.doc
+        GROUP BY 1, 2
+    )
+    SELECT inner_doc, outer_doc,
+           CAST(shared AS BIGINT) AS shared,
+           CAST(n AS BIGINT) AS inner_size,
+           round(shared * 1.0 / n, 6) AS containment
+    FROM ov JOIN sz ON sz.doc = ov.inner_doc
+    WHERE n >= {_CONTAIN_MIN_SIZE}
+      AND shared * 1.0 / n >= {_CONTAIN_THRESHOLD}
+    """,
+    tags=("ext", "dedup", "text"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment detection — "is doc A mostly contained in
+    doc B" (quotes, excerpts, boilerplate-wrapped copies), the primitive
+    symmetric Jaccard misses: a short excerpt has low Jaccard against
+    its source but containment ≈ 1. Score = |S(A)∩S(B)| / |S(A)| over
+    DISCRIMINATIVE 3-gram shingles only (document frequency ≤ 50 —
+    ultra-common shingles carry no signal AND are exactly the join keys
+    that explode the candidate set; the df-cap is the PPJoin-style
+    screening rule, applied identically in both engines so the oracle
+    stays exact). Shape: shingle-df aggregate → inverted-index
+    self-join on rare shingles → per-pair count — candidates bounded by
+    df-cap² per shingle, never all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.doc_shingles(d, "doc_id", "text")
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    disc = sh.join(
+        dfreq.filter(F.col("df") <= _CONTAIN_DF_CAP).select("shingle"),
+        "shingle",
+    )
+    sz = disc.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    ov = (
+        disc.alias("a")
+        .join(disc.alias("b"), "shingle")
+        .filter(F.col("a.doc") != F.col("b.doc"))
+        .groupBy(
+            F.col("a.doc").alias("inner_doc"),
+            F.col("b.doc").alias("outer_doc"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ratio = F.col("shared") * 1.0 / F.col("n")
+    return (
+        ov.join(sz, ov["inner_doc"] == sz["doc"])
+        .filter(
+            (F.col("n") >= _CONTAIN_MIN_SIZE)
+            & (ratio >= _CONTAIN_THRESHOLD)
+        )
+        .select(
+            "inner_doc",
+            "outer_doc",
+            "shared",
+            F.col("n").alias("inner_size"),
+            F.round(ratio, 6).alias("containment"),
+        )
+    )
 
 
 @register(

@@ -728,3 +728,46 @@ def test_merge_matches_model(
         insert_when=lambda v: v % dmod != 0,
     )
     assert got == want
+
+
+def test_containment_detects_crafted_excerpt(spark, monkeypatch):
+    """dedup_containment semantics on a crafted corpus: an excerpt that
+    is a strict substring of its source scores containment 1.0 in the
+    excerpt→source direction and < 1 in the reverse; an unrelated doc
+    pairs with nothing. Exercised through the registered query by
+    pointing load_table at a temp corpus."""
+    import component_iceberg_spark.plans.queries_extended as QE
+
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, base + " " + " ".join(f"x{i}" for i in range(20))),  # source
+        (2, base),                                               # excerpt
+        (3, " ".join(f"z{i}" for i in range(40))),               # unrelated
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(QE, "load_table", lambda s, d, t: corpus)
+    got = {
+        (r.inner_doc, r.outer_doc): r.containment
+        for r in QE.dedup_containment(spark, "ignored").collect()
+    }
+    assert got.get((2, 1)) == 1.0
+    assert (3, 1) not in got and (3, 2) not in got
+    rev = got.get((1, 2))
+    assert rev is not None and rev < 1.0
+
+
+def test_mm_pooled_vector_partition_invariant(spark, sf_dir):
+    """mm_neardup_features' order-pinned pool claim: the emitted pair set
+    is identical under a different shuffle partitioning (an avg()-based
+    pool could flip a rounding-boundary value between layouts)."""
+    from component_iceberg_spark.plans import load_all
+
+    reg = load_all()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        a = {tuple(r) for r in reg["mm_neardup_features"].fn(spark, sf_dir).collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = {tuple(r) for r in reg["mm_neardup_features"].fn(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b and len(a) > 0
