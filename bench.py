@@ -391,6 +391,8 @@ def main() -> None:
         "sim_ann_ivf_stored",
         "mm_neardup_features",
         "dedup_containment",
+        "text_bpe_pair_stats",
+        "text_bpe_merges",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -964,6 +964,216 @@ def text_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer fit: corpus pair statistics (r7)
+# ---------------------------------------------------------------------------
+
+BPE_TOPN = 10
+
+
+@register(
+    "text_bpe_pair_stats",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS freq
+        FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+            FROM documents
+        ) GROUP BY tok
+    ),
+    pairs AS (
+        SELECT substr(tok, i, 1) AS a, substr(tok, i + 1, 1) AS b,
+               sum(freq) AS pair_count
+        FROM vocab, (SELECT unnest(range(1, 40)) AS i)
+        WHERE i < strlen(tok)
+        GROUP BY 1, 2
+    )
+    SELECT a, b, CAST(pair_count AS BIGINT) AS pair_count,
+           CAST(row_number() OVER (
+               ORDER BY pair_count DESC, a, b
+           ) AS INTEGER) AS rank
+    FROM pairs
+    QUALIFY rank <= {BPE_TOPN}
+    """,
+    tags=("ext", "text"),
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed heart of BPE tokenizer training: adjacent-symbol
+    pair counts weighted by word frequency, ranked — the argmax of this
+    table IS the next BPE merge, and a fit loop is just this aggregate
+    re-run on the merged vocabulary (driver-trivial repetition of the
+    same plan). The critical scale property: after the first aggregate
+    all work is on the VOCABULARY (distinct words × their corpus
+    frequency), which is orders of magnitude smaller than the corpus —
+    exactly how production BPE trainers (word-frequency based) avoid
+    touching the corpus per merge round.
+
+    Plan: one corpus scan → token hash-aggregate (map-side combine), a
+    per-word character-pair fan-out on the small vocab relation, one more
+    hash aggregate, bounded top-N. The pair fan-out uses sequence +
+    substring expressions — pure codegen, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(X.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    idx = F.explode(F.sequence(F.lit(1), F.length("tok") - 1)).alias("i")
+    pairs = (
+        vocab.select("tok", "freq", idx)
+        .select(
+            F.col("tok").substr(F.col("i"), F.lit(1)).alias("a"),
+            F.col("tok").substr(F.col("i") + 1, F.lit(1)).alias("b"),
+            "freq",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    w = Window.orderBy(F.col("pair_count").desc(), "a", "b")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BPE_TOPN)
+    )
+
+
+BPE_ROUNDS = 3
+
+
+def _bpe_merges_oracle() -> str:
+    """Generated CTE chain replaying the full iterative fit: per round,
+    weighted pair counts → argmax (count DESC, a, b) → merge applied to
+    every vocab sequence via a left fold (list_reduce) with the exact
+    BPE non-overlap rule — a freshly merged symbol never starts another
+    merge in the same pass."""
+    sql = r"""
+    WITH vocab0 AS (
+        SELECT array_to_string(
+                   list_transform(range(1, strlen(tok) + 1),
+                                  i -> substr(tok, i, 1)), ' ') AS seq,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+              FROM documents)
+        GROUP BY 1
+    )"""
+    for r in range(1, BPE_ROUNDS + 1):
+        v = f"vocab{r - 1}"
+        sql += f""",
+    pairs{r} AS (
+        SELECT u.p[1] AS a, u.p[2] AS b, sum(freq) AS cnt
+        FROM {v}, unnest(list_zip(string_split(seq, ' '),
+                                  string_split(seq, ' ')[2:])) AS u(p)
+        WHERE u.p[2] IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    best{r} AS (SELECT a, b, cnt FROM pairs{r} ORDER BY cnt DESC, a, b LIMIT 1),
+    vocab{r} AS (
+        SELECT list_reduce(string_split(seq, ' '),
+                   (acc, x) -> CASE
+                       WHEN (acc = best{r}.a
+                             OR ends_with(acc, ' ' || best{r}.a))
+                            AND x = best{r}.b
+                       THEN substr(acc, 1, strlen(acc) - strlen(best{r}.a))
+                            || best{r}.a || best{r}.b
+                       ELSE acc || ' ' || x END) AS seq,
+               freq
+        FROM {v} CROSS JOIN best{r}
+    )"""
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS step, a, b, CAST(cnt AS BIGINT) AS pair_count"
+        f" FROM best{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return sql + "\n    " + selects
+
+
+@register(
+    "text_bpe_merges",
+    oracle=_bpe_merges_oracle(),
+    tags=("ext", "text"),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL iterative BPE tokenizer fit, 3 merge rounds, exactly the
+    word-frequency algorithm production trainers run: per round, the
+    highest-count adjacent symbol pair (ties → lexicographically first)
+    becomes the next merge, and every vocabulary sequence applies it in
+    one left-to-right non-overlapping pass (a symbol minted by a merge
+    never starts another merge in the same pass — the fold's accumulator
+    rule, identical in the SQL oracle's list_reduce).
+
+    Scale: the corpus is scanned ONCE (token frequency aggregate);
+    every merge round then runs on the vocabulary relation — distinct
+    words × frequency, orders of magnitude smaller — with a 1-row argmax
+    collect per round steering the driver loop (the kmeans_fit pattern:
+    the codebook IS metadata). Lineage stays shallow: ROUNDS expression
+    layers over a small cached relation."""
+    from pyspark.sql.types import Row
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.explode(X.tokens(F.lower(F.col("text")))).alias("tok")
+    chars = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.length("tok")),
+            lambda i: F.col("tok").substr(i, F.lit(1)),
+        ),
+    )
+    seqs = (
+        d.select(tok)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(chars.alias("seq"), "freq")
+    ).persist()
+    merges = []
+    for step in range(1, BPE_ROUNDS + 1):
+        sym = F.split(F.col("seq"), " ")
+        prs = (
+            seqs.filter(F.size(sym) >= 2)  # sequence(1, 0) would DESCEND
+            .select(
+                "freq",
+                sym.alias("s"),
+                F.explode(F.sequence(F.lit(1), F.size(sym) - 1)).alias("i"),
+            )
+            .select(
+                F.element_at("s", F.col("i")).alias("a"),
+                F.element_at("s", F.col("i") + 1).alias("b"),
+                "freq",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = prs.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()[0]
+        a, b = best["a"], best["b"]
+        merges.append((step, a, b, int(best["cnt"])))
+        def make_fold(A, B):
+            # closure factory, not default args: pyspark introspects the
+            # lambda's arity and rejects extra parameters
+            def fold(acc, x):
+                hit = (
+                    (acc == F.lit(A)) | acc.endswith(F.lit(" " + A))
+                ) & (x == F.lit(B))
+                merged = F.concat(
+                    F.substring(acc, 1, F.length(acc) - F.lit(len(A))),
+                    F.lit(A + B),
+                )
+                return F.when(hit, merged).otherwise(
+                    F.concat(acc, F.lit(" "), x)
+                )
+
+            return fold
+
+        fold = make_fold(a, b)
+        sym2 = F.split(F.col("seq"), " ")
+        folded = F.aggregate(
+            F.slice(sym2, 2, F.greatest(F.size(sym2) - 1, F.lit(0))),
+            F.element_at(sym2, 1),
+            fold,
+        )
+        seqs = seqs.select(folded.alias("seq"), "freq").persist()
+    return spark.createDataFrame(
+        merges, "step int, a string, b string, pair_count bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-encoder-style re-rank over the hybrid candidates (r7)
 # ---------------------------------------------------------------------------
 

@@ -771,3 +771,56 @@ def test_mm_pooled_vector_partition_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b and len(a) > 0
+
+
+def test_bpe_merges_match_python_reference(spark, monkeypatch):
+    """text_bpe_merges vs a plain-Python word-frequency BPE on a crafted
+    corpus where round 2 must merge a symbol MINTED by round 1 (multi-
+    char merge) — the fold's accumulator rule, not just char pairs."""
+    from collections import Counter
+
+    import component_iceberg_spark.plans.queries_text as QT
+
+    # 'aab' dominant → round 1 merges (a,a), round 2 must merge (aa,b)
+    docs = [(1, "aab aab aab aab ccd"), (2, "aab aab ccd eef"),
+            (3, "xyz aab")]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    monkeypatch.setattr(QT, "load_table", lambda s, d, t: corpus)
+
+    def ref(docs, rounds):
+        freq = Counter()
+        for _, text in docs:
+            for tok in text.lower().split():
+                freq[tok] += 1
+        vocab = {tuple(tok): f for tok, f in freq.items()}
+        merges = []
+        for _ in range(rounds):
+            pairs = Counter()
+            for seq, f in vocab.items():
+                for i in range(len(seq) - 1):
+                    pairs[(seq[i], seq[i + 1])] += f
+            (a, b), c = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((a, b, c))
+            new_vocab = {}
+            for seq, f in vocab.items():
+                out, i = [], 0
+                while i < len(seq):
+                    if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                new_vocab[tuple(out)] = f
+            vocab = new_vocab
+        return merges
+
+    got = [
+        (r.a, r.b, r.pair_count)
+        for r in QT.text_bpe_merges(spark, "ignored").orderBy("step").collect()
+    ]
+    want = ref(docs, QT.BPE_ROUNDS)
+    assert got == want
+    assert got[0][:2] == ("a", "a") and got[1][:2] == ("aa", "b"), got
