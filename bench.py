@@ -393,6 +393,9 @@ def main() -> None:
         "dedup_containment",
         "text_bpe_pair_stats",
         "text_bpe_merges",
+        "snap_checked_append",
+        "ext_abtest_lift",
+        "stream_late_data_drop",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -257,12 +257,29 @@ class SnapCatalog:
 
     # -- commits ------------------------------------------------------------
 
+    def check_constraint(self, df: DataFrame, predicate: str) -> None:
+        """Write-time CHECK constraint: fail the commit BEFORE any data
+        lands if any row violates ``predicate`` (the Delta-style table
+        constraint the reference's strict-cast gate is the type-level
+        version of). One counting job over the violating subset — the
+        filter pushes into the scan, so a clean batch costs a scan with
+        an always-false-fast predicate, and the first violation found
+        carries a sample row into the error for debuggability."""
+        bad = df.filter(f"NOT ({predicate})")
+        sample = bad.limit(1).collect()
+        if sample:
+            raise ValueError(
+                f"CHECK constraint violated: ({predicate}); "
+                f"sample offending row: {sample[0].asDict()}"
+            )
+
     def append(
         self, namespace: str, table: str, df: DataFrame,
         partition_by: list[str] | None = None,
         partition_spec: list[str] | None = None,
         sort_by: list[str] | None = None,
         sort_partitions: int | None = None,
+        check: str | None = None,
     ) -> int:
         """Append commit: write new data files, new manifest = old files +
         new dir. No existing data is touched (metadata-only append).
@@ -274,7 +291,13 @@ class SnapCatalog:
         the commit recovers the insertion order exactly — no single-file
         coalesce, so the ordered export scales like any other write
         (``sort_partitions`` sizes the files). Ordering is per-commit:
-        across commits the manifest's file list preserves commit order."""
+        across commits the manifest's file list preserves commit order.
+
+        ``check`` is a CHECK-constraint predicate evaluated BEFORE the
+        write (:meth:`check_constraint`): a violating batch fails with a
+        sample row and the table is untouched."""
+        if check is not None:
+            self.check_constraint(df, check)
         return self._commit(
             namespace, table, df, operation="append", carry=True,
             partition_by=partition_by, transform_spec=partition_spec,

@@ -973,3 +973,104 @@ def ext_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cx").alias("x_min"), F.max("cx").alias("x_max"),
         F.min("cy").alias("y_min"), F.max("cy").alias("y_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B-test lift (r7)
+# ---------------------------------------------------------------------------
+
+_ABTEST_ORACLE = """
+WITH u AS (
+    SELECT user_id, user_id % 2 AS variant,
+           max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS exposed,
+           max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted
+    FROM events GROUP BY 1, 2
+), v AS (
+    SELECT variant,
+           CAST(sum(exposed) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN exposed = 1 AND converted = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS x
+    FROM u GROUP BY 1
+), w AS (
+    SELECT max(CASE WHEN variant = 0 THEN n END) AS na,
+           max(CASE WHEN variant = 0 THEN x END) AS xa,
+           max(CASE WHEN variant = 1 THEN n END) AS nb,
+           max(CASE WHEN variant = 1 THEN x END) AS xb
+    FROM v
+)
+SELECT na, xa, round(xa * 1.0 / nullif(na, 0), 6) AS rate_a,
+       nb, xb, round(xb * 1.0 / nullif(nb, 0), 6) AS rate_b,
+       round(xb * 1.0 / nullif(nb, 0) - xa * 1.0 / nullif(na, 0), 6) AS lift,
+       round((xb * 1.0 / nullif(nb, 0) - xa * 1.0 / nullif(na, 0))
+             / nullif(sqrt(((xa + xb) * 1.0 / nullif(na + nb, 0))
+                    * (1.0 - (xa + xb) * 1.0 / nullif(na + nb, 0))
+                    * (1.0 / nullif(na, 0) + 1.0 / nullif(nb, 0))), 0), 6) AS z_score
+FROM w
+"""
+
+
+@register("ext_abtest_lift", oracle=_ABTEST_ORACLE, tags=("ext", "analytics"))
+def ext_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B read-out over the event stream: variant =
+    user_id % 2 (the deterministic hash-assignment every experiment
+    platform uses), exposure = a 'view' event, conversion = exposed AND
+    a purchase with value > 150 (the qualifier keeps the fixture's rates
+    off the degenerate 100%). Emits per-variant counts/rates, absolute lift, and the
+    pooled two-proportion z-score — the pipeline that decides an
+    experiment, as ONE row.
+
+    Plan: per-user flag aggregate (one user-key Exchange, map-side
+    combine) → per-variant 2-row aggregate → 1-row conditional pivot —
+    counts-only shuffles at any scale. Every float op composes the same
+    integer counts in the same written order in both engines, so even
+    the z-score matches exactly at 6 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id", (F.col("user_id") % 2).alias("variant"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("exposed"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 150),
+                    1,
+                ).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    v = u.groupBy("variant").agg(
+        F.sum("exposed").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("exposed") == 1) & (F.col("converted") == 1), 1
+            ).otherwise(0)
+        ).alias("x"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == 0, F.col("x"))).alias("xa"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == 1, F.col("x"))).alias("xb"),
+    )
+    na, xa = F.col("na"), F.col("xa")
+    nb, xb = F.col("nb"), F.col("xb")
+    # nullif guards: a tiny fixture can leave a variant with zero exposed
+    # users; ANSI mode would raise on /0 where the oracle yields NULL
+    dna = F.nullif(na.cast("double"), F.lit(0.0))
+    dnb = F.nullif(nb.cast("double"), F.lit(0.0))
+    dnab = F.nullif((na + nb).cast("double"), F.lit(0.0))
+    rate_a = xa * 1.0 / dna
+    rate_b = xb * 1.0 / dnb
+    pooled = (xa + xb) * 1.0 / dnab
+    se = F.nullif(
+        F.sqrt(pooled * (1.0 - pooled) * (1.0 / dna + 1.0 / dnb)),
+        F.lit(0.0),
+    )  # se == 0 (no conversions anywhere) -> NULL z, not /0
+    return w.select(
+        "na", "xa", F.round(rate_a, 6).alias("rate_a"),
+        "nb", "xb", F.round(rate_b, 6).alias("rate_b"),
+        F.round(rate_b - rate_a, 6).alias("lift"),
+        F.round((rate_b - rate_a) / se, 6).alias("z_score"),
+    )

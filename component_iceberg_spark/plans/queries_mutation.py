@@ -223,6 +223,34 @@ def snap_append_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snap_checked_append",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 0
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_checked_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time CHECK constraint (Delta-style table constraint; the
+    table-level sibling of the reference's strict-cast gate): a clean
+    batch commits through `append(check=...)`, a violating batch fails
+    BEFORE any data lands (sample offending row in the error) and the
+    table still reads exactly the clean rows. The violating path is
+    exercised in-line — the returned table proves it left no trace."""
+    cat = _warehouse(sf_dir, "checked_append")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    clean = o.filter(F.col("o_totalprice") > 0)
+    cat.create_namespace("ns")
+    cat.append("ns", "orders", clean, check="o_totalprice > 0")
+    dirty = clean.limit(5).withColumn("o_totalprice", -F.col("o_totalprice"))
+    try:
+        cat.append("ns", "orders", dirty, check="o_totalprice > 0")
+        raise AssertionError("CHECK constraint did not fire")
+    except ValueError:
+        pass
+    return cat.read(spark, "ns", "orders")
+
+
+@register(
     "snap_replace",
     oracle="SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'",
     tags=("parity", "snapshot"),

@@ -462,3 +462,98 @@ def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift, so the inequality can never flip between engines."""
     alerts = SE.running_zscore_alerts(_stream(spark, sf_dir))
     return SE.stream_to_memory(alerts, spark, mode="append")
+
+
+@register(
+    "stream_late_data_drop",
+    oracle="""
+    WITH a AS (SELECT ts FROM events WHERE event_id % 4 <> 0),
+    b AS (SELECT ts FROM events WHERE event_id % 4 = 0),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm1 FROM a),
+    wm2t AS (
+        SELECT greatest((SELECT max(ts) FROM a), (SELECT max(ts) FROM b))
+               - INTERVAL 10 MINUTE AS wm2
+    ),
+    surv AS (
+        SELECT ts FROM a
+        UNION ALL
+        SELECT b.ts FROM b, wm
+        WHERE date_trunc('hour', b.ts) + INTERVAL 1 HOUR > wm.wm1
+    )
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS n
+    FROM surv, wm2t
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm2t.wm2
+    GROUP BY 1
+    """,
+    tags=("ext", "streaming"),
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK DROP SEMANTICS end-to-end — the append-mode contract
+    the other streaming queries don't exercise: events arrive in two
+    separately-triggered runs sharing one CHECKPOINT (a restart, not
+    just two micro-batches — the watermark itself round-trips through
+    checkpoint state). Run 1 sees 3/4 of the events; run 2 delivers the
+    remaining 1/4, of which every row whose 1-hour window already closed
+    under run 1's persisted watermark (max(ts₁) − 10 min) is DROPPED,
+    not aggregated. The final sink therefore holds: windows closed under
+    the final watermark, counting on-time rows plus only the late rows
+    whose window was still open when they arrived. The oracle computes
+    both watermarks and replays the drop rule in SQL — an exact check of
+    drop, flush, AND checkpoint-recovery behavior (semantics pinned
+    against Spark empirically: windows finalize when end <= watermark,
+    late rows into finalized windows vanish, open windows never emit)."""
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.io.tables import load_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(SCRATCH_ROOT, tag, "late_drop")
+    # fresh every invocation: the checkpoint must replay from scratch
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ck = os.path.join(base, "ck")
+    os.makedirs(src, exist_ok=True)
+    # watermarks require TIMESTAMP (ntz is rejected as event time)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+
+    def stage(df, name: str) -> None:
+        import glob as _g
+
+        tmp = os.path.join(base, f"_tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        files = _g.glob(os.path.join(tmp, "part-*.parquet"))
+        assert len(files) == 1
+        shutil.move(files[0], os.path.join(src, f"{name}.parquet"))
+        shutil.rmtree(tmp)
+
+    def run() -> None:
+        schema = spark.read.parquet(src).schema
+        st = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            st.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "n",
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage(ev.filter(F.col("event_id") % 4 != 0), "00-ontime")
+    run()
+    stage(ev.filter(F.col("event_id") % 4 == 0), "01-late")
+    run()
+    return spark.read.parquet(out)

@@ -1183,3 +1183,20 @@ def test_partitioned_read_prunes_with_in_predicate(spark, tmp_path):
     assert "bucket" in pf and "IN(1,3)" in pf.replace(" ", ""), pf
     got = {r.id for r in pruned.collect()}
     assert got == {i for i in range(100) if i % 8 in (1, 3)}
+
+
+def test_check_constraint_blocks_before_write(spark, tmp_path):
+    """append(check=...): a violating batch raises with a sample row and
+    leaves the table exactly as it was — no partial dir, no new snapshot."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    ok = spark.range(10).select("id", (F.col("id") * 2).alias("v"))
+    cat.append("ns", "t", ok, check="v >= 0")
+    sid_before = cat._current_sid("ns", "t")
+    bad = spark.range(3).select("id", (-F.col("id") - 1).alias("v"))
+    with pytest.raises(ValueError, match="CHECK constraint violated"):
+        cat.append("ns", "t", bad, check="v >= 0")
+    assert cat._current_sid("ns", "t") == sid_before
+    assert cat.read(spark, "ns", "t").count() == 10
