@@ -396,6 +396,7 @@ def main() -> None:
         "snap_checked_append",
         "ext_abtest_lift",
         "stream_late_data_drop",
+        "ext_ndcg_eval",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

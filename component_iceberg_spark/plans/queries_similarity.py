@@ -88,12 +88,14 @@ def sim_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.threshold_pairs(e, NEARDUP_THRESHOLD)
 
 
-def _ivf_oracle() -> str:
+def _ivf_cte() -> str:
+    """CTE chain ending in ``ivf(query_id, neighbor_id, cosine_sim,
+    rank)`` — shared by the IVF oracle and the nDCG evaluation oracle so
+    the retrieval stage cannot drift between them."""
     cos_ac = _cos("a.v", "a.nrm", "c.cv", "c.cnrm")
     cos_qc = _cos("q.qv", "q.qn", "c.cv", "c.cnrm")
     cos_qn = _cos("q.qv", "q.qn", "b.v", "b.nrm")
-    return f"""
-WITH {_D},
+    return f"""{_D},
 cent AS (
     SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM (
         SELECT n.*, e.label,
@@ -129,13 +131,21 @@ scored AS (
     JOIN assign a2 ON a2.bucket = p.bucket
     JOIN n b ON b.vec_id = a2.neighbor_id
     WHERE b.vec_id <> q.query_id
-)
-SELECT query_id, neighbor_id, cosine_sim,
-       CAST(row_number() OVER (
-           PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
-       ) AS INTEGER) AS rank
-FROM scored
-QUALIFY rank <= {TOPK}
+),
+ivf AS (
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+           ) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {TOPK}
+)"""
+
+
+def _ivf_oracle() -> str:
+    return f"""
+WITH {_ivf_cte()}
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ivf
 """
 
 
@@ -600,4 +610,137 @@ def sim_knn_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_id", F.coalesce("cluster_id", "vec_id"))
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation: nDCG@k of the IVF retriever (r7)
+# ---------------------------------------------------------------------------
+
+
+def _ndcg_oracle() -> str:
+    return f"""
+WITH {_ivf_cte()},
+lab AS (SELECT vec_id, label FROM embeddings),
+rel AS (
+    SELECT i.query_id, i.rank,
+           CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS rel
+    FROM ivf i
+    JOIN lab nl ON nl.vec_id = i.neighbor_id
+    JOIN lab ql ON ql.vec_id = i.query_id
+),
+dcg AS (
+    SELECT query_id,
+           list_sum(list(rel * 1.0 / log2(rank + 1) ORDER BY rank)) AS dcg
+    FROM rel GROUP BY query_id
+),
+nrel AS (
+    SELECT q.vec_id AS query_id,
+           least({TOPK}, count(*)) AS m
+    FROM embeddings q
+    JOIN embeddings c ON c.label = q.label AND c.vec_id <> q.vec_id
+    WHERE q.vec_id IN {QUERY_IDS}
+    GROUP BY 1
+),
+idcg AS (
+    SELECT query_id,
+           list_sum(list_transform(range(1, m + 1),
+                                   r -> 1.0 / log2(r + 1))) AS idcg
+    FROM nrel
+)
+SELECT d.query_id,
+       round(d.dcg, 6) AS dcg,
+       round(i.idcg, 6) AS idcg,
+       round(d.dcg / i.idcg, 6) AS ndcg
+FROM dcg d JOIN idcg i USING (query_id)
+"""
+
+
+@register("ext_ndcg_eval", oracle=_ndcg_oracle(), tags=("ext", "similarity", "eval"))
+def ext_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality read-out: nDCG@10 of the IVF retriever against
+    label relevance (a retrieved neighbor is relevant iff it shares the
+    query's label) — the evaluation loop every retriever/re-ranker ships
+    with, closing the stack: generate (ANN) → fuse → re-rank → EVALUATE.
+    IDCG uses the corpus-wide relevant count capped at k (the standard
+    'ideal ranking over the whole collection' convention), so a perfect
+    retriever scores exactly 1.0.
+
+    Determinism: per-query DCG folds its ≤k terms in RANK ORDER via an
+    order-pinned array fold (a bare sum() would add in partition order,
+    which can vary run to run); the oracle's list(… ORDER BY rank) +
+    list_sum is the same fold. Cross-engine log2 ulps are absorbed by
+    the 6 dp round like every float aggregate here. Plan: the IVF search
+    plan + two label joins (label relation broadcasts) + a k-row-per-
+    query fold — evaluation adds nothing that doesn't scale."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    centroids = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "label")
+    )
+    ivf = S.ivf_topk(
+        e, e.filter(F.col("vec_id").isin(list(QUERY_IDS))), centroids,
+        NPROBE, TOPK,
+    )
+    lab = e.select("vec_id", "label")
+    rel = (
+        ivf.join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nl"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "rank",
+            F.when(F.col("nl") == F.col("ql"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    term = F.col("rel") * 1.0 / F.log2(F.col("rank") + 1)
+    dcg = (
+        rel.select("query_id", F.struct("rank", term.alias("t")).alias("rt"))
+        .groupBy("query_id")
+        .agg(F.sort_array(F.collect_list("rt")).alias("terms"))
+        .select(
+            "query_id",
+            F.aggregate(
+                "terms", F.lit(0.0), lambda acc, x: acc + x["t"]
+            ).alias("dcg"),
+        )
+    )
+    nrel = (
+        e.filter(F.col("vec_id").isin(list(QUERY_IDS)))
+        .alias("q")
+        .join(
+            e.alias("c"),
+            (F.col("c.label") == F.col("q.label"))
+            & (F.col("c.vec_id") != F.col("q.vec_id")),
+        )
+        .groupBy(F.col("q.vec_id").alias("query_id"))
+        .agg(F.least(F.lit(TOPK), F.count(F.lit(1))).alias("m"))
+    )
+    idcg = nrel.select(
+        "query_id",
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("m").cast("int")),
+            F.lit(0.0),
+            lambda acc, r: acc + F.lit(1.0) / F.log2((r + 1).cast("double")),
+        ).alias("idcg"),
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
     )

@@ -124,6 +124,7 @@ _GATE_PRIORITY = (
     "snap_checked_append",
     "ext_abtest_lift",
     "stream_late_data_drop",
+    "ext_ndcg_eval",
     # --- 3. oldest-first backlog. r1 stragglers (last green r4 via the
     #     r4 window) then the round-2 cohort and snap remainder (last
     #     green r2/r4). ~25 of these fit the ~50 window after the 27
