@@ -397,6 +397,7 @@ def main() -> None:
         "ext_abtest_lift",
         "stream_late_data_drop",
         "ext_ndcg_eval",
+        "func_map",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -635,3 +635,81 @@ def equi_width_histogram(df: DataFrame, col: str, bins: int) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(col), 2).alias("total"),
     )
+
+
+@register(
+    "func_map",
+    oracle="""
+    WITH g AS (
+        SELECT o_custkey,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
+        FROM orders GROUP BY 1
+    ), dom AS (
+        SELECT o_custkey, status AS dominant_status FROM (
+            SELECT o_custkey, status, cnt,
+                   row_number() OVER (
+                       PARTITION BY o_custkey ORDER BY cnt DESC, status DESC
+                   ) AS rn
+            FROM (
+                SELECT o_custkey, 'F' AS status, f_cnt AS cnt FROM g
+                UNION ALL SELECT o_custkey, 'O', o_cnt FROM g
+                UNION ALL SELECT o_custkey, 'P', p_cnt FROM g
+            )
+        ) WHERE rn = 1
+    )
+    SELECT g.o_custkey, f_cnt, o_cnt, p_cnt,
+           CAST((CASE WHEN f_cnt > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN o_cnt > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN p_cnt > 0 THEN 1 ELSE 0 END) AS INTEGER)
+               AS n_nonzero,
+           CAST(f_cnt + o_cnt + p_cnt AS BIGINT) AS total_orders,
+           dominant_status
+    FROM g JOIN dom ON dom.o_custkey = g.o_custkey
+    """,
+    tags=("ext", "functions"),
+)
+def func_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function family over a per-customer status map —
+    map_from_arrays / map_filter / map_entries / map_values /
+    element_at / size / aggregate-over-values, all codegen'd
+    expressions inside one hash aggregate. The oracle replays the
+    SEMANTICS relationally (conditional counts + a rank for the
+    dominant key), so the check certifies the map API produces the
+    right values, not merely that it runs. Dominant-status ties break
+    to the lexicographically LARGEST key (array_max over (count, key)
+    structs — struct comparison is lexicographic), mirrored by the
+    oracle's ORDER BY cnt DESC, status DESC."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("nf"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("no"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("np"),
+    )
+    m = F.map_from_arrays(
+        F.array(F.lit("F"), F.lit("O"), F.lit("P")),
+        F.array(F.col("nf"), F.col("no"), F.col("np")),
+    )
+    with_map = g.select("o_custkey", m.alias("m"))
+    nonzero = F.map_filter("m", lambda k, v: v > 0)
+    total = F.aggregate(
+        F.map_values("m"), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+    dominant = F.array_max(
+        F.transform(
+            F.map_entries("m"),
+            lambda e: F.struct(
+                e["value"].alias("cnt"), e["key"].alias("status")
+            ),
+        )
+    )["status"]
+    return with_map.select(
+        "o_custkey",
+        F.element_at("m", "F").alias("f_cnt"),
+        F.element_at("m", "O").alias("o_cnt"),
+        F.element_at("m", "P").alias("p_cnt"),
+        F.size(nonzero).alias("n_nonzero"),
+        total.alias("total_orders"),
+        dominant.alias("dominant_status"),
+    )

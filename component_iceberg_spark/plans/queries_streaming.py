@@ -3,9 +3,13 @@ with availableNow (same code path as a live stream; source swap = Kafka).
 
 ``stream_window_counts`` runs in complete mode so every window is present
 → exact oracle. ``stream_upsert_snaptable`` lands in a snapshot table read
-back after completion → exact oracle. The stateful operator emits per-batch
-running totals — batch boundaries are an execution detail, so it gets a
-rows-only check.
+back after completion → exact oracle. The stateful operators register
+batch-boundary-INDEPENDENT projections of their state (final emission per
+key, admitted set, finalized windows), so every streaming query here
+carries an exact oracle; the per-batch emission patterns stay covered by
+tests/test_streaming_batches.py. ``stream_late_data_drop`` additionally
+pins append-mode watermark drop + checkpoint recovery (two triggered runs,
+one checkpoint).
 """
 
 from __future__ import annotations

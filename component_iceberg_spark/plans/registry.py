@@ -125,10 +125,12 @@ _GATE_PRIORITY = (
     "ext_abtest_lift",
     "stream_late_data_drop",
     "ext_ndcg_eval",
+    "func_map",
     # --- 3. oldest-first backlog. r1 stragglers (last green r4 via the
     #     r4 window) then the round-2 cohort and snap remainder (last
-    #     green r2/r4). ~25 of these fit the ~50 window after the 27
-    #     names above; the rest complete in r8.
+    #     green r2/r4). With 8 sentinels + 17 never-gated + 13 new-in-r7
+    #     names above, ~12 of these fit a ~50 window in r7; the rest
+    #     complete in r8 (they outrank the fresher 3b/4 tiers).
     "ext_agg_approx",
     "ext_agg_salted",
     "ext_range_join",
