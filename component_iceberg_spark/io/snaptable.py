@@ -290,8 +290,10 @@ class SnapCatalog:
         ordering by ``(_metadata.file_path, _metadata.row_index)`` within
         the commit recovers the insertion order exactly — no single-file
         coalesce, so the ordered export scales like any other write
-        (``sort_partitions`` sizes the files). Ordering is per-commit:
-        across commits the manifest's file list preserves commit order.
+        (``sort_partitions`` sizes the files). Ordering is per-commit;
+        ACROSS commits the data dir names are uuids, so file_path alone
+        cannot recover commit order — use :meth:`read_ordered`, whose
+        ``_commit_seq`` column exposes the manifest's file-list order.
 
         ``check`` is a CHECK-constraint predicate evaluated BEFORE the
         write (:meth:`check_constraint`): a violating batch fails with a
@@ -1333,6 +1335,55 @@ class SnapCatalog:
         if where:
             df = df.filter(where)
         return df
+
+    def read_ordered(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        table: str,
+        snapshot_id: int | None = None,
+        with_position: bool = False,
+    ) -> DataFrame:
+        """Scan with a ``_commit_seq`` column: the position of each data
+        directory in the manifest's file list, i.e. COMMIT ORDER. This is
+        the cross-commit half of the ordered-read contract — data dir
+        names are collision-free uuids, so ``_metadata.file_path`` alone
+        orders files arbitrarily ACROSS commits; a reader recovering full
+        insertion order sorts by ``(_commit_seq, _metadata.file_path,
+        _metadata.row_index)`` (within an ordered commit the range
+        partitioner made file order = key order — see ``append(sort_by)``).
+
+        Per-dir scans union by name, so the plan is one branch per commit
+        — the same shape ``_read_dirs`` uses for partitioned tables.
+        Pending equality deletes would break per-dir attribution; ordered
+        readers must compact first (explicit error, not silent misorder)."""
+        sid = snapshot_id or self._current_sid(namespace, table)
+        manifest = self._manifest(namespace, table, sid)
+        if self._pending_deletes(manifest, manifest["files"]):
+            raise ValueError(
+                f"{namespace}.{table}: read_ordered with pending equality "
+                "deletes is unsupported — run compact() first"
+            )
+        partitioned = bool(manifest.get("partition_by"))
+        out = None
+        for i, d in enumerate(manifest["files"]):
+            part = self._read_dirs(
+                spark, namespace, table, [d], partitioned
+            ).withColumn("_commit_seq", F.lit(i))
+            if with_position:
+                # _metadata is only resolvable on the scan-backed frame —
+                # capture it per branch, BEFORE the union erases it
+                part = part.withColumn(
+                    "_file_path", F.col("_metadata.file_path")
+                ).withColumn("_row_index", F.col("_metadata.row_index"))
+            out = part if out is None else out.unionByName(
+                part, allowMissingColumns=True
+            )
+        if out is None:
+            raise SnapshotNotFound(
+                f"{namespace}.{table} snapshot {sid} has no data"
+            )
+        return out
 
     def _prune_dirs(
         self, manifest: dict, predicate: str

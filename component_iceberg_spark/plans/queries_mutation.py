@@ -192,27 +192,36 @@ def snap_append_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     files, then read back with the physical read position derived from
     ``(_metadata.file_path, _metadata.row_index)``. The oracle pins
     ``read_pos == _row_idx`` for every row — i.e. the scan really does
-    return insertion order, file boundaries included. No coalesce(1) and
-    no single-task sort anywhere: the ordered write is range-partitioned,
-    and the read-back position uses the same scale-safe global_rank that
-    stamps the index (a bare Window.orderBy would sort in one task)."""
+    return insertion order, file AND commit boundaries included. No
+    coalesce(1) and no single-task sort anywhere: the ordered write is
+    range-partitioned, and the read-back position uses the same
+    scale-safe global_rank that stamps the index (a bare Window.orderBy
+    would sort in one task).
+
+    TWO ordered appends, read back via ``read_ordered``: data dirs are
+    uuid-named, so file_path alone cannot order ACROSS commits — the
+    reader's total order is (_commit_seq, file_path, row_index), with
+    _commit_seq from the manifest's file list."""
     cat = _warehouse(sf_dir, "append_ordered")
     from component_iceberg_spark.io.csv_io import with_row_index
     from component_iceberg_spark.operators.relational import global_rank
 
     src = with_row_index(load_table(spark, sf_dir, "nation"), ["n_name"])
     cat.create_namespace("ns")
-    cat.append("ns", "nation_ordered", src, sort_by=["_row_idx"],
-               sort_partitions=4)
-    df = cat.read(spark, "ns", "nation_ordered").select(
-        "n_nationkey",
-        "n_name",
-        "_row_idx",
-        F.col("_metadata.file_path").alias("_fp"),
-        F.col("_metadata.row_index").alias("_ri"),
+    cat.append("ns", "nation_ordered", src.filter(F.col("_row_idx") <= 13),
+               sort_by=["_row_idx"], sort_partitions=3)
+    cat.append("ns", "nation_ordered", src.filter(F.col("_row_idx") > 13),
+               sort_by=["_row_idx"], sort_partitions=3)
+    df = cat.read_ordered(
+        spark, "ns", "nation_ordered", with_position=True
+    ).select(
+        "n_nationkey", "n_name", "_row_idx", "_commit_seq",
+        "_file_path", "_row_index",
     )
     ranked = global_rank(
-        df, [F.col("_fp"), F.col("_ri")], rank_col="read_pos"
+        df,
+        [F.col("_commit_seq"), F.col("_file_path"), F.col("_row_index")],
+        rank_col="read_pos",
     )
     return ranked.select(
         "n_nationkey",

@@ -1200,3 +1200,29 @@ def test_check_constraint_blocks_before_write(spark, tmp_path):
         cat.append("ns", "t", bad, check="v >= 0")
     assert cat._current_sid("ns", "t") == sid_before
     assert cat.read(spark, "ns", "t").count() == 10
+
+
+def test_read_ordered_recovers_cross_commit_order(spark, tmp_path):
+    """read_ordered: two ordered appends with uuid-named dirs; ordering
+    by (_commit_seq, _file_path, _row_index) recovers GLOBAL insertion
+    order even when the second commit's uuid sorts before the first's
+    (file_path alone cannot). Pending equality deletes are refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    a = spark.range(0, 50).select(F.col("id"))
+    b = spark.range(50, 100).select(F.col("id"))
+    cat.append("ns", "t", a, sort_by=["id"], sort_partitions=3)
+    cat.append("ns", "t", b, sort_by=["id"], sort_partitions=3)
+    df = cat.read_ordered(spark, "ns", "t", with_position=True)
+    rows = [
+        r.id
+        for r in df.orderBy("_commit_seq", "_file_path", "_row_index").collect()
+    ]
+    assert rows == list(range(100))
+    # pending equality deletes -> explicit refusal
+    doomed = spark.createDataFrame([(7,)], "id long")
+    cat.delete_keys(spark, "ns", "t", doomed, ["id"])
+    with pytest.raises(ValueError, match="compact"):
+        cat.read_ordered(spark, "ns", "t")
