@@ -107,6 +107,13 @@ SCALE_QUERIES = (
     # per-row cost, which the 10x ratio evidences
     "sim_ann_pq",
     "ext_heavy_hitters",
+    # r7 second wave: containment's df-cap interaction with replication
+    # (common shingles cross the cap at 10x — candidate volume must not
+    # blow up), the stored-index partition-pruned serving path, and the
+    # vocabulary-bound BPE fit (should be ~flat in corpus size)
+    "dedup_containment",
+    "sim_ann_ivf_stored",
+    "text_bpe_merges",
 )
 
 
@@ -398,6 +405,7 @@ def main() -> None:
         "stream_late_data_drop",
         "ext_ndcg_eval",
         "func_map",
+        "ext_spatial_grid_join",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -1074,3 +1074,90 @@ def ext_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate_b - rate_a, 6).alias("lift"),
         F.round((rate_b - rate_a) / se, 6).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial grid join (r7)
+# ---------------------------------------------------------------------------
+
+_SPATIAL_D = 50.0  # distance threshold; grid cell size = d
+
+# deterministic synthetic 2-D coordinates over customer
+_SPATIAL_PTS = """
+    SELECT c_custkey AS id,
+           CAST(c_acctbal AS DOUBLE) AS x,
+           CAST((c_custkey * 37) % 10000 AS DOUBLE) AS y
+    FROM customer
+"""
+
+_SPATIAL_ORACLE = f"""
+WITH pts AS ({_SPATIAL_PTS})
+SELECT a.id AS pa, b.id AS pb,
+       round(sqrt((a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y)), 6) AS dist
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= {_SPATIAL_D} * {_SPATIAL_D}
+"""
+
+
+@register("ext_spatial_grid_join", oracle=_SPATIAL_ORACLE,
+          tags=("ext", "join", "spatial"))
+def ext_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance self-join (all point pairs within d) via GRID BUCKETING —
+    the canonical scalable spatial join: cell size = d, so any pair
+    within d lands in the same or an adjacent cell; one side replicates
+    into its 3×3 cell neighborhood, the join is a plain equi-join on the
+    cell key, and the exact distance predicate verifies candidates. The
+    brute-force oracle proves the grid is LOSSLESS (no pair within d
+    escapes the neighborhood), not merely that candidates were scored
+    right. Pair dedup: the replicated side keeps only (a.id < b.id) and
+    each unordered pair survives exactly once because b is joined at its
+    OWN cell only.
+
+    Scale: one shuffle keyed on cells, 9× replication of one side (a
+    constant), candidates bounded by local density × 9 cells — never
+    all-pairs. The same shape serves geo joins, embedding-grid joins,
+    and trajectory contact tracing."""
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").cast("double").alias("x"),
+        ((F.col("c_custkey") * 37) % 10000).cast("double").alias("y"),
+    )
+    d = _SPATIAL_D
+    cx = F.floor(F.col("x") / d)
+    cy = F.floor(F.col("y") / d)
+    # side B sits at its own cell
+    b = pts.select(
+        F.col("id").alias("pb"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"), cx.alias("cx"), cy.alias("cy"),
+    )
+    # side A replicates into its 3x3 neighborhood
+    off = F.explode(
+        F.array(*[
+            F.struct(F.lit(i).alias("dx"), F.lit(j).alias("dy"))
+            for i in (-1, 0, 1) for j in (-1, 0, 1)
+        ])
+    )
+    a = (
+        pts.select(
+            F.col("id").alias("pa"), F.col("x").alias("xa"),
+            F.col("y").alias("ya"), cx.alias("acx"), cy.alias("acy"),
+            off.alias("o"),
+        )
+        .select(
+            "pa", "xa", "ya",
+            (F.col("acx") + F.col("o.dx")).alias("cx"),
+            (F.col("acy") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    d2 = (
+        (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+        + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+    )
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("pa") < F.col("pb")) & (d2 <= F.lit(d * d)))
+        .select("pa", "pb", F.round(F.sqrt(d2), 6).alias("dist"))
+    )

@@ -126,10 +126,11 @@ _GATE_PRIORITY = (
     "stream_late_data_drop",
     "ext_ndcg_eval",
     "func_map",
+    "ext_spatial_grid_join",
     # --- 3. oldest-first backlog. r1 stragglers (last green r4 via the
     #     r4 window) then the round-2 cohort and snap remainder (last
-    #     green r2/r4). With 8 sentinels + 17 never-gated + 13 new-in-r7
-    #     names above, ~12 of these fit a ~50 window in r7; the rest
+    #     green r2/r4). With 8 sentinels + 17 never-gated + 15 new-in-r7
+    #     names above, ~10 of these fit a ~50 window in r7; the rest
     #     complete in r8 (they outrank the fresher 3b/4 tiers).
     "ext_agg_approx",
     "ext_agg_salted",
