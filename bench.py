@@ -406,6 +406,7 @@ def main() -> None:
         "ext_ndcg_eval",
         "func_map",
         "ext_spatial_grid_join",
+        "snap_dpp_join",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -819,6 +819,58 @@ def snap_changelog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snap_dpp_join",
+    oracle="""
+    WITH dim AS (
+        SELECT o_orderpriority
+        FROM orders GROUP BY 1
+        HAVING avg(o_totalprice) > 250000
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN dim USING (o_orderpriority)
+    GROUP BY 1
+    """,
+    tags=("parity", "snapshot", "join"),
+)
+def snap_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning through the snapshot layer: the fact
+    table is committed hive-partitioned by priority; the dim side keeps
+    only priorities whose average order value clears a threshold — a
+    predicate decidable ONLY at runtime (it aggregates the data), so no
+    static filter can be inferred onto the fact scan. Catalyst inserts a
+    dynamicpruningexpression into the fact scan's PartitionFilters (the
+    broadcast side's values become the partition list), and the fact
+    scan opens only qualifying partitions — the runtime analogue of
+    sim_ann_ivf_stored's static IN pruning, and the mechanism that makes
+    star-schema joins over partitioned 100 TB facts scan-bounded.
+    Plan-pinned by tests/test_snaptable.py."""
+    cat = _warehouse(sf_dir, "dpp_join")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    cat.create_or_replace(
+        "ns", "orders", o, partition_by=["o_orderpriority"]
+    )
+    fact = cat.read(spark, "ns", "orders")
+    dim = (
+        o.groupBy("o_orderpriority")
+        .agg(F.avg("o_totalprice").alias("_avg"))
+        .filter(F.col("_avg") > 250000)
+        .select("o_orderpriority")
+    )
+    return (
+        fact.join(F.broadcast(dim), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
     "snap_expire_branches",
     oracle="""
     SELECT n.*, 3 AS n_expired, 3 AS n_remaining FROM nation n

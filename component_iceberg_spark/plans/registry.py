@@ -127,10 +127,11 @@ _GATE_PRIORITY = (
     "ext_ndcg_eval",
     "func_map",
     "ext_spatial_grid_join",
+    "snap_dpp_join",
     # --- 3. oldest-first backlog. r1 stragglers (last green r4 via the
     #     r4 window) then the round-2 cohort and snap remainder (last
-    #     green r2/r4). With 8 sentinels + 17 never-gated + 15 new-in-r7
-    #     names above, ~10 of these fit a ~50 window in r7; the rest
+    #     green r2/r4). With 8 sentinels + 17 never-gated + 16 new-in-r7
+    #     names above, ~9 of these fit a ~50 window in r7; the rest
     #     complete in r8 (they outrank the fresher 3b/4 tiers).
     "ext_agg_approx",
     "ext_agg_salted",

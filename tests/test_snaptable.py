@@ -1226,3 +1226,20 @@ def test_read_ordered_recovers_cross_commit_order(spark, tmp_path):
     cat.delete_keys(spark, "ns", "t", doomed, ["id"])
     with pytest.raises(ValueError, match="compact"):
         cat.read_ordered(spark, "ns", "t")
+
+
+def test_dpp_join_plan_has_dynamic_pruning(spark, sf_dir):
+    """snap_dpp_join's contract: the fact scan's PartitionFilters carries
+    a dynamicpruningexpression (runtime partition list from the
+    broadcast dim), not a statically-inferred predicate — the dim filter
+    aggregates the data, so nothing static is available to infer."""
+    from component_iceberg_spark.plans import load_all
+
+    reg = load_all()
+    df = reg["snap_dpp_join"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        line for line in plan.splitlines()
+        if "PartitionFilters" in line and "dynamicpruning" in line
+    ]
+    assert pf, f"no dynamic pruning in fact scan:\n{plan[:2000]}"
