@@ -1590,6 +1590,58 @@ class SnapCatalog:
             rows, schema="snapshot_id long, timestamp_ms long, operation string"
         )
 
+    def files(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        table: str,
+        snapshot_id: int | None = None,
+        stat_cols: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """Per-data-directory metadata table — the ``t.files`` /
+        ``t.partitions`` Iceberg metadata-table analogue (reference
+        surfaces table metadata the same read-only way,
+        ``ex-iceberg/src/component.py:148-157``): manifest position
+        (= commit arrival order for append-only tables), row count, and
+        min/max for the requested columns, answered ENTIRELY from the
+        manifest — no data scan, no Spark job. This is how a 100 TB
+        deployment audits layout (file counts, skewed commits, stats
+        coverage) without touching a single data file. Requested columns
+        with no recorded stats surface as NULLs, never an error — absent
+        stats degrade observability, not correctness."""
+        sid = snapshot_id or self._current_sid(namespace, table)
+        m = self._manifest(namespace, table, sid)
+        dir_rows = m.get("dir_rows") or {}
+        dir_stats = m.get("dir_stats") or {}
+
+        def _spark_type(col: str) -> str:
+            for d in m["files"]:
+                pair = (dir_stats.get(d) or {}).get(col)
+                if pair is not None:
+                    v = pair[0]
+                    if isinstance(v, bool):
+                        return "boolean"
+                    if isinstance(v, int):
+                        return "long"
+                    if isinstance(v, float):
+                        return "double"
+                    return "string"
+            return "string"  # no stats anywhere: NULL-typed placeholder
+
+        fields = ["ordinal int", "data_dir string", "n_rows long"]
+        for c in stat_cols:
+            t = _spark_type(c)
+            fields += [f"min_{c} {t}", f"max_{c} {t}"]
+        rows = []
+        for i, d in enumerate(m["files"]):
+            rec = [i, d, dir_rows.get(d)]
+            st = dir_stats.get(d) or {}
+            for c in stat_cols:
+                lo, hi = st.get(c) or (None, None)
+                rec += [lo, hi]
+            rows.append(tuple(rec))
+        return spark.createDataFrame(rows, schema=", ".join(fields))
+
     def schema(self, spark: SparkSession, namespace: str, table: str):
         return self.read(spark, namespace, table).schema
 

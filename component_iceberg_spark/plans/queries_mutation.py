@@ -1114,3 +1114,48 @@ def snap_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["o_orderkey", "valid_from"],
     )
     return cat.read(spark, "ns", "dim")
+
+
+@register(
+    "snap_files_meta",
+    oracle="""
+    SELECT CAST(o_orderkey % 3 AS INT) AS commit_seq,
+           count(*) AS n_rows,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("snapshot", "meta"),
+)
+def snap_files_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY analytics — the Iceberg ``t.files`` metadata-table
+    pattern (reference exposes read-only table metadata the same way,
+    ``ex-iceberg/src/component.py:148-157``): three appends land orders
+    split by ``o_orderkey % 3``, then per-commit row counts and column
+    min/max are answered from the MANIFEST ALONE (``SnapCatalog.files``
+    — no data scan, no Spark job) and must equal what a full scan would
+    compute. That equality is the whole value of manifest stats: at
+    100 TB this query costs one JSON read while the oracle reads every
+    row; it is also exactly the trust contract stats-based pruning
+    (``snap_stats_pruned_scan``) stands on. Parquet footer min/max are
+    exact for int64/double columns, so the oracle is exact, not a bound.
+    Manifest position doubles as commit sequence because the three
+    appends arrive in ``%3`` order."""
+    cat = _warehouse(sf_dir, "files_meta")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for i in range(3):
+        cat.append("meta", "orders", o.filter(F.col("o_orderkey") % 3 == i))
+    meta = cat.files(
+        spark, "meta", "orders", stat_cols=("o_orderkey", "o_totalprice")
+    )
+    return meta.select(
+        F.col("ordinal").alias("commit_seq"),
+        "n_rows",
+        F.col("min_o_orderkey").alias("min_key"),
+        F.col("max_o_orderkey").alias("max_key"),
+        F.col("min_o_totalprice").alias("min_price"),
+        F.col("max_o_totalprice").alias("max_price"),
+    )

@@ -561,3 +561,87 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage(ev.filter(F.col("event_id") % 4 == 0), "01-late")
     run()
     return spark.read.parquet(out)
+
+
+@register(
+    "stream_replay_idempotent",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+    tags=("ext", "streaming", "snapshot"),
+)
+def stream_replay_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE UNDER CRASH-REPLAY — the failure drill behind
+    ``stream_upsert_snaptable``'s "idempotent under replay" claim
+    (reference's batch pump re-runs safely the same way,
+    ``wr-iceberg/src/component.py:101-110``). Run 1 ingests epochs 0-2,
+    one micro-batch per staged file (``maxFilesPerTrigger=1``), each
+    batch an atomic keyed upsert commit into the snapshot table, all
+    under one CHECKPOINT. Then the at-least-once window every
+    foreachBatch sink has: a crash AFTER the sink commit but BEFORE the
+    checkpoint offset advances re-delivers the last batch — simulated by
+    re-committing epoch 2's exact payload. Because the sink is an upsert
+    keyed on ``event_id`` (not an append), the double delivery is a
+    no-op, not duplicated rows. Run 2 restarts on the SAME checkpoint
+    with a late epoch-3 file staged: recovery must ingest ONLY the new
+    file (the checkpoint remembers processed files). Final table ==
+    every event exactly once — an exact oracle despite a double-delivered
+    batch and a restart. This is the standard Spark recipe for
+    exactly-once sinks: idempotent (or transactional) batch writes +
+    checkpointed offsets; per-epoch commit granularity also gives each
+    micro-batch a snapshot id, so a poisoned batch can be time-traveled
+    away."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(SCRATCH_ROOT, tag, "replay_idem")
+    # fresh every invocation: checkpoint + warehouse must replay from scratch
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    ck = os.path.join(base, "ck")
+    os.makedirs(src, exist_ok=True)
+
+    from component_iceberg_spark.io.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def stage(df, name: str) -> None:
+        import glob as _g
+
+        tmp = os.path.join(base, f"_tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        files = _g.glob(os.path.join(tmp, "part-*.parquet"))
+        assert len(files) == 1
+        shutil.move(files[0], os.path.join(src, f"{name}.parquet"))
+        shutil.rmtree(tmp)
+
+    for i in range(3):
+        stage(ev.filter(F.col("event_id") % 4 == i), f"0{i}-epoch")
+
+    cat = SnapCatalog(os.path.join(base, "wh"))
+
+    def commit(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.isEmpty():
+            cat.upsert("stream", "events", batch, keys=["event_id"])
+
+    def run() -> None:
+        schema = spark.read.parquet(src).schema
+        st = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            st.writeStream.outputMode("update")
+            .foreachBatch(commit)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    # the crash-replay double delivery: same payload, committed again
+    commit(ev.filter(F.col("event_id") % 4 == 2), epoch_id=2)
+    stage(ev.filter(F.col("event_id") % 4 == 3), "03-late")
+    run()
+    return cat.read(spark, "stream", "events")

@@ -128,6 +128,8 @@ _GATE_PRIORITY = (
     "func_map",
     "ext_spatial_grid_join",
     "snap_dpp_join",
+    "snap_files_meta",
+    "stream_replay_idempotent",
     # --- 3. oldest-first backlog. r1 stragglers (last green r4 via the
     #     r4 window) then the round-2 cohort and snap remainder (last
     #     green r2/r4). With 8 sentinels + 17 never-gated + 16 new-in-r7

@@ -1243,3 +1243,46 @@ def test_dpp_join_plan_has_dynamic_pruning(spark, sf_dir):
         if "PartitionFilters" in line and "dynamicpruning" in line
     ]
     assert pf, f"no dynamic pruning in fact scan:\n{plan[:2000]}"
+
+
+def test_files_meta_no_scan_and_null_stats(spark, sf_dir, tmp_path):
+    """``files`` answers from the manifest alone: counts/min/max match a
+    real scan, a column with no recorded stats (strings can be dropped,
+    unknown names always) surfaces as NULLs, and metadata-only commits
+    (delete_where rewrites) keep the table enumerable."""
+    from pyspark.sql import functions as F
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    cat.append("ns", "t", o.filter(F.col("o_orderkey") % 2 == 0))
+    cat.append("ns", "t", o.filter(F.col("o_orderkey") % 2 == 1))
+
+    meta = cat.files(
+        spark, "ns", "t", stat_cols=("o_orderkey", "no_such_col")
+    ).orderBy("ordinal")
+    rows = meta.collect()
+    assert [r.ordinal for r in rows] == [0, 1]
+    scan = (
+        cat.read(spark, "ns", "t")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert sum(r.n_rows for r in rows) == scan.n
+    assert min(r.min_o_orderkey for r in rows) == scan.lo
+    assert max(r.max_o_orderkey for r in rows) == scan.hi
+    # unknown column: NULL stats, string-typed placeholder, no error
+    assert all(r.min_no_such_col is None for r in rows)
+    assert all(r.max_no_such_col is None for r in rows)
+    # a rewrite commit (delete) keeps files() consistent with the new state
+    cat.delete_where(spark, "ns", "t", "o_orderkey % 2 = 0")
+    meta2 = cat.files(spark, "ns", "t", stat_cols=("o_orderkey",))
+    assert (
+        meta2.agg(F.sum("n_rows")).collect()[0][0]
+        == cat.read(spark, "ns", "t").count()
+    )
