@@ -281,6 +281,111 @@ def ext_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_window_yoy",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderpriority AS prio,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY 1, 2
+    ), c AS (
+        SELECT *, CAST(round(revenue * 100) AS BIGINT) AS rev_c FROM m
+    ), w AS (
+        SELECT prio, month, revenue,
+               CAST(floor(
+                   CAST(sum(rev_c) OVER (
+                       PARTITION BY prio ORDER BY month
+                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                   ) AS DOUBLE)
+                   / (count(*) OVER (
+                       PARTITION BY prio ORDER BY month
+                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                   )) + 0.5
+               ) AS BIGINT) / 100.0 AS ma3,
+               lag(revenue, 12) OVER (
+                   PARTITION BY prio ORDER BY month
+               ) AS prev12,
+               CAST(rank() OVER (
+                   PARTITION BY prio, year(month) ORDER BY revenue DESC
+               ) AS INTEGER) AS yr_rank
+        FROM c
+    )
+    SELECT prio, month, revenue, ma3,
+           round(revenue - prev12, 2) AS yoy_delta,
+           yr_rank
+    FROM w
+    WHERE prev12 IS NOT NULL
+    """,
+    tags=("relational", "window"),
+)
+def ext_window_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-style deep window stack (q47 shape): monthly revenue per
+    order priority, then three window families over ONE month-sorted
+    layout — a centered 3-month moving average (frame semantics at the
+    partition edges included), a 12-rows-back lag giving year-over-year
+    delta, and an in-year revenue rank. Catalyst reuses a single
+    Exchange on ``prio`` for the two month-ordered specs; the per-year
+    rank re-sorts WITHIN the same partitions (no second shuffle — the
+    year spec's partition keys are a superset of ``prio``). The input to
+    every window is the already-rounded monthly aggregate, so floats are
+    bit-identical cross-engine before any frame arithmetic — but the
+    moving average itself cannot use engine ``round``: a 3-month mean
+    can land on a TRUE decimal half-boundary (x.255), where Spark
+    rounds the shortest decimal repr (HALF_UP → .26) and DuckDB rounds
+    the binary double (just under half → .25). So ma3 is computed in
+    integer-cent space and rounded via ``floor(sum_c/n + 0.5)/100`` —
+    every step a single IEEE op with identical semantics in both
+    engines, making the boundary case exact instead of tolerant (same
+    lesson as the r7 BLAS-kernel rounding contract). TPC-H months are
+    dense per priority, so lag(12) is the true same-month-last-year.
+    At 100 TB the shape holds: the windowed relation is months ×
+    priorities — metadata-sized relative to the fact scan feeding the
+    monthly aggregate, which is the canonical map-side-combine groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("month"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .withColumn("rev_c", F.round(F.col("revenue") * 100).cast("long"))
+    )
+    w_month = Window.partitionBy("prio").orderBy("month")
+    w_year = Window.partitionBy("prio", F.year("month")).orderBy(
+        F.col("revenue").desc()
+    )
+    return (
+        m.select(
+            "prio",
+            "month",
+            "revenue",
+            (
+                F.floor(
+                    F.sum("rev_c").over(w_month.rowsBetween(-1, 1)).cast("double")
+                    / F.count(F.lit(1)).over(w_month.rowsBetween(-1, 1))
+                    + 0.5
+                )
+                / 100.0
+            ).alias("ma3"),
+            F.lag("revenue", 12).over(w_month).alias("prev12"),
+            F.rank().over(w_year).alias("yr_rank"),
+        )
+        .filter(F.col("prev12").isNotNull())
+        .select(
+            "prio",
+            "month",
+            "revenue",
+            "ma3",
+            F.round(F.col("revenue") - F.col("prev12"), 2).alias("yoy_delta"),
+            "yr_rank",
+        )
+    )
+
+
+@register(
     "ext_topk",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders
