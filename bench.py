@@ -407,6 +407,10 @@ def main() -> None:
         "func_map",
         "ext_spatial_grid_join",
         "snap_dpp_join",
+        "snap_files_meta",
+        "stream_replay_idempotent",
+        "ext_window_yoy",
+        "snap_timetravel_asof",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -1159,3 +1159,35 @@ def snap_files_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_o_totalprice").alias("min_price"),
         F.col("max_o_totalprice").alias("max_price"),
     )
+
+
+@register(
+    "snap_timetravel_asof",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+    """,
+    tags=("snapshot", "timetravel"),
+)
+def snap_timetravel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP-based time travel — Iceberg ``FOR TIMESTAMP AS OF`` /
+    the connector's ``as-of-timestamp`` read option (snapshot-id travel
+    is ``snap_append_timetravel``; the reference reads pinned snapshots
+    through the same pyiceberg surface,
+    ``ex-iceberg/src/component.py:148-157``). Two appends; the read
+    resolves the FIRST commit's wall-clock timestamp to the latest
+    snapshot at-or-before it, so the second commit's rows must be
+    invisible. The clock is nudged past commit 1's millisecond before
+    commit 2 lands: with equal timestamps "as of t1" correctly resolves
+    to the LATER snapshot (candidates are history-ordered), which is
+    Iceberg's contract too — timestamp travel is only as granular as
+    distinct commit timestamps."""
+    import time as _time
+
+    cat = _warehouse(sf_dir, "tt_asof")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    cat.append("ns", "t", o.filter(F.col("o_orderkey") % 3 != 0))
+    ts1 = cat.snapshots(spark, "ns", "t").collect()[0].timestamp_ms
+    while int(_time.time() * 1000) <= ts1:
+        _time.sleep(0.002)
+    cat.append("ns", "t", o.filter(F.col("o_orderkey") % 3 == 0))
+    return cat.read(spark, "ns", "t", as_of_ms=ts1)

@@ -1286,3 +1286,34 @@ def test_files_meta_no_scan_and_null_stats(spark, sf_dir, tmp_path):
         meta2.agg(F.sum("n_rows")).collect()[0][0]
         == cat.read(spark, "ns", "t").count()
     )
+
+
+def test_timetravel_asof_bounds_and_ties(spark, sf_dir, tmp_path):
+    """as_of_ms resolves to the latest snapshot at-or-before the
+    timestamp; a timestamp before the first commit raises; equal-
+    timestamp commits resolve to the LATER one (history order)."""
+    import json
+    import os
+
+    import pytest
+
+    from component_iceberg_spark.io.snaptable import SnapshotNotFound
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    cat.append("ns", "t", o.limit(10))
+    cat.append("ns", "t", o.limit(5))
+    snaps = cat._snapshots("ns", "t")
+    with pytest.raises(SnapshotNotFound):
+        cat.read(spark, "ns", "t", as_of_ms=snaps[0]["timestamp_ms"] - 1)
+    # pin both snapshots to the SAME timestamp: as-of must take the later
+    for s in snaps:
+        p = os.path.join(
+            str(tmp_path / "wh"), "ns", "t", "snapshots",
+            f"{s['snapshot_id']}.json",
+        )
+        m = json.load(open(p))
+        m["timestamp_ms"] = snaps[0]["timestamp_ms"]
+        json.dump(m, open(p, "w"))
+    df = cat.read(spark, "ns", "t", as_of_ms=snaps[0]["timestamp_ms"])
+    assert df.count() == 15  # both commits: resolved to snapshot 2
