@@ -437,3 +437,19 @@ def test_dbscan_grid_single_data_pass(spark, sf_dir):
         f"materialized), got {scans} scans\n{p[:1500]}"
     )
     assert "Scan ExistingRDD" in p or "LocalTableScan" in p, p[:1500]
+
+
+def test_window_yoy_single_window_exchange(spark, sf_dir):
+    """ext_window_yoy's scale contract: the three window families run
+    over ONE window Exchange — the per-(prio, year) rank spec's
+    partition keys are a superset of the month spec's ``prio``, so
+    Catalyst must satisfy it with the existing hash partitioning and a
+    re-sort, never a second shuffle. Two Exchanges total: the monthly
+    groupBy and the window partitioning."""
+    import re
+
+    p = plan(spark, sf_dir, "ext_window_yoy")
+    exchanges = len(re.findall(r"\(\d+\) Exchange", p))
+    assert exchanges == 2, f"expected agg+window exchanges, got {exchanges}\n{p[:1500]}"
+    windows = len(re.findall(r"\(\d+\) Window", p))
+    assert windows == 2, f"expected two Window nodes, got {windows}\n{p[:1500]}"
