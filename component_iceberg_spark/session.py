@@ -9,6 +9,7 @@ broadcast threshold. Nothing here is local-mode specific except the master.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -79,3 +80,57 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, **confs: str):
+    """Temporarily set runtime SQL confs, restoring prior values on exit
+    (unset if the key had no value). Runtime confs are weighed at each
+    action's planning time, so a scope like this is the ONLY safe way for
+    a library call to tune planning without leaking into every later
+    query on the shared session."""
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+
+@contextmanager
+def bloom_filter_joins(
+    spark: SparkSession,
+    creation_side_max: str = "64MB",
+    application_side_min: str = "0",
+):
+    """Scoped enablement of Spark's RUNTIME BLOOM-FILTER join reduction —
+    the row-level sibling of dynamic partition pruning (partition-level,
+    ``snap_dpp_join``): a selective build side of a shuffle join gets a
+    ``bloom_filter_agg`` subquery, and the probe side's scan gains a
+    ``might_contain(...)`` condition that drops non-joining rows BEFORE
+    the exchange. At 100 TB this is the difference between shuffling the
+    whole fact table and shuffling only rows that can match. Spark's
+    defaults (10 MB creation cap, 10 GB probe-scan floor) are tuned for
+    real clusters and correctly refuse to fire at fixture scale; this
+    scope lowers them for tests/demos and restores them on exit. Also
+    disables broadcast joins inside the scope — a broadcast-hash join
+    already filters probe rows at the hash table, so Spark only injects
+    blooms into shuffle joins."""
+    with scoped_conf(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": creation_side_max,
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": application_side_min,
+        },
+    ):
+        yield spark

@@ -453,3 +453,41 @@ def test_window_yoy_single_window_exchange(spark, sf_dir):
     assert exchanges == 2, f"expected agg+window exchanges, got {exchanges}\n{p[:1500]}"
     windows = len(re.findall(r"\(\d+\) Window", p))
     assert windows == 2, f"expected two Window nodes, got {windows}\n{p[:1500]}"
+
+
+def test_bloom_filter_join_prunes_probe_side(spark, sf_dir):
+    """Runtime Bloom-filter join reduction inside a scoped conf window:
+    the selective orders side must inject might_contain onto the
+    lineitem probe side (rows dropped before the shuffle), the result
+    must equal the plain join, and the scope must restore the session's
+    planning confs on exit."""
+    from component_iceberg_spark.io.tables import load_table
+    from component_iceberg_spark.session import bloom_filter_joins
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    join = lambda: li.join(o, li.l_orderkey == o.o_orderkey)  # noqa: E731
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    with bloom_filter_joins(spark):
+        j = join()
+        p = j._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in p, p[:1500]
+        assert "bloom_filter_agg" in p, p[:1500]
+        n_bloom = j.count()
+    # scope restored: broadcast threshold back, bloom thresholds back to
+    # cluster-scale defaults → no injection outside the window
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    j2 = join()
+    p2 = j2._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        j2._jdf.queryExecution(), "formatted"
+    )
+    assert "might_contain" not in p2
+    assert n_bloom == j2.count()
