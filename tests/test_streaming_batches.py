@@ -333,3 +333,27 @@ def test_anomaly_alerts_multichunk_group_sorted_globally(spark, tmp_path):
     }
     assert len(want) >= 4, f"fixture too tame: {len(want)} alerts"
     assert got == want, f"diff={sorted(got ^ want)[:6]}"
+
+
+def test_replay_idempotent_commit_granularity(spark, sf_dir):
+    """Pin stream_replay_idempotent's commit ledger: 3 epoch batches +
+    1 manual crash-replay + 1 checkpoint-recovered late epoch = exactly
+    5 upsert snapshots. If recovery re-read the already-processed files,
+    extra commits would appear here even though the (idempotent) final
+    state would still match the oracle — this is the assertion that the
+    checkpoint, not the upsert, is what prevents reprocessing."""
+    import hashlib
+    import os
+
+    from component_iceberg_spark.plans import load_all
+    from component_iceberg_spark.plans.queries_streaming import SCRATCH_ROOT
+
+    df = load_all()["stream_replay_idempotent"].fn(spark, sf_dir)
+    assert df.count() > 0
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    cat = SnapCatalog(os.path.join(SCRATCH_ROOT, tag, "replay_idem", "wh"))
+    ops = [
+        r.operation
+        for r in cat.snapshots(spark, "stream", "events").collect()
+    ]
+    assert ops == ["upsert"] * 5, ops
