@@ -258,13 +258,15 @@ class SnapCatalog:
     # -- commits ------------------------------------------------------------
 
     def check_constraint(self, df: DataFrame, predicate: str) -> None:
-        """Write-time CHECK constraint: fail the commit BEFORE any data
-        lands if any row violates ``predicate`` (the Delta-style table
-        constraint the reference's strict-cast gate is the type-level
-        version of). One counting job over the violating subset — the
-        filter pushes into the scan, so a clean batch costs a scan with
-        an always-false-fast predicate, and the first violation found
-        carries a sample row into the error for debuggability."""
+        """Plan-level CHECK constraint utility: fail if any row of ``df``
+        violates ``predicate`` (the Delta-style table constraint the
+        reference's strict-cast gate is the type-level version of). The
+        first violation found carries a sample row into the error.
+        NOTE: this evaluates the INPUT PLAN in its own job; for commit
+        gating, ``append(check=...)`` instead validates the already-
+        written files inside :meth:`_commit`, which is immune to
+        nondeterministic sources re-executing differently between the
+        check job and the write job."""
         bad = df.filter(f"NOT ({predicate})")
         sample = bad.limit(1).collect()
         if sample:
@@ -295,15 +297,15 @@ class SnapCatalog:
         cannot recover commit order — use :meth:`read_ordered`, whose
         ``_commit_seq`` column exposes the manifest's file-list order.
 
-        ``check`` is a CHECK-constraint predicate evaluated BEFORE the
-        write (:meth:`check_constraint`): a violating batch fails with a
-        sample row and the table is untouched."""
-        if check is not None:
-            self.check_constraint(df, check)
+        ``check`` is a CHECK-constraint predicate: a violating batch
+        fails with a sample row and the table is untouched. Validation
+        runs against the WRITTEN (still-unpublished) files inside
+        :meth:`_commit`, so a nondeterministic source cannot pass a
+        pre-write check and then write different rows."""
         return self._commit(
             namespace, table, df, operation="append", carry=True,
             partition_by=partition_by, transform_spec=partition_spec,
-            sort_by=sort_by, sort_partitions=sort_partitions,
+            sort_by=sort_by, sort_partitions=sort_partitions, check=check,
         )
 
     def create_or_replace(
@@ -1696,8 +1698,18 @@ class SnapCatalog:
         extra_dir_rows: dict | None = None,
         sort_by: list[str] | None = None,
         sort_partitions: int | None = None,
+        check: str | None = None,
     ) -> int:
         """Write data, then publish a manifest optimistically.
+
+        ``check`` is a CHECK-constraint predicate validated against the
+        WRITTEN files after the data write but before the manifest
+        publish: a violation deletes the (still-unpublished, hence
+        invisible) data dir and raises with a sample row. Checking the
+        written bytes — not the input plan — closes the window a
+        nondeterministic or concurrently-changing source would otherwise
+        have between a pre-write check job and the write job re-executing
+        the plan, and costs a scan of only the new directory.
 
         ``base_sid`` is the snapshot id the operation's inputs were read
         from: any state-derived commit (upsert/delete/update/compact) passes
@@ -1754,6 +1766,19 @@ class SnapCatalog:
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(out_dir)
+            if check is not None:
+                bad = (
+                    df.sparkSession.read.parquet(out_dir)
+                    .filter(f"NOT ({check})")
+                    .limit(1)
+                    .collect()
+                )
+                if bad:
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                    raise ValueError(
+                        f"CHECK constraint violated: ({check}); "
+                        f"sample offending row: {bad[0].asDict()}"
+                    )
             new_stats = dir_column_stats(out_dir)
             new_rows = dir_row_count(out_dir)
         else:

@@ -40,7 +40,10 @@ def topk_per_group(
 
 
 def global_rank(
-    df: DataFrame, order_cols: list[Column], rank_col: str = "rank"
+    df: DataFrame,
+    order_cols: list[Column],
+    rank_col: str = "rank",
+    total_col: str | None = None,
 ) -> DataFrame:
     """Total-order ranking without a single-partition sort.
 
@@ -50,6 +53,11 @@ def global_rank(
     (include a unique tiebreak column) so results are independent of the
     sampled range boundaries. Cached between the offset job and the final
     job because range partitioning re-samples otherwise.
+
+    ``total_col`` optionally attaches the total row count as a literal
+    column — the offset pass already summed it, so consumers needing
+    rank/total arithmetic (equi-depth binning, percentiles) avoid a
+    second full scan.
     """
     from pyspark import StorageLevel
 
@@ -72,7 +80,7 @@ def global_rank(
         *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
+    out = (
         parted.withColumn(
             rank_col,
             (F.row_number().over(w) + F.coalesce(mapping[F.col("_pid")], F.lit(0))).cast(
@@ -81,6 +89,9 @@ def global_rank(
         )
         .drop("_pid")
     )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(acc).cast("long"))
+    return out
 
 
 def sessionize(

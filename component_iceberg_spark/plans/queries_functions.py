@@ -591,8 +591,9 @@ def ext_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the ranking is operators/relational.global_rank (range
     partition + per-partition offsets — no single-task sort, unlike a
-    bare ntile window), the total count broadcasts as a 1-row join, and
-    the bin aggregate is one hash Exchange on 10 keys."""
+    bare ntile window), the total count rides along as a literal from
+    the offset pass (no second scan, no 1-row join), and the bin
+    aggregate is one hash Exchange on 10 keys."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
@@ -602,9 +603,9 @@ def ext_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         [F.col("x"), F.col("l_orderkey"), F.col("l_linenumber")],
         rank_col="_rnk",
+        total_col="_n",
     )
-    n = li.agg(F.count(F.lit(1)).alias("_n"))
-    binned = ranked.crossJoin(F.broadcast(n)).select(
+    binned = ranked.select(
         F.floor(
             (F.col("_rnk") - 1) * 10 / F.col("_n")
         ).cast("int").alias("bin"),
@@ -623,10 +624,17 @@ def equi_width_histogram(df: DataFrame, col: str, bins: int) -> DataFrame:
     the degenerate-range / decimal-cast contract)."""
     vals = df.select(F.col(col).cast("double").alias(col))
     b = vals.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).collect()[0]
-    mn, mx = float(b["mn"]), float(b["mx"])
-    if mx == mn:
-        bin_col = F.lit(0).cast("int")
+    if b["mn"] is None:
+        # empty or all-NULL input: no crash — empty result for empty
+        # input, a single NULL-bin row for all-NULL (what the SQL bin
+        # expression yields: NULL arithmetic → NULL bin)
+        bin_col = F.lit(None).cast("int")
+    elif float(b["mx"]) == float(b["mn"]):
+        # NULL rows keep a NULL bin here too (the SQL CASE would emit
+        # NULL for them, not 0)
+        bin_col = F.when(F.col(col).isNotNull(), F.lit(0)).cast("int")
     else:
+        mn, mx = float(b["mn"]), float(b["mx"])
         w = (mx - mn) / bins
         bin_col = F.least(
             F.floor((F.col(col) - mn) / w), F.lit(bins - 1)

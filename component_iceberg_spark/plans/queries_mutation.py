@@ -15,9 +15,7 @@ deterministic.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -25,17 +23,13 @@ from pyspark.sql import functions as F
 from component_iceberg_spark.io.snaptable import SnapCatalog
 from component_iceberg_spark.io.tables import load_table
 from component_iceberg_spark.plans.registry import register
-
-SCRATCH_ROOT = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/cis_scratch")
+from component_iceberg_spark.plans.scratch import scratch_warehouse
 
 
 def _warehouse(sf_dir: str, key: str) -> SnapCatalog:
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(SCRATCH_ROOT, tag, "warehouse", key)
-    # fresh per invocation → deterministic snapshot ids
-    if os.path.isdir(path):
-        shutil.rmtree(path)
-    return SnapCatalog(path)
+    # fresh per invocation → deterministic snapshot ids (shared contract:
+    # plans/scratch.py)
+    return scratch_warehouse(sf_dir, key)
 
 
 # Base/delta split of orders used by every upsert-shaped query: ~2/3 of

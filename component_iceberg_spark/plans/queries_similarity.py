@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from component_iceberg_spark.io.tables import load_table
 from component_iceberg_spark.operators import similarity as S
 from component_iceberg_spark.plans.registry import register
+from component_iceberg_spark.plans.scratch import scratch_warehouse
 
 QUERY_IDS = (0, 17, 93)
 NPROBE = 4
@@ -191,13 +192,7 @@ def sim_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization, probing, rounding, and tie-breaks as sim_ann_ivf, so
     the SAME exact oracle gates it — the match proves the store/read/
     prune round-trip changes nothing but I/O."""
-    import hashlib as _hl
-    import os as _os
-    import shutil as _sh
-
     from pyspark.sql import Window
-
-    from component_iceberg_spark.io.snaptable import SnapCatalog
 
     e = load_table(spark, sf_dir, "embeddings")
     w = Window.partitionBy("label").orderBy("vec_id")
@@ -217,12 +212,7 @@ def sim_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = S.nearest_assign(
         corpus, cent, "neighbor_id", "c_vec", "bucket", keep=("c_vec",)
     )
-    scratch = _os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/cis_scratch")
-    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    wh = _os.path.join(scratch, tag, "warehouse", "ivf_assign")
-    if _os.path.isdir(wh):
-        _sh.rmtree(wh)
-    cat = SnapCatalog(wh)
+    cat = scratch_warehouse(sf_dir, "ivf_assign")
     cat.create_or_replace("ann", "ivf_assign", bucketed, partition_by=["bucket"])
 
     q = e.filter(F.col("vec_id").isin(list(QUERY_IDS))).select(
@@ -441,18 +431,8 @@ def sim_ann_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same codebook, boundaries, and re-rank as sim_ann_pq, so the SAME
     exact oracle gates it — the check proves the store/read round-trip
     changes nothing but I/O."""
-    import hashlib as _hl
-    import os as _os
-    import shutil as _sh
 
-    from component_iceberg_spark.io.snaptable import SnapCatalog
-
-    scratch = _os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/cis_scratch")
-    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    wh = _os.path.join(scratch, tag, "warehouse", "pq_codes")
-    if _os.path.isdir(wh):
-        _sh.rmtree(wh)
-    cat = SnapCatalog(wh)
+    cat = scratch_warehouse(sf_dir, "pq_codes")
     e = load_table(spark, sf_dir, "embeddings")
     codes, codebook = S.pq_encode(e)
     cat.create_or_replace("ann", "pq_codes", codes)

@@ -53,6 +53,22 @@ def _mark_stage(stage_dir: str, src: str) -> None:
         f.write(_src_fingerprint(src))
 
 
+def _stage_single_file(base: str, src_dir: str, df: DataFrame, name: str) -> None:
+    """Land ``df`` as exactly one parquet file ``<name>.parquet`` in a
+    file-stream source directory (shared by the restart-based streaming
+    drills: each staged file is one deliverable unit for
+    ``maxFilesPerTrigger``/arrival simulation). Asserts the single-file
+    invariant a zero-row or multi-part write would break."""
+    import glob as _g
+
+    tmp = os.path.join(base, f"_tmp_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    files = _g.glob(os.path.join(tmp, "part-*.parquet"))
+    assert len(files) == 1, f"{name}: expected one part file, got {len(files)}"
+    shutil.move(files[0], os.path.join(src_dir, f"{name}.parquet"))
+    shutil.rmtree(tmp)
+
+
 def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage the single-file fixture into a directory: the file stream
     # source expects a directory basePath (stateful queries enforce it).
@@ -524,16 +540,6 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.col("ts").cast("timestamp").alias("ts")
     )
 
-    def stage(df, name: str) -> None:
-        import glob as _g
-
-        tmp = os.path.join(base, f"_tmp_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        files = _g.glob(os.path.join(tmp, "part-*.parquet"))
-        assert len(files) == 1
-        shutil.move(files[0], os.path.join(src, f"{name}.parquet"))
-        shutil.rmtree(tmp)
-
     def run() -> None:
         schema = spark.read.parquet(src).schema
         st = spark.readStream.schema(schema).parquet(src)
@@ -556,9 +562,9 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-    stage(ev.filter(F.col("event_id") % 4 != 0), "00-ontime")
+    _stage_single_file(base, src, ev.filter(F.col("event_id") % 4 != 0), "00-ontime")
     run()
-    stage(ev.filter(F.col("event_id") % 4 == 0), "01-late")
+    _stage_single_file(base, src, ev.filter(F.col("event_id") % 4 == 0), "01-late")
     run()
     return spark.read.parquet(out)
 
@@ -604,18 +610,8 @@ def stream_replay_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value"
     )
 
-    def stage(df, name: str) -> None:
-        import glob as _g
-
-        tmp = os.path.join(base, f"_tmp_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        files = _g.glob(os.path.join(tmp, "part-*.parquet"))
-        assert len(files) == 1
-        shutil.move(files[0], os.path.join(src, f"{name}.parquet"))
-        shutil.rmtree(tmp)
-
     for i in range(3):
-        stage(ev.filter(F.col("event_id") % 4 == i), f"0{i}-epoch")
+        _stage_single_file(base, src, ev.filter(F.col("event_id") % 4 == i), f"0{i}-epoch")
 
     cat = SnapCatalog(os.path.join(base, "wh"))
 
@@ -642,6 +638,6 @@ def stream_replay_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     run()
     # the crash-replay double delivery: same payload, committed again
     commit(ev.filter(F.col("event_id") % 4 == 2), epoch_id=2)
-    stage(ev.filter(F.col("event_id") % 4 == 3), "03-late")
+    _stage_single_file(base, src, ev.filter(F.col("event_id") % 4 == 3), "03-late")
     run()
     return cat.read(spark, "stream", "events")

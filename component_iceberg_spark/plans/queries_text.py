@@ -983,8 +983,7 @@ BPE_TOPN = 10
     pairs AS (
         SELECT substr(tok, i, 1) AS a, substr(tok, i + 1, 1) AS b,
                sum(freq) AS pair_count
-        FROM vocab, (SELECT unnest(range(1, 40)) AS i)
-        WHERE i < strlen(tok)
+        FROM (SELECT tok, freq, unnest(range(1, strlen(tok))) AS i FROM vocab)
         GROUP BY 1, 2
     )
     SELECT a, b, CAST(pair_count AS BIGINT) AS pair_count,

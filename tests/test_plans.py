@@ -303,6 +303,11 @@ def test_gate_priority_names_all_registered():
     unknown = [n for n in _GATE_PRIORITY if n not in REGISTRY]
     assert not unknown, f"gate-priority names not in registry: {unknown}"
     assert len(set(_GATE_PRIORITY)) == len(_GATE_PRIORITY), "duplicates"
+    # and the reverse: a registered query missing from the list sorts
+    # dead last (behind the deliberately-yielding fresh-green tail) —
+    # exactly the blind spot the rotation schedule exists to prevent
+    unlisted = [n for n in REGISTRY if n not in set(_GATE_PRIORITY)]
+    assert not unlisted, f"registered but not gate-prioritized: {unlisted}"
 
 
 def test_no_antipatterns_any_query(spark, sf_dir):
@@ -491,3 +496,30 @@ def test_bloom_filter_join_prunes_probe_side(spark, sf_dir):
     )
     assert "might_contain" not in p2
     assert n_bloom == j2.count()
+
+
+def test_histogram_empty_and_null_inputs(spark):
+    """equi_width_histogram must not crash when the bounds aggregate
+    returns NULL: empty input → empty result; all-NULL input → one
+    NULL-bin row (mirroring the SQL bin expression's NULL arithmetic);
+    NULLs beside a constant column keep their NULL bin, never bin 0."""
+    from component_iceberg_spark.plans.queries_functions import (
+        equi_width_histogram,
+    )
+
+    empty = spark.createDataFrame([], schema="x double")
+    assert equi_width_histogram(empty, "x", 20).collect() == []
+
+    nulls = spark.createDataFrame([(None,)] * 3, schema="x double")
+    out = equi_width_histogram(nulls, "x", 20).collect()
+    assert len(out) == 1
+    assert (out[0]["bin"], out[0]["n"], out[0]["total"]) == (None, 3, None)
+
+    mixed = spark.createDataFrame(
+        [(5.0,), (5.0,), (None,)], schema="x double"
+    )
+    got = {
+        r["bin"]: (r["n"], r["total"])
+        for r in equi_width_histogram(mixed, "x", 20).collect()
+    }
+    assert got == {0: (2, 10.0), None: (1, None)}

@@ -1200,6 +1200,10 @@ def test_check_constraint_blocks_before_write(spark, tmp_path):
         cat.append("ns", "t", bad, check="v >= 0")
     assert cat._current_sid("ns", "t") == sid_before
     assert cat.read(spark, "ns", "t").count() == 10
+    # the check validates WRITTEN files pre-publish: the rejected dir
+    # must be cleaned up, leaving exactly the good commit's data dir
+    data_root = str(tmp_path / "wh" / "ns" / "t" / "data")
+    assert len(os.listdir(data_root)) == 1
 
 
 def test_read_ordered_recovers_cross_commit_order(spark, tmp_path):
