@@ -114,6 +114,12 @@ SCALE_QUERIES = (
     "dedup_containment",
     "sim_ann_ivf_stored",
     "text_bpe_merges",
+    # r7 third wave: the grid distance join's candidate volume must track
+    # point density (cells scale with replicas, 3×3 neighborhoods stay
+    # local), and the DPP join's fact scan must stay partition-bounded —
+    # at 10× its wall should track the SURVIVING partitions, not the table
+    "ext_spatial_grid_join",
+    "snap_dpp_join",
 )
 
 
