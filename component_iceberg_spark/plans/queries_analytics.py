@@ -1161,3 +1161,161 @@ def ext_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("pa") < F.col("pb")) & (d2 <= F.lit(d * d)))
         .select("pa", "pb", F.round(F.sqrt(d2), 6).alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (r7)
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+SELECT p.p_partkey, p.p_brand, p.p_size, p.p_retailprice
+FROM part p
+WHERE p.p_size IS NOT NULL AND p.p_retailprice IS NOT NULL
+  AND NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_size IS NOT NULL AND q.p_retailprice IS NOT NULL
+        AND q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+  )
+"""
+
+
+@register("ext_skyline", oracle=_SKYLINE_ORACLE, tags=("ext", "analytics"))
+def ext_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline over parts: every part for which no other part is
+    cheaper-or-equal AND bigger-or-equal with at least one strict — the
+    multi-objective "best deals" frontier (minimize price, maximize
+    size). The reference answers this class only via hand-written
+    NOT EXISTS SQL in custom-query mode, which DuckDB executes as a
+    quadratic anti-join; here the staircase structure of the 2-D skyline
+    replaces the all-pairs test entirely.
+
+    Plan: (1) per-price aggregate — only the LARGEST size at each price
+    can be on the frontier, so one hash aggregate (map-side combine)
+    collapses the relation to |distinct prices| rows; (2) a running-max
+    window ordered by price over that collapsed staircase relation keeps
+    a price level only when its best size strictly exceeds every
+    strictly-cheaper level's best; (3) the surviving (price, size) pairs
+    — frontier-sized, broadcast by construction — join back to recover
+    the full rows (ties at the same price and size are all on the
+    frontier, matching the oracle's dominance definition).
+
+    Scale: the corpus-sized relation is touched by exactly one shuffle
+    (the price aggregate); the window runs on the aggregated relation,
+    whose cardinality is bounded by the price domain, and the final join
+    broadcasts the frontier. No all-pairs comparison at any stage."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isNotNull() & F.col("p_retailprice").isNotNull()
+    )
+    levels = p.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("best_size")
+    )
+    w = (
+        Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        levels.withColumn("best_cheaper", F.max("best_size").over(w))
+        .filter(
+            F.col("best_cheaper").isNull()
+            | (F.col("best_size") > F.col("best_cheaper"))
+        )
+        .select("p_retailprice", F.col("best_size").alias("p_size"))
+    )
+    return p.join(
+        F.broadcast(frontier), ["p_retailprice", "p_size"]
+    ).select("p_partkey", "p_brand", "p_size", "p_retailprice")
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS regression (r7)
+# ---------------------------------------------------------------------------
+
+# Exact-moment OLS: every sum below is over BIGINTs (price in cents), so
+# both engines aggregate the IDENTICAL integers in any order; the float
+# work is a fixed left-to-right composition of those exact moments, making
+# slope/intercept/r2 bit-stable and the 6-dp rounding purely cosmetic.
+# At 100 TB group sizes the bigint moments (sum of cents^2) approach the
+# int64 range — promote the moment lanes to DECIMAL(38,0) there; the
+# derived-statistic composition is unchanged.
+_OLS_ORACLE = """
+WITH m AS (
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(p_size) AS BIGINT) AS sx,
+           CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+           CAST(sum(CAST(p_size AS BIGINT) * p_size) AS BIGINT) AS sxx,
+           CAST(sum(p_size * CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sxy,
+           CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)
+                    * CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS syy
+    FROM part
+    WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+    GROUP BY p_brand
+)
+SELECT p_brand, n,
+       round((num * 1.0 / nullif(den, 0)) / 100.0, 6) AS slope,
+       round((sy * 1.0 / n) / 100.0
+             - (num * 1.0 / nullif(den, 0)) / 100.0 * (sx * 1.0 / n), 6)
+           AS intercept,
+       round((num * 1.0 / nullif(den, 0)) * (num * 1.0 / nullif(deny, 0)), 6)
+           AS r2
+FROM (
+    SELECT p_brand, n, sx, sy,
+           n * sxy - sx * sy AS num,
+           n * sxx - sx * sx AS den,
+           n * syy - sy * sy AS deny
+    FROM m
+)
+"""
+
+
+@register("ext_regression_ols", oracle=_OLS_ORACLE, tags=("ext", "analytics"))
+def ext_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple OLS (price-on-size per brand): slope, intercept
+    and R² from ONE aggregate pass of exact integer moments — n, Σx, Σy,
+    Σx², Σxy, Σy² with price in cents — then closed-form normal
+    equations. This is the distributed-regression recipe that needs no
+    iteration and no second scan: moments are associative, so map-side
+    combine does most of the work and the shuffle carries 6 numbers per
+    group. Degenerate groups (constant x or constant y) yield NULL
+    slope/R² via the nullif guard, same as the oracle.
+
+    Exactness contract: the moments are bigint (order-insensitive), the
+    derived statistics compose them in the same written order in both
+    engines — see the module constant above for the 100 TB decimal
+    promotion note."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isNotNull() & F.col("p_retailprice").isNotNull()
+    )
+    yc = F.round(F.col("p_retailprice") * 100).cast("long")
+    x = F.col("p_size").cast("long")
+    m = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(yc).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * yc).alias("sxy"),
+        F.sum(yc * yc).alias("syy"),
+    )
+    m = m.select(
+        "p_brand", "n", "sx", "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("deny"),
+    )
+    den = F.nullif(F.col("den"), F.lit(0))
+    deny = F.nullif(F.col("deny"), F.lit(0))
+    slope = (F.col("num") * 1.0 / den) / 100.0
+    return m.select(
+        "p_brand", "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy") * 1.0 / F.col("n")) / 100.0
+            - slope * (F.col("sx") * 1.0 / F.col("n")),
+            6,
+        ).alias("intercept"),
+        F.round(
+            (F.col("num") * 1.0 / den) * (F.col("num") * 1.0 / deny), 6
+        ).alias("r2"),
+    )

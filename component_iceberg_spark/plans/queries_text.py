@@ -1037,15 +1037,17 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ROUNDS = 3
 
 
-def _bpe_merges_oracle() -> str:
+def _bpe_chain_sql() -> str:
     """Generated CTE chain replaying the full iterative fit: per round,
     weighted pair counts → argmax (count DESC, a, b) → merge applied to
     every vocab sequence via a left fold (list_reduce) with the exact
     BPE non-overlap rule — a freshly merged symbol never starts another
-    merge in the same pass."""
+    merge in the same pass. The word itself (``tok``) rides along so the
+    final vocabulary can be joined back to the corpus (the encode path)."""
     sql = r"""
     WITH vocab0 AS (
-        SELECT array_to_string(
+        SELECT tok,
+               array_to_string(
                    list_transform(range(1, strlen(tok) + 1),
                                   i -> substr(tok, i, 1)), ' ') AS seq,
                CAST(count(*) AS BIGINT) AS freq
@@ -1065,7 +1067,8 @@ def _bpe_merges_oracle() -> str:
     ),
     best{r} AS (SELECT a, b, cnt FROM pairs{r} ORDER BY cnt DESC, a, b LIMIT 1),
     vocab{r} AS (
-        SELECT list_reduce(string_split(seq, ' '),
+        SELECT tok,
+               list_reduce(string_split(seq, ' '),
                    (acc, x) -> CASE
                        WHEN (acc = best{r}.a
                              OR ends_with(acc, ' ' || best{r}.a))
@@ -1076,36 +1079,22 @@ def _bpe_merges_oracle() -> str:
                freq
         FROM {v} CROSS JOIN best{r}
     )"""
+    return sql
+
+
+def _bpe_merges_oracle() -> str:
     selects = " UNION ALL ".join(
         f"SELECT {r} AS step, a, b, CAST(cnt AS BIGINT) AS pair_count"
         f" FROM best{r}"
         for r in range(1, BPE_ROUNDS + 1)
     )
-    return sql + "\n    " + selects
+    return _bpe_chain_sql() + "\n    " + selects
 
 
-@register(
-    "text_bpe_merges",
-    oracle=_bpe_merges_oracle(),
-    tags=("ext", "text"),
-)
-def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL iterative BPE tokenizer fit, 3 merge rounds, exactly the
-    word-frequency algorithm production trainers run: per round, the
-    highest-count adjacent symbol pair (ties → lexicographically first)
-    becomes the next merge, and every vocabulary sequence applies it in
-    one left-to-right non-overlapping pass (a symbol minted by a merge
-    never starts another merge in the same pass — the fold's accumulator
-    rule, identical in the SQL oracle's list_reduce).
-
-    Scale: the corpus is scanned ONCE (token frequency aggregate);
-    every merge round then runs on the vocabulary relation — distinct
-    words × frequency, orders of magnitude smaller — with a 1-row argmax
-    collect per round steering the driver loop (the kmeans_fit pattern:
-    the codebook IS metadata). Lineage stays shallow: ROUNDS expression
-    layers over a small cached relation."""
-    from pyspark.sql.types import Row
-
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus scan → (tok, seq, freq): distinct words with corpus
+    frequency and the word spelled as a space-joined character sequence
+    (the BPE working representation)."""
     d = load_table(spark, sf_dir, "documents")
     tok = F.explode(X.tokens(F.lower(F.col("text")))).alias("tok")
     chars = F.concat_ws(
@@ -1115,14 +1104,24 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.col("tok").substr(i, F.lit(1)),
         ),
     )
-    seqs = (
+    return (
         d.select(tok)
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(chars.alias("seq"), "freq")
-    ).persist()
+        .select("tok", chars.alias("seq"), "freq")
+    )
+
+
+def _bpe_fit(seqs: DataFrame, rounds: int = BPE_ROUNDS):
+    """The iterative fit loop shared by the merges and encode queries:
+    per round, argmax adjacent pair (count DESC, a, b) → fold-apply the
+    merge to every sequence. ``seqs`` needs columns (seq, freq); any
+    other columns (tok) are carried through untouched. Returns the merge
+    list [(step, a, b, count)] and the final vocabulary DataFrame."""
+    carry = [c for c in seqs.columns if c != "seq"]
+    seqs = seqs.persist()
     merges = []
-    for step in range(1, BPE_ROUNDS + 1):
+    for step in range(1, rounds + 1):
         sym = F.split(F.col("seq"), " ")
         prs = (
             seqs.filter(F.size(sym) >= 2)  # sequence(1, 0) would DESCEND
@@ -1166,9 +1165,88 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(sym2, 1),
             fold,
         )
-        seqs = seqs.select(folded.alias("seq"), "freq").persist()
+        seqs = seqs.select(folded.alias("seq"), *carry).persist()
+    return merges, seqs
+
+
+@register(
+    "text_bpe_merges",
+    oracle=_bpe_merges_oracle(),
+    tags=("ext", "text"),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL iterative BPE tokenizer fit, 3 merge rounds, exactly the
+    word-frequency algorithm production trainers run: per round, the
+    highest-count adjacent symbol pair (ties → lexicographically first)
+    becomes the next merge, and every vocabulary sequence applies it in
+    one left-to-right non-overlapping pass (a symbol minted by a merge
+    never starts another merge in the same pass — the fold's accumulator
+    rule, identical in the SQL oracle's list_reduce).
+
+    Scale: the corpus is scanned ONCE (token frequency aggregate);
+    every merge round then runs on the vocabulary relation — distinct
+    words × frequency, orders of magnitude smaller — with a 1-row argmax
+    collect per round steering the driver loop (the kmeans_fit pattern:
+    the codebook IS metadata). Lineage stays shallow: ROUNDS expression
+    layers over a small cached relation."""
+    merges, _ = _bpe_fit(_bpe_vocab(spark, sf_dir).drop("tok"))
     return spark.createDataFrame(
         merges, "step int, a string, b string, pair_count bigint"
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    return _bpe_chain_sql() + f"""
+    , toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(len(string_split(v.seq, ' '))) AS BIGINT) AS n_symbols
+    FROM toks t JOIN vocab{BPE_ROUNDS} v USING (tok)
+    GROUP BY 1
+    """
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    tags=("ext", "text"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of the tokenizer story: ENCODE the corpus with the
+    merges the fit just learned — per document, the whitespace token
+    count and the post-merge BPE symbol count (the number a context-
+    window packer or a training-cost estimate actually needs). Because
+    word-frequency BPE encodes every occurrence of a word identically,
+    encoding is a JOIN against the fitted vocabulary — tok → final
+    symbol sequence — not a re-fold per occurrence; that lookup-table
+    structure is exactly why production tokenizers precompute word-level
+    caches.
+
+    Plan: the fit's vocabulary passes (one corpus scan + vocab-sized
+    rounds, shared with text_bpe_merges via _bpe_fit), then one corpus
+    token explode joined to the BROADCAST vocab (distinct-words-sized)
+    and a per-doc hash aggregate. Two corpus-sized passes total, zero
+    Python. The oracle replays fit AND encode: the same CTE chain
+    carries each word through every merge, then joins it back to the
+    exploded corpus."""
+    _, vocab = _bpe_fit(_bpe_vocab(spark, sf_dir))
+    n_sym = F.size(F.split("seq", " ")).alias("n_sym")
+    lut = vocab.select("tok", n_sym)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    return (
+        toks.join(F.broadcast(lut), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_sym").cast("long").alias("n_symbols"),
+        )
     )
 
 

