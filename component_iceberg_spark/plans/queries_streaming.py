@@ -641,3 +641,98 @@ def stream_replay_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     _stage_single_file(base, src, ev.filter(F.col("event_id") % 4 == 3), "03-late")
     run()
     return cat.read(spark, "stream", "events")
+
+
+def _state_eviction_run(spark: SparkSession, sf_dir: str):
+    """Shared by the registered query and the metrics test: run the
+    hourly windowed count as FOUR time-ordered micro-batches
+    (maxFilesPerTrigger=1 over files staged by contiguous ts quarters),
+    so the watermark ratchets between batches and closed windows are
+    EVICTED from the state store mid-run — the bounded-memory contract
+    that lets this aggregation run forever at 100 TB/day. Returns
+    (finalized-windows DataFrame, per-batch progress list)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.io.tables import load_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(SCRATCH_ROOT, tag, "state_evict")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ck = os.path.join(base, "ck")
+    os.makedirs(src, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    lo, hi = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    span = (hi - lo) / 4
+    for i in range(4):
+        a = lo + span * i
+        cond = (F.col("ts") >= F.lit(a)) if i else F.lit(True)
+        if i < 3:
+            cond = cond & (F.col("ts") < F.lit(lo + span * (i + 1)))
+        _stage_single_file(base, src, ev.filter(cond), f"0{i}-quarter")
+
+    schema = spark.read.parquet(src).schema
+    st = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        st.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [
+        json.loads(p if isinstance(p, str) else p.json)
+        for p in (q.recentProgress or [])
+    ]
+    return spark.read.parquet(out), progress
+
+
+@register(
+    "stream_state_eviction",
+    oracle="""
+    WITH m AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events)
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events, m
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m.wm
+    GROUP BY 1
+    """,
+    tags=("ext", "streaming"),
+)
+def stream_state_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK-DRIVEN STATE EVICTION mid-run: the events arrive as
+    four time-ordered micro-batches, so between batches the watermark
+    advances and every closed 1-hour window is emitted AND REMOVED from
+    the state store — state never holds more than ~a quarter of the
+    stream's windows at once (the per-batch stateOperators metrics are
+    pinned by tests/test_streaming_batches.py). This is the property
+    that makes an infinite windowed aggregation runnable with bounded
+    executor memory; without eviction the 100 TB state store only
+    grows. Output = the finalized windows, i.e. exactly the windows
+    whose end is at-or-before the final watermark (max ts − 10 min) —
+    an exact oracle over the batch GROUP BY."""
+    df, _ = _state_eviction_run(spark, sf_dir)
+    return df

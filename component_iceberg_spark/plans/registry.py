@@ -135,6 +135,7 @@ _GATE_PRIORITY = (
     "ext_skyline",
     "ext_regression_ols",
     "text_bpe_encode",
+    "stream_state_eviction",
     # --- 3. oldest-first backlog. r1 stragglers (last green r4 via the
     #     r4 window) then the round-2 cohort and snap remainder (last
     #     green r2/r4). With 8 sentinels + 17 never-gated + 20 new-in-r7

@@ -357,3 +357,40 @@ def test_replay_idempotent_commit_granularity(spark, sf_dir):
         for r in cat.snapshots(spark, "stream", "events").collect()
     ]
     assert ops == ["upsert"] * 5, ops
+
+
+def test_state_eviction_bounds_store_size(spark, sf_dir):
+    """stream_state_eviction's bounded-memory claim, from the engine's
+    own stateOperators metrics: with four time-ordered micro-batches,
+    (a) the state store never holds more than ~one quarter of the
+    stream's windows (plus the boundary window), (b) every finalized
+    window is evicted exactly once — total removals equal the emitted
+    row count — and (c) the closing no-data batch drains the store down
+    to only the never-finalized tail windows. An aggregation WITHOUT
+    these properties accumulates state forever and cannot run
+    continuously at scale."""
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.io.tables import load_table
+    from component_iceberg_spark.plans.queries_streaming import (
+        _state_eviction_run,
+    )
+
+    df, prog = _state_eviction_run(spark, sf_dir)
+    finalized = df.count()
+    total_windows = (
+        load_table(spark, sf_dir, "events")
+        .select(F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+        .count()
+    )
+    ops = [
+        (p["stateOperators"][0] if p.get("stateOperators") else {})
+        for p in prog
+    ]
+    peak = max(o.get("numRowsTotal", 0) for o in ops)
+    removed = sum(o.get("numRowsRemoved", 0) for o in ops)
+    assert finalized > 0
+    assert peak < 0.5 * total_windows, (peak, total_windows)
+    assert removed == finalized, (removed, finalized)
+    assert ops[-1].get("numRowsTotal", 99) <= total_windows - finalized + 1
