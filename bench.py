@@ -417,6 +417,10 @@ def main() -> None:
         "stream_replay_idempotent",
         "ext_window_yoy",
         "snap_timetravel_asof",
+        "ext_skyline",
+        "ext_regression_ols",
+        "text_bpe_encode",
+        "stream_state_eviction",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -138,8 +138,8 @@ _GATE_PRIORITY = (
     "stream_state_eviction",
     # --- 3. oldest-first backlog. r1 stragglers (last green r4 via the
     #     r4 window) then the round-2 cohort and snap remainder (last
-    #     green r2/r4). With 8 sentinels + 17 never-gated + 20 new-in-r7
-    #     names above, ~5 of these fit a ~50 window in r7; the rest
+    #     green r2/r4). With 8 sentinels + 17 never-gated + 24 new-in-r7
+    #     names above, ~1 of these fits a ~50 window in r7; the rest
     #     complete in r8 (they outrank the fresher 3b/4 tiers).
     "ext_agg_approx",
     "ext_agg_salted",
