@@ -120,6 +120,12 @@ SCALE_QUERIES = (
     # at 10× its wall should track the SURVIVING partitions, not the table
     "ext_spatial_grid_join",
     "snap_dpp_join",
+    # r7 fifth wave: the skyline's staircase must stay |distinct prices|-
+    # bounded while the corpus shuffle grows 10×; BPE encode adds one
+    # corpus join pass over the flat fit — together they bracket the
+    # "collapse then join back" pattern's scaling
+    "ext_skyline",
+    "text_bpe_encode",
 )
 
 
@@ -421,6 +427,9 @@ def main() -> None:
         "ext_regression_ols",
         "text_bpe_encode",
         "stream_state_eviction",
+        "ext_dq_expectations",
+        "pipeline_token_budget",
+        "stream_rocksdb_state",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

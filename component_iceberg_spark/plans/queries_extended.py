@@ -1428,3 +1428,83 @@ def ext_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.5)
     )
     return SA.sample_weighted_topk(d, "doc_id", w, 50)
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations suite (r7)
+# ---------------------------------------------------------------------------
+
+# (rule name, SQL pass-condition) — evaluated identically in both engines.
+# NULL in a condition counts as a violation (an expectation must PROVE the
+# row is good), hence the coalesce(..., FALSE) wrapper on both sides.
+_DQ_RULES = (
+    ("orderkey_not_null", "l_orderkey IS NOT NULL"),
+    ("quantity_1_50", "l_quantity BETWEEN 1 AND 50"),
+    ("quantity_le_45", "l_quantity <= 45"),
+    ("discount_0_01", "l_discount BETWEEN 0 AND 0.1"),
+    ("returnflag_enum", "l_returnflag IN ('A', 'N', 'R')"),
+    ("price_positive", "l_extendedprice > 0"),
+    ("tax_0_008", "l_tax BETWEEN 0 AND 0.08"),
+)
+
+
+def _dq_oracle() -> str:
+    lanes = ", ".join(
+        f"CAST(sum(CASE WHEN NOT coalesce({cond}, FALSE) THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS v{i}"
+        for i, (_n, cond) in enumerate(_DQ_RULES)
+    )
+    selects = " UNION ALL ".join(
+        f"SELECT '{name}' AS rule, v{i} AS n_violations, n_checked,"
+        f" v{i} = 0 AS pass FROM t"
+        for i, (name, _c) in enumerate(_DQ_RULES)
+    )
+    return (
+        f"WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_checked, {lanes}"
+        f" FROM lineitem)\n{selects}"
+    )
+
+
+@register("ext_dq_expectations", oracle=_dq_oracle(), tags=("ext", "quality"))
+def ext_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the Deequ/dbt-test shape —
+    the validation gate every ingestion pipeline runs before publishing
+    a batch): N rules over lineitem evaluated in ONE aggregate pass,
+    emitting per-rule violation counts and a pass verdict. NULL never
+    passes a rule (coalesce to FALSE on both sides) — an expectation has
+    to prove the row is good. Complements ``snap_checked_append`` (which
+    REFUSES a bad batch at write time): this is the read-side audit that
+    reports HOW bad, rule by rule, without failing the job.
+
+    Plan: every rule is a conditional-sum lane in a single hash
+    aggregate — one scan, map-side partials, a 1-row result exploded to
+    the per-rule report. Rule count scales the aggregate width, never
+    the scan count; at 100 TB this is exactly one pass regardless of
+    how many expectations the table carries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lanes = [
+        F.sum(
+            F.when(
+                ~F.coalesce(F.expr(cond), F.lit(False)), 1
+            ).otherwise(0)
+        ).cast("long").alias(f"v{i}")
+        for i, (_n, cond) in enumerate(_DQ_RULES)
+    ]
+    agg = li.agg(F.count(F.lit(1)).alias("n_checked"), *lanes)
+    report = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("rule"),
+                    F.col(f"v{i}").alias("n_violations"),
+                )
+                for i, (name, _c) in enumerate(_DQ_RULES)
+            ]
+        )
+    ).alias("r")
+    return agg.select(report, "n_checked").select(
+        F.col("r.rule").alias("rule"),
+        F.col("r.n_violations").alias("n_violations"),
+        "n_checked",
+        (F.col("r.n_violations") == 0).alias("pass"),
+    )

@@ -736,3 +736,41 @@ def stream_state_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact oracle over the batch GROUP BY."""
     df, _ = _state_eviction_run(spark, sf_dir)
     return df
+
+
+@register(
+    "stream_rocksdb_state",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 3) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("ext", "streaming"),
+)
+def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed aggregation under Spark's RocksDB state store
+    provider — byte-identical results to the default HDFS-backed
+    in-memory store (same oracle as ``stream_window_counts``), which is
+    the swap's whole contract: at 100 TB/day the state store outgrows
+    executor heap, and RocksDB keeps state on local SSD with only the
+    working set in (off-heap) block cache, so the SAME query keeps
+    running instead of OOMing. Provider choice is pure configuration —
+    no plan or code change — applied via ``session.scoped_conf`` so the
+    session default is restored afterwards. The provider really engages
+    (rocksdb* commit metrics in stateOperators.customMetrics) is pinned
+    by tests/test_streaming_batches.py."""
+    from component_iceberg_spark.session import scoped_conf
+
+    with scoped_conf(
+        spark,
+        **{
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+        },
+    ):
+        agg = SE.windowed_counts(_stream(spark, sf_dir))
+        return SE.stream_to_memory(agg, spark, mode="complete")

@@ -1601,3 +1601,80 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("")),
         ).alias("canon_url"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget curation (r7)
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 20_000  # per-source token budget for the curated mix
+
+
+@register(
+    "pipeline_token_budget",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+               LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 64.0,
+                     1.0) * 0.5
+               + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                  * 1.0 / length(text)) * 0.5 AS score
+        FROM documents
+    ), c AS (
+        SELECT source, n_tok,
+               sum(n_tok) OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM s
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM c WHERE cum <= {TOKEN_BUDGET}
+    GROUP BY 1
+    """,
+    tags=("ext", "text", "pipeline"),
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted curation — "fill each domain's slice of the training mix
+    with its BEST documents until the token budget runs out": docs are
+    ranked per source by the text_quality score (identical IEEE
+    arithmetic both engines, doc_id tiebreak), a running token cumsum
+    walks down the ranking, and exactly the prefix whose cumulative
+    tokens fit the budget survives. This greedy-prefix-by-quality is the
+    standard way a pretraining mix hits "N billion tokens per domain"
+    targets; unlike pipeline_domain_mix (hash-sampled PROPORTIONS) the
+    selection here is quality-ordered and token-exact.
+
+    Plan: one scan computes tokens + score as codegen'd projections, one
+    hash Exchange on source feeds the per-source window (rank + running
+    sum in the same sort), then the survivors collapse to a per-source
+    summary. Per-source partitions sort independently — no global sort;
+    at 100 TB a per-source bucket sort or a two-pass histogram-prefix
+    selection replaces the full window sort, same contract."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(X.tokens(F.col("text")))
+    punct = (
+        F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")) * 1.0
+        / F.length("text")
+    )
+    score = (
+        F.least(n_tok / F.lit(64.0), F.lit(1.0)) * 0.5
+        + (F.lit(1.0) - punct) * 0.5
+    )
+    s = d.select(
+        "doc_id", "source", n_tok.alias("n_tok"), score.alias("score")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = s.withColumn("cum", F.sum("n_tok").over(w)).filter(
+        F.col("cum") <= TOKEN_BUDGET
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )

@@ -136,11 +136,15 @@ _GATE_PRIORITY = (
     "ext_regression_ols",
     "text_bpe_encode",
     "stream_state_eviction",
+    "ext_dq_expectations",
+    "pipeline_token_budget",
+    "stream_rocksdb_state",
     # --- 3. oldest-first backlog. r1 stragglers (last green r4 via the
     #     r4 window) then the round-2 cohort and snap remainder (last
-    #     green r2/r4). With 8 sentinels + 17 never-gated + 24 new-in-r7
-    #     names above, ~1 of these fits a ~50 window in r7; the rest
-    #     complete in r8 (they outrank the fresher 3b/4 tiers).
+    #     green r2/r4). With 8 sentinels + 17 never-gated + 27 new-in-r7
+    #     names above, the head now slightly overfills a ~50 window; the
+    #     backlog tiers complete in r8 (they outrank the fresher 3b/4
+    #     tiers there).
     "ext_agg_approx",
     "ext_agg_salted",
     "ext_range_join",

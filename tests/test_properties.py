@@ -882,3 +882,91 @@ def test_bpe_encode_matches_python_reference(spark, monkeypatch):
     # round 2 shrinks 'aab' to 1 symbol, round 3 merges (c,c) so 'ccd'
     # is 2 → doc 1: 4*1 + 2 = 6
     assert got[1] == (5, 6), got
+
+
+def test_token_budget_greedy_maximality(spark, sf_dir):
+    """pipeline_token_budget's selection is tight on both sides: every
+    source's kept tokens fit the budget, AND adding that source's first
+    EXCLUDED document (next in quality order) would overflow it — the
+    greedy prefix is maximal, not merely feasible."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import component_iceberg_spark.plans.queries_text as QT
+    from component_iceberg_spark.io.tables import load_table
+    from component_iceberg_spark.operators import text as X
+
+    out = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in QT.pipeline_token_budget(spark, sf_dir).collect()
+    }
+    assert out and all(
+        toks <= QT.TOKEN_BUDGET for _d, toks in out.values()
+    ), out
+
+    # replay the ranking, find each source's first excluded doc
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(X.tokens(F.col("text")))
+    punct = (
+        F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")) * 1.0
+        / F.length("text")
+    )
+    score = (
+        F.least(n_tok / F.lit(64.0), F.lit(1.0)) * 0.5
+        + (F.lit(1.0) - punct) * 0.5
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = d.select(
+        "source", n_tok.alias("n_tok"), score.alias("score"), "doc_id"
+    ).withColumn("cum", F.sum("n_tok").over(w))
+    first_excluded = {
+        r["source"]: r["n_tok"]
+        for r in ranked.filter(F.col("cum") > QT.TOKEN_BUDGET)
+        .groupBy("source")
+        .agg(F.min_by("n_tok", "cum").alias("n_tok"))
+        .collect()
+    }
+    for src, (_docs, toks) in out.items():
+        if src in first_excluded:  # source didn't simply run out of docs
+            assert toks + first_excluded[src] > QT.TOKEN_BUDGET, (
+                src, toks, first_excluded[src]
+            )
+
+
+def test_dq_expectations_counts_crafted_violations(spark, monkeypatch):
+    """ext_dq_expectations on a crafted batch with known violations per
+    rule, including the NULL-never-passes contract (a NULL quantity must
+    count against every quantity rule)."""
+    import component_iceberg_spark.plans.queries_extended as QE
+
+    rows = [
+        # (orderkey, qty, discount, returnflag, price, tax)
+        (1, 10.0, 0.05, "A", 100.0, 0.04),   # clean
+        (None, 20.0, 0.05, "N", 100.0, 0.04),  # null orderkey
+        (3, 49.0, 0.05, "R", 100.0, 0.04),   # qty>45 (but <=50)
+        (4, None, 0.05, "A", 100.0, 0.04),   # NULL qty -> both qty rules
+        (5, 10.0, 0.2, "X", -1.0, 0.2),      # discount+enum+price+tax
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_quantity double, l_discount double,"
+        " l_returnflag string, l_extendedprice double, l_tax double",
+    )
+    monkeypatch.setattr(QE, "load_table", lambda s, d, t: df)
+    got = {
+        r["rule"]: (r["n_violations"], r["n_checked"], r["pass"])
+        for r in QE.ext_dq_expectations(spark, "ignored").collect()
+    }
+    assert got == {
+        "orderkey_not_null": (1, 5, False),
+        "quantity_1_50": (1, 5, False),
+        "quantity_le_45": (2, 5, False),
+        "discount_0_01": (1, 5, False),
+        "returnflag_enum": (1, 5, False),
+        "price_positive": (1, 5, False),
+        "tax_0_008": (1, 5, False),
+    }, got

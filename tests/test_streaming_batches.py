@@ -394,3 +394,49 @@ def test_state_eviction_bounds_store_size(spark, sf_dir):
     assert peak < 0.5 * total_windows, (peak, total_windows)
     assert removed == finalized, (removed, finalized)
     assert ops[-1].get("numRowsTotal", 99) <= total_windows - finalized + 1
+
+
+def test_rocksdb_provider_actually_engaged(spark, sf_dir):
+    """stream_rocksdb_state's claim that the provider swap is real: run
+    the same windowed aggregate under the scoped RocksDB conf capturing
+    progress, and require rocksdb* commit metrics in the state
+    operator's customMetrics (the HDFS-backed default emits none of
+    those keys). Also pins that the scope restored the session
+    default afterwards."""
+    import json
+
+    from component_iceberg_spark.plans.queries_streaming import _stream
+    from component_iceberg_spark.session import scoped_conf
+    from component_iceberg_spark.streaming import events as SE
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    # effective value (scoped_conf restores the effective default for a
+    # never-set key, not the unset state — equivalent at planning time)
+    before = spark.conf.get(key)
+    with scoped_conf(
+        spark,
+        **{key: "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"},
+    ):
+        agg = SE.windowed_counts(_stream(spark, sf_dir))
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("rocksdb_probe")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        prog = [
+            json.loads(p if isinstance(p, str) else p.json)
+            for p in (q.recentProgress or [])
+        ]
+    assert spark.conf.get(key) == before
+    assert spark.table("rocksdb_probe").count() > 0
+    ops = [p["stateOperators"][0] for p in prog if p.get("stateOperators")]
+    assert ops, "no stateful batches recorded"
+    cm = {}
+    for o in ops:
+        cm.update(o.get("customMetrics") or {})
+    rocks_keys = [k for k in cm if "rocksdb" in k.lower()]
+    assert rocks_keys, f"no rocksdb metrics; customMetrics keys: {sorted(cm)[:10]}"
