@@ -1120,6 +1120,7 @@ def _bpe_fit(seqs: DataFrame, rounds: int = BPE_ROUNDS):
     list [(step, a, b, count)] and the final vocabulary DataFrame."""
     carry = [c for c in seqs.columns if c != "seq"]
     seqs = seqs.persist()
+    prev = None  # generation r-1: releasable once r's cache is filled
     merges = []
     for step in range(1, rounds + 1):
         sym = F.split(F.col("seq"), " ")
@@ -1141,6 +1142,12 @@ def _bpe_fit(seqs: DataFrame, rounds: int = BPE_ROUNDS):
         best = prs.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()[0]
         a, b = best["a"], best["b"]
         merges.append((step, a, b, int(best["cnt"])))
+        # the collect above materialized (and cached) the CURRENT seqs,
+        # so the generation before it can be released — at most two
+        # persisted generations live regardless of round count
+        if prev is not None:
+            prev.unpersist()
+        prev = seqs
         def make_fold(A, B):
             # closure factory, not default args: pyspark introspects the
             # lambda's arity and rejects extra parameters
