@@ -430,6 +430,7 @@ def main() -> None:
         "ext_dq_expectations",
         "pipeline_token_budget",
         "stream_rocksdb_state",
+        "snap_upsert_evolve",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -339,12 +339,22 @@ class SnapCatalog:
         delta: DataFrame,
         keys: list[str],
         order_by: str | None = None,
+        evolve: bool = False,
     ) -> int:
         """MERGE semantics of pyiceberg ``upsert``
         (``wr-iceberg/src/component.py:107-108``): matched rows take all
         columns from the delta, unmatched delta rows insert; delta-internal
         key duplicates resolve last-wins by ``order_by`` (cross-batch
         last-wins parity, SURVEY §7).
+
+        ``evolve=True`` is the Iceberg ``MERGE … WITH SCHEMA EVOLUTION``
+        analogue: the delta may carry ADDITIVE columns (a strict
+        superset of the target's), which join the table schema; rows
+        from untouched/carried files surface the new columns as NULL on
+        read (mergeSchema — same mechanism as append-path evolution in
+        ``snap_schema_evolution``). Dropping target columns or changing
+        a common column's type stays refused either way — evolution is
+        additive only, exactly Iceberg's safe subset.
 
         Plan: dedupe delta (window over keys) → target anti-join delta →
         union. One shuffle on the key columns; the small side broadcasts
@@ -384,14 +394,16 @@ class SnapCatalog:
             )
         base = self._current_sid(namespace, table)
         manifest = self._manifest(namespace, table, base)
-        self._validate_source_schema(namespace, table, manifest, delta, "upsert")
+        self._validate_source_schema(
+            namespace, table, manifest, delta, "upsert", additive_ok=evolve
+        )
         candidates, untouched = self._delta_key_pruning(manifest, delta, keys)
         if candidates:
             target = self._read_with_deletes(
                 spark, namespace, table, manifest, candidates
             )
             survivors = target.join(delta.select(*keys), keys, "left_anti")
-            merged = survivors.unionByName(delta)
+            merged = survivors.unionByName(delta, allowMissingColumns=evolve)
         else:
             merged = delta
         return self._commit(
@@ -406,6 +418,7 @@ class SnapCatalog:
         manifest: dict,
         source: DataFrame,
         op: str,
+        additive_ok: bool = False,
     ) -> None:
         """Source-vs-target schema gate shared by merge and upsert, run
         BEFORE key-range pruning: on the no-candidate path the source
@@ -417,7 +430,10 @@ class SnapCatalog:
         so same-name/different-type divergence is caught too, not just
         missing/extra columns. A manifest with no recorded schema
         (legacy snapshot) falls back to the table's physical read schema
-        instead of skipping the check."""
+        instead of skipping the check. ``additive_ok`` (schema
+        evolution): extra source columns are allowed — the source must
+        still COVER every target column, and common columns must still
+        type-match; evolution never drops or retypes."""
         fields = (manifest.get("schema") or {}).get("fields") or []
         if fields:
             t_types = {f["name"]: f["type"] for f in fields}
@@ -431,7 +447,15 @@ class SnapCatalog:
         s_types = {
             f.name: f.dataType.jsonValue() for f in source.schema.fields
         }
-        if set(t_types) != set(s_types):
+        if additive_ok:
+            missing = set(t_types) - set(s_types)
+            if missing:
+                raise ValueError(
+                    f"{op} with evolve=True: source must cover every "
+                    f"target column (evolution is additive only); "
+                    f"missing={sorted(missing)}"
+                )
+        elif set(t_types) != set(s_types):
             raise ValueError(
                 f"{op} source schema must match the target: "
                 f"target={sorted(t_types)} source={sorted(s_types)}"
@@ -439,7 +463,7 @@ class SnapCatalog:
         diverged = {
             n: {"target": t_types[n], "source": s_types[n]}
             for n in t_types
-            if t_types[n] != s_types[n]
+            if n in s_types and t_types[n] != s_types[n]
         }
         if diverged:
             raise ValueError(

@@ -1185,3 +1185,47 @@ def snap_timetravel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         _time.sleep(0.002)
     cat.append("ns", "t", o.filter(F.col("o_orderkey") % 3 == 0))
     return cat.read(spark, "ns", "t", as_of_ms=ts1)
+
+
+@register(
+    "snap_upsert_evolve",
+    oracle="""
+    WITH delta AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+               CASE WHEN c_acctbal > 5000 THEN 'gold' ELSE 'std' END AS tier
+        FROM customer WHERE c_custkey % 2 = 0
+    ), base AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 3 <> 0
+    )
+    SELECT b.c_custkey, b.c_name, b.c_nationkey, b.c_acctbal,
+           b.c_mktsegment, CAST(NULL AS VARCHAR) AS tier
+    FROM base b
+    WHERE b.c_custkey NOT IN (SELECT c_custkey FROM delta)
+    UNION ALL
+    SELECT * FROM delta
+    """,
+    tags=("snapshot", "mutation"),
+)
+def snap_upsert_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-EVOLVING upsert — the Iceberg ``MERGE … WITH SCHEMA
+    EVOLUTION`` shape: the delta arrives with a new ``tier`` column, the
+    merge admits it additively (the r7 schema gate still refuses drops
+    and retypes), matched rows take the delta wholesale, unmatched base
+    rows keep flowing and surface the new column as NULL. Old data files
+    are NEVER rewritten for the evolution itself: carried (key-range-
+    pruned) dirs keep their five-column schema on disk and the read path
+    NULL-fills via mergeSchema — add-a-column stays a metadata-cost
+    operation even mid-merge, which is the property that makes schema
+    evolution viable on a 100 TB table. Evolution refusal modes
+    (dropped column, retyped column, evolve unset) are unit-pinned in
+    tests/test_snaptable.py."""
+    cat = _warehouse(sf_dir, "upsert_evolve")
+    c = load_table(spark, sf_dir, "customer")
+    cat.create_or_replace("ns", "cust", c.filter(F.col("c_custkey") % 3 != 0))
+    delta = c.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "tier",
+        F.when(F.col("c_acctbal") > 5000, F.lit("gold")).otherwise("std"),
+    )
+    cat.upsert("ns", "cust", delta, keys=["c_custkey"], evolve=True)
+    return cat.read(spark, "ns", "cust")

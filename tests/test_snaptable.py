@@ -1321,3 +1321,66 @@ def test_timetravel_asof_bounds_and_ties(spark, sf_dir, tmp_path):
         json.dump(m, open(p, "w"))
     df = cat.read(spark, "ns", "t", as_of_ms=snaps[0]["timestamp_ms"])
     assert df.count() == 15  # both commits: resolved to snapshot 2
+
+
+def test_upsert_evolve_additive_only(spark, tmp_path):
+    """evolve=True admits ADDITIVE columns only: a delta with an extra
+    column merges (old rows NULL-fill the new column, carried files are
+    not rewritten); a delta MISSING a target column or retyping a
+    common one is refused even with evolve=True; and without evolve the
+    extra column stays refused."""
+    import pytest
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.create_or_replace(
+        "ns", "t",
+        spark.createDataFrame(
+            [(i, f"t{i}") for i in range(10)], "k long, tag string"
+        ),
+    )
+    extra = spark.createDataFrame(
+        [(3, "t3x", 1.5), (1000, "new", 2.5)], "k long, tag string, w double"
+    )
+    # refused without the flag
+    with pytest.raises(ValueError, match="schema must match"):
+        cat.upsert("ns", "t", extra, keys=["k"])
+    # admitted with it: matched row updated, new row inserted, the other
+    # 9 base rows surface w as NULL
+    cat.upsert("ns", "t", extra, keys=["k"], evolve=True)
+    rows = {r.k: (r.tag, r.w) for r in cat.read(spark, "ns", "t").collect()}
+    assert len(rows) == 11
+    assert rows[3] == ("t3x", 1.5) and rows[1000] == ("new", 2.5)
+    assert rows[0] == ("t0", None)
+    # evolution never drops...
+    missing = spark.createDataFrame([(5, 9.9)], "k long, w double")
+    with pytest.raises(ValueError, match="must cover every"):
+        cat.upsert("ns", "t", missing, keys=["k"], evolve=True)
+    # ...and never retypes
+    retyped = spark.createDataFrame(
+        [(5, 7, 9.9)], "k long, tag long, w double"
+    )
+    with pytest.raises(ValueError, match="types must match"):
+        cat.upsert("ns", "t", retyped, keys=["k"], evolve=True)
+
+
+def test_upsert_evolve_no_candidate_path(spark, tmp_path):
+    """The ADVICE r6 bug class, evolution edition: a disjoint-key-range
+    delta (zero candidate dirs — the delta commits beside carried dirs)
+    with a new column must still land the EVOLVED schema and NULL-fill
+    the carried rows on read."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.create_or_replace(
+        "ns", "t",
+        spark.createDataFrame(
+            [(i, f"t{i}") for i in range(10)], "k long, tag string"
+        ),
+    )
+    far = spark.createDataFrame(
+        [(10_000, "far", 42.0)], "k long, tag string, w double"
+    )
+    cat.upsert("ns", "t", far, keys=["k"], evolve=True)
+    out = cat.read(spark, "ns", "t")
+    assert set(out.columns) == {"k", "tag", "w"}
+    rows = {r.k: r.w for r in out.collect()}
+    assert len(rows) == 11 and rows[10_000] == 42.0
+    assert all(v is None for k, v in rows.items() if k != 10_000)
