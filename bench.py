@@ -126,6 +126,10 @@ SCALE_QUERIES = (
     # "collapse then join back" pattern's scaling
     "ext_skyline",
     "text_bpe_encode",
+    # r7 sixth wave: the per-source window sort is the only corpus-sized
+    # stage in the budget pipeline — its wall should track the sort, with
+    # the fixed 20k budget making the output CONSTANT across scale
+    "pipeline_token_budget",
 )
 
 

@@ -570,3 +570,29 @@ def test_regression_ols_cross_checked_against_duckdb_regr(oracle_con):
         assert abs(slope - ds) < 1e-6, (brand, slope, ds)
         assert abs(intercept - di) < 1e-4, (brand, intercept, di)
         assert abs(r2 - dr) < 1e-6, (brand, r2, dr)
+
+
+def test_dq_expectations_single_pass(spark, sf_dir):
+    """ext_dq_expectations' cost contract: all N rules ride ONE scan and
+    ONE aggregate shuffle — rule count widens the aggregate, never adds
+    passes. A per-rule subquery shape would show N scans here."""
+    import re
+
+    p = plan(spark, sf_dir, "ext_dq_expectations")
+    scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    exchanges = len(re.findall(r"\(\d+\) Exchange", p))
+    assert scans == 1, f"expected one lineitem scan, got {scans}"
+    assert exchanges == 1, f"expected the single-row agg exchange, got {exchanges}"
+    assert "BatchEvalPython" not in p
+
+
+def test_token_budget_single_source_exchange(spark, sf_dir):
+    """pipeline_token_budget: the window and the final per-source
+    summary share ONE hash partitioning on source — Catalyst must not
+    re-shuffle between them. One scan, one Exchange, one Window."""
+    import re
+
+    p = plan(spark, sf_dir, "pipeline_token_budget")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:1500]
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1
