@@ -41,7 +41,14 @@ SF1_REPLICAS = 10
 # past 10x. Only the two tables those queries read are materialized.
 SF3_DIR = os.path.join(REPO, ".scale", "sf3")
 SF3_REPLICAS = 30
-SF3_QUERIES = ("dedup_semantic", "dedup_minhash_lsh")
+SF3_QUERIES = (
+    "dedup_semantic",
+    "dedup_minhash_lsh",
+    # r7: the vocabulary-bound claim, one more decade out — BPE fit+encode
+    # over 30× corpus should grow only in the two corpus passes (token
+    # aggregate + encode join), never in the per-round merge work
+    "text_bpe_encode",
+)
 
 # Representative slice of the registry: scan, agg, joins, windows,
 # mutation, dedup (exact + LSH), text, similarity, streaming ingest.
