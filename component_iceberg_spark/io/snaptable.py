@@ -506,6 +506,7 @@ class SnapCatalog:
         update_when: str | None = None,
         insert_when: str | None = None,
         order_by: str | None = None,
+        evolve: bool = False,
     ) -> int:
         """Multi-action MERGE (Iceberg ``MERGE INTO`` with several WHEN
         clauses — the general form of :meth:`upsert`, which is the
@@ -530,6 +531,13 @@ class SnapCatalog:
         key-range stats cannot overlap the source untouched, exactly like
         :meth:`upsert`; source-internal key duplicates resolve with the
         same deterministic last-wins rule.
+
+        ``evolve=True``: additive schema evolution, same contract as
+        :meth:`upsert` — extra source columns join the table schema,
+        kept/carried target rows surface them as NULL (the target side
+        of the full-outer join packs NULL-typed lanes for the new
+        columns so both structs share one shape; old files are never
+        rewritten).
         """
         spark = source.sparkSession
         if order_by is not None:
@@ -568,7 +576,9 @@ class SnapCatalog:
             )
         base = self._current_sid(namespace, table)
         manifest = self._manifest(namespace, table, base)
-        self._validate_source_schema(namespace, table, manifest, source, "merge")
+        self._validate_source_schema(
+            namespace, table, manifest, source, "merge", additive_ok=evolve
+        )
         candidates, untouched = self._delta_key_pruning(
             manifest, source, keys
         )
@@ -576,9 +586,19 @@ class SnapCatalog:
             target = self._read_with_deletes(
                 spark, namespace, table, manifest, candidates
             )
+            # evolution: the target packs NULL-typed lanes for columns
+            # only the source carries, so _t and _s share one struct type
+            s_types = {f.name: f.dataType for f in source.schema.fields}
+            t_lanes = [
+                (
+                    F.col(c) if c in target.columns
+                    else F.lit(None).cast(s_types[c])
+                ).alias(c)
+                for c in cols
+            ]
             t_pack = target.select(
                 *[F.col(k).alias(f"_k_{k}") for k in keys],
-                F.struct(*[F.col(c) for c in cols]).alias("_t"),
+                F.struct(*t_lanes).alias("_t"),
             )
             joined = t_pack.join(
                 s_pack, on=[f"_k_{k}" for k in keys], how="full_outer"

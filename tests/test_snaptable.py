@@ -1384,3 +1384,46 @@ def test_upsert_evolve_no_candidate_path(spark, tmp_path):
     rows = {r.k: r.w for r in out.collect()}
     assert len(rows) == 11 and rows[10_000] == 42.0
     assert all(v is None for k, v in rows.items() if k != 10_000)
+
+
+def test_merge_evolve_multi_action(spark, tmp_path):
+    """merge(evolve=True): a source carrying a NEW column drives
+    delete/update/insert clauses while evolving the schema — kept target
+    rows (matched-but-not-updated AND unmatched) surface the new column
+    as NULL, updated/inserted rows carry it; without the flag the same
+    source is refused."""
+    import pytest
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.create_or_replace(
+        "ns", "t",
+        spark.createDataFrame(
+            [(i, f"t{i}") for i in range(6)], "k long, tag string"
+        ),
+    )
+    src = spark.createDataFrame(
+        [
+            (0, "del", 0.0),   # matched, delete_when
+            (1, "upd", 1.5),   # matched, update
+            (2, "keep", 2.5),  # matched, update_when false -> target kept
+            (100, "ins", 3.5),  # unmatched, insert
+            (200, "del", 4.5),  # unmatched, insert_when false -> dropped
+        ],
+        "k long, tag string, w double",
+    )
+    with pytest.raises(ValueError, match="schema must match"):
+        cat.merge("ns", "t", src, keys=["k"],
+                  delete_when="tag = 'del'", update_when="tag <> 'keep'",
+                  insert_when="tag <> 'del'")
+    cat.merge(
+        "ns", "t", src, keys=["k"],
+        delete_when="tag = 'del'", update_when="tag <> 'keep'",
+        insert_when="tag <> 'del'", evolve=True,
+    )
+    rows = {r.k: (r.tag, r.w) for r in cat.read(spark, "ns", "t").collect()}
+    assert rows == {
+        1: ("upd", 1.5),
+        2: ("t2", None),     # matched, kept -> NULL new column
+        3: ("t3", None), 4: ("t4", None), 5: ("t5", None),
+        100: ("ins", 3.5),
+    }, rows
