@@ -442,6 +442,7 @@ def main() -> None:
         "pipeline_token_budget",
         "stream_rocksdb_state",
         "snap_upsert_evolve",
+        "sim_mmr_diversify",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

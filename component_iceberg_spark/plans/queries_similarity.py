@@ -724,3 +724,183 @@ def ext_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("idcg", 6).alias("idcg"),
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification over the retrieval candidates (r7)
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7   # relevance weight; 0.3 = redundancy penalty weight
+MMR_SELECT = 5     # diversified results per query (from TOPK candidates)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy replay (the BPE-chain pattern): candidates = the
+    brute-force top-K, pairwise candidate cosines, then MMR_SELECT CTE
+    steps each anti-joining the already-selected set, scoring remaining
+    candidates with the identical lam*rel - (1-lam)*max_sim composition
+    and picking the (score DESC, neighbor_id) argmax. The argmax runs on
+    the RAW double (both engines compose identical rounded-6 inputs, so
+    the doubles are bit-equal); only the reported score is rounded."""
+    cos_qc = _cos("q.qv", "q.qn", "c.v", "c.nrm")
+    cos_ab = _cos("va.v", "va.nrm", "vb.v", "vb.nrm")
+    lam, pen = MMR_LAMBDA, round(1 - MMR_LAMBDA, 1)
+    sql = f"""
+WITH {_D},
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+      WHERE vec_id IN {QUERY_IDS}),
+cands AS (
+    SELECT query_id, neighbor_id, cosine_sim FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {cos_qc} AS cosine_sim,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {cos_qc} DESC, c.vec_id
+               ) AS rank
+        FROM n c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    ) WHERE rank <= {TOPK}
+),
+pair AS (
+    SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+           {cos_ab} AS s
+    FROM cands a
+    JOIN cands b ON a.query_id = b.query_id
+                AND a.neighbor_id <> b.neighbor_id
+    JOIN n va ON va.vec_id = a.neighbor_id
+    JOIN n vb ON vb.vec_id = b.neighbor_id
+),
+selu1 AS (
+    SELECT query_id, neighbor_id, 1 AS mmr_rank,
+           {lam} * cosine_sim - {pen} * 0.0 AS raw
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY {lam} * cosine_sim - {pen} * 0.0 DESC, neighbor_id
+        ) AS rn FROM cands
+    ) WHERE rn = 1
+)"""
+    for t in range(2, MMR_SELECT + 1):
+        prev = f"selu{t - 1}"
+        sql += f""",
+step{t} AS (
+    SELECT query_id, neighbor_id, {t} AS mmr_rank, raw FROM (
+        SELECT c.query_id, c.neighbor_id,
+               {lam} * c.cosine_sim - {pen} * ms.m AS raw,
+               row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY {lam} * c.cosine_sim - {pen} * ms.m DESC,
+                            c.neighbor_id
+               ) AS rn
+        FROM cands c
+        LEFT JOIN {prev} done
+               ON done.query_id = c.query_id
+              AND done.neighbor_id = c.neighbor_id
+        JOIN (SELECT p.query_id, p.i, max(p.s) AS m
+              FROM pair p
+              JOIN {prev} s ON s.query_id = p.query_id
+                           AND s.neighbor_id = p.j
+              GROUP BY 1, 2) ms
+          ON ms.query_id = c.query_id AND ms.i = c.neighbor_id
+        WHERE done.neighbor_id IS NULL
+    ) WHERE rn = 1
+),
+selu{t} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM step{t})"""
+    sql += f"""
+SELECT query_id, neighbor_id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
+       round(raw, 6) AS mmr_score
+FROM selu{MMR_SELECT}
+"""
+    return sql
+
+
+@register("sim_mmr_diversify", oracle=_mmr_oracle(), tags=("ext", "similarity"))
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance — the diversification stage that
+    completes the retrieval stack (generate → fuse → re-rank →
+    DIVERSIFY): from each query's brute-force top-K, greedily pick
+    MMR_SELECT results maximizing ``lam·relevance − (1−lam)·max
+    similarity to the already-picked`` — the standard dedup-at-serving
+    move when the top of the ranking is dominated by near-duplicates.
+
+    Scale shape: relevance and the candidate×candidate cosines are
+    computed as codegen'd expressions (K-bounded: K² pairs per query);
+    the inherently SEQUENTIAL greedy loop runs per query inside ONE
+    applyInPandas kernel over K·(K−1) pre-scored rows — queries
+    parallelize across executors, no driver loop, no Python dot
+    products (the kernel only composes the already-rounded sims, so
+    both engines argmax bit-identical doubles; ties break on
+    neighbor_id). The oracle replays the greedy loop as MMR_SELECT
+    unrolled CTE steps."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cands = S.brute_force_topk(
+        e, e.filter(F.col("vec_id").isin(list(QUERY_IDS))), TOPK
+    )
+    vec = e.select(
+        "vec_id",
+        S.as_double(F.col("embedding")).alias("v"),
+        S.norm(F.col("embedding")).alias("nrm"),
+    )
+    a = (
+        cands.select(
+            "query_id",
+            F.col("neighbor_id").alias("i"),
+            F.col("cosine_sim").alias("rel"),
+        )
+        .join(vec, F.col("i") == F.col("vec_id"))
+        .select("query_id", "i", "rel",
+                F.col("v").alias("vi"), F.col("nrm").alias("ni"))
+    )
+    b = (
+        cands.select("query_id", F.col("neighbor_id").alias("j"))
+        .join(vec, F.col("j") == F.col("vec_id"))
+        .select("query_id", "j",
+                F.col("v").alias("vj"), F.col("nrm").alias("nj"))
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("i") != F.col("j"))
+        .select(
+            "query_id", "i", "rel", "j",
+            F.round(
+                S.dot_raw(F.col("vi"), F.col("vj"))
+                / (F.col("ni") * F.col("nj")),
+                6,
+            ).alias("s"),
+        )
+    )
+
+    lam, pen, m_out = MMR_LAMBDA, round(1 - MMR_LAMBDA, 1), MMR_SELECT
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        rel = dict(pdf.groupby("i")["rel"].first())
+        sim = {(r.i, r.j): r.s for r in pdf.itertuples()}
+        selected, rows = [], []
+        remaining = sorted(rel)
+        for step in range(1, m_out + 1):
+            if not remaining:
+                break
+            best_i, best_raw = None, None
+            for i in remaining:  # ascending id -> strict > keeps smallest on ties
+                maxs = max((sim[(i, j)] for j in selected), default=0.0)
+                raw = lam * rel[i] - pen * maxs
+                if best_raw is None or raw > best_raw:
+                    best_i, best_raw = i, raw
+            selected.append(best_i)
+            remaining.remove(best_i)
+            rows.append((qid, best_i, step, best_raw))
+        return pd.DataFrame(
+            rows, columns=["query_id", "neighbor_id", "mmr_rank", "mmr_score"]
+        )
+
+    out = pairs.groupBy("query_id").applyInPandas(
+        greedy,
+        schema="query_id long, neighbor_id long, mmr_rank int, mmr_score double",
+    )
+    return out.select(
+        "query_id", "neighbor_id", "mmr_rank",
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )

@@ -140,9 +140,10 @@ _GATE_PRIORITY = (
     "pipeline_token_budget",
     "stream_rocksdb_state",
     "snap_upsert_evolve",
+    "sim_mmr_diversify",
     # --- 3. oldest-first backlog. r1 stragglers (last green r4 via the
     #     r4 window) then the round-2 cohort and snap remainder (last
-    #     green r2/r4). With 8 sentinels + 17 never-gated + 28 new-in-r7
+    #     green r2/r4). With 8 sentinels + 17 never-gated + 29 new-in-r7
     #     names above, the head now slightly overfills a ~50 window; the
     #     backlog tiers complete in r8 (they outrank the fresher 3b/4
     #     tiers there).

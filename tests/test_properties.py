@@ -970,3 +970,38 @@ def test_dq_expectations_counts_crafted_violations(spark, monkeypatch):
         "price_positive": (1, 5, False),
         "tax_0_008": (1, 5, False),
     }, got
+
+
+def test_mmr_diversify_skips_redundant_candidate(spark, monkeypatch):
+    """MMR on crafted geometry where diversification MUST flip the
+    ranking: d1 and d2 are identical directions (relevance .866, mutual
+    sim 1.0) and d3 sits 60 degrees off on the other side (relevance .5,
+    orthogonal to d1). Plain top-k orders (d1, d2, d3); MMR at
+    lambda=0.7 must pick d1, then d3 (0.35 beats the duplicate's
+    0.7*.866-0.3*1 = .306), and only then the duplicate d2."""
+    import math
+
+    import component_iceberg_spark.plans.queries_similarity as QS
+
+    c30, s30 = math.cos(math.pi / 6), math.sin(math.pi / 6)
+    c60, s60 = math.cos(math.pi / 3), math.sin(math.pi / 3)
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], "q"),    # the only QUERY_IDS member
+        (1, [c30, s30, 0.0, 0.0], "a"),    # d1
+        (2, [c30, s30, 0.0, 0.0], "a"),    # d2 == d1
+        (3, [c60, -s60, 0.0, 0.0], "b"),   # d3: 60deg from q, 90 from d1
+        (4, [0.0, 0.0, 1.0, 0.0], "c"),    # orthogonal filler
+        (5, [0.0, 0.0, 0.0, 1.0], "c"),    # orthogonal filler
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    monkeypatch.setattr(QS, "load_table", lambda s, d, t: df)
+    got = [
+        (r.mmr_rank, r.neighbor_id)
+        for r in QS.sim_mmr_diversify(spark, "ignored")
+        .orderBy("mmr_rank").collect()
+    ]
+    assert [n for _r, n in got[:3]] == [1, 3, 2], got
+    # plain relevance order would have been [1, 2, 3] — the duplicate
+    # demoted below the diverse candidate is the whole point
