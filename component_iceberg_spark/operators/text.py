@@ -325,6 +325,24 @@ QUALITY_WEIGHTS = (
 QUALITY_BIAS = -0.9
 
 
+def quality_score(text_col: str) -> Column:
+    """THE shared composite cheap-quality score: length saturation
+    (min(n_tokens/64, 1)) blended 50/50 with cleanliness (1 − punct
+    ratio). text_quality, pipeline_curation and pipeline_token_budget
+    all rank on this one expression; its SQL twin is
+    ``queries_text.QUALITY_SCORE_SQL`` — change the two together, never
+    one."""
+    n_tokens = F.size(tokens(F.col(text_col)))
+    punct_ratio = (
+        F.regexp_count(text_col, F.lit(r"[^A-Za-z0-9\s]")) * 1.0
+        / F.length(text_col)
+    )
+    return (
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.5
+        + (F.lit(1.0) - punct_ratio) * 0.5
+    )
+
+
 def quality_features(text_col: str) -> dict[str, Column]:
     """The engineered feature vector behind :func:`classifier_score`.
     Single-pass regex counts + one tokenize — no Python, no shuffle."""

@@ -1232,23 +1232,24 @@ def ext_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Grouped OLS regression (r7)
 # ---------------------------------------------------------------------------
 
-# Exact-moment OLS: every sum below is over BIGINTs (price in cents), so
-# both engines aggregate the IDENTICAL integers in any order; the float
-# work is a fixed left-to-right composition of those exact moments, making
-# slope/intercept/r2 bit-stable and the 6-dp rounding purely cosmetic.
-# At 100 TB group sizes the bigint moments (sum of cents^2) approach the
-# int64 range — promote the moment lanes to DECIMAL(38,0) there; the
-# derived-statistic composition is unchanged.
+# Exact-moment OLS: every sum below is over exact integers (price in
+# cents), so both engines aggregate the IDENTICAL values in any order; the
+# float work is a fixed left-to-right composition of those exact moments,
+# making slope/intercept/r2 bit-stable and the 6-dp rounding purely
+# cosmetic. The moment lanes are 128-bit on both sides — DECIMAL(38,0) in
+# Spark, DuckDB's native HUGEINT sum — because int64 lanes overflow at
+# only ~15k rows/group (n*syy ≈ rows² · 4.4e10); the exact integers cast
+# to double identically in both engines when the statistics divide.
 _OLS_ORACLE = """
 WITH m AS (
     SELECT p_brand,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(p_size) AS BIGINT) AS sx,
-           CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sy,
-           CAST(sum(CAST(p_size AS BIGINT) * p_size) AS BIGINT) AS sxx,
-           CAST(sum(p_size * CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sxy,
-           CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)
-                    * CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS syy
+           sum(p_size) AS sx,
+           sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS sy,
+           sum(CAST(p_size AS BIGINT) * p_size) AS sxx,
+           sum(p_size * CAST(round(p_retailprice * 100) AS BIGINT)) AS sxy,
+           sum(CAST(round(p_retailprice * 100) AS BIGINT)
+               * CAST(round(p_retailprice * 100) AS BIGINT)) AS syy
     FROM part
     WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
     GROUP BY p_brand
@@ -1281,22 +1282,26 @@ def ext_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     group. Degenerate groups (constant x or constant y) yield NULL
     slope/R² via the nullif guard, same as the oracle.
 
-    Exactness contract: the moments are bigint (order-insensitive), the
+    Exactness contract: the moments are exact 128-bit integers
+    (DECIMAL(38,0) here, HUGEINT in the oracle — order-insensitive and
+    overflow-safe far past int64's ~15k-rows-per-group ceiling); the
     derived statistics compose them in the same written order in both
-    engines — see the module constant above for the 100 TB decimal
-    promotion note."""
+    engines."""
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_size").isNotNull() & F.col("p_retailprice").isNotNull()
     )
+    dec = "decimal(38,0)"
     yc = F.round(F.col("p_retailprice") * 100).cast("long")
     x = F.col("p_size").cast("long")
+    # per-row products fit int64 (cents² ≤ ~4.8e10); the SUM lanes are
+    # where int64 dies, so the cast sits between product and sum
     m = p.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(yc).alias("sy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(x * yc).alias("sxy"),
-        F.sum(yc * yc).alias("syy"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum(yc.cast(dec)).alias("sy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.sum((x * yc).cast(dec)).alias("sxy"),
+        F.sum((yc * yc).cast(dec)).alias("syy"),
     )
     m = m.select(
         "p_brand", "n", "sx", "sy",

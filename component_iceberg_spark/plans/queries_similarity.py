@@ -859,9 +859,11 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "j",
                 F.col("v").alias("vj"), F.col("nrm").alias("nj"))
     )
+    # self-pairs (i == j) stay IN so a query with a single candidate
+    # still reaches the kernel (the oracle's selu1 emits its rank-1 row
+    # regardless of pair count); the kernel ignores them when scoring
     pairs = (
         a.join(b, "query_id")
-        .filter(F.col("i") != F.col("j"))
         .select(
             "query_id", "i", "rel", "j",
             F.round(
@@ -877,7 +879,7 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = pdf["query_id"].iloc[0]
         rel = dict(pdf.groupby("i")["rel"].first())
-        sim = {(r.i, r.j): r.s for r in pdf.itertuples()}
+        sim = {(r.i, r.j): r.s for r in pdf.itertuples() if r.i != r.j}
         selected, rows = [], []
         remaining = sorted(rel)
         for step in range(1, m_out + 1):

@@ -49,6 +49,16 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SQL twin of operators.text.quality_score — the one place the composite
+# quality formula is spelled on the oracle side (text_quality,
+# pipeline_curation and pipeline_token_budget all interpolate it).
+QUALITY_SCORE_SQL = (
+    r"LEAST(len(regexp_split_to_array(trim(text), '\s+')) / 64.0, 1.0)"
+    r" * 0.5 + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))"
+    r" * 1.0 / length(text)) * 0.5"
+)
+
+
 @register(
     "text_quality",
     oracle=r"""
@@ -58,12 +68,9 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|a|in)\b'))
                  * 1.0 / len(regexp_split_to_array(trim(text), '\s+')), 6)
                AS stopword_ratio,
-           round(LEAST(len(regexp_split_to_array(trim(text), '\s+')) / 64.0, 1.0)
-                 * 0.5
-                 + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0
-                    / length(text)) * 0.5, 6) AS quality_score
+           round({QUALITY_SCORE_SQL}, 6) AS quality_score
     FROM documents
-    """,
+    """.format(QUALITY_SCORE_SQL=QUALITY_SCORE_SQL),
     tags=("ext", "text"),
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,11 +86,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop * 1.0 / n_tokens, 6).alias("stopword_ratio"),
-        F.round(
-            F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.5
-            + (F.lit(1.0) - punct_ratio) * 0.5,
-            6,
-        ).alias("quality_score"),
+        F.round(X.quality_score("text"), 6).alias("quality_score"),
     )
 
 
@@ -451,10 +454,7 @@ _CURATION_ORACLE = f"""
 WITH {_SHINGLE_SQL},
 quality AS (
     SELECT doc_id, source,
-           round(LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 64.0, 1.0)
-                 * 0.5
-                 + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
-                    / length(text)) * 0.5, 6) AS q
+           round({QUALITY_SCORE_SQL}, 6) AS q
     FROM documents
 ),
 cnt AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
@@ -491,15 +491,7 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     hint: a plain left_anti lets AQE broadcast only when the set is
     actually small at runtime."""
     d = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(X.tokens(F.col("text")))
-    punct_ratio = F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")) * 1.0 / F.length(
-        "text"
-    )
-    q = F.round(
-        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.5
-        + (F.lit(1.0) - punct_ratio) * 0.5,
-        6,
-    )
+    q = F.round(X.quality_score("text"), 6)
     quality = d.select("doc_id", "source", q.alias("q"))
     losers = (
         D.jaccard_pairs(D.doc_shingles(d, "doc_id", "text"), 0.8)
@@ -1116,10 +1108,15 @@ def _bpe_fit(seqs: DataFrame, rounds: int = BPE_ROUNDS):
     """The iterative fit loop shared by the merges and encode queries:
     per round, argmax adjacent pair (count DESC, a, b) → fold-apply the
     merge to every sequence. ``seqs`` needs columns (seq, freq); any
-    other columns (tok) are carried through untouched. Returns the merge
-    list [(step, a, b, count)] and the final vocabulary DataFrame."""
+    other columns (tok) are carried through untouched. Returns
+    ``(merges, final_seqs, handles)`` — merges is
+    [(step, a, b, count)], and ``handles`` holds every still-persisted
+    generation (the dedup-family release pattern): a caller that is done
+    with the vocabulary unpersists them all; a caller returning a lazy
+    plan over ``final_seqs`` releases all but the last."""
     carry = [c for c in seqs.columns if c != "seq"]
     seqs = seqs.persist()
+    handles = [seqs]
     prev = None  # generation r-1: releasable once r's cache is filled
     merges = []
     for step in range(1, rounds + 1):
@@ -1147,6 +1144,7 @@ def _bpe_fit(seqs: DataFrame, rounds: int = BPE_ROUNDS):
         # persisted generations live regardless of round count
         if prev is not None:
             prev.unpersist()
+            handles.remove(prev)
         prev = seqs
         def make_fold(A, B):
             # closure factory, not default args: pyspark introspects the
@@ -1173,7 +1171,8 @@ def _bpe_fit(seqs: DataFrame, rounds: int = BPE_ROUNDS):
             fold,
         )
         seqs = seqs.select(folded.alias("seq"), *carry).persist()
-    return merges, seqs
+        handles.append(seqs)
+    return merges, seqs, handles
 
 
 @register(
@@ -1196,7 +1195,9 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect per round steering the driver loop (the kmeans_fit pattern:
     the codebook IS metadata). Lineage stays shallow: ROUNDS expression
     layers over a small cached relation."""
-    merges, _ = _bpe_fit(_bpe_vocab(spark, sf_dir).drop("tok"))
+    merges, _, handles = _bpe_fit(_bpe_vocab(spark, sf_dir).drop("tok"))
+    for h in handles:  # merges are already a local list — nothing lazy left
+        h.unpersist()
     return spark.createDataFrame(
         merges, "step int, a string, b string, pair_count bigint"
     )
@@ -1240,7 +1241,10 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python. The oracle replays fit AND encode: the same CTE chain
     carries each word through every merge, then joins it back to the
     exploded corpus."""
-    _, vocab = _bpe_fit(_bpe_vocab(spark, sf_dir))
+    _, vocab, handles = _bpe_fit(_bpe_vocab(spark, sf_dir))
+    for h in handles:
+        if h is not vocab:  # the returned plan still reads the final
+            h.unpersist()   # generation's cache; earlier ones release now
     n_sym = F.size(F.split("seq", " ")).alias("n_sym")
     lut = vocab.select("tok", n_sym)
     d = load_table(spark, sf_dir, "documents")
@@ -1623,10 +1627,7 @@ TOKEN_BUDGET = 20_000  # per-source token budget for the curated mix
     WITH s AS (
         SELECT doc_id, source,
                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
-               LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 64.0,
-                     1.0) * 0.5
-               + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
-                  * 1.0 / length(text)) * 0.5 AS score
+               {QUALITY_SCORE_SQL} AS score
         FROM documents
     ), c AS (
         SELECT source, n_tok,
@@ -1662,14 +1663,7 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection replaces the full window sort, same contract."""
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(X.tokens(F.col("text")))
-    punct = (
-        F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")) * 1.0
-        / F.length("text")
-    )
-    score = (
-        F.least(n_tok / F.lit(64.0), F.lit(1.0)) * 0.5
-        + (F.lit(1.0) - punct) * 0.5
-    )
+    score = X.quality_score("text")
     s = d.select(
         "doc_id", "source", n_tok.alias("n_tok"), score.alias("score")
     )

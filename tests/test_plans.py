@@ -596,3 +596,32 @@ def test_token_budget_single_source_exchange(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:1500]
     assert len(re.findall(r"\(\d+\) Window", p)) == 1
+
+
+def test_regression_ols_survives_int64_moment_overflow(spark, monkeypatch):
+    """20k rows at max-cents prices: n*syy ≈ (2e4)² · 4.4e10 ≈ 1.8e19
+    exceeds int64 (9.2e18) — the 128-bit moment lanes must keep the
+    statistics exact where bigint lanes would silently wrap. Verified
+    against numpy's float64 least squares."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import component_iceberg_spark.plans.queries_analytics as QA
+
+    n = 20_000
+    rng = np.random.default_rng(7)
+    size = rng.integers(1, 51, n)
+    price = np.round(180_000.0 + 900.0 * size + rng.integers(0, 40_000, n), 2)
+    df = spark.createDataFrame(
+        [("B", int(s), float(p)) for s, p in zip(size, price)],
+        "p_brand string, p_size int, p_retailprice double",
+    )
+    # sanity: this fixture really does overflow an int64 syy lane
+    syy = int((np.round(price * 100).astype(object) ** 2).sum()) * n
+    assert syy > 2**63 - 1
+    monkeypatch.setattr(QA, "load_table", lambda s, d, t: df)
+    got = QA.ext_regression_ols(spark, "ignored").collect()[0]
+    slope, intercept = np.polyfit(size, price, 1)
+    assert abs(got["slope"] - slope) < 1e-4, (got["slope"], slope)
+    assert abs(got["intercept"] - intercept) < 1e-2
+    assert 0.0 < got["r2"] <= 1.0

@@ -907,14 +907,7 @@ def test_token_budget_greedy_maximality(spark, sf_dir):
     # replay the ranking, find each source's first excluded doc
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(X.tokens(F.col("text")))
-    punct = (
-        F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")) * 1.0
-        / F.length("text")
-    )
-    score = (
-        F.least(n_tok / F.lit(64.0), F.lit(1.0)) * 0.5
-        + (F.lit(1.0) - punct) * 0.5
-    )
+    score = X.quality_score("text")
     w = (
         Window.partitionBy("source")
         .orderBy(F.col("score").desc(), "doc_id")
@@ -1005,3 +998,21 @@ def test_mmr_diversify_skips_redundant_candidate(spark, monkeypatch):
     assert [n for _r, n in got[:3]] == [1, 3, 2], got
     # plain relevance order would have been [1, 2, 3] — the duplicate
     # demoted below the diverse candidate is the whole point
+
+
+def test_mmr_single_candidate_query_not_dropped(spark, monkeypatch):
+    """A query whose corpus holds exactly ONE other vector still gets
+    its rank-1 row (the oracle's selu1 emits it; the Spark side must not
+    lose the group to an empty pair relation)."""
+    import component_iceberg_spark.plans.queries_similarity as QS
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], "q"),
+        (1, [0.6, 0.8, 0.0, 0.0], "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    monkeypatch.setattr(QS, "load_table", lambda s, d, t: df)
+    got = QS.sim_mmr_diversify(spark, "ignored").collect()
+    assert [(r.query_id, r.neighbor_id, r.mmr_rank) for r in got] == [(0, 1, 1)]
