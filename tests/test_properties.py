@@ -1016,3 +1016,46 @@ def test_mmr_single_candidate_query_not_dropped(spark, monkeypatch):
     monkeypatch.setattr(QS, "load_table", lambda s, d, t: df)
     got = QS.sim_mmr_diversify(spark, "ignored").collect()
     assert [(r.query_id, r.neighbor_id, r.mmr_rank) for r in got] == [(0, 1, 1)]
+
+
+evolve_base = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 50)), min_size=1, max_size=15
+)
+evolve_delta = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 50), st.integers(100, 200)),
+    min_size=0, max_size=15,
+)
+
+
+@pytest.mark.parametrize("hyp", [None])
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(base=evolve_base, delta=evolve_delta)
+def test_upsert_evolve_matches_model(spark, tmp_path_factory, hyp, base, delta):
+    """Randomized schema-evolving upsert vs a plain-Python model:
+    matched keys take the delta wholesale (new column included),
+    unmatched delta rows insert, untouched base rows surface the new
+    column as NULL — across whatever key overlap hypothesis draws
+    (including the all-disjoint no-candidate path and full overlap)."""
+    cat = SnapCatalog(str(tmp_path_factory.mktemp("wh")))
+    b = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(base)],
+        schema="k int, v int, ord int",
+    )
+    cat.upsert("ns", "t", b, keys=["k"], order_by="ord")
+    d = spark.createDataFrame(
+        [(k, v, w, i) for i, (k, v, w) in enumerate(delta)]
+        or [(None, None, None, None)],
+        schema="k int, v int, w int, ord int",
+    ).dropna()
+    cat.upsert("ns", "t", d, keys=["k"], order_by="ord", evolve=True)
+    got = {r.k: (r.v, r.w) for r in cat.read(spark, "ns", "t").collect()}
+    model = {}
+    for k, v in base:
+        model[k] = (v, None)
+    for k, v, w in delta:
+        model[k] = (v, w)
+    assert got == model
