@@ -1059,3 +1059,122 @@ def test_upsert_evolve_matches_model(spark, tmp_path_factory, hyp, base, delta):
     for k, v, w in delta:
         model[k] = (v, w)
     assert got == model
+
+
+@pytest.mark.parametrize("hyp", [None])
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(100, 120), st.integers(1, 8)),
+        min_size=1, max_size=25,
+    )
+)
+def test_skyline_matches_bruteforce_model(spark, monkeypatch, hyp, pts):
+    """ext_skyline's staircase construction vs the O(n²) dominance
+    definition on randomized (price, size) sets — small domains force
+    heavy price/size ties, the staircase's trickiest case."""
+    import component_iceberg_spark.plans.queries_analytics as QA
+
+    rows = [
+        (i, f"B{i % 3}", sz, float(pr)) for i, (pr, sz) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_brand string, p_size int, p_retailprice double"
+    )
+    monkeypatch.setattr(QA, "load_table", lambda s, d, t: df)
+    got = {r.p_partkey for r in QA.ext_skyline(spark, "ignored").collect()}
+    want = {
+        i
+        for i, (pr, sz) in enumerate(pts)
+        if not any(
+            (qp <= pr and qs >= sz and (qp < pr or qs > sz))
+            for qp, qs in pts
+        )
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("hyp", [None])
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-2, 2, allow_nan=False, allow_infinity=False, width=32),
+            min_size=4, max_size=4,
+        ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+        min_size=2, max_size=14,
+    )
+)
+def test_mmr_matches_python_reference(spark, monkeypatch, hyp, vecs):
+    """sim_mmr_diversify vs a plain-Python greedy MMR on random vectors:
+    same rounded-6 cosines, same lam*rel − (1−lam)*max_sim composition,
+    same (score, id) tie-break — the selected sequence must match
+    exactly, including when fewer candidates than MMR_SELECT exist."""
+    import math
+
+    import component_iceberg_spark.plans.queries_similarity as QS
+
+    rows = [(i, [float(x) for x in v], "x") for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    monkeypatch.setattr(QS, "load_table", lambda s, d, t: df)
+    got = [
+        (r.query_id, r.mmr_rank, r.neighbor_id)
+        for r in QS.sim_mmr_diversify(spark, "ignored")
+        .orderBy("query_id", "mmr_rank").collect()
+    ]
+
+    def cos(a, b):
+        # float32 storage, float64 math, left-to-right fold — the engine
+        # contract
+        af = [float(x) for x in _f32(a)]
+        bf = [float(x) for x in _f32(b)]
+        dot = 0.0
+        for x, y in zip(af, bf):
+            dot += x * y
+        na = math.sqrt(sum(x * x for x in af))
+        nb = math.sqrt(sum(x * x for x in bf))
+        return round(dot / (na * nb), 6)
+
+    def _f32(v):
+        import numpy as np
+
+        return np.asarray(v, dtype=np.float32)
+
+    want = []
+    present = {i for i, _v, _l in rows}
+    for q in (i for i in QS.QUERY_IDS if i in present):
+        rel = {
+            i: cos(vecs[q], v) for i, v in enumerate(vecs) if i != q
+        }
+        cands = sorted(rel, key=lambda i: (-rel[i], i))[: QS.TOPK]
+        sims = {
+            (i, j): cos(vecs[i], vecs[j])
+            for i in cands for j in cands if i != j
+        }
+        selected = []
+        remaining = sorted(cands)
+        for step in range(1, QS.MMR_SELECT + 1):
+            if not remaining:
+                break
+            best, best_raw = None, None
+            for i in remaining:
+                maxs = max((sims[(i, j)] for j in selected), default=0.0)
+                raw = QS.MMR_LAMBDA * rel[i] - round(
+                    1 - QS.MMR_LAMBDA, 1
+                ) * maxs
+                if best_raw is None or raw > best_raw:
+                    best, best_raw = i, raw
+            selected.append(best)
+            remaining.remove(best)
+            want.append((q, step, best))
+    assert got == want
