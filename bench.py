@@ -137,6 +137,11 @@ SCALE_QUERIES = (
     # stage in the budget pipeline — its wall should track the sort, with
     # the fixed 20k budget making the output CONSTANT across scale
     "pipeline_token_budget",
+    # r7 seventh wave: greedy packing is an O(group) integer kernel per
+    # source — at 10x each source's stream is 10x longer but sources
+    # still parallelize, so wall should be ~linear with no shuffle growth
+    # beyond the single hash Exchange on source
+    "pipeline_pack_sequences",
 )
 
 
@@ -443,6 +448,7 @@ def main() -> None:
         "stream_rocksdb_state",
         "snap_upsert_evolve",
         "sim_mmr_diversify",
+        "pipeline_pack_sequences",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -1679,3 +1679,98 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (pretraining batch assembly)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 256  # tokens per packed context window
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=rf"""
+    WITH RECURSIVE s AS (
+        SELECT source, doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ), r AS (
+        SELECT source, doc_id, n_tok, rn,
+               CAST(0 AS BIGINT) AS pack_id,
+               CAST(0 AS BIGINT) AS pack_pos,
+               n_tok AS cum
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.source, s.doc_id, s.n_tok, s.rn,
+               CASE WHEN r.cum + s.n_tok > {PACK_BUDGET}
+                    THEN r.pack_id + 1 ELSE r.pack_id END,
+               CASE WHEN r.cum + s.n_tok > {PACK_BUDGET}
+                    THEN CAST(0 AS BIGINT) ELSE r.pack_pos + 1 END,
+               CASE WHEN r.cum + s.n_tok > {PACK_BUDGET}
+                    THEN s.n_tok ELSE r.cum + s.n_tok END
+        FROM r JOIN s ON s.source = r.source AND s.rn = r.rn + 1
+    )
+    SELECT source, doc_id, n_tok, pack_id, pack_pos FROM r
+    """,
+    tags=("ext", "text", "pipeline"),
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the batch-assembly stage of a pretraining
+    pipeline: stream each source's documents in corpus order (doc_id)
+    and greedily pack them into fixed-budget context windows
+    (PACK_BUDGET tokens), opening a new pack exactly when the next
+    document would overflow the current one. Every doc gets a
+    (pack_id, pack_pos) assignment; an oversized doc (n_tok > budget)
+    occupies a pack alone rather than being dropped, so the packing is
+    a partition of the corpus. This first-fit-sequential discipline is
+    the standard way training jobs turn a document corpus into
+    fixed-length samples without cross-shard shuffles.
+
+    Scale shape: greedy packing is inherently sequential WITHIN a
+    stream, so the kernel runs per source inside ONE Arrow-batched
+    applyInPandas pass — an O(group) integer loop with no Python dot
+    products or per-row UDF calls; sources (at 100 TB: shards/files)
+    parallelize across executors and nothing shuffles except the
+    one hash Exchange on source. Token counts are computed Spark-side
+    as codegen'd projections BEFORE the kernel so both engines share
+    one tokenizer definition. The oracle replays the identical greedy
+    walk as a recursive CTE stepping one document per source per
+    iteration.
+
+    Cross-engine exactness: pure integer state (cum, pack_id,
+    pack_pos) — no floats anywhere; the kernel sorts the whole group
+    by doc_id first (grouped-map row order is not guaranteed), the
+    oracle walks row_number() order on the same key.
+    """
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "doc_id",
+        F.size(X.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_id = cum = pos = 0
+        ids, poss = [], []
+        for t in pdf["n_tok"]:
+            t = int(t)
+            if cum > 0 and cum + t > PACK_BUDGET:
+                pack_id += 1
+                cum = 0
+                pos = 0
+            cum += t
+            ids.append(pack_id)
+            poss.append(pos)
+            pos += 1
+        pdf["pack_id"] = ids
+        pdf["pack_pos"] = poss
+        return pdf
+
+    return base.groupBy("source").applyInPandas(
+        pack, "source string, doc_id long, n_tok long, pack_id long, pack_pos long"
+    )

@@ -1178,3 +1178,113 @@ def test_mmr_matches_python_reference(spark, monkeypatch, hyp, vecs):
             remaining.remove(best)
             want.append((q, step, best))
     assert got == want
+
+
+def test_pack_sequences_greedy_reference(spark, tmp_path):
+    """pipeline_pack_sequences (the REAL registered query, pointed at a
+    crafted fixture dir) matches a pure-Python greedy reference on token
+    streams covering the edge cases: an oversized doc (> PACK_BUDGET)
+    occupies a pack alone, an exact-fit doc (cum + t == budget) stays IN
+    the current pack (strict >), and the packing is a partition (every
+    doc assigned exactly once, positions contiguous from 0)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import component_iceberg_spark.plans.queries_text as QT
+
+    B = QT.PACK_BUDGET  # 256
+    # (source, doc_id, n_tok): src_a exercises exact fit at the boundary,
+    # src_b an oversized doc mid-stream, src_c a single oversized doc.
+    rows = [
+        ("src_a", 1, 100), ("src_a", 2, 156),  # 100+156 == 256 → same pack
+        ("src_a", 3, 1),                       # overflow → pack 1
+        ("src_b", 1, 10), ("src_b", 2, 500),   # oversized → own pack 1
+        ("src_b", 3, 10),                      # reopens → pack 2
+        ("src_c", 1, 999),                     # alone in pack 0
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [i for _s, i, _t in rows],
+            "text": [" ".join(["w"] * t) for _s, _i, t in rows],
+            "lang": ["en"] * len(rows),
+            "source": [s for s, _i, _t in rows],
+            "n_chars": [2 * t - 1 for _s, _i, t in rows],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), str(tmp_path / "documents.parquet"))
+
+    def ref(stream):
+        out, pack_id, cum, pos = [], 0, 0, 0
+        for did, t in stream:
+            if cum > 0 and cum + t > B:
+                pack_id, cum, pos = pack_id + 1, 0, 0
+            cum += t
+            out.append((did, pack_id, pos))
+            pos += 1
+        return out
+
+    got = {
+        (r.source, r.doc_id): (r.n_tok, r.pack_id, r.pack_pos)
+        for r in QT.pipeline_pack_sequences(spark, str(tmp_path)).collect()
+    }
+    for src in ("src_a", "src_b", "src_c"):
+        stream = [(i, t) for s, i, t in rows if s == src]
+        for did, pid, pos in ref(stream):
+            n_tok = dict(stream)[did]
+            assert got[(src, did)] == (n_tok, pid, pos), (src, did, got)
+    assert len(got) == len(rows)
+
+
+def _pack_like_query(pdf, budget):
+    """The same greedy walk pipeline_pack_sequences runs — kept in sync
+    by test_pack_sequences_kernel_parity below."""
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    pack_id = cum = pos = 0
+    ids, poss = [], []
+    for t in pdf["n_tok"]:
+        t = int(t)
+        if cum > 0 and cum + t > budget:
+            pack_id += 1
+            cum = 0
+            pos = 0
+        cum += t
+        ids.append(pack_id)
+        poss.append(pos)
+        pos += 1
+    pdf["pack_id"] = ids
+    pdf["pack_pos"] = poss
+    return pdf
+
+
+def test_pack_sequences_kernel_parity(spark, sf_dir):
+    """The registered query (real fixture) agrees with _pack_like_query
+    replayed on its own (source, doc_id, n_tok) projection — so the
+    crafted-stream test above genuinely covers the shipped kernel."""
+    from pyspark.sql import functions as F
+
+    import component_iceberg_spark.plans.queries_text as QT
+    from component_iceberg_spark.io.tables import load_table
+    from component_iceberg_spark.operators import text as X
+
+    got = {
+        (r.source, r.doc_id): (r.n_tok, r.pack_id, r.pack_pos)
+        for r in QT.pipeline_pack_sequences(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source", "doc_id",
+        F.size(X.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    ).toPandas()
+    want = {}
+    for src, grp in base.groupby("source"):
+        out = _pack_like_query(grp.copy(), QT.PACK_BUDGET)
+        for r in out.itertuples():
+            want[(src, r.doc_id)] = (r.n_tok, r.pack_id, r.pack_pos)
+    assert got == want
+    # partition property: pack_pos contiguous from 0 within each pack
+    by_pack = {}
+    for (src, _did), (_t, pid, pos) in got.items():
+        by_pack.setdefault((src, pid), []).append(pos)
+    for poss in by_pack.values():
+        assert sorted(poss) == list(range(len(poss)))
