@@ -449,6 +449,7 @@ def main() -> None:
         "snap_upsert_evolve",
         "sim_mmr_diversify",
         "pipeline_pack_sequences",
+        "pipeline_temperature_mix",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -1453,6 +1453,148 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Temperature-based domain reweighting
+# ---------------------------------------------------------------------------
+
+TEMP_MIX_BUDGET = 27_000  # total token target across all sources
+
+
+def _temperature_mix_oracle() -> str:
+    # Same md5-prefix uniform draw as _domain_mix_oracle (see the
+    # exactness notes there). alpha is FIXED at 0.5 spelled as sqrt():
+    # IEEE-754 requires sqrt to be correctly rounded, so Spark's
+    # Math.sqrt and DuckDB's sqrt are bit-identical — a general pow()
+    # carries no such guarantee and would drift by ulps cross-engine.
+    # The cross-source denominator is an ORDER BY source left fold
+    # (list_sum over an ordered list == Spark F.aggregate over
+    # array_sort'd structs), so every weight and keep fraction is
+    # bit-identical and the u < keep_frac admission needs no rounding.
+    nib = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    u32 = " + ".join(
+        f"{nib.format(p=p + 1)} * {16 ** (7 - p)}" for p in range(8)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, source,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+),
+u AS (SELECT doc_id, source, n_tokens, ({u32}) / {_MIX_U32} AS u FROM tok),
+stats AS (SELECT source, count(*) AS docs_in,
+                 CAST(sum(n_tokens) AS BIGINT) AS tokens_in
+          FROM u GROUP BY source),
+sq AS (SELECT source, docs_in, tokens_in,
+              sqrt(CAST(tokens_in AS DOUBLE)) AS sq
+       FROM stats),
+denom AS (SELECT list_sum(list(sq ORDER BY source)) AS denom FROM sq),
+per AS (SELECT s.source, s.docs_in, s.tokens_in,
+               s.sq / d.denom AS w,
+               least(1.0, {TEMP_MIX_BUDGET} * (s.sq / d.denom)
+                          / s.tokens_in) AS kf
+        FROM sq s CROSS JOIN denom d)
+SELECT p.source, p.docs_in, p.tokens_in,
+       round(p.w, 6) AS mix_weight,
+       round(p.kf, 6) AS keep_frac,
+       CAST(count(*) FILTER (WHERE u.u < p.kf) AS BIGINT) AS docs_kept,
+       CAST(coalesce(sum(u.n_tokens) FILTER (WHERE u.u < p.kf), 0)
+            AS BIGINT) AS tokens_kept
+FROM per p JOIN u ON u.source = p.source
+GROUP BY p.source, p.docs_in, p.tokens_in, p.w, p.kf
+"""
+
+
+@register(
+    "pipeline_temperature_mix",
+    oracle=_temperature_mix_oracle(),
+    tags=("ext", "pipeline", "text"),
+)
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain reweighting — the other standard mixture
+    sampler: instead of flattening every domain to the smallest one
+    (pipeline_domain_mix), weight each source by tokens^alpha (alpha =
+    0.5) normalized across sources, aim TEMP_MIX_BUDGET total tokens at
+    those weights, and admit each doc with the same deterministic
+    md5(doc_id) Bernoulli draw. alpha < 1 UPWEIGHTS small domains
+    relative to proportional sampling without erasing size information —
+    the knob LLM mixes use between "proportional" and "uniform". A
+    source whose target exceeds its actual mass caps at keep_frac = 1
+    (take everything; this query's budget exercises both branches at the
+    gate SF).
+
+    Cross-engine exactness: alpha is spelled sqrt() (IEEE correctly
+    rounded — pow() is not) and the cross-source weight denominator is
+    an ORDER BY source left fold both sides, so weights and keep
+    fractions are bit-identical doubles and the u < keep_frac admission
+    compares exactly; display columns round at 6 dp only after all
+    comparisons.
+
+    Scale shape: identical to pipeline_domain_mix — one hash-aggregate
+    to source-level stats (tiny), the sqrt/normalize/target arithmetic
+    on that metadata-sized relation (the ordered fold runs over
+    |sources| structs, not rows), then one broadcast join back and an
+    expression-level filter inside the second scan. No wide shuffle
+    grows with the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(X.tokens(F.col("text")))
+    u = d.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("double")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    stats = u.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_in"),
+    )
+    sq = stats.withColumn("sq", F.sqrt(F.col("tokens_in").cast("double")))
+    denom = sq.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "sq"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["sq"],
+        ).alias("denom")
+    )
+    per = (
+        sq.crossJoin(F.broadcast(denom))
+        .withColumn("w_raw", F.col("sq") / F.col("denom"))
+        .withColumn(
+            "kf_raw",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(TEMP_MIX_BUDGET))
+                * F.col("w_raw")
+                / F.col("tokens_in"),
+            ),
+        )
+    )
+    kept = F.col("u") < F.col("kf_raw")
+    return (
+        u.join(F.broadcast(per), "source")
+        .groupBy("source", "docs_in", "tokens_in", "w_raw", "kf_raw")
+        .agg(
+            F.count_if(kept).cast("bigint").alias("docs_kept"),
+            F.coalesce(
+                F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0)
+            ).cast("bigint").alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            "docs_in",
+            "tokens_in",
+            F.round("w_raw", 6).alias("mix_weight"),
+            F.round("kf_raw", 6).alias("keep_frac"),
+            "docs_kept",
+            "tokens_kept",
+        )
+    )
+
+
 _TFIDF_ORACLE = r"""
 WITH tok AS (
     SELECT doc_id, u.w AS w

@@ -142,6 +142,7 @@ _GATE_PRIORITY = (
     "snap_upsert_evolve",
     "sim_mmr_diversify",
     "pipeline_pack_sequences",
+    "pipeline_temperature_mix",
     # --- 3. oldest-first backlog. r1 stragglers (last green r4 via the
     #     r4 window) then the round-2 cohort and snap remainder (last
     #     green r2/r4). With 8 sentinels + 17 never-gated + 29 new-in-r7

@@ -1288,3 +1288,33 @@ def test_pack_sequences_kernel_parity(spark, sf_dir):
         by_pack.setdefault((src, pid), []).append(pos)
     for poss in by_pack.values():
         assert sorted(poss) == list(range(len(poss)))
+
+
+def test_temperature_mix_semantics(spark, sf_dir):
+    """pipeline_temperature_mix behavior pins: weights are a probability
+    vector; a capped source (keep_frac == 1) admits its entire domain;
+    alpha = 0.5 upweights small domains RELATIVE to proportional
+    sampling (w_s / share_s strictly decreasing in domain size); and
+    both cap branches are actually exercised at the fixture."""
+    import component_iceberg_spark.plans.queries_text as QT
+
+    rows = QT.pipeline_temperature_mix(spark, sf_dir).collect()
+    assert len(rows) > 1
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-4
+    capped = [r for r in rows if r.keep_frac == 1.0]
+    uncapped = [r for r in rows if r.keep_frac < 1.0]
+    assert capped and uncapped, "budget must exercise both cap branches"
+    for r in capped:
+        assert r.docs_kept == r.docs_in and r.tokens_kept == r.tokens_in
+    # an individual uncapped source can still admit every doc by chance
+    # (keep_frac near 1); the DROP must show up in aggregate
+    assert all(r.docs_kept <= r.docs_in for r in uncapped)
+    assert sum(r.docs_kept for r in uncapped) < sum(r.docs_in for r in uncapped)
+    # relative upweighting: w / proportional-share ∝ 1/sqrt(tokens)
+    total = sum(r.tokens_in for r in rows)
+    boost = sorted(
+        ((r.tokens_in, r.mix_weight / (r.tokens_in / total)) for r in rows)
+    )
+    for (t1, b1), (t2, b2) in zip(boost, boost[1:]):
+        if t1 < t2:
+            assert b1 > b2, (t1, b1, t2, b2)
