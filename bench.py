@@ -450,6 +450,7 @@ def main() -> None:
         "sim_mmr_diversify",
         "pipeline_pack_sequences",
         "pipeline_temperature_mix",
+        "text_winnow_fingerprint",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -1916,3 +1916,157 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.groupBy("source").applyInPandas(
         pack, "source string, doc_id long, n_tok long, pack_id long, pack_pos long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS-style overlap screen)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4        # tokens per gram
+WINNOW_W = 5        # winnowing window (consecutive gram hashes)
+WINNOW_MAX_DF = 10  # df cap: drop fingerprint hashes seen in more docs
+WINNOW_MIN_SHARED = 2
+_WINNOW_POS_BASE = 1_048_576  # 2^20: pos lanes in the packed bigint
+
+
+def _winnow_oracle() -> str:
+    # Packed-bigint argmin: combined = h * 2^20 + (2^20-1 - pos), so
+    # min(combined) over the window picks the smallest hash and, on
+    # hash ties, the RIGHTMOST position (classic robust-winnowing tie
+    # rule) — pure integer math, bit-identical cross-engine. DuckDB
+    # builds positional grams by 1-based list slicing (range() is empty
+    # for docs shorter than K, mirroring the Spark-side guard).
+    nib = "(strpos('0123456789abcdef', substr(md5(gram), {p}, 1)) - 1)"
+    u32 = " + ".join(
+        f"{nib.format(p=p + 1)} * {16 ** (7 - p)}" for p in range(8)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+           array_to_string(t[r.i + 1 : r.i + {WINNOW_K}], ' ') AS gram
+    FROM tok, unnest(range(0, len(t) - {WINNOW_K} + 1)) AS r(i)
+),
+hashed AS (
+    SELECT doc_id, pos,
+           CAST({u32} AS BIGINT) * {_WINNOW_POS_BASE}
+               + ({_WINNOW_POS_BASE} - 1 - pos) AS combined
+    FROM grams
+),
+win AS (
+    SELECT doc_id,
+           min(combined) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW
+                               AND {WINNOW_W - 1} FOLLOWING) AS sel
+    FROM hashed
+),
+fp AS (
+    SELECT DISTINCT doc_id, sel // {_WINNOW_POS_BASE} AS fp_hash
+    FROM win
+),
+rare AS (
+    SELECT fp_hash FROM fp GROUP BY fp_hash
+    HAVING count(*) <= {WINNOW_MAX_DF}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM fp a JOIN fp b USING (fp_hash) JOIN rare USING (fp_hash)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle=_winnow_oracle(),
+    tags=("ext", "text", "dedup"),
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    scheme) — the guarantee-bearing overlap screen: hash every
+    positional K-token gram, slide a W-hash window, select each
+    window's minimum hash (rightmost on ties). Any shared passage of
+    W+K-1 tokens is GUARANTEED to contribute at least one common
+    fingerprint, yet only ~2/(W+1) of grams are kept — the screen
+    MinHash can't give (MinHash bounds whole-document similarity;
+    winnowing bounds local overlap). Pairs sharing >= WINNOW_MIN_SHARED
+    rare fingerprints (df-capped, the dedup_containment discriminative
+    trick) are reported with their shared count.
+
+    Scale shape: positional grams + hashes are expression-level inside
+    the scan; the window min is one per-doc frame pass (docs are
+    task-local after the hash Exchange on doc_id); fingerprints are a
+    ~2/(W+1) sample of grams, the df cap bounds the candidate join's
+    bucket sizes exactly like dedup_containment, and the pair count is
+    a hash aggregate on the surviving (small) relation. No all-pairs
+    stage anywhere.
+
+    Cross-engine exactness: the selection is an integer argmin on a
+    packed bigint (hash * 2^20 + inverted position — rightmost-tie by
+    construction); md5-derived 32-bit hashes match the proven u32
+    construction; counts are exact integers. Docs shorter than K
+    tokens produce no grams via an explicit guard (Spark sequence()
+    DESCENDS on negative spans; DuckDB range() is empty — the guard
+    keeps both sides at zero rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    idx = F.when(
+        F.size(t) >= WINNOW_K, F.sequence(F.lit(0), F.size(t) - WINNOW_K)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        d.select("doc_id", t.alias("t"), idx.alias("idx"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    "idx",
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("t"), i + 1, WINNOW_K)
+                    ),
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("bigint")
+    combined = (
+        h * F.lit(_WINNOW_POS_BASE)
+        + (F.lit(_WINNOW_POS_BASE - 1) - F.col("pos").cast("bigint"))
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    fp = (
+        grams.select("doc_id", combined.alias("combined"), "pos")
+        .select("doc_id", F.min("combined").over(w).alias("sel"))
+        .select(
+            "doc_id",
+            # 2^20 pos lanes → a 20-bit shift IS the integer division
+            F.shiftright(F.col("sel"), 20).alias("fp_hash"),
+        )
+        .distinct()
+    )
+    rare = (
+        fp.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .select("fp_hash")
+    )
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .join(rare, "fp_hash")
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+    )

@@ -143,6 +143,7 @@ _GATE_PRIORITY = (
     "sim_mmr_diversify",
     "pipeline_pack_sequences",
     "pipeline_temperature_mix",
+    "text_winnow_fingerprint",
     # --- 3. oldest-first backlog. r1 stragglers (last green r4 via the
     #     r4 window) then the round-2 cohort and snap remainder (last
     #     green r2/r4). With 8 sentinels + 17 never-gated + 29 new-in-r7

@@ -1318,3 +1318,71 @@ def test_temperature_mix_semantics(spark, sf_dir):
     for (t1, b1), (t2, b2) in zip(boost, boost[1:]):
         if t1 < t2:
             assert b1 > b2, (t1, b1, t2, b2)
+
+
+def test_winnow_fingerprint_guarantee(spark, tmp_path):
+    """Winnowing's core guarantee, on the REAL registered query pointed
+    at a crafted fixture: two documents sharing a passage of
+    W+K-1 tokens MUST share at least one fingerprint (and with two
+    planted passages, clear the WINNOW_MIN_SHARED pair threshold);
+    unrelated docs share none; a doc shorter than K tokens produces no
+    grams and no crash. A pure-Python replay of hash→window-min→
+    rightmost-tie cross-checks the exact fingerprint sets."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import component_iceberg_spark.plans.queries_text as QT
+
+    K, W, BASE = QT.WINNOW_K, QT.WINNOW_W, QT._WINNOW_POS_BASE
+    span = W + K - 1  # guarantee length
+    passage1 = [f"p{i}" for i in range(span)]
+    passage2 = [f"q{i}" for i in range(span)]
+    doc0 = ["a0"] + passage1 + ["b0", "b1"] + passage2
+    doc1 = ["c0", "c1"] + passage1 + ["d0"] + passage2 + ["e0"]
+    doc2 = [f"z{i}" for i in range(30)]        # unrelated
+    doc3 = ["x0", "x1"]                        # shorter than K
+    docs = [doc0, doc1, doc2, doc3]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(len(docs))),
+            "text": [" ".join(d) for d in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["src"] * len(docs),
+            "n_chars": [len(" ".join(d)) for d in docs],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), str(tmp_path / "documents.parquet"))
+
+    def ref_fps(toks):
+        if len(toks) < K:
+            return set()
+        grams = [" ".join(toks[i:i + K]) for i in range(len(toks) - K + 1)]
+        comb = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) * BASE
+            + (BASE - 1 - i)
+            for i, g in enumerate(grams)
+        ]
+        return {min(comb[q:q + W]) // BASE for q in range(len(comb))}
+
+    fps = [ref_fps(d) for d in docs]
+    assert fps[0] & fps[1], "guarantee: shared span must share a fingerprint"
+    assert not fps[3]
+
+    got = {
+        (r.doc_a, r.doc_b): r.shared_fps
+        for r in QT.text_winnow_fingerprint(spark, str(tmp_path)).collect()
+    }
+    # df cap is 10 and only 4 docs exist, so no hash is dropped: the
+    # query must report exactly the reference pair counts >= threshold
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            n = len(fps[a] & fps[b])
+            if n >= QT.WINNOW_MIN_SHARED:
+                want[(a, b)] = n
+    assert got == want, (got, want)
+    assert (0, 1) in got and got[(0, 1)] >= 2
+    assert all(2 not in p and 3 not in p for p in got)
