@@ -1355,16 +1355,36 @@ def text_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_U32 = "4294967296.0"  # 2^32: md5-prefix → uniform [0,1) denominator
 
 
+def _u32_sql(hash_sql: str) -> str:
+    """Oracle-side 32-bit unsigned int from the first 8 hex chars of the
+    given md5-hex SQL expression (nibble-by-nibble — DuckDB has no
+    base-conv builtin). THE single spelling of the bit-exactness-critical
+    construction: every oracle that needs a deterministic uniform draw or
+    32-bit content hash interpolates this, so the copies cannot drift."""
+    nib = f"(strpos('0123456789abcdef', substr({hash_sql}, {{p}}, 1)) - 1)"
+    return " + ".join(
+        f"{nib.format(p=p + 1)} * {16 ** (7 - p)}" for p in range(8)
+    )
+
+
+def _h32(col: F.Column) -> F.Column:
+    """Spark twin of :func:`_u32_sql`: first 8 md5 hex chars as bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _u01(col: F.Column) -> F.Column:
+    """Deterministic uniform [0,1) draw from a column (md5-prefix / 2^32);
+    bit-identical to the oracle's ({_u32_sql(...)}) / 2^32 lane."""
+    return _h32(col).cast("double") / F.lit(4294967296.0)
+
+
 def _domain_mix_oracle() -> str:
     # uniform hash u(doc) ∈ [0,1): first 8 hex chars of md5(doc_id) as a
     # 32-bit int (nibble-by-nibble, DuckDB has no base-conv builtin),
     # over 2^32. IEEE double division is exactly rounded, so Spark and
     # DuckDB compute bit-identical u and keep_frac — the comparison
     # u < keep_frac is deterministic cross-engine.
-    nib = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
-    u32 = " + ".join(
-        f"{nib.format(p=p + 1)} * {16 ** (7 - p)}" for p in range(8)
-    )
+    u32 = _u32_sql("h")
     return f"""
 WITH tok AS (
     SELECT doc_id, source,
@@ -1470,10 +1490,7 @@ def _temperature_mix_oracle() -> str:
     # (list_sum over an ordered list == Spark F.aggregate over
     # array_sort'd structs), so every weight and keep fraction is
     # bit-identical and the u < keep_frac admission needs no rounding.
-    nib = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
-    u32 = " + ".join(
-        f"{nib.format(p=p + 1)} * {16 ** (7 - p)}" for p in range(8)
-    )
+    u32 = _u32_sql("h")
     return f"""
 WITH tok AS (
     SELECT doc_id, source,
@@ -1936,10 +1953,7 @@ def _winnow_oracle() -> str:
     # rule) — pure integer math, bit-identical cross-engine. DuckDB
     # builds positional grams by 1-based list slicing (range() is empty
     # for docs shorter than K, mirroring the Spark-side guard).
-    nib = "(strpos('0123456789abcdef', substr(md5(gram), {p}, 1)) - 1)"
-    u32 = " + ".join(
-        f"{nib.format(p=p + 1)} * {16 ** (7 - p)}" for p in range(8)
-    )
+    u32 = _u32_sql("md5(gram)")
     return f"""
 WITH tok AS (
     SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -1953,7 +1967,8 @@ grams AS (
 hashed AS (
     SELECT doc_id, pos,
            CAST({u32} AS BIGINT) * {_WINNOW_POS_BASE}
-               + ({_WINNOW_POS_BASE} - 1 - pos) AS combined
+               + ({_WINNOW_POS_BASE} - 1 - pos % {_WINNOW_POS_BASE})
+               AS combined
     FROM grams
 ),
 win AS (
