@@ -59,26 +59,23 @@ _QUERY_MODULES = (
 #
 # ROTATION SCHEDULE (so every query is re-checked within ~3 rounds, and a
 # regression anywhere is externally caught, not just by local pytest).
-# Revised in r7 after the r5/r6 windows let the sentinels go stale
-# (VERDICT r6 "What's wrong" #1): sentinels now lead UNCONDITIONALLY.
-#   1. PINNED SENTINELS — eight flagships, one per family (TPC-H agg,
-#      TPC-H join, streaming, semantic dedup, LSH dedup, multimodal,
-#      sessionize, ANN), in the window EVERY round, ALWAYS first. A core
-#      path regression must never wait for the rotation.
-#   2. Queries that have NEVER had a gate row, plus queries whose
-#      implementation or oracle CHANGED this round — they (re)earn a
-#      green row before any already-green backlog re-checks.
-#   3. The remaining slots take registered queries ordered by the age of
-#      their last gate row, OLDEST FIRST; queries with a green row from
-#      the immediately preceding round sit at the tail.
+# Rotated for r8 (VERDICT r7 "Next round" #1): sentinels lead
+# unconditionally; tier 2 is the 7 never-gated late-r7 newborns plus any
+# query whose code/oracle changes this round; tier 2b re-earns rows for
+# the two late-r7 refactors; the backlog then runs strictly oldest gate
+# row first (r1 -> r2 -> r3 -> r4), so the ~50 window takes the 9+2 head
+# plus the whole r1 tier and most of the r2 tier. Fresh r6/r7 greens sit
+# at the tail and rotate back as their rows age.
+#   1. PINNED SENTINELS -- eight flagships, one per family, EVERY round.
+#   2. Queries with NO gate row ever, plus queries whose implementation
+#      or oracle CHANGED this round -- they (re)earn a green row first.
+#   3. Remaining slots: registered queries ordered by the age of their
+#      last gate row, OLDEST FIRST.
 # Names here that don't exist are ignored (safe across refactors).
 _GATE_PRIORITY = (
-    # --- 1. PINNED SENTINELS FIRST (r7 rotation; VERDICT r6 "Next round"
-    #     #1). All eight were last gated in r4 (dedup_minhash_lsh in r6 via
-    #     the changed-code tier) — two-rounds stale is the documented
-    #     maximum, so they lead unconditionally this round and every round
-    #     hereafter. One flagship per family: TPC-H agg, TPC-H join,
-    #     streaming, semantic dedup, LSH dedup, multimodal, sessionize, ANN.
+    # --- 1. PINNED SENTINELS (every round, always first): TPC-H agg,
+    #     TPC-H join, streaming, semantic dedup, LSH dedup, multimodal,
+    #     sessionize, ANN.
     "q1_pricing_summary",
     "q5_local_supplier_volume",
     "dedup_minhash_lsh",
@@ -87,56 +84,10 @@ _GATE_PRIORITY = (
     "mm_feature_extract",
     "ext_sessionize",
     "sim_ann_ivf",
-    # --- 2. the 17 queries with ZERO driver rows ever (late-r5 newborns
-    #     that fell past the oversubscribed r5/r6 windows, plus func_array,
-    #     the designated r5 risk slot that missed). Queries whose code or
-    #     oracle changed in r7 (sample_weighted_topk draw widening,
-    #     histogram degenerate-range guard, knn-graph rounding contract)
-    #     are in this set already — changed code re-earns its row here.
-    "snap_merge_multi",
-    "snap_orphan_cleanup",
-    "ext_interval_join",
-    "ext_graph_triangles",
-    "ext_corr_matrix",
-    "ext_pca_project",
-    "snap_zorder_rewrite",
-    "ext_shard_shuffle",
-    "ext_dbscan_grid",
-    "stream_anomaly_alerts",
-    "snap_scd2_apply",
-    "text_url_canonicalize",
-    "ext_histogram",
-    "mm_train_record",
-    "sim_knn_graph_clusters",
-    "ext_sample_weighted",
-    "func_array",
-    # --- 2b. new-in-r7 queries insert here as they register
-    #     (never gate-checked → ahead of any already-green backlog)
-    "snap_append_ordered",
-    "text_rerank_topk",
-    "stream_topk_trending",
-    "ext_histogram_equidepth",
-    "sim_ann_ivf_stored",
-    "mm_neardup_features",
-    "dedup_containment",
-    "text_bpe_pair_stats",
-    "text_bpe_merges",
-    "snap_checked_append",
-    "ext_abtest_lift",
-    "stream_late_data_drop",
-    "ext_ndcg_eval",
-    "func_map",
-    "ext_spatial_grid_join",
-    "snap_dpp_join",
-    "snap_files_meta",
-    "stream_replay_idempotent",
-    "ext_window_yoy",
-    "snap_timetravel_asof",
-    "ext_skyline",
-    "ext_regression_ols",
-    "text_bpe_encode",
-    "stream_state_eviction",
-    "ext_dq_expectations",
+    # --- 2. NEVER-GATED: the 7 late-r7 newborns that postdate the r7
+    #     window (all locally exact — assure.py / judge drive). New r8
+    #     queries insert here as they register, and any query whose code
+    #     or oracle changes in r8 moves up here to re-earn its row.
     "pipeline_token_budget",
     "stream_rocksdb_state",
     "snap_upsert_evolve",
@@ -144,12 +95,12 @@ _GATE_PRIORITY = (
     "pipeline_pack_sequences",
     "pipeline_temperature_mix",
     "text_winnow_fingerprint",
-    # --- 3. oldest-first backlog. r1 stragglers (last green r4 via the
-    #     r4 window) then the round-2 cohort and snap remainder (last
-    #     green r2/r4). With 8 sentinels + 17 never-gated + 29 new-in-r7
-    #     names above, the head now slightly overfills a ~50 window; the
-    #     backlog tiers complete in r8 (they outrank the fresher 3b/4
-    #     tiers there).
+    # --- 2b. re-earning rows: refactored late-r7 onto the shared
+    #     quality_score helper OUTSIDE the r7 window (plans unchanged,
+    #     locally re-driven green).
+    "text_quality",
+    "pipeline_curation",
+    # --- backlog: last gate row r1 (9 names, oldest-first tier)
     "ext_agg_approx",
     "ext_agg_salted",
     "ext_range_join",
@@ -159,7 +110,7 @@ _GATE_PRIORITY = (
     "q17_small_quantity_revenue",
     "q18_large_volume_orders",
     "q6_forecast_revenue",
-    # round-2 cohort (oldest-first tier)
+    # --- backlog: last gate row r2 (31 names, oldest-first tier)
     "dedup_exact",
     "dedup_last_wins",
     "dedup_ngram_jaccard",
@@ -175,18 +126,15 @@ _GATE_PRIORITY = (
     "mm_dedup_content",
     "mm_frame_sample",
     "mm_ingest_hash",
-    "pipeline_curation",
     "snap_append_current",
     "snap_append_timetravel",
     "snap_catalog_meta",
     "snap_compact",
     "text_fingerprint",
     "text_langid",
-    "text_quality",
     "text_span_dedup",
     "text_tokens",
     "text_top_ngrams",
-    # r2 snap remainder
     "snap_delete_where",
     "snap_partitioned_scan",
     "snap_replace",
@@ -194,26 +142,55 @@ _GATE_PRIORITY = (
     "snap_snapshots_list",
     "snap_stats_pruned_scan",
     "snap_update_where",
-    # --- 3b. remaining mid-age cohorts (last green r3/r4; listed
-    #     explicitly, alphabetical within the tier, so they rank
-    #     AHEAD of the fresh-r6 tail in the r8+ rotation)
-    "cast_coerce",
+    # --- backlog: last gate row r3 (37 names, oldest-first tier)
     "dedup_simhash",
+    "ext_contamination_screen",
+    "ext_nested_ops",
+    "ext_percentile_exact",
+    "ext_sample_deterministic",
+    "ext_sample_group_cap",
+    "ext_sample_stratified",
+    "mm_audio_segments",
+    "mm_frame_features",
+    "mm_frame_hash",
+    "mm_probe_audio",
+    "mm_probe_video",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_part_supplier_cnt",
+    "q19_discounted_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "sim_ann_ivf_kmeans",
+    "sink_orc",
+    "snap_delete_mor",
+    "snap_hidden_partition",
+    "snap_incremental_read",
+    "snap_partition_evolution",
+    "snap_rollback",
+    "snap_tag_read",
+    "text_lm_score",
+    "text_normalize",
+    "text_pack_offsets",
+    "text_redact_pii",
+    "text_repetition",
+    # --- backlog: last gate row r4 (41 names, oldest-first tier)
+    "cast_coerce",
     "ext_agg_cube",
     "ext_agg_groupby",
     "ext_agg_rollup",
     "ext_asof_join",
     "ext_cardinality_hll",
-    "ext_contamination_screen",
     "ext_embedding_mean_pool",
-    "ext_nested_ops",
     "ext_overlap_theta",
-    "ext_percentile_exact",
     "ext_pivot",
     "ext_quantile_kll",
-    "ext_sample_deterministic",
-    "ext_sample_group_cap",
-    "ext_sample_stratified",
     "ext_setop_except",
     "ext_setop_intersect",
     "ext_topk",
@@ -224,43 +201,18 @@ _GATE_PRIORITY = (
     "join_anti",
     "join_semi",
     "meta_describe",
-    "mm_audio_segments",
-    "mm_frame_features",
-    "mm_frame_hash",
-    "mm_probe_audio",
-    "mm_probe_video",
     "order_preserve",
-    "q10_returned_items",
     "q11_important_parts",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_part_supplier_cnt",
-    "q19_discounted_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
     "scan_custom_sql",
     "scan_filter_pushdown",
     "scan_full",
     "scan_limit",
     "scan_projection",
-    "sim_ann_ivf_kmeans",
     "sink_csv",
-    "sink_orc",
     "sink_parquet",
     "sink_parquet_partitioned",
-    "snap_delete_mor",
-    "snap_hidden_partition",
-    "snap_incremental_read",
-    "snap_partition_evolution",
-    "snap_rollback",
-    "snap_tag_read",
     "source_csv_all_varchar",
     "source_csv_typed",
     "source_json",
@@ -268,17 +220,9 @@ _GATE_PRIORITY = (
     "stream_stateful_totals",
     "text_bm25_topk",
     "text_chunk_windows",
-    "text_lm_score",
-    "text_normalize",
-    "text_pack_offsets",
     "text_quality_classifier",
-    "text_redact_pii",
-    "text_repetition",
     "upsert_by_key",
-    # --- 4. TAIL: the r5 1a/1b cohort — every name below holds a fresh
-    #     r6 green row (CORRECTNESS_r06.json), so they yield the window
-    #     to the stale tiers above and rotate back in r8+ as their rows
-    #     age past the other cohorts'.
+    # --- backlog: last gate row r6 (49 names, oldest-first tier)
     "pipeline_pretrain_prep",
     "sim_ann_hyperplane",
     "sim_topk_bruteforce",
@@ -328,6 +272,49 @@ _GATE_PRIORITY = (
     "ext_join_salted",
     "ext_join_bucketed",
     "snap_expire",
+    # --- backlog: last gate row r7 (42 names, oldest-first tier)
+    "snap_merge_multi",
+    "snap_orphan_cleanup",
+    "ext_interval_join",
+    "ext_graph_triangles",
+    "ext_corr_matrix",
+    "ext_pca_project",
+    "snap_zorder_rewrite",
+    "ext_shard_shuffle",
+    "ext_dbscan_grid",
+    "stream_anomaly_alerts",
+    "snap_scd2_apply",
+    "text_url_canonicalize",
+    "ext_histogram",
+    "mm_train_record",
+    "sim_knn_graph_clusters",
+    "ext_sample_weighted",
+    "func_array",
+    "snap_append_ordered",
+    "text_rerank_topk",
+    "stream_topk_trending",
+    "ext_histogram_equidepth",
+    "sim_ann_ivf_stored",
+    "mm_neardup_features",
+    "dedup_containment",
+    "text_bpe_pair_stats",
+    "text_bpe_merges",
+    "snap_checked_append",
+    "ext_abtest_lift",
+    "stream_late_data_drop",
+    "ext_ndcg_eval",
+    "func_map",
+    "ext_spatial_grid_join",
+    "snap_dpp_join",
+    "snap_files_meta",
+    "stream_replay_idempotent",
+    "ext_window_yoy",
+    "snap_timetravel_asof",
+    "ext_skyline",
+    "ext_regression_ols",
+    "text_bpe_encode",
+    "stream_state_eviction",
+    "ext_dq_expectations",
 )
 
 
