@@ -1811,12 +1811,20 @@ class SnapCatalog:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(out_dir)
             if check is not None:
-                bad = (
-                    df.sparkSession.read.parquet(out_dir)
-                    .filter(f"NOT ({check})")
-                    .limit(1)
-                    .collect()
-                )
+                # ANY check failure mode — a violated predicate OR the
+                # validation read itself throwing (e.g. a malformed
+                # predicate raising AnalysisException) — must sweep the
+                # unpublished data dir, or it is orphaned on disk.
+                try:
+                    bad = (
+                        df.sparkSession.read.parquet(out_dir)
+                        .filter(f"NOT ({check})")
+                        .limit(1)
+                        .collect()
+                    )
+                except Exception:
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                    raise
                 if bad:
                     shutil.rmtree(out_dir, ignore_errors=True)
                     raise ValueError(

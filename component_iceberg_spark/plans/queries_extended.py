@@ -516,18 +516,23 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays exact). Shape: shingle-df aggregate → inverted-index
     self-join on rare shingles → per-pair count — candidates bounded by
     df-cap² per shingle, never all-pairs."""
-    from pyspark import StorageLevel
+    from component_iceberg_spark.plans.cache import session_cached
 
-    d = load_table(spark, sf_dir, "documents")
-    sh = D.doc_shingles(d, "doc_id", "text")
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # the discriminative-shingle relation feeds THREE consumers (both
     # join sides + the size aggregate); persist so the shingle regex work
-    # and the df-cap join run once, not per consumer
-    disc = sh.join(
-        dfreq.filter(F.col("df") <= _CONTAIN_DF_CAP).select("shingle"),
-        "shingle",
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # and the df-cap join run once, not per consumer. Retention is
+    # intentional and bounded — one cached relation per (session, sf_dir),
+    # reused on repeat calls and evicted on session turnover (cache.py).
+    def _build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        sh = D.doc_shingles(d, "doc_id", "text")
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        return sh.join(
+            dfreq.filter(F.col("df") <= _CONTAIN_DF_CAP).select("shingle"),
+            "shingle",
+        )
+
+    disc = session_cached(spark, ("contain_disc", sf_dir), _build)
     sz = disc.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     ov = (
         disc.alias("a")

@@ -525,7 +525,8 @@ WITH b AS (
            max(CAST(l_extendedprice AS DOUBLE)) AS mx
     FROM lineitem
 )
-SELECT CAST(CASE WHEN mx = mn THEN 0
+SELECT CAST(CASE WHEN l_extendedprice IS NULL THEN NULL
+            WHEN mx = mn THEN 0
             ELSE least(floor((CAST(l_extendedprice AS DOUBLE) - mn)
                              / ((mx - mn) / {_HIST_BINS})),
                        {_HIST_BINS - 1})
@@ -549,7 +550,8 @@ def ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-range. Both twins cast the measure to double FIRST (a decimal
     fixture would otherwise bin under decimal arithmetic in one engine
     and IEEE in the other) and short-circuit a degenerate mx == mn
-    range to a single bin 0 (bin width 0 would put every row at NaN)."""
+    range to a single bin 0 (bin width 0 would put every row at NaN);
+    NULL measures keep a NULL bin in both engines, in both branches."""
     li = load_table(spark, sf_dir, "lineitem")
     return equi_width_histogram(li, "l_extendedprice", _HIST_BINS)
 
@@ -630,8 +632,9 @@ def equi_width_histogram(df: DataFrame, col: str, bins: int) -> DataFrame:
         # expression yields: NULL arithmetic → NULL bin)
         bin_col = F.lit(None).cast("int")
     elif float(b["mx"]) == float(b["mn"]):
-        # NULL rows keep a NULL bin here too (the SQL CASE would emit
-        # NULL for them, not 0)
+        # NULL rows keep a NULL bin here too — the oracle's CASE guards
+        # NULL explicitly (WHEN x IS NULL THEN NULL) before the
+        # degenerate-range constant, matching this isNotNull guard
         bin_col = F.when(F.col(col).isNotNull(), F.lit(0)).cast("int")
     else:
         mn, mx = float(b["mn"]), float(b["mx"])

@@ -258,43 +258,21 @@ def _minhash_oracle() -> str:
 # re-running the shingle+signature+verify pipeline for each consumer
 # doubles the most expensive dedup stage for zero benefit — exactly the
 # stage a 100 TB pipeline checkpoints to the lake once and fans out from.
-#
-# Lifecycle: entries are keyed by applicationId; any entry whose
-# application no longer matches the session asking is dead weight (its
-# persisted blocks died with the old SparkContext) — evict it, and
-# unpersist best-effort in case the old context is somehow still alive.
-# A lock keeps the build-then-publish race benign under concurrent use
-# (worst case without it would be a duplicate persist, not corruption).
-_PAIRS_CACHE: dict[tuple[str, str, float], DataFrame] = {}
-_PAIRS_LOCK = __import__("threading").Lock()
+# Lifecycle (app-keyed eviction, race-safe publish): plans/cache.py.
 
 
 def verified_minhash_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.8
 ) -> DataFrame:
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir, threshold)
-    with _PAIRS_LOCK:
-        for k in [k for k in _PAIRS_CACHE if k[0] != app_id]:
-            stale = _PAIRS_CACHE.pop(k)
-            try:
-                stale.unpersist()
-            except Exception:
-                pass  # its SparkContext is gone — nothing to release
-        df = _PAIRS_CACHE.get(key)
-    if df is None:
-        from pyspark import StorageLevel
+    from component_iceberg_spark.plans.cache import session_cached
 
-        d = load_table(spark, sf_dir, "documents")
-        df = D.minhash_lsh_dedup(d, "doc_id", "text", threshold).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        with _PAIRS_LOCK:
-            won = _PAIRS_CACHE.setdefault(key, df)
-        if won is not df:  # lost the build race — drop our duplicate
-            df.unpersist()
-            df = won
-    return df
+    return session_cached(
+        spark,
+        ("minhash_pairs", sf_dir, threshold),
+        lambda: D.minhash_lsh_dedup(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold
+        ),
+    )
 
 
 @register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("ext", "dedup"))
@@ -1242,11 +1220,15 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries each word through every merge, then joins it back to the
     exploded corpus."""
     _, vocab, handles = _bpe_fit(_bpe_vocab(spark, sf_dir))
-    for h in handles:
-        if h is not vocab:  # the returned plan still reads the final
-            h.unpersist()   # generation's cache; earlier ones release now
     n_sym = F.size(F.split("seq", " ")).alias("n_sym")
-    lut = vocab.select("tok", n_sym)
+    # The LUT is distinct-words-sized (it is broadcast below anyway), so
+    # materialize it driver-side NOW and release EVERY fit generation —
+    # including the final vocab cache the returned lazy plan would
+    # otherwise pin for the session lifetime (ADVICE r7).
+    lut_rows = vocab.select("tok", n_sym).collect()
+    for h in handles:
+        h.unpersist()
+    lut = spark.createDataFrame(lut_rows, "tok string, n_sym int")
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("tok")
@@ -2049,7 +2031,14 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("bigint")
     combined = (
         h * F.lit(_WINNOW_POS_BASE)
-        + (F.lit(_WINNOW_POS_BASE - 1) - F.col("pos").cast("bigint"))
+        # pos wraps modulo the lane base on BOTH engines: without the wrap,
+        # a doc with >= 2^20 grams would drive this lane negative and
+        # borrow from the hash bits (shiftright would yield h-1),
+        # corrupting fingerprints and diverging from the oracle.
+        + (
+            F.lit(_WINNOW_POS_BASE - 1)
+            - (F.col("pos") % _WINNOW_POS_BASE).cast("bigint")
+        )
     )
     w = (
         Window.partitionBy("doc_id")

@@ -1206,6 +1206,25 @@ def test_check_constraint_blocks_before_write(spark, tmp_path):
     assert len(os.listdir(data_root)) == 1
 
 
+def test_check_constraint_malformed_predicate_sweeps_dir(spark, tmp_path):
+    """append(check=...) with a predicate that does not even parse: the
+    validation read throws (AnalysisException, not the violation path) —
+    the unpublished data dir must still be swept, not orphaned."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    ok = spark.range(10).select("id", (F.col("id") * 2).alias("v"))
+    cat.append("ns", "t", ok, check="v >= 0")
+    sid_before = cat._current_sid("ns", "t")
+    more = spark.range(5).select("id", F.col("id").alias("v"))
+    with pytest.raises(Exception):
+        cat.append("ns", "t", more, check="no_such_column >= 0")
+    assert cat._current_sid("ns", "t") == sid_before
+    data_root = str(tmp_path / "wh" / "ns" / "t" / "data")
+    assert len(os.listdir(data_root)) == 1
+
+
 def test_read_ordered_recovers_cross_commit_order(spark, tmp_path):
     """read_ordered: two ordered appends with uuid-named dirs; ordering
     by (_commit_seq, _file_path, _row_index) recovers GLOBAL insertion
