@@ -95,6 +95,13 @@ _GATE_PRIORITY = (
     "pipeline_pack_sequences",
     "pipeline_temperature_mix",
     "text_winnow_fingerprint",
+    # r8 changed-code re-earns: winnow pos-wrap (above), histogram oracle
+    # NULL-bin guard, bounded persist-cache refactor (containment, BPE
+    # encode, LSH-pairs consumers)
+    "ext_histogram",
+    "dedup_containment",
+    "text_bpe_encode",
+    "dedup_clusters",
     # --- 2b. re-earning rows: refactored late-r7 onto the shared
     #     quality_score helper OUTSIDE the r7 window (plans unchanged,
     #     locally re-driven green).
@@ -228,7 +235,6 @@ _GATE_PRIORITY = (
     "sim_topk_bruteforce",
     "sim_neardup_embedding",
     "sim_quantized_topk",
-    "dedup_clusters",
     "snap_upsert",
     "stream_dedup_watermark",
     "stream_stream_join",
@@ -285,7 +291,6 @@ _GATE_PRIORITY = (
     "stream_anomaly_alerts",
     "snap_scd2_apply",
     "text_url_canonicalize",
-    "ext_histogram",
     "mm_train_record",
     "sim_knn_graph_clusters",
     "ext_sample_weighted",
@@ -296,7 +301,6 @@ _GATE_PRIORITY = (
     "ext_histogram_equidepth",
     "sim_ann_ivf_stored",
     "mm_neardup_features",
-    "dedup_containment",
     "text_bpe_pair_stats",
     "text_bpe_merges",
     "snap_checked_append",
@@ -312,7 +316,6 @@ _GATE_PRIORITY = (
     "snap_timetravel_asof",
     "ext_skyline",
     "ext_regression_ols",
-    "text_bpe_encode",
     "stream_state_eviction",
     "ext_dq_expectations",
 )
