@@ -229,6 +229,112 @@ def percentiles_exact_scalable(
     return interp.groupBy("g").agg(*agg_cols).withColumnRenamed("g", group_col)
 
 
+def budget_prefix_by_score(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    weight_col: str,
+    id_col: str,
+    budget: int,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Greedy budget-prefix selection WITHOUT a per-group full sort: keep,
+    per group, the prefix of rows (ordered ``score`` desc, ``id`` asc)
+    whose running ``weight`` cumsum stays ≤ ``budget``; return the
+    surviving rows.
+
+    The naive form (``pipeline_token_budget``'s window) sorts an ENTIRE
+    group in one task — at 100 TB a CommonCrawl-sized source is a
+    single-task multi-TB sort. This is the histogram-prefix variant (the
+    ``percentiles_exact_scalable`` pattern applied to a budgeted prefix):
+
+    1. per-group (min, max) of the score — one metadata aggregate;
+    2. each row maps to one of B descending score buckets; a
+       (group, bucket) aggregate counts rows and sums weights;
+    3. the cumulative bucket histogram (|groups|·B METADATA rows) walks
+       down from the best bucket: buckets whose running total fits the
+       budget are kept WHOLESALE (no row ever sorted), and exactly ONE
+       "crossing" bucket per group straddles the budget line;
+    4. only crossing-bucket rows (≈ n_g/B) are sorted — the window
+       partition is one bucket, never the group — with the cumsum seeded
+       by the kept-bucket prefix total.
+
+    Correctness relies on bucket ranges partitioning the score axis:
+    equal scores share a bucket, so (bucket desc, score desc, id) is the
+    global greedy order, and because weights are positive the kept set
+    is a contiguous prefix — rows below the crossing bucket can never
+    re-enter. Exactness: bucket boundaries are float arithmetic but only
+    PARTITION the data; all running totals are exact integer sums.
+    Caveat (shared with the percentile machinery): a group whose scores
+    are all equal collapses to one bucket and that bucket's sort is the
+    whole group — the tie-class ceiling, cheap to sort (all keys equal
+    up to the id tiebreak) but not row-reduced."""
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("i"),
+        F.col(score_col).cast("double").alias("s"),
+        F.col(weight_col).cast("bigint").alias("wt"),
+    )
+    stats = base.groupBy("g").agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
+    width = F.col("mx") - F.col("mn")
+    # bucket 0 = BEST scores (descending layout so cum walks bucket asc)
+    bk = F.when(width == 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("mx") - F.col("s")) / width * n_buckets).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    bucketed = base.join(F.broadcast(stats), "g").select(
+        "g", "i", "s", "wt", bk.alias("bk")
+    )
+    counts = bucketed.groupBy("g", "bk").agg(
+        F.sum("wt").alias("tok"), F.count(F.lit(1)).alias("n")
+    )
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = counts.select(
+        "g",
+        "bk",
+        "tok",
+        "n",
+        F.coalesce(F.sum("tok").over(wcum), F.lit(0)).alias("cum_before"),
+    )
+    whole = cum.filter(F.col("cum_before") + F.col("tok") <= budget)
+    crossing = cum.filter(
+        (F.col("cum_before") <= budget)
+        & (F.col("cum_before") + F.col("tok") > budget)
+    )
+    kept_whole = bucketed.join(
+        F.broadcast(whole.select("g", "bk")), ["g", "bk"], "left_semi"
+    )
+    # crossing-bucket rows only: the sort partition is ONE bucket
+    wc = (
+        Window.partitionBy("g")
+        .orderBy(F.col("s").desc(), "i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept_cross = (
+        bucketed.join(
+            F.broadcast(crossing.select("g", "bk", "cum_before")), ["g", "bk"]
+        )
+        .withColumn("cum", F.col("cum_before") + F.sum("wt").over(wc))
+        .filter(F.col("cum") <= budget)
+        .select("g", "bk", "i", "s", "wt")
+    )
+    return (
+        kept_whole.unionByName(kept_cross)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("i").alias(id_col),
+            F.col("s").alias(score_col),
+            F.col("wt").alias(weight_col),
+        )
+    )
+
+
 def percentile_exact_scalable(
     df: DataFrame,
     group_col: str,

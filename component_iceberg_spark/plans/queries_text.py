@@ -1822,6 +1822,61 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_token_budget_scalable",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+               {QUALITY_SCORE_SQL} AS score
+        FROM documents
+    ), c AS (
+        SELECT source, n_tok,
+               sum(n_tok) OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM s
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM c WHERE cum <= {TOKEN_BUDGET}
+    GROUP BY 1
+    """,
+    tags=("ext", "text", "pipeline", "scale"),
+)
+def pipeline_token_budget_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of pipeline_token_budget — SAME answer (the oracle
+    IS the greedy window cumsum), different plan: histogram-prefix
+    selection (operators/rank_select.budget_prefix_by_score) instead of
+    a per-source full window sort. The greedy twin puts an entire source
+    in ONE task's sort; here buckets that wholly fit the budget are kept
+    from METADATA alone and only the single budget-crossing bucket
+    (≈ n_source/256 rows) is ever sorted. Two corpus passes (bucket
+    aggregate + crossing-bucket selection) replace the full sort; all
+    running totals are exact integer sums, so the survivors match the
+    greedy prefix bit-for-bit (equal scores share a bucket, making
+    (bucket, score desc, doc_id) the global greedy order)."""
+    from component_iceberg_spark.operators.rank_select import (
+        budget_prefix_by_score,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        "source",
+        F.size(X.tokens(F.col("text"))).alias("n_tok"),
+        X.quality_score("text").alias("score"),
+    )
+    kept = budget_prefix_by_score(
+        s, "source", "score", "n_tok", "doc_id", TOKEN_BUDGET
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing (pretraining batch assembly)
 # ---------------------------------------------------------------------------

@@ -95,6 +95,8 @@ _GATE_PRIORITY = (
     "pipeline_pack_sequences",
     "pipeline_temperature_mix",
     "text_winnow_fingerprint",
+    # new-in-r8 queries (never gated → ahead of the backlog)
+    "pipeline_token_budget_scalable",
     # r8 changed-code re-earns: winnow pos-wrap (above), histogram oracle
     # NULL-bin guard, bounded persist-cache refactor (containment, BPE
     # encode, LSH-pairs consumers)

@@ -421,6 +421,56 @@ def test_percentile_scalable_ignores_nulls(spark):
     assert abs(got["p50"] - want["p50"]) < 1e-12
 
 
+def test_budget_prefix_matches_greedy_window(spark):
+    """budget_prefix_by_score must reproduce the greedy window-cumsum
+    prefix EXACTLY on adversarial group shapes: an all-equal-score group
+    (tie-class / zero-width histogram branch), a group whose very first
+    row blows the budget (no survivors), a group that fits entirely, a
+    boundary exact-fit, and a large random group where the crossing
+    bucket does real work."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.operators import rank_select as RS
+
+    rnd = random.Random(11)
+    rows = [("ties", i, 3.5, 7) for i in range(100)]
+    rows += [("giant_first", 0, 9.0, 10_001), ("giant_first", 1, 1.0, 5)]
+    rows += [("fits", i, float(i), 10) for i in range(5)]
+    rows += [("exact", 0, 2.0, 6_000), ("exact", 1, 1.0, 4_000),
+             ("exact", 2, 0.5, 1)]
+    rows += [
+        ("big", i, rnd.uniform(0, 100), rnd.randint(1, 400))
+        for i in range(2_000)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="src string, doc long, score double, wt long"
+    )
+    budget = 10_000
+    got = {
+        (r["src"], r["doc"])
+        for r in RS.budget_prefix_by_score(
+            df, "src", "score", "wt", "doc", budget
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("src")
+        .orderBy(F.col("score").desc(), "doc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["src"], r["doc"])
+        for r in df.withColumn("cum", F.sum("wt").over(w))
+        .filter(F.col("cum") <= budget)
+        .collect()
+    }
+    assert got == want
+    assert not any(s == "giant_first" for s, _ in got)
+    assert sum(1 for s, _ in got if s == "fits") == 5
+
+
 def test_heavy_hitters_excludes_nulls(spark):
     """NULL items are excluded up front — pandas value_counts drops NaN
     inside the MG summaries, so NULLs could never satisfy the
