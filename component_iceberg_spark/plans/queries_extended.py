@@ -1244,11 +1244,20 @@ def ext_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     the input N-fold before the shuffle; at 100 TB profile with the
     HLL-sketch twin (`ext_cardinality_hll` / `ext_agg_approx`) and keep
     this exact form for audit-grade reports."""
+    return _profile_plan(
+        spark, sf_dir, lambda c: F.count_distinct(F.col(c)).cast("long")
+    )
+
+
+def _profile_plan(spark: SparkSession, sf_dir: str, distinct_agg) -> DataFrame:
+    """Shared profiling body: one aggregate pass + struct-explode unpivot;
+    ``distinct_agg`` supplies each column's distinct-count lane (exact
+    count_distinct, or an HLL sketch estimate for the scale twin)."""
     o = load_table(spark, sf_dir, "orders")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in _PROFILE_COLS:
         aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nn"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__nd"))
+        aggs.append(distinct_agg(c).alias(f"{c}__nd"))
         aggs.append(F.min(c).alias(f"{c}__mn"))
         aggs.append(F.max(c).alias(f"{c}__mx"))
     row = o.agg(*aggs)
@@ -1290,6 +1299,31 @@ def ext_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p.max_str",
         "p.min_ts",
         "p.max_ts",
+    )
+
+
+@register(
+    "ext_profile_columns_approx",
+    oracle=None,  # HLL estimates are implementation-defined — rows-only
+    tags=("ext", "profiling", "approx", "sketch"),
+)
+def ext_profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB route of ext_profile_columns, now executable (its exact
+    twin's docstring only DOCUMENTED it): identical output shape, but the
+    n_distinct lane is an HLL sketch estimate (lg_k=12 → 4 KB per column,
+    ~1.6% RSE) instead of exact count(DISTINCT). The exact form expands
+    the input N-fold before the shuffle (one lane per distinct-counted
+    column); here every lane is a mergeable KB-sized sketch, so the
+    profile stays ONE pass with byte-sized map-side partials no matter
+    how many columns or distincts. Columns sketch over a canonical
+    string cast (uniform across num/str/ts lanes). Error bound asserted
+    vs the exact twin per column in tests/test_approx.py."""
+    return _profile_plan(
+        spark,
+        sf_dir,
+        lambda c: F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(c).cast("string"), F.lit(12))
+        ),
     )
 
 

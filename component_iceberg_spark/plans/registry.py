@@ -97,6 +97,7 @@ _GATE_PRIORITY = (
     "text_winnow_fingerprint",
     # new-in-r8 queries (never gated → ahead of the backlog)
     "pipeline_token_budget_scalable",
+    "ext_profile_columns_approx",
     # r8 changed-code re-earns: winnow pos-wrap (above), histogram oracle
     # NULL-bin guard, bounded persist-cache refactor (containment, BPE
     # encode, LSH-pairs consumers)
@@ -104,6 +105,7 @@ _GATE_PRIORITY = (
     "dedup_containment",
     "text_bpe_encode",
     "dedup_clusters",
+    "ext_profile_columns",
     # --- 2b. re-earning rows: refactored late-r7 onto the shared
     #     quality_score helper OUTSIDE the r7 window (plans unchanged,
     #     locally re-driven green).
@@ -252,7 +254,6 @@ _GATE_PRIORITY = (
     "func_stats",
     "ext_window_time_range",
     "ext_event_transitions",
-    "ext_profile_columns",
     "ext_hierarchy_flatten",
     "ext_entity_merge",
     "ext_funnel",

@@ -143,6 +143,34 @@ def test_hll_cardinality_bounds_and_mergeability(spark, sf_dir, oracle_con):
     assert merged == approx, "sharded-union sketch diverged from single-pass"
 
 
+def test_profile_approx_tracks_exact_twin(spark, sf_dir):
+    """ext_profile_columns_approx: identical shape to the exact profile,
+    identical values in every NON-sketch lane (n_rows, n_nulls, typed
+    min/max are exact either way), and the HLL n_distinct lane within 5%
+    of exact (lg_k=12 → ~1.6% RSE) for every profiled column."""
+    exact = {
+        r["col_name"]: r
+        for r in REGISTRY["ext_profile_columns"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["col_name"]: r
+        for r in REGISTRY["ext_profile_columns_approx"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    first = next(iter(approx.values()))
+    assert list(first.asDict()) == list(next(iter(exact.values())).asDict())
+    for c, a in approx.items():
+        e = exact[c]
+        for lane in ("n_rows", "n_nulls", "min_num", "max_num",
+                     "min_str", "max_str", "min_ts", "max_ts"):
+            assert a[lane] == e[lane], (c, lane, a[lane], e[lane])
+        assert e["n_distinct"] > 0
+        rel = abs(a["n_distinct"] - e["n_distinct"]) / e["n_distinct"]
+        assert rel < 0.05, (c, a["n_distinct"], e["n_distinct"])
+
+
 def test_kll_quantiles_rank_error(spark, sf_dir, oracle_con):
     """KLL quantile estimates must land within 5% of the exact continuous
     quantiles (k=200 → ~1.65% rank error; the fixture's value density
