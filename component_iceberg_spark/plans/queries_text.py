@@ -1940,35 +1940,110 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     by doc_id first (grouped-map row order is not guaranteed), the
     oracle walks row_number() order on the same key.
     """
-    import pandas as pd
-
     d = load_table(spark, sf_dir, "documents")
     base = d.select(
         "source",
         "doc_id",
         F.size(X.tokens(F.col("text"))).cast("long").alias("n_tok"),
     )
-
-    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        pack_id = cum = pos = 0
-        ids, poss = [], []
-        for t in pdf["n_tok"]:
-            t = int(t)
-            if cum > 0 and cum + t > PACK_BUDGET:
-                pack_id += 1
-                cum = 0
-                pos = 0
-            cum += t
-            ids.append(pack_id)
-            poss.append(pos)
-            pos += 1
-        pdf["pack_id"] = ids
-        pdf["pack_pos"] = poss
-        return pdf
-
     return base.groupBy("source").applyInPandas(
-        pack, "source string, doc_id long, n_tok long, pack_id long, pack_pos long"
+        _pack_kernel,
+        "source string, doc_id long, n_tok long, pack_id long, pack_pos long",
+    )
+
+
+def _pack_kernel(pdf):
+    """Greedy first-fit packing walk over ONE group (grouped-map kernel,
+    shared by the per-source and the sharded packer): sort by doc_id,
+    then an O(group) integer loop assigns (pack_id, pack_pos)."""
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    pack_id = cum = pos = 0
+    ids, poss = [], []
+    for t in pdf["n_tok"]:
+        t = int(t)
+        if cum > 0 and cum + t > PACK_BUDGET:
+            pack_id += 1
+            cum = 0
+            pos = 0
+        cum += t
+        ids.append(pack_id)
+        poss.append(pos)
+        pos += 1
+    pdf["pack_id"] = ids
+    pdf["pack_pos"] = poss
+    return pdf
+
+
+PACK_SHARDS = 8  # deterministic sub-streams per source in the sharded packer
+
+
+def _pack_sharded_oracle() -> str:
+    shard = f"({_u32_sql(_PACK_SHARD_MD5)}) % {PACK_SHARDS}"
+    return rf"""
+    WITH RECURSIVE s AS (
+        SELECT source, CAST({shard} AS INT) AS shard, doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+               row_number() OVER (
+                   PARTITION BY source, {shard} ORDER BY doc_id
+               ) AS rn
+        FROM documents
+    ), r AS (
+        SELECT source, shard, doc_id, n_tok, rn,
+               CAST(0 AS BIGINT) AS pack_id,
+               CAST(0 AS BIGINT) AS pack_pos,
+               n_tok AS cum
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.source, s.shard, s.doc_id, s.n_tok, s.rn,
+               CASE WHEN r.cum + s.n_tok > {PACK_BUDGET}
+                    THEN r.pack_id + 1 ELSE r.pack_id END,
+               CASE WHEN r.cum + s.n_tok > {PACK_BUDGET}
+                    THEN CAST(0 AS BIGINT) ELSE r.pack_pos + 1 END,
+               CASE WHEN r.cum + s.n_tok > {PACK_BUDGET}
+                    THEN s.n_tok ELSE r.cum + s.n_tok END
+        FROM r JOIN s ON s.source = r.source AND s.shard = r.shard
+                     AND s.rn = r.rn + 1
+    )
+    SELECT source, shard, doc_id, n_tok, pack_id, pack_pos FROM r
+    """
+
+
+_PACK_SHARD_MD5 = "md5(CAST(doc_id AS VARCHAR) || 'pk')"
+
+
+@register(
+    "pipeline_pack_sequences_sharded",
+    oracle=_pack_sharded_oracle(),
+    tags=("ext", "text", "pipeline", "scale"),
+)
+def pipeline_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of pipeline_pack_sequences: the greedy walk is
+    inherently sequential per stream, so the per-source packer puts a
+    CommonCrawl-sized source in ONE task. Here each source splits into
+    PACK_SHARDS deterministic sub-streams (md5(doc_id||salt) % shards —
+    the same walk replays on any engine), and the first-fit walk runs
+    independently per (source, shard): the single-task ceiling drops
+    from n_source to n_source/shards, and shard count scales with the
+    data. Packing quality is unchanged in kind (still first-fit
+    sequential; at most one partially-filled trailing pack PER SHARD
+    instead of per source). Same grouped-map kernel, same pure-integer
+    exactness contract; the oracle replays the identical sharded walk
+    as a recursive CTE partitioned by (source, shard)."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        _h32(F.concat(F.col("doc_id").cast("string"), F.lit("pk")))
+        % PACK_SHARDS
+    ).cast("int")
+    base = d.select(
+        "source",
+        shard.alias("shard"),
+        "doc_id",
+        F.size(X.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    return base.groupBy("source", "shard").applyInPandas(
+        _pack_kernel,
+        "source string, shard int, doc_id long, n_tok long, "
+        "pack_id long, pack_pos long",
     )
 
 

@@ -98,6 +98,7 @@ _GATE_PRIORITY = (
     # new-in-r8 queries (never gated → ahead of the backlog)
     "pipeline_token_budget_scalable",
     "ext_profile_columns_approx",
+    "pipeline_pack_sequences_sharded",
     # r8 changed-code re-earns: winnow pos-wrap (above), histogram oracle
     # NULL-bin guard, bounded persist-cache refactor (containment, BPE
     # encode, LSH-pairs consumers)

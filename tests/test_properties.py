@@ -1340,6 +1340,41 @@ def test_pack_sequences_kernel_parity(spark, sf_dir):
         assert sorted(poss) == list(range(len(poss)))
 
 
+def test_pack_sequences_sharded_partition_and_budget(spark, sf_dir):
+    """pipeline_pack_sequences_sharded: (a) the output is still a
+    PARTITION of the corpus — every (source, doc_id) assigned exactly
+    once, same doc set and n_tok as the unsharded packer; (b) every
+    pack's token sum fits PACK_BUDGET unless it is an oversized
+    singleton; (c) pack_pos is contiguous from 0 within each
+    (source, shard, pack_id); (d) shard assignment is the documented
+    md5 draw, so a shard never mixes documents it shouldn't."""
+    import component_iceberg_spark.plans.queries_text as QT
+
+    rows = QT.pipeline_pack_sequences_sharded(spark, sf_dir).collect()
+    base = {
+        (r.source, r.doc_id): r.n_tok
+        for r in QT.pipeline_pack_sequences(spark, sf_dir).collect()
+    }
+    assert {(r.source, r.doc_id): r.n_tok for r in rows} == base
+
+    by_pack: dict = {}
+    for r in rows:
+        by_pack.setdefault((r.source, r.shard, r.pack_id), []).append(r)
+    for members in by_pack.values():
+        total = sum(m.n_tok for m in members)
+        if total > QT.PACK_BUDGET:
+            assert len(members) == 1 and members[0].n_tok > QT.PACK_BUDGET
+        assert sorted(m.pack_pos for m in members) == list(
+            range(len(members))
+        )
+
+    import hashlib
+
+    for r in rows:
+        h = hashlib.md5(f"{r.doc_id}pk".encode()).hexdigest()
+        assert r.shard == int(h[:8], 16) % QT.PACK_SHARDS
+
+
 def test_temperature_mix_semantics(spark, sf_dir):
     """pipeline_temperature_mix behavior pins: weights are a probability
     vector; a capped source (keep_frac == 1) admits its entire domain;
