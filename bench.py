@@ -142,6 +142,18 @@ SCALE_QUERIES = (
     # still parallelize, so wall should be ~linear with no shuffle growth
     # beyond the single hash Exchange on source
     "pipeline_pack_sequences",
+    # r8 wave: the last r7 corpus-sized ops whose 10x candidate volume
+    # hasn't been measured (winnow's fingerprint-pair join; the
+    # temperature sampler's hash-filter scan; MMR's greedy kernel over a
+    # fixed top-k shortlist — should be ~flat), plus the two scalable
+    # twins: histogram-prefix budget selection (the per-source sort is
+    # gone — wall should track the two corpus passes) and sharded packing
+    # (same kernel, 8x smaller max task)
+    "text_winnow_fingerprint",
+    "pipeline_temperature_mix",
+    "sim_mmr_diversify",
+    "pipeline_token_budget_scalable",
+    "pipeline_pack_sequences_sharded",
 )
 
 
@@ -451,6 +463,10 @@ def main() -> None:
         "pipeline_pack_sequences",
         "pipeline_temperature_mix",
         "text_winnow_fingerprint",
+        # new in r8
+        "pipeline_token_budget_scalable",
+        "ext_profile_columns_approx",
+        "pipeline_pack_sequences_sharded",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:
