@@ -1119,13 +1119,34 @@ def ext_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant), candidates bounded by local density × 9 cells — never
     all-pairs. The same shape serves geo joins, embedding-grid joins,
     and trajectory contact tracing."""
+    pts = _spatial_points(spark, sf_dir)
+    return _grid_distance_pairs(pts, _SPATIAL_D)
+
+
+def _spatial_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    pts = c.select(
+    return c.select(
         F.col("c_custkey").alias("id"),
         F.col("c_acctbal").cast("double").alias("x"),
         ((F.col("c_custkey") * 37) % 10000).cast("double").alias("y"),
     )
-    d = _SPATIAL_D
+
+
+def _grid_distance_pairs(
+    pts: DataFrame,
+    d: float,
+    hot_threshold: int | None = None,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Grid distance self-join body, shared by the plain and the
+    hot-cell-salted variants. With ``hot_threshold`` set, any cell whose
+    point count exceeds it splits into ``salt_buckets`` sub-cells on a
+    second key (point id mod buckets): the B side's hot rows spread over
+    the salt lanes, the A side replicates into every lane OF HOT CELLS
+    ONLY (cold cells keep lane 0, so the extra replication is paid
+    exactly where the density is). The salt is placement-only — the pair
+    set is identical — and the hot-cell list is a metadata-sized
+    broadcast (cells, not points)."""
     cx = F.floor(F.col("x") / d)
     cy = F.floor(F.col("y") / d)
     # side B sits at its own cell
@@ -1152,14 +1173,75 @@ def ext_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("acy") + F.col("o.dy")).alias("cy"),
         )
     )
+    join_keys = ["cx", "cy"]
+    if hot_threshold is not None:
+        hot = (
+            b.groupBy("cx", "cy")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > hot_threshold)
+            .select("cx", "cy", F.lit(True).alias("_hot"))
+        )
+        b = (
+            b.join(F.broadcast(hot), ["cx", "cy"], "left")
+            .withColumn(
+                "salt",
+                F.when(F.col("_hot"), F.pmod(F.col("pb"), F.lit(salt_buckets)))
+                .otherwise(F.lit(0))
+                .cast("int"),
+            )
+            .drop("_hot")
+        )
+        a = (
+            a.join(F.broadcast(hot), ["cx", "cy"], "left")
+            .withColumn(
+                "salt",
+                F.explode(
+                    F.sequence(
+                        F.lit(0),
+                        F.when(F.col("_hot"), F.lit(salt_buckets - 1))
+                        .otherwise(F.lit(0)),
+                    )
+                ),
+            )
+            .drop("_hot")
+        )
+        join_keys = ["cx", "cy", "salt"]
     d2 = (
         (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
         + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
     )
     return (
-        a.join(b, ["cx", "cy"])
+        a.join(b, join_keys)
         .filter((F.col("pa") < F.col("pb")) & (d2 <= F.lit(d * d)))
         .select("pa", "pb", F.round(F.sqrt(d2), 6).alias("dist"))
+    )
+
+
+# Cell point count above which a cell splits into salt lanes. A knob tuned
+# to reducer comfort in production (millions); set to 1 here so the sparse
+# test fixture genuinely exercises the salt lanes (any 2+-point cell
+# splits) — the oracle then covers the salted path, not just cold cells.
+_SPATIAL_HOT = 1
+
+
+@register("ext_spatial_grid_join_salted", oracle=_SPATIAL_ORACLE,
+          tags=("ext", "join", "spatial", "skew"))
+def ext_spatial_grid_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext_spatial_grid_join with HOT-CELL SALTING (the skew mitigation
+    its plain twin's plan audit called out): real spatial data is
+    power-law dense — one downtown cell can hold millions of points
+    while the grid average is tens, and the within-cell candidate
+    product (n_hot × 9-neighborhood density) pins a single reducer. Here
+    cells whose count exceeds a threshold split into 8 sub-cells on
+    (id mod 8): the hot cell's B rows spread across 8 tasks and only
+    neighbors OF hot cells pay the extra replication (cold cells join on
+    lane 0 alone, same cost as the plain twin). Identical pair set — the
+    brute-force oracle asserts the salt is placement-only, exactly like
+    ext_join_salted's contract; tests pin the lane fan-out on a crafted
+    dense-cell fixture."""
+    pts = _spatial_points(spark, sf_dir)
+    return _grid_distance_pairs(
+        pts, _SPATIAL_D, hot_threshold=_SPATIAL_HOT, salt_buckets=8
     )
 
 

@@ -99,6 +99,7 @@ _GATE_PRIORITY = (
     "pipeline_token_budget_scalable",
     "ext_profile_columns_approx",
     "pipeline_pack_sequences_sharded",
+    "ext_spatial_grid_join_salted",
     # r8 changed-code re-earns: winnow pos-wrap (above), histogram oracle
     # NULL-bin guard, bounded persist-cache refactor (containment, BPE
     # encode, LSH-pairs consumers)

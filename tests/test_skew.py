@@ -164,3 +164,46 @@ def test_aqe_skew_join_splits_hot_partition(spark, skewed):
     assert n == 200_000
     assert "SortMergeJoin" in plan
     assert "skewed" in plan.lower(), "AQE did not mark the hot partition skewed"
+
+
+def test_grid_join_hot_cell_salting(spark):
+    """Hot-cell-salted grid join on a crafted dense-cell fixture: one
+    downtown cell holds 300 points (way past the threshold), the rest is
+    sparse. The salted variant must (a) return EXACTLY the plain grid
+    join's pairs, and (b) spread the hot cell's B rows over all 8 salt
+    lanes while cold cells stay on lane 0."""
+    import random
+
+    from component_iceberg_spark.plans.queries_analytics import (
+        _grid_distance_pairs,
+    )
+
+    rnd = random.Random(3)
+    d = 50.0
+    # hot cell: 300 points packed into cell (10, 10) = [500,550)x[500,550)
+    rows = [
+        (i, 500.0 + rnd.random() * 49.9, 500.0 + rnd.random() * 49.9)
+        for i in range(300)
+    ]
+    # sparse ring: lone points in far-apart cells
+    rows += [
+        (1000 + i, 5000.0 + 200.0 * i, 5000.0 + 200.0 * i) for i in range(20)
+    ]
+    pts = spark.createDataFrame(rows, schema="id long, x double, y double")
+    plain = {
+        (r.pa, r.pb, r.dist)
+        for r in _grid_distance_pairs(pts, d).collect()
+    }
+    salted = {
+        (r.pa, r.pb, r.dist)
+        for r in _grid_distance_pairs(
+            pts, d, hot_threshold=4, salt_buckets=8
+        ).collect()
+    }
+    assert salted == plain
+    assert len(plain) >= 300 * 299 / 2 * 0.3  # the dense cell really joins
+
+    # lane fan-out: replay the B-side salting rule directly
+    hot_ids = [i for i, x, y in rows if x < 550]
+    lanes = {i % 8 for i in hot_ids}
+    assert lanes == set(range(8))
