@@ -467,6 +467,9 @@ def main() -> None:
         "pipeline_token_budget_scalable",
         "ext_profile_columns_approx",
         "pipeline_pack_sequences_sharded",
+        "ext_spatial_grid_join_salted",
+        "ext_window_crossover",
+        "ext_rollup_rank",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

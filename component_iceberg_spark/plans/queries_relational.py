@@ -1225,3 +1225,172 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return relational.pagerank_undirected(edges, "c", "s", iterations=3)
+
+
+@register(
+    "ext_window_crossover",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CASE WHEN event_type = 'view'
+                             THEN CAST(round(round(value, 2) * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS view_c,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(round(value, 2) * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS buy_c
+        FROM events
+        GROUP BY 1
+    ), cum AS (
+        SELECT day,
+               sum(view_c) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS view_cum_c,
+               sum(buy_c)  OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS buy_cum_c
+        FROM daily
+    ), led AS (
+        SELECT day, view_cum_c, buy_cum_c,
+               CASE WHEN buy_cum_c > view_cum_c
+                    THEN 'purchase' ELSE 'view' END AS leader,
+               lag(CASE WHEN buy_cum_c > view_cum_c
+                        THEN 'purchase' ELSE 'view' END)
+                   OVER (ORDER BY day) AS prev_leader
+        FROM cum
+    )
+    SELECT day,
+           round(view_cum_c / 100.0, 2) AS view_cum,
+           round(buy_cum_c / 100.0, 2) AS buy_cum,
+           leader
+    FROM led
+    WHERE prev_leader IS NULL OR leader <> prev_leader
+    """,
+    tags=("relational", "window"),
+)
+def ext_window_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q51 shape — the cumulative-channel crossover report: which
+    days did the running purchase value overtake the running view value
+    (or fall back behind)? q51's reference formulation FULL OUTER JOINs
+    two per-channel aggregates before windowing; the Spark-first form
+    computes both channels as conditional-sum lanes in ONE hash
+    aggregate (one scan, one Exchange), then one day-ordered window
+    yields both running totals AND the lag that detects the leader flip
+    — no join anywhere. Exactness: daily values round to cents per the
+    integer-lane contract, the running sums are exact bigint cents, and
+    the division back to currency happens once at the end. The windowed
+    relation is |days| — metadata-sized next to the event scan — and a
+    single-partition ordered window over it is deliberate: at 100 TB
+    the day-grain relation is still tiny (the fact-scan aggregate is
+    where the bytes die), exactly like ext_window_yoy's months × prios.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.round(F.col("value"), 2) * 100).cast("bigint")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", cents).otherwise(F.lit(0))
+        ).cast("bigint").alias("view_c"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(
+                F.lit(0)
+            )
+        ).cast("bigint").alias("buy_c"),
+    )
+    w = Window.orderBy("day")
+    cum = daily.select(
+        "day",
+        F.sum("view_c").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("view_cum_c"),
+        F.sum("buy_c").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("buy_cum_c"),
+    )
+    leader = F.when(
+        F.col("buy_cum_c") > F.col("view_cum_c"), F.lit("purchase")
+    ).otherwise(F.lit("view"))
+    led = cum.select(
+        "day",
+        "view_cum_c",
+        "buy_cum_c",
+        leader.alias("leader"),
+        F.lag(leader).over(w).alias("prev_leader"),
+    )
+    return (
+        led.filter(
+            F.col("prev_leader").isNull()
+            | (F.col("leader") != F.col("prev_leader"))
+        )
+        .select(
+            "day",
+            F.round(F.col("view_cum_c") / 100.0, 2).alias("view_cum"),
+            F.round(F.col("buy_cum_c") / 100.0, 2).alias("buy_cum"),
+            "leader",
+        )
+    )
+
+
+@register(
+    "ext_rollup_rank",
+    oracle="""
+    WITH r AS (
+        SELECT n_name, o_orderpriority,
+               GROUPING(n_name) * 2 + GROUPING(o_orderpriority) AS gid,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_spend
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, o_orderpriority)
+    )
+    SELECT n_name, o_orderpriority,
+           CAST(gid AS BIGINT) AS gid,
+           n_orders, total_spend,
+           CAST(rank() OVER (
+               PARTITION BY gid, CASE WHEN gid = 0 THEN n_name END
+               ORDER BY total_spend DESC, o_orderpriority, n_name
+           ) AS INTEGER) AS spend_rank
+    FROM r
+    """,
+    tags=("relational", "window", "agg"),
+)
+def ext_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q36 shape — rank WITHIN each rollup level: spend by
+    (nation, priority) with ROLLUP, then every row ranked against its
+    hierarchy siblings (priorities within their nation, nations against
+    nations, the grand total alone). The partition key is
+    (grouping_id, parent-if-leaf) — q36's lochierarchy idiom — so the
+    rank compares apples to apples at every level of the cube without a
+    second aggregation pass. Plan: dims broadcast into the fact scan,
+    ROLLUP expands grouping sets with partial aggregation BEFORE the
+    shuffle, and the windowed relation is the grouping-set result —
+    metadata-sized next to the scan. The rank ORDER BY carries the name
+    columns as tiebreaks so equal-spend rows order deterministically on
+    both engines (the rounded spend is bit-identical first)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        o.o_custkey == c.c_custkey,
+    ).join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    r = joined.rollup("n_name", "o_orderpriority").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+    )
+    w = Window.partitionBy(
+        "gid", F.when(F.col("gid") == 0, F.col("n_name"))
+    ).orderBy(
+        F.col("total_spend").desc(), "o_orderpriority", "n_name"
+    )
+    return r.select(
+        "n_name",
+        "o_orderpriority",
+        "gid",
+        "n_orders",
+        "total_spend",
+        F.rank().over(w).cast("int").alias("spend_rank"),
+    )

@@ -100,6 +100,8 @@ _GATE_PRIORITY = (
     "ext_profile_columns_approx",
     "pipeline_pack_sequences_sharded",
     "ext_spatial_grid_join_salted",
+    "ext_window_crossover",
+    "ext_rollup_rank",
     # r8 changed-code re-earns: winnow pos-wrap (above), histogram oracle
     # NULL-bin guard, bounded persist-cache refactor (containment, BPE
     # encode, LSH-pairs consumers)
