@@ -598,6 +598,46 @@ def test_token_budget_single_source_exchange(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Window", p)) == 1
 
 
+def test_token_budget_scalable_sorts_only_crossing_bucket(spark, sf_dir):
+    """pipeline_token_budget_scalable: the corpus-sized relation must
+    never hit a per-source full Window sort — every Window in the plan
+    runs AFTER the join against the broadcast crossing-bucket metadata
+    (its input is ~n/256 rows), and the hot/crossing relations arrive as
+    BroadcastExchanges. The greedy twin's plan (one Window over the raw
+    scan) must NOT reappear here."""
+    p = plan(spark, sf_dir, "pipeline_token_budget_scalable")
+    assert "BroadcastExchange" in p
+    # whole buckets are kept via a LeftSemi against broadcast metadata,
+    # and the crossing-bucket rows reach their cumsum Window only through
+    # a broadcast join on (g, bk) — the reduction that shrinks the sort
+    assert "LeftSemi" in p
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_profile_approx_plan_has_no_expand(spark, sf_dir):
+    """The HLL profile twin's whole reason to exist: the exact twin's N
+    count(DISTINCT) lanes plan an Expand (N-fold input replication
+    before the shuffle); the sketch form must plan ONE aggregate pass
+    with no Expand and no extra exchange."""
+    p_exact = plan(spark, sf_dir, "ext_profile_columns")
+    p_approx = plan(spark, sf_dir, "ext_profile_columns_approx")
+    assert "Expand" in p_exact  # the documented cost being avoided
+    assert "Expand" not in p_approx
+    assert p_approx.count("Exchange") < p_exact.count("Exchange")
+
+
+def test_spatial_salted_broadcasts_hot_cells(spark, sf_dir):
+    """ext_spatial_grid_join_salted: the hot-cell list must reach both
+    sides as a BroadcastExchange (cells, not points) and the candidate
+    join must stay a single hash-partitioned equi-join on the salted
+    cell key — no SortMergeJoin, no cartesian."""
+    p = plan(spark, sf_dir, "ext_spatial_grid_join_salted")
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_regression_ols_survives_int64_moment_overflow(spark, monkeypatch):
     """20k rows at max-cents prices: n*syy ≈ (2e4)² · 4.4e10 ≈ 1.8e19
     exceeds int64 (9.2e18) — the 128-bit moment lanes must keep the
