@@ -154,6 +154,10 @@ SCALE_QUERIES = (
     "sim_mmr_diversify",
     "pipeline_token_budget_scalable",
     "pipeline_pack_sequences_sharded",
+    # the salted grid join should track its plain twin's ratio (the
+    # fixture has no extreme hot cell; the row proves salting costs
+    # nothing when density is mild)
+    "ext_spatial_grid_join_salted",
 )
 
 
