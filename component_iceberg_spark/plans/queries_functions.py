@@ -639,8 +639,13 @@ def equi_width_histogram(df: DataFrame, col: str, bins: int) -> DataFrame:
     else:
         mn, mx = float(b["mn"]), float(b["mx"])
         w = (mx - mn) / bins
-        bin_col = F.least(
-            F.floor((F.col(col) - mn) / w), F.lit(bins - 1)
+        # the isNotNull guard matters: F.least SKIPS nulls, so without it
+        # a NULL measure would fall through floor(NULL)=NULL into
+        # least(NULL, bins-1) = bins-1 — the top bin — while the oracle's
+        # CASE emits a NULL bin; NULL must stay NULL in this branch too
+        bin_col = F.when(
+            F.col(col).isNotNull(),
+            F.least(F.floor((F.col(col) - mn) / w), F.lit(bins - 1)),
         ).cast("int")
     return vals.groupBy(bin_col.alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),

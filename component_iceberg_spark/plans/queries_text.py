@@ -1869,7 +1869,8 @@ def pipeline_token_budget_scalable(spark: SparkSession, sf_dir: str) -> DataFram
         X.quality_score("text").alias("score"),
     )
     kept = budget_prefix_by_score(
-        s, "source", "score", "n_tok", "doc_id", TOKEN_BUDGET
+        s, "source", "score", "n_tok", "doc_id", TOKEN_BUDGET,
+        cache_key=("budget_bucketed", sf_dir, TOKEN_BUDGET),
     )
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

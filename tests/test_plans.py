@@ -524,6 +524,18 @@ def test_histogram_empty_and_null_inputs(spark):
     }
     assert got == {0: (2, 10.0), None: (1, None)}
 
+    # NON-degenerate range + NULL: least() skips nulls, so an unguarded
+    # else branch would drop the NULL row into the TOP bin (19) — it
+    # must keep its NULL bin here exactly as in the constant branch
+    spread = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,)], schema="x double"
+    )
+    got = {
+        r["bin"]: (r["n"], r["total"])
+        for r in equi_width_histogram(spread, "x", 20).collect()
+    }
+    assert got == {0: (1, 1.0), 19: (1, 2.0), None: (1, None)}
+
 
 def test_skyline_window_runs_on_collapsed_relation(spark, sf_dir):
     """ext_skyline's scale contract: the corpus-sized relation sees ONE

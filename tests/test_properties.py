@@ -445,6 +445,12 @@ def test_budget_prefix_matches_greedy_window(spark):
         ("big", i, rnd.uniform(0, 100), rnd.randint(1, 400))
         for i in range(2_000)
     ]
+    # NULL scores: sort LAST in the greedy desc order (Spark desc is
+    # nulls-last) — the bucketed form must place them in the worst
+    # bucket, not the best (NULL bucket keys sort FIRST in a plain asc
+    # window, which was the bug class this pins)
+    rows += [("nulls", 0, None, 9_000), ("nulls", 1, 7.0, 900),
+             ("nulls", 2, None, 200), ("nulls", 3, 1.0, 100)]
     df = spark.createDataFrame(
         rows, schema="src string, doc long, score double, wt long"
     )
@@ -1351,10 +1357,12 @@ def test_pack_sequences_sharded_partition_and_budget(spark, sf_dir):
     import component_iceberg_spark.plans.queries_text as QT
 
     rows = QT.pipeline_pack_sequences_sharded(spark, sf_dir).collect()
-    base = {
-        (r.source, r.doc_id): r.n_tok
-        for r in QT.pipeline_pack_sequences(spark, sf_dir).collect()
-    }
+    base_rows = QT.pipeline_pack_sequences(spark, sf_dir).collect()
+    base = {(r.source, r.doc_id): r.n_tok for r in base_rows}
+    # row-count equality FIRST: the dict comparison below would silently
+    # collapse a duplicated (source, doc_id), so it alone cannot prove
+    # the "assigned exactly once" half of the partition property
+    assert len(rows) == len(base_rows) == len(base)
     assert {(r.source, r.doc_id): r.n_tok for r in rows} == base
 
     by_pack: dict = {}

@@ -203,7 +203,23 @@ def test_grid_join_hot_cell_salting(spark):
     assert salted == plain
     assert len(plain) >= 300 * 299 / 2 * 0.3  # the dense cell really joins
 
-    # lane fan-out: replay the B-side salting rule directly
-    hot_ids = [i for i, x, y in rows if x < 550]
-    lanes = {i % 8 for i in hot_ids}
-    assert lanes == set(range(8))
+    # lane fan-out must show up in the PHYSICAL PLAN of the salted form
+    # (replaying the id%8 rule on the fixture would pass even if the
+    # query never salted): the salted plan carries one EXTRA Generate
+    # (the salt-sequence explode on top of the 3x3 neighborhood explode)
+    # and the pmod salting expression; the plain plan has neither
+    salted_df = _grid_distance_pairs(pts, d, hot_threshold=4, salt_buckets=8)
+    plain_df = _grid_distance_pairs(pts, d)
+    def _plan(q):
+        return q._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            q._jdf.queryExecution(), "formatted"
+        )
+    import re
+
+    p_salt, p_plain = _plan(salted_df), _plan(plain_df)
+    # count physical nodes via the detail-section headers "(n) Generate"
+    # (the tree section spells nodes as "+- Generate (n)")
+    n_gen = lambda p: len(re.findall(r"\n\(\d+\) Generate", p))  # noqa: E731
+    assert n_gen(p_salt) == n_gen(p_plain) + 1, (n_gen(p_salt), n_gen(p_plain))
+    assert "pmod" in p_salt and "pmod" not in p_plain
+    assert "BroadcastHashJoin" in p_salt  # hot-cell metadata broadcast
