@@ -48,6 +48,11 @@ SF3_QUERIES = (
     # over 30× corpus should grow only in the two corpus passes (token
     # aggregate + encode join), never in the per-round merge work
     "text_bpe_encode",
+    # r8: the winnowing pair join's candidate volume one more decade out:
+    # constant-density replication keeps per-fingerprint df flat, so the
+    # df-capped pair counts should grow ~linearly with the corpus, never
+    # quadratically
+    "text_winnow_fingerprint",
 )
 
 # Representative slice of the registry: scan, agg, joins, windows,

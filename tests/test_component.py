@@ -548,3 +548,38 @@ def test_extractor_insertion_order_without_pk(spark, sf_dir, warehouse, tmp_path
         for r in load_table(spark, sf_dir, "nation").collect()
     ]
     assert keys == src
+
+
+def test_session_cached_reuses_and_evicts(spark):
+    """plans/cache.session_cached: (a) repeat calls with the same key
+    return the SAME persisted DataFrame (no duplicate persist), (b)
+    different keys build independently, (c) entries from a dead
+    application are evicted when a live session asks."""
+    from component_iceberg_spark.plans import cache as C
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(5)
+
+    a1 = C.session_cached(spark, ("t_reuse",), build)
+    a2 = C.session_cached(spark, ("t_reuse",), build)
+    assert a1 is a2 and calls["n"] == 1
+    assert a1.storageLevel.useMemory  # actually persisted
+
+    b = C.session_cached(spark, ("t_other",), build)
+    assert b is not a1 and calls["n"] == 2
+
+    # plant a dead-app entry; the next call from the live session evicts it
+    dead_key = ("zombie-app-id", "t_dead")
+    with C._LOCK:
+        C._CACHE[dead_key] = spark.range(1)
+    C.session_cached(spark, ("t_reuse",), build)
+    with C._LOCK:
+        assert dead_key not in C._CACHE
+    # cleanup: release what this test persisted
+    app = spark.sparkContext.applicationId
+    with C._LOCK:
+        for k in [k for k in C._CACHE if k[0] == app and k[1].startswith("t_")]:
+            C._CACHE.pop(k).unpersist()
