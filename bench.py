@@ -479,6 +479,7 @@ def main() -> None:
         "ext_spatial_grid_join_salted",
         "ext_window_crossover",
         "ext_rollup_rank",
+        "pipeline_split_leakage_safe",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

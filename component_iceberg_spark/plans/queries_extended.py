@@ -1547,3 +1547,86 @@ def ext_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_checked",
         (F.col("r.n_violations") == 0).alias("pass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split (r8): near-dup clusters never straddle train/eval
+# ---------------------------------------------------------------------------
+
+
+def _leakage_split_oracle() -> str:
+    """The dedup_clusters recursive closure + the split_assign hash draw,
+    composed: the cluster CTE is the SAME fragment dedup_clusters'
+    oracle interpolates and the draw the SAME _uniform_sql spelling
+    ext_split_train_test uses — shared fragments, so the oracles cannot
+    drift apart (the r7 CTE-sharing defense)."""
+    u = _uniform_sql("cluster_id", "split")
+    return f"""
+WITH RECURSIVE {_minhash_cte_body()},
+e AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+    SELECT src, src FROM e
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r
+),
+cl AS (SELECT node AS doc, min(r) AS cluster_id FROM reach GROUP BY node),
+a AS (
+    SELECT d.doc_id, d.source,
+           coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc
+)
+SELECT doc_id, source, cluster_id,
+       CASE WHEN {u} < 0.8 THEN 'train'
+            WHEN {u} < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM a
+"""
+
+
+@register(
+    "pipeline_split_leakage_safe",
+    oracle=_leakage_split_oracle(),
+    tags=("ext", "sampling", "dedup", "pipeline"),
+)
+def pipeline_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that cannot leak through near-duplicates:
+    ext_split_train_test hashes each DOC independently, so two near-dup
+    docs (a quote, a mirror, a boilerplate re-wrap) can land one in
+    train and one in test — the classic contamination path that survives
+    doc-level splitting. Here the hash draw is keyed on the near-dup
+    CLUSTER id (MinHash-LSH pairs → connected components; singletons key
+    on their own doc_id), so every member of a cluster shares one split
+    by construction. This is how production pretraining pipelines split
+    AFTER dedup clustering, not before.
+
+    Plan: the verified-pairs stage is the session-shared LSH cache (one
+    run feeds dedup_minhash_lsh, dedup_clusters and this), components
+    add O(diameter) keyed shuffles on the pair list (pairs-sized, tiny
+    next to the corpus), and the final assignment is a LEFT broadcast
+    join of the cluster map onto the corpus + a pure hash projection —
+    no corpus shuffle at all. The oracle replays clusters via the shared
+    recursive-closure fragment and the draw via the shared _uniform_sql
+    spelling. Leakage property pinned in tests: every cluster maps to
+    exactly one split."""
+    from component_iceberg_spark.operators import sampling as SA
+    from component_iceberg_spark.plans.queries_text import (
+        verified_minhash_pairs,
+    )
+
+    pairs = verified_minhash_pairs(spark, sf_dir, 0.8)
+    clusters = D.connected_components(pairs)  # (doc, cluster_id), pairs-sized
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    withc = d.join(
+        F.broadcast(clusters), d.doc_id == clusters.doc, "left"
+    ).select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    return SA.split_assign(
+        withc, "cluster_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )

@@ -102,6 +102,7 @@ _GATE_PRIORITY = (
     "ext_spatial_grid_join_salted",
     "ext_window_crossover",
     "ext_rollup_rank",
+    "pipeline_split_leakage_safe",
     # r8 changed-code re-earns: winnow pos-wrap (above), histogram oracle
     # NULL-bin guard, bounded persist-cache refactor (containment, BPE
     # encode, LSH-pairs consumers)

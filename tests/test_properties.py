@@ -1479,3 +1479,44 @@ def test_winnow_fingerprint_guarantee(spark, tmp_path):
     assert got == want, (got, want)
     assert (0, 1) in got and got[(0, 1)] >= 2
     assert all(2 not in p and 3 not in p for p in got)
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark, sf_dir):
+    """pipeline_split_leakage_safe: (a) exhaustive — every document
+    assigned exactly one split; (b) the leakage property itself — every
+    near-dup PAIR (the verified LSH pairs driving the clusters) lands in
+    ONE split; (c) every cluster id maps to exactly one split; (d) the
+    naive doc-hash split (ext_split_train_test) demonstrably DOES
+    straddle at least one of those pairs on this fixture, or the
+    fixture has no pairs and the test is vacuous — assert pairs exist."""
+    from component_iceberg_spark.plans import load_all
+
+    reg = load_all()
+    rows = reg["pipeline_split_leakage_safe"].fn(spark, sf_dir).collect()
+    n_docs = reg["scan_full"].fn(spark, sf_dir).count() if "scan_full" in reg else None
+    by_doc = {r.doc_id: r.split for r in rows}
+    assert len(by_doc) == len(rows)  # one row per doc
+
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+
+    from component_iceberg_spark.plans.queries_text import (
+        verified_minhash_pairs,
+    )
+
+    pairs = verified_minhash_pairs(spark, sf_dir, 0.8).collect()
+    assert pairs, "fixture has no near-dup pairs; leakage check vacuous"
+    for p in pairs:
+        assert by_doc[p.doc_a] == by_doc[p.doc_b], (p.doc_a, p.doc_b)
+
+    naive = {
+        r.doc_id: r.split
+        for r in reg["ext_split_train_test"].fn(spark, sf_dir).collect()
+    }
+    straddled = sum(1 for p in pairs if naive[p.doc_a] != naive[p.doc_b])
+    assert straddled > 0, (
+        "doc-hash split did not straddle any near-dup pair — the "
+        "leakage-safe variant is indistinguishable on this fixture"
+    )
