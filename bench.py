@@ -574,10 +574,13 @@ def main() -> None:
             "first_run": sf3_cold,
             "gen_sec": gen3,
             "replicas": SF3_REPLICAS,
+            # base_t (headline + new_ops), not bare timings: winnow and
+            # bpe_encode carry their sf0.1 numbers under new_ops, and
+            # bare timings silently dropped them from the 30x curve
             "ratio_vs_sf0.1": {
-                n: round(sf3_timings[n] / timings[n], 2)
+                n: round(sf3_timings[n] / base_t[n], 2)
                 for n in SF3_QUERIES
-                if timings.get(n)
+                if base_t.get(n)
             },
             "ratio_vs_sf1": {
                 n: round(sf3_timings[n] / sf1_q[n], 2)

@@ -26,6 +26,23 @@ from component_iceberg_spark.plans.registry import register
 # ---------------------------------------------------------------------------
 
 
+# The recursive transitive-closure fragment over the LSH `pairs` CTE:
+# THE single spelling (interpolated by dedup_clusters' oracle AND the
+# leakage-split oracle, the r7 shared-fragment defense) so the two
+# oracles cannot certify different clusterings.
+_CLOSURE_CTE_BODY = """e AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+    SELECT src, src FROM e
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r
+),
+cl AS (SELECT node AS doc, min(r) AS cluster_id FROM reach GROUP BY node)"""
+
+
 def _cluster_oracle() -> str:
     """Transitive closure of the near-dup pairs as a recursive CTE:
     cluster id = min reachable doc id — the declarative twin of the
@@ -35,19 +52,31 @@ def _cluster_oracle() -> str:
     produce identical clusters."""
     return f"""
 WITH RECURSIVE {_minhash_cte_body()},
-e AS (
-    SELECT doc_a AS src, doc_b AS dst FROM pairs
-    UNION
-    SELECT doc_b, doc_a FROM pairs
-),
-reach(node, r) AS (
-    SELECT src, src FROM e
-    UNION
-    SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r
-)
-SELECT node AS doc, min(r) AS cluster_id
-FROM reach GROUP BY node
+{_CLOSURE_CTE_BODY}
+SELECT doc, cluster_id FROM cl
 """
+
+
+def neardup_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """Session-cached (doc, cluster_id) map: verified LSH pairs →
+    connected components, computed once per (session, fixture) and
+    shared by every consumer (dedup_clusters, the leakage-safe split) —
+    the CC driver loop (edge jobs + label rounds) is pairs-sized but not
+    free, and a production pipeline checkpoints the cluster map once."""
+    from component_iceberg_spark.plans.cache import session_cached
+    from component_iceberg_spark.plans.queries_text import (
+        verified_minhash_pairs,
+    )
+
+    return session_cached(
+        spark,
+        ("neardup_clusters", sf_dir, threshold),
+        lambda: D.connected_components(
+            verified_minhash_pairs(spark, sf_dir, threshold)
+        ),
+    )
 
 
 @register("dedup_clusters", oracle=_cluster_oracle(), tags=("ext", "dedup"))
@@ -58,13 +87,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     group with one survivor, not one per pair. Spark side: iterative
     min-label propagation (O(diameter) keyed shuffles); oracle:
     recursive-CTE transitive closure — independent algorithms, identical
-    output. The verified-pairs stage is shared (session-scoped cache) with
-    ``dedup_minhash_lsh`` — one LSH run feeds both consumers, the way a
-    production pipeline checkpoints pairs once and fans out."""
-    from component_iceberg_spark.plans.queries_text import verified_minhash_pairs
-
-    pairs = verified_minhash_pairs(spark, sf_dir, 0.8)
-    return D.connected_components(pairs)
+    output. Both the verified-pairs stage AND the cluster map are
+    session-cached (one LSH run + one CC pass feed dedup_minhash_lsh,
+    this, and pipeline_split_leakage_safe — the way a production
+    pipeline checkpoints each stage once and fans out)."""
+    return neardup_clusters(spark, sf_dir, 0.8)
 
 
 # ---------------------------------------------------------------------------
@@ -1556,24 +1583,14 @@ def ext_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _leakage_split_oracle() -> str:
     """The dedup_clusters recursive closure + the split_assign hash draw,
-    composed: the cluster CTE is the SAME fragment dedup_clusters'
-    oracle interpolates and the draw the SAME _uniform_sql spelling
-    ext_split_train_test uses — shared fragments, so the oracles cannot
-    drift apart (the r7 CTE-sharing defense)."""
+    composed from SHARED fragments (the r7 CTE-sharing defense): the
+    closure is the literal `_CLOSURE_CTE_BODY` dedup_clusters' oracle
+    interpolates and the draw the same `_uniform_sql` spelling
+    ext_split_train_test uses — neither can drift independently."""
     u = _uniform_sql("cluster_id", "split")
     return f"""
 WITH RECURSIVE {_minhash_cte_body()},
-e AS (
-    SELECT doc_a AS src, doc_b AS dst FROM pairs
-    UNION
-    SELECT doc_b, doc_a FROM pairs
-),
-reach(node, r) AS (
-    SELECT src, src FROM e
-    UNION
-    SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r
-),
-cl AS (SELECT node AS doc, min(r) AS cluster_id FROM reach GROUP BY node),
+{_CLOSURE_CTE_BODY},
 a AS (
     SELECT d.doc_id, d.source,
            coalesce(cl.cluster_id, d.doc_id) AS cluster_id
@@ -1613,12 +1630,8 @@ def pipeline_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     spelling. Leakage property pinned in tests: every cluster maps to
     exactly one split."""
     from component_iceberg_spark.operators import sampling as SA
-    from component_iceberg_spark.plans.queries_text import (
-        verified_minhash_pairs,
-    )
 
-    pairs = verified_minhash_pairs(spark, sf_dir, 0.8)
-    clusters = D.connected_components(pairs)  # (doc, cluster_id), pairs-sized
+    clusters = neardup_clusters(spark, sf_dir, 0.8)  # pairs-sized, cached
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     withc = d.join(
         F.broadcast(clusters), d.doc_id == clusters.doc, "left"

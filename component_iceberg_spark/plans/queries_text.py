@@ -253,8 +253,9 @@ def _minhash_oracle() -> str:
     return f"WITH {_minhash_cte_body()} SELECT doc_a, doc_b, jaccard FROM pairs"
 
 
-# Verified LSH pairs feed two registered queries (the pair report and
-# cluster formation). Cache the persisted result per (session, fixture):
+# Verified LSH pairs feed three registered queries (the pair report,
+# cluster formation, and the leakage-safe split via the cached cluster
+# map). Cache the persisted result per (session, fixture):
 # re-running the shingle+signature+verify pipeline for each consumer
 # doubles the most expensive dedup stage for zero benefit — exactly the
 # stage a 100 TB pipeline checkpoints to the lake once and fans out from.

@@ -1491,11 +1491,15 @@ def test_leakage_safe_split_clusters_never_straddle(spark, sf_dir):
     fixture has no pairs and the test is vacuous — assert pairs exist."""
     from component_iceberg_spark.plans import load_all
 
+    from component_iceberg_spark.io.tables import load_table
+
     reg = load_all()
     rows = reg["pipeline_split_leakage_safe"].fn(spark, sf_dir).collect()
-    n_docs = reg["scan_full"].fn(spark, sf_dir).count() if "scan_full" in reg else None
     by_doc = {r.doc_id: r.split for r in rows}
     assert len(by_doc) == len(rows)  # one row per doc
+    # exhaustive: a regression of the LEFT join to inner (dropping
+    # singleton docs) must fail here, not pass silently
+    assert len(rows) == load_table(spark, sf_dir, "documents").count()
 
     by_cluster: dict = {}
     for r in rows:
