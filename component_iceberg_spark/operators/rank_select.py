@@ -236,8 +236,8 @@ def budget_prefix_by_score(
     weight_col: str,
     id_col: str,
     budget: int,
+    cache_key: tuple,
     n_buckets: int = 256,
-    cache_key: tuple | None = None,
 ) -> DataFrame:
     """Greedy budget-prefix selection WITHOUT a per-group full sort: keep,
     per group, the prefix of rows (ordered ``score`` desc, ``id`` asc)
@@ -261,24 +261,25 @@ def budget_prefix_by_score(
        by the kept-bucket prefix total.
 
     Correctness relies on bucket ranges partitioning the score axis:
-    equal scores share a bucket, so (bucket desc, score desc, id) is the
+    equal scores share a bucket, so (bucket ASC, score desc, id) is the
     global greedy order, and because weights are positive the kept set
     is a contiguous prefix — rows below the crossing bucket can never
     re-enter. NULL scores sort LAST in the greedy order (both Spark's
-    ``desc`` and DuckDB's default are NULLS LAST on DESC), so they map
-    to the WORST bucket (coalesce below) and stay last within it via the
-    same desc sort — matching the window form exactly. Exactness: bucket
-    boundaries are float arithmetic but only PARTITION the data; all
-    running totals are exact integer sums.
+    ``desc`` and DuckDB's default are NULLS LAST on DESC), so the bucket
+    expression routes them EXPLICITLY to the worst bucket in every
+    branch and the desc-nulls-last within-bucket sort keeps them behind
+    every real score. Exactness: bucket boundaries are float arithmetic
+    but only PARTITION the data; all running totals are exact integer
+    sums.
 
     ``bucketed`` feeds THREE consumers (the bucket histogram + both kept
     joins); it is persisted and eagerly materialized so the input
     lineage (scan + scoring projections) runs in exactly TWO corpus
     passes — the stats aggregate and the bucketing build — instead of
-    once per consumer. Pass ``cache_key`` to bound retention via
-    plans/cache.session_cached (reused on repeat calls, evicted on
-    session turnover); without it a plain persist is used and retention
-    follows the session (the percentile machinery's documented shape).
+    once per consumer. ``cache_key`` is REQUIRED: retention is bounded
+    via plans/cache.session_cached (reused on repeat calls, evicted on
+    session turnover) — a keyless plain persist would stack one cached
+    relation per call, the exact leak the cache module exists to bound.
 
     Caveat (shared with the percentile machinery): a group whose scores
     are all equal collapses to one bucket and that bucket's sort is the
@@ -292,20 +293,24 @@ def budget_prefix_by_score(
     )
     stats = base.groupBy("g").agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
     width = F.col("mx") - F.col("mn")
-    # bucket 0 = BEST scores (descending layout so cum walks bucket asc);
-    # NULL score (or all-NULL group → NULL width) falls through every
-    # branch to NULL and coalesces into the WORST bucket, where the
-    # desc-nulls-last within-bucket sort keeps it behind every real score
-    bk = F.coalesce(
-        F.when(width == 0, F.lit(0)).otherwise(
+    # bucket 0 = BEST scores (descending layout so cum walks bucket ASC);
+    # NULL scores route EXPLICITLY to the worst bucket in every branch —
+    # F.least skips nulls (it returns the smallest NON-null argument), so
+    # an implicit fall-through would misplace them, and the width==0
+    # branch doesn't inspect s at all. Within the worst bucket the
+    # desc-nulls-last sort keeps NULLs behind every real score, matching
+    # the greedy window's global NULLS-LAST order.
+    bk = (
+        F.when(F.col("s").isNull(), F.lit(n_buckets - 1))
+        .when(width == 0, F.lit(0))
+        .otherwise(
             F.least(
                 F.floor(
                     (F.col("mx") - F.col("s")) / width * n_buckets
                 ).cast("int"),
                 F.lit(n_buckets - 1),
             )
-        ),
-        F.lit(n_buckets - 1),
+        )
     )
 
     def _build() -> DataFrame:
@@ -313,14 +318,9 @@ def budget_prefix_by_score(
             "g", "i", "s", "wt", bk.alias("bk")
         )
 
-    if cache_key is not None:
-        from component_iceberg_spark.plans.cache import session_cached
+    from component_iceberg_spark.plans.cache import session_cached
 
-        bucketed = session_cached(base.sparkSession, cache_key, _build)
-    else:
-        from pyspark import StorageLevel
-
-        bucketed = _build().persist(StorageLevel.MEMORY_AND_DISK)
+    bucketed = session_cached(base.sparkSession, cache_key, _build)
     # materialize NOW: lazy persists would let the three consumer
     # branches race to compute (and duplicate) the lineage before any
     # cache is populated — same lesson as percentiles_exact_scalable

@@ -1295,7 +1295,10 @@ def ext_window_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("buy_c"),
     )
-    w = Window.orderBy("day")
+    # asc_nulls_last: Spark's bare ASC is NULLS FIRST while DuckDB's is
+    # NULLS LAST — a NULL day (NULL ts upstream) would otherwise count
+    # into the running totals FIRST here and LAST in the oracle
+    w = Window.orderBy(F.asc_nulls_last("day"))
     cum = daily.select(
         "day",
         F.sum("view_c").over(
@@ -1381,10 +1384,17 @@ def ext_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
     )
+    # tiebreak columns pin NULLS LAST explicitly: Spark's bare ASC is
+    # NULLS FIRST, DuckDB's is NULLS LAST (DESC agrees on NULLS LAST in
+    # both engines already) — matters only if a dimension value is NULL
+    # in the DATA (ROLLUP-generated NULLs never share a partition with
+    # non-NULL rows)
     w = Window.partitionBy(
         "gid", F.when(F.col("gid") == 0, F.col("n_name"))
     ).orderBy(
-        F.col("total_spend").desc(), "o_orderpriority", "n_name"
+        F.col("total_spend").desc(),
+        F.asc_nulls_last("o_orderpriority"),
+        F.asc_nulls_last("n_name"),
     )
     return r.select(
         "n_name",

@@ -1886,32 +1886,48 @@ def pipeline_token_budget_scalable(spark: SparkSession, sf_dir: str) -> DataFram
 PACK_BUDGET = 256  # tokens per packed context window
 
 
-@register(
-    "pipeline_pack_sequences",
-    oracle=rf"""
-    WITH RECURSIVE s AS (
-        SELECT source, doc_id,
-               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
-               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-        FROM documents
-    ), r AS (
-        SELECT source, doc_id, n_tok, rn,
+def _pack_walk_recursive(keys: list[str]) -> str:
+    """THE single spelling of the greedy first-fit recursive step
+    (interpolated by BOTH pack oracles, parameterized only by the
+    partition keys — the r7 shared-fragment defense: the walk rule can
+    never be edited in one oracle and not the other). The overflow guard
+    mirrors the kernel's ``cum > 0 and cum + t > budget`` exactly: an
+    oversized doc joins an EMPTY current pack rather than opening a new
+    one, so zero-token leading docs cannot make the engines diverge."""
+    kl = ", ".join(keys)
+    sel = ", ".join(f"s.{k}" for k in keys)
+    cond = " AND ".join(f"s.{k} = r.{k}" for k in keys)
+    ov = f"(r.cum > 0 AND r.cum + s.n_tok > {PACK_BUDGET})"
+    return f"""r AS (
+        SELECT {kl}, doc_id, n_tok, rn,
                CAST(0 AS BIGINT) AS pack_id,
                CAST(0 AS BIGINT) AS pack_pos,
                n_tok AS cum
         FROM s WHERE rn = 1
         UNION ALL
-        SELECT s.source, s.doc_id, s.n_tok, s.rn,
-               CASE WHEN r.cum + s.n_tok > {PACK_BUDGET}
-                    THEN r.pack_id + 1 ELSE r.pack_id END,
-               CASE WHEN r.cum + s.n_tok > {PACK_BUDGET}
-                    THEN CAST(0 AS BIGINT) ELSE r.pack_pos + 1 END,
-               CASE WHEN r.cum + s.n_tok > {PACK_BUDGET}
-                    THEN s.n_tok ELSE r.cum + s.n_tok END
-        FROM r JOIN s ON s.source = r.source AND s.rn = r.rn + 1
-    )
+        SELECT {sel}, s.doc_id, s.n_tok, s.rn,
+               CASE WHEN {ov} THEN r.pack_id + 1 ELSE r.pack_id END,
+               CASE WHEN {ov} THEN CAST(0 AS BIGINT) ELSE r.pack_pos + 1 END,
+               CASE WHEN {ov} THEN s.n_tok ELSE r.cum + s.n_tok END
+        FROM r JOIN s ON {cond} AND s.rn = r.rn + 1
+    )"""
+
+
+def _pack_oracle() -> str:
+    return rf"""
+    WITH RECURSIVE s AS (
+        SELECT source, doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ), {_pack_walk_recursive(["source"])}
     SELECT source, doc_id, n_tok, pack_id, pack_pos FROM r
-    """,
+    """
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=_pack_oracle(),
     tags=("ext", "text", "pipeline"),
 )
 def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1989,23 +2005,7 @@ def _pack_sharded_oracle() -> str:
                    PARTITION BY source, {shard} ORDER BY doc_id
                ) AS rn
         FROM documents
-    ), r AS (
-        SELECT source, shard, doc_id, n_tok, rn,
-               CAST(0 AS BIGINT) AS pack_id,
-               CAST(0 AS BIGINT) AS pack_pos,
-               n_tok AS cum
-        FROM s WHERE rn = 1
-        UNION ALL
-        SELECT s.source, s.shard, s.doc_id, s.n_tok, s.rn,
-               CASE WHEN r.cum + s.n_tok > {PACK_BUDGET}
-                    THEN r.pack_id + 1 ELSE r.pack_id END,
-               CASE WHEN r.cum + s.n_tok > {PACK_BUDGET}
-                    THEN CAST(0 AS BIGINT) ELSE r.pack_pos + 1 END,
-               CASE WHEN r.cum + s.n_tok > {PACK_BUDGET}
-                    THEN s.n_tok ELSE r.cum + s.n_tok END
-        FROM r JOIN s ON s.source = r.source AND s.shard = r.shard
-                     AND s.rn = r.rn + 1
-    )
+    ), {_pack_walk_recursive(["source", "shard"])}
     SELECT source, shard, doc_id, n_tok, pack_id, pack_pos FROM r
     """
 

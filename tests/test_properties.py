@@ -451,6 +451,10 @@ def test_budget_prefix_matches_greedy_window(spark):
     # window, which was the bug class this pins)
     rows += [("nulls", 0, None, 9_000), ("nulls", 1, 7.0, 900),
              ("nulls", 2, None, 200), ("nulls", 3, 1.0, 100)]
+    # all-equal scores PLUS NULLs: the width==0 branch must still route
+    # NULL scores behind the tied real scores, not share bucket 0 order
+    rows += [("tie_nulls", 0, None, 8_000), ("tie_nulls", 1, 2.0, 6_000),
+             ("tie_nulls", 2, 2.0, 3_000), ("tie_nulls", 3, None, 500)]
     df = spark.createDataFrame(
         rows, schema="src string, doc long, score double, wt long"
     )
@@ -458,7 +462,8 @@ def test_budget_prefix_matches_greedy_window(spark):
     got = {
         (r["src"], r["doc"])
         for r in RS.budget_prefix_by_score(
-            df, "src", "score", "wt", "doc", budget
+            df, "src", "score", "wt", "doc", budget,
+            cache_key=("test_budget_prefix",),
         ).collect()
     }
     w = (
@@ -1524,3 +1529,25 @@ def test_leakage_safe_split_clusters_never_straddle(spark, sf_dir):
         "doc-hash split did not straddle any near-dup pair — the "
         "leakage-safe variant is indistinguishable on this fixture"
     )
+
+
+def test_pack_kernel_zero_token_prefix_edge():
+    """The pack walk's overflow guard is `cum > 0 AND cum + t > budget`
+    in BOTH the kernel and the shared oracle fragment: an oversized doc
+    arriving while the current pack holds only zero-token docs must stay
+    in that pack (the pack is token-empty), not open a new one. Pure
+    pandas — pins the kernel side of the reconciled contract."""
+    import pandas as pd
+
+    import component_iceberg_spark.plans.queries_text as QT
+
+    pdf = pd.DataFrame(
+        {
+            "source": ["s"] * 3,
+            "doc_id": [1, 2, 3],
+            "n_tok": [0, 0, QT.PACK_BUDGET + 100],
+        }
+    )
+    out = QT._pack_kernel(pdf.copy())
+    got = list(zip(out["doc_id"], out["pack_id"], out["pack_pos"]))
+    assert got == [(1, 0, 0), (2, 0, 1), (3, 0, 2)]
