@@ -163,6 +163,13 @@ SCALE_QUERIES = (
     # fixture has no extreme hot cell; the row proves salting costs
     # nothing when density is mild)
     "ext_spatial_grid_join_salted",
+    # r8 second wave: the TPC-DS windows claim metadata-sized windowed
+    # relations (days / grouping sets) — their 10x wall should track the
+    # fact-scan aggregate only; the leakage split adds the CC + broadcast
+    # path on 10x the pair volume
+    "ext_window_crossover",
+    "ext_rollup_rank",
+    "pipeline_split_leakage_safe",
 )
 
 
