@@ -1363,17 +1363,22 @@ def ext_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nations, the grand total alone). The partition key is
     (grouping_id, parent-if-leaf) — q36's lochierarchy idiom — so the
     rank compares apples to apples at every level of the cube without a
-    second aggregation pass. Plan: dims broadcast into the fact scan,
-    ROLLUP expands grouping sets with partial aggregation BEFORE the
-    shuffle, and the windowed relation is the grouping-set result —
-    metadata-sized next to the scan. The rank ORDER BY carries the name
-    columns as tiebreaks so equal-spend rows order deterministically on
-    both engines (the rounded spend is bit-identical first)."""
+    second aggregation pass. Plan: only the BOUNDED dim (nation, 25
+    rows) carries a broadcast hint; orders⋈customer is left declarative
+    — both sides grow with scale factor, so the plan is sort-merge at
+    scale and AQE may demote to broadcast at runtime when a side is
+    genuinely small (the same fact-join discipline as q3/q5, pinned by
+    test_rollup_rank_no_fact_broadcast). ROLLUP expands grouping sets
+    with partial aggregation BEFORE the shuffle, and the windowed
+    relation is the grouping-set result — metadata-sized next to the
+    scan. The rank ORDER BY carries the name columns as tiebreaks so
+    equal-spend rows order deterministically on both engines (the
+    rounded spend is bit-identical first)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     joined = o.join(
-        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        c.select("c_custkey", "c_nationkey"),
         o.o_custkey == c.c_custkey,
     ).join(
         F.broadcast(n.select("n_nationkey", "n_name")),

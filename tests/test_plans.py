@@ -78,6 +78,44 @@ def test_q18_q12_no_fact_broadcast(spark, sf_dir):
         assert "SortMergeJoin" in p
 
 
+def test_rollup_rank_no_fact_broadcast(spark, sf_dir):
+    """ext_rollup_rank joins orders⋈customer (both grow with scale factor)
+    and nation (25 rows, bounded). Only nation may carry a broadcast hint;
+    the fact join must plan sort-merge with auto-broadcast off — a forced
+    customer broadcast would OOM executors at 100×. The ROLLUP's grouping-
+    set Expand must sit UNDER a partial aggregate (map-side combine before
+    the shuffle)."""
+    import re
+
+    p = plan_no_auto_broadcast(spark, sf_dir, "ext_rollup_rank")
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 1, (
+        "exactly the bounded dim (nation) broadcasts"
+    )
+    assert "SortMergeJoin" in p, "orders⋈customer must sort-merge at scale"
+    assert len(re.findall(r"\(\d+\) Expand", p)) == 1  # rollup grouping sets
+    assert "partial_sum" in p or "partial_count" in p
+
+
+def test_crossover_one_exchange_before_window(spark, sf_dir):
+    """ext_window_crossover: ONE events scan (both channels as conditional-
+    sum lanes in one aggregate, no join), then ONE SinglePartition exchange
+    feeding BOTH window nodes (running sums + leader lag share the day
+    ordering, so Catalyst plans one sort). The single-partition window is
+    deliberate — the windowed relation is |days| rows, metadata-sized."""
+    import re
+
+    p = plan(spark, sf_dir, "ext_window_crossover")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, "one scan only"
+    assert not re.search(r"\(\d+\) \w*Join", p), "no join — lanes, not FOJ"
+    exchanges = re.findall(r"\(\d+\) Exchange", p)
+    assert len(exchanges) == 2, "agg shuffle + one window exchange, no more"
+    assert "SinglePartition" in p  # the window exchange, |days|-sized input
+    assert len(re.findall(r"\(\d+\) Sort", p)) == 1, (
+        "both windows share one day-ordered sort"
+    )
+    assert "partial_sum" in p  # map-side combine under the fact aggregate
+
+
 def test_order_preserve_no_single_partition_sort(spark, sf_dir):
     """The insertion-order index must be built by range-partition + offset
     (global_rank), never a partition-less window that sorts the whole

@@ -1551,3 +1551,148 @@ def test_pack_kernel_zero_token_prefix_edge():
     out = QT._pack_kernel(pdf.copy())
     got = list(zip(out["doc_id"], out["pack_id"], out["pack_pos"]))
     assert got == [(1, 0, 0), (2, 0, 1), (3, 0, 2)]
+
+
+def _write_tpch_mini(tmp_path):
+    """Crafted orders/customer/nation fixture with a NULL dimension value
+    in the DATA (o_orderpriority NULL) and tied spends, for the rollup-rank
+    partition-semantics pin."""
+    import datetime as _dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "n_nationkey": pd.array([0, 1], dtype="int32"),
+                    "n_name": ["ALPHA", "BETA"],
+                    "n_regionkey": pd.array([0, 0], dtype="int32"),
+                }
+            )
+        ),
+        str(tmp_path / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "c_custkey": [1, 2],
+                    "c_name": ["ca", "cb"],
+                    "c_nationkey": pd.array([0, 1], dtype="int32"),
+                    "c_acctbal": [0.0, 0.0],
+                    "c_mktsegment": ["M", "M"],
+                }
+            )
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    d = _dt.datetime(2024, 1, 1)
+    orders = [
+        # (orderkey, custkey, totalprice, priority)
+        (1, 1, 100.0, "P1"),   # ALPHA leaf, ties with P2 on spend
+        (2, 1, 100.0, "P2"),
+        (3, 1, 50.0, None),    # data-NULL priority → gid=0 leaf, NOT subtotal
+        (4, 2, 300.0, "P1"),   # BETA leaf, ties with the data-NULL leaf below
+        (5, 2, 300.0, None),
+    ]
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "o_orderkey": [k for k, *_ in orders],
+                    "o_custkey": [c for _, c, *_ in orders],
+                    "o_orderstatus": ["F"] * len(orders),
+                    "o_totalprice": [p for _, _, p, _ in orders],
+                    "o_orderdate": [d] * len(orders),
+                    "o_orderpriority": [pr for *_, pr in orders],
+                }
+            )
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+
+
+def test_rollup_rank_partition_semantics(spark, tmp_path):
+    """ext_rollup_rank (the REAL registered query on a crafted fixture):
+    the rank partition is (grouping_id, parent-if-leaf) — leaves rank only
+    against siblings within their nation, nation subtotals rank against
+    nations, the grand total ranks alone. A NULL priority IN THE DATA is a
+    gid=0 leaf (grouping_id separates it from the rollup subtotal) ranked
+    within its nation, and on a spend tie the NULL sorts LAST (the
+    asc_nulls_last pin — bare ASC in Spark is NULLS FIRST)."""
+    import component_iceberg_spark.plans.queries_relational as QR
+
+    _write_tpch_mini(tmp_path)
+    got = {
+        (r.n_name, r.o_orderpriority, r.gid): (
+            r.n_orders,
+            r.total_spend,
+            r.spend_rank,
+        )
+        for r in QR.ext_rollup_rank(spark, str(tmp_path)).collect()
+    }
+    expected = {
+        # ALPHA leaves: 100 (P1) vs 100 (P2) tie → priority asc breaks it;
+        # the 50-spend data-NULL leaf ranks 3rd IN THE SAME partition.
+        ("ALPHA", "P1", 0): (1, 100.0, 1),
+        ("ALPHA", "P2", 0): (1, 100.0, 2),
+        ("ALPHA", None, 0): (1, 50.0, 3),
+        # BETA leaves: 300 (P1) ties 300 (data-NULL) → NULLS LAST
+        ("BETA", "P1", 0): (1, 300.0, 1),
+        ("BETA", None, 0): (1, 300.0, 2),
+        # nation subtotals share ONE partition (gid=1, parent key NULL)
+        ("BETA", None, 1): (2, 600.0, 1),
+        ("ALPHA", None, 1): (3, 250.0, 2),
+        # grand total alone
+        (None, None, 3): (5, 850.0, 1),
+    }
+    assert got == expected
+
+
+def test_crossover_null_day_counts_last(spark, tmp_path):
+    """ext_window_crossover on a crafted events fixture with a NULL ts:
+    the NULL day enters the running totals LAST (asc_nulls_last), matching
+    DuckDB's default NULLS LAST. Under Spark's bare-ASC NULLS FIRST the
+    NULL day would seed the cumsum and the day-2 purchase crossover would
+    vanish entirely — the expected set discriminates."""
+    import datetime as _dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import component_iceberg_spark.plans.queries_relational as QR
+
+    rows = [
+        (1, _dt.datetime(2024, 1, 1), "view", 1.0),
+        (2, _dt.datetime(2024, 1, 2), "purchase", 3.0),
+        (3, None, "view", 5.0),  # NULL day: counts after every real day
+    ]
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [i for i, *_ in rows],
+                    "ts": [t for _, t, *_ in rows],
+                    "user_id": [7] * len(rows),
+                    "event_type": [e for _, _, e, _ in rows],
+                    "value": [v for *_, v in rows],
+                    "props": ["{}"] * len(rows),
+                }
+            )
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {
+        r.day: (r.view_cum, r.buy_cum, r.leader)
+        for r in QR.ext_window_crossover(spark, str(tmp_path)).collect()
+    }
+    expected = {
+        _dt.date(2024, 1, 1): (1.0, 0.0, "view"),      # first row emits
+        _dt.date(2024, 1, 2): (1.0, 3.0, "purchase"),  # purchase overtakes
+        None: (6.0, 3.0, "view"),                      # NULL day flips back
+    }
+    assert got == expected
