@@ -1409,3 +1409,120 @@ def ext_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_spend",
         F.rank().over(w).cast("int").alias("spend_rank"),
     )
+
+
+@register(
+    "ext_window_rolling_outlier",
+    oracle="""
+    WITH m AS (
+        SELECT p_brand AS brand, l_returnflag AS ret_flag,
+               CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS s
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2, 3
+    ), w AS (
+        SELECT brand, ret_flag, month, s,
+               sum(s) OVER win AS w_sum,
+               count(*) OVER win AS n_w
+        FROM m
+        WINDOW win AS (PARTITION BY brand, ret_flag ORDER BY month
+                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+    ), d AS (
+        SELECT brand, ret_flag, month, s, w_sum, n_w,
+               CAST(floor(CAST(abs(n_w * s - w_sum) AS DOUBLE)
+                          / w_sum * 1000000 + 0.5) AS BIGINT) AS dev6
+        FROM w
+        WHERE 10 * abs(n_w * s - w_sum) > w_sum
+    )
+    SELECT brand, ret_flag, month,
+           ((s + 50) // 100) / 100.0 AS revenue,
+           floor(CAST(w_sum AS DOUBLE) / n_w / 100.0 + 0.5) / 100.0 AS avg3,
+           dev6 / 1000000.0 AS dev_ratio,
+           CAST(rank() OVER (PARTITION BY brand, ret_flag
+                             ORDER BY dev6 DESC, month) AS INTEGER)
+               AS dev_rank
+    FROM d
+    """,
+    tags=("relational", "window"),
+)
+def ext_window_rolling_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q47/q57 idiom — the rolling-deviation outlier report: monthly
+    discounted revenue per (brand, return-flag channel), a CENTERED 3-month
+    moving mean over each series, rows whose deviation from that mean
+    exceeds 10% flagged, and the flagged months ranked per series by
+    relative deviation (q47's rank-on-|sum_sales − avg|/avg, with the
+    moving mean standing in for the year mean).
+
+    Exactness is all-integer until display: per-row revenue is
+    round(price·100)·round((1−disc)·100) — an exact bigint in 10⁻⁴-dollar
+    units, so the monthly sums, the windowed frame sum, and the outlier
+    predicate 10·|n·s − w| > w (the cross-multiplied form of
+    |s − w/n| > 0.1·(w/n)) never touch a float. The deviation ratio used
+    for ranking is fixed at 6dp via floor(x·10⁶ + 0.5) — single IEEE ops
+    with identical semantics in both engines (the yoy/crossover lesson:
+    engine round() diverges on true decimal half-boundaries) — and the
+    rank carries month as a unique tiebreak.
+
+    Plan at scale: lineitem⋈part both grow with SF, so the join is left
+    declarative (SMJ under no-auto-broadcast; AQE may demote — pinned by
+    test_rolling_outlier_no_fact_broadcast); the monthly aggregate is the
+    canonical map-side-combine groupBy; both windows partition by
+    (brand, ret_flag) so the windowed relation — brands × flags × months,
+    metadata-sized — shuffles ONCE, and the rank's re-sort happens within
+    the same partitions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    rev_m4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((F.lit(1) - F.col("l_discount")) * 100).cast("long")
+    )
+    m = (
+        li.join(pt.select("p_partkey", "p_brand"), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_returnflag").alias("ret_flag"),
+            F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month"),
+        )
+        .agg(F.sum(rev_m4).alias("s"))
+    )
+    win = (
+        Window.partitionBy("brand", "ret_flag")
+        .orderBy(F.asc_nulls_last("month"))
+        .rowsBetween(-1, 1)
+    )
+    w = m.select(
+        "brand",
+        "ret_flag",
+        "month",
+        "s",
+        F.sum("s").over(win).alias("w_sum"),
+        F.count(F.lit(1)).over(win).alias("n_w"),
+    )
+    d = w.filter(
+        F.lit(10) * F.abs(F.col("n_w") * F.col("s") - F.col("w_sum"))
+        > F.col("w_sum")
+    ).withColumn(
+        "dev6",
+        F.floor(
+            F.abs(F.col("n_w") * F.col("s") - F.col("w_sum")).cast("double")
+            / F.col("w_sum")
+            * 1000000
+            + 0.5
+        ),
+    )
+    w_rank = Window.partitionBy("brand", "ret_flag").orderBy(
+        F.col("dev6").desc(), F.asc_nulls_last("month")
+    )
+    return d.select(
+        "brand",
+        "ret_flag",
+        "month",
+        (F.expr("(s + 50) div 100") / 100.0).alias("revenue"),
+        (
+            F.floor(F.col("w_sum").cast("double") / F.col("n_w") / 100.0 + 0.5)
+            / 100.0
+        ).alias("avg3"),
+        (F.col("dev6") / 1000000.0).alias("dev_ratio"),
+        F.rank().over(w_rank).cast("int").alias("dev_rank"),
+    )

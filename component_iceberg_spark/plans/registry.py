@@ -59,13 +59,14 @@ _QUERY_MODULES = (
 #
 # ROTATION SCHEDULE (so every query is re-checked within ~3 rounds, and a
 # regression anywhere is externally caught, not just by local pytest).
-# Rotated for r8 (VERDICT r7 "Next round" #1): sentinels lead
-# unconditionally; tier 2 is the 7 never-gated late-r7 newborns plus any
-# query whose code/oracle changes this round; tier 2b re-earns rows for
-# the two late-r7 refactors; the backlog then runs strictly oldest gate
-# row first (r1 -> r2 -> r3 -> r4), so the ~50 window takes the 9+2 head
-# plus the whole r1 tier and most of the r2 tier. Fresh r6/r7 greens sit
-# at the tail and rotate back as their rows age.
+# Rotated for r9 (VERDICT r8 "Next round" #3): sentinels lead
+# unconditionally; tier 2 is the queries whose code changed this round
+# (ext_rollup_rank — the broadcast fix re-earns its row) plus the new r9
+# registration; the backlog then runs strictly oldest gate row first, so
+# the ~50 window takes the 10-name head, the whole 19-name r2 cohort and
+# the first ~21 of the 37-name r3 cohort; the r3 tail leads the r10
+# backlog. Fresh r6-r8 greens sit at the tail and rotate back as their
+# rows age.
 #   1. PINNED SENTINELS -- eight flagships, one per family, EVERY round.
 #   2. Queries with NO gate row ever, plus queries whose implementation
 #      or oracle CHANGED this round -- they (re)earn a green row first.
@@ -84,61 +85,11 @@ _GATE_PRIORITY = (
     "mm_feature_extract",
     "ext_sessionize",
     "sim_ann_ivf",
-    # --- 2. NEVER-GATED: the 7 late-r7 newborns that postdate the r7
-    #     window (all locally exact — assure.py / judge drive). New r8
-    #     queries insert here as they register, and any query whose code
-    #     or oracle changes in r8 moves up here to re-earn its row.
-    "pipeline_token_budget",
-    "stream_rocksdb_state",
-    "snap_upsert_evolve",
-    "sim_mmr_diversify",
-    "pipeline_pack_sequences",
-    "pipeline_temperature_mix",
-    "text_winnow_fingerprint",
-    # new-in-r8 queries (never gated → ahead of the backlog)
-    "pipeline_token_budget_scalable",
-    "ext_profile_columns_approx",
-    "pipeline_pack_sequences_sharded",
-    "ext_spatial_grid_join_salted",
-    "ext_window_crossover",
+    # --- 2. changed-code re-earn (the r9 broadcast-discipline fix) and
+    #     the new r9 registration (never gated).
     "ext_rollup_rank",
-    "pipeline_split_leakage_safe",
-    # r8 changed-code re-earns: winnow pos-wrap (above), histogram oracle
-    # NULL-bin guard, bounded persist-cache refactor (containment, BPE
-    # encode, LSH-pairs consumers)
-    "ext_histogram",
-    "dedup_containment",
-    "text_bpe_encode",
-    "dedup_clusters",
-    "ext_profile_columns",
-    # --- 2b. re-earning rows: refactored late-r7 onto the shared
-    #     quality_score helper OUTSIDE the r7 window (plans unchanged,
-    #     locally re-driven green).
-    "text_quality",
-    "pipeline_curation",
-    # --- backlog: last gate row r1 (9 names, oldest-first tier)
-    "ext_agg_approx",
-    "ext_agg_salted",
-    "ext_range_join",
-    "join_outer",
-    "q12_priority_shipmode",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q6_forecast_revenue",
-    # --- backlog: last gate row r2 (31 names, oldest-first tier)
-    "dedup_exact",
-    "dedup_last_wins",
-    "dedup_ngram_jaccard",
-    "ext_global_rank",
-    "ext_grouped_pandas",
-    "ext_string_agg",
-    "ext_window_distribution",
-    "func_conditional",
-    "func_datetime",
-    "func_json",
-    "func_string",
-    "incremental_load_flag",
+    "ext_window_rolling_outlier",
+    # --- backlog: last gate row r2 (19 names, oldest-first tier)
     "mm_dedup_content",
     "mm_frame_sample",
     "mm_ingest_hash",
@@ -146,11 +97,6 @@ _GATE_PRIORITY = (
     "snap_append_timetravel",
     "snap_catalog_meta",
     "snap_compact",
-    "text_fingerprint",
-    "text_langid",
-    "text_span_dedup",
-    "text_tokens",
-    "text_top_ngrams",
     "snap_delete_where",
     "snap_partitioned_scan",
     "snap_replace",
@@ -158,6 +104,11 @@ _GATE_PRIORITY = (
     "snap_snapshots_list",
     "snap_stats_pruned_scan",
     "snap_update_where",
+    "text_fingerprint",
+    "text_langid",
+    "text_span_dedup",
+    "text_tokens",
+    "text_top_ngrams",
     # --- backlog: last gate row r3 (37 names, oldest-first tier)
     "dedup_simhash",
     "ext_contamination_screen",
@@ -238,94 +189,136 @@ _GATE_PRIORITY = (
     "text_chunk_windows",
     "text_quality_classifier",
     "upsert_by_key",
-    # --- backlog: last gate row r6 (49 names, oldest-first tier)
+    # --- backlog: last gate row r6 (47 names, oldest-first tier)
+    "dedup_incremental_minhash",
+    "ext_agg_grouping_sets",
+    "ext_anomaly_zscore",
+    "ext_cohort_retention",
+    "ext_entity_merge",
+    "ext_event_transitions",
+    "ext_funnel",
+    "ext_fuzzy_join",
+    "ext_gap_fill",
+    "ext_heavy_hitters",
+    "ext_hierarchy_flatten",
+    "ext_integrity_check",
+    "ext_join_bucketed",
+    "ext_join_salted",
+    "ext_pagerank",
+    "ext_percentile_scalable",
+    "ext_session_paths",
+    "ext_split_train_test",
+    "ext_timeseries_features",
+    "ext_window_time_range",
+    "func_bitwise",
+    "func_stats",
+    "pipeline_domain_mix",
     "pipeline_pretrain_prep",
+    "pipeline_quality_buckets",
     "sim_ann_hyperplane",
-    "sim_topk_bruteforce",
+    "sim_ann_pq",
+    "sim_ann_pq_kmeans",
+    "sim_ann_pq_stored",
     "sim_neardup_embedding",
     "sim_quantized_topk",
+    "sim_topk_bruteforce",
+    "snap_changelog_cdc",
+    "snap_cluster_rewrite",
+    "snap_compact_manifests",
+    "snap_expire",
+    "snap_expire_branches",
+    "snap_incremental_agg",
     "snap_upsert",
+    "snap_wap_publish",
     "stream_dedup_watermark",
+    "stream_incremental_dedup",
     "stream_stream_join",
     "stream_upsert_snaptable",
-    "ext_timeseries_features",
-    "ext_integrity_check",
-    "func_bitwise",
-    "ext_pagerank",
-    "snap_expire_branches",
-    "text_tfidf_topterms",
-    "ext_anomaly_zscore",
-    "ext_session_paths",
-    "func_stats",
-    "ext_window_time_range",
-    "ext_event_transitions",
-    "ext_hierarchy_flatten",
-    "ext_entity_merge",
-    "ext_funnel",
-    "ext_cohort_retention",
-    "ext_gap_fill",
-    "ext_fuzzy_join",
     "text_collocations",
-    "pipeline_quality_buckets",
-    "snap_wap_publish",
-    "snap_incremental_agg",
-    "snap_changelog_cdc",
     "text_hybrid_topk",
-    "snap_compact_manifests",
-    "dedup_incremental_minhash",
-    "pipeline_domain_mix",
-    "ext_split_train_test",
-    "sim_ann_pq",
-    "snap_cluster_rewrite",
-    "ext_heavy_hitters",
-    "ext_percentile_scalable",
-    "sim_ann_pq_kmeans",
-    "stream_incremental_dedup",
-    "sim_ann_pq_stored",
-    "ext_agg_grouping_sets",
-    "ext_join_salted",
-    "ext_join_bucketed",
-    "snap_expire",
-    # --- backlog: last gate row r7 (42 names, oldest-first tier)
-    "snap_merge_multi",
-    "snap_orphan_cleanup",
-    "ext_interval_join",
-    "ext_graph_triangles",
-    "ext_corr_matrix",
-    "ext_pca_project",
-    "snap_zorder_rewrite",
-    "ext_shard_shuffle",
-    "ext_dbscan_grid",
-    "stream_anomaly_alerts",
-    "snap_scd2_apply",
-    "text_url_canonicalize",
-    "mm_train_record",
-    "sim_knn_graph_clusters",
-    "ext_sample_weighted",
-    "func_array",
-    "snap_append_ordered",
-    "text_rerank_topk",
-    "stream_topk_trending",
-    "ext_histogram_equidepth",
-    "sim_ann_ivf_stored",
-    "mm_neardup_features",
-    "text_bpe_pair_stats",
-    "text_bpe_merges",
-    "snap_checked_append",
+    "text_tfidf_topterms",
+    # --- backlog: last gate row r7 (39 names, oldest-first tier)
     "ext_abtest_lift",
-    "stream_late_data_drop",
+    "ext_corr_matrix",
+    "ext_dbscan_grid",
+    "ext_dq_expectations",
+    "ext_graph_triangles",
+    "ext_histogram_equidepth",
+    "ext_interval_join",
     "ext_ndcg_eval",
-    "func_map",
+    "ext_pca_project",
+    "ext_regression_ols",
+    "ext_sample_weighted",
+    "ext_shard_shuffle",
+    "ext_skyline",
     "ext_spatial_grid_join",
+    "ext_window_yoy",
+    "func_array",
+    "func_map",
+    "mm_neardup_features",
+    "mm_train_record",
+    "sim_ann_ivf_stored",
+    "sim_knn_graph_clusters",
+    "snap_append_ordered",
+    "snap_checked_append",
     "snap_dpp_join",
     "snap_files_meta",
-    "stream_replay_idempotent",
-    "ext_window_yoy",
+    "snap_merge_multi",
+    "snap_orphan_cleanup",
+    "snap_scd2_apply",
     "snap_timetravel_asof",
-    "ext_skyline",
-    "ext_regression_ols",
+    "snap_zorder_rewrite",
+    "stream_anomaly_alerts",
+    "stream_late_data_drop",
+    "stream_replay_idempotent",
     "stream_state_eviction",
-    "ext_dq_expectations",
+    "stream_topk_trending",
+    "text_bpe_merges",
+    "text_bpe_pair_stats",
+    "text_rerank_topk",
+    "text_url_canonicalize",
+    # --- backlog: last gate row r8 (41 names, oldest-first tier)
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_exact",
+    "dedup_last_wins",
+    "dedup_ngram_jaccard",
+    "ext_agg_approx",
+    "ext_agg_salted",
+    "ext_global_rank",
+    "ext_grouped_pandas",
+    "ext_histogram",
+    "ext_profile_columns",
+    "ext_profile_columns_approx",
+    "ext_range_join",
+    "ext_spatial_grid_join_salted",
+    "ext_string_agg",
+    "ext_window_crossover",
+    "ext_window_distribution",
+    "func_conditional",
+    "func_datetime",
+    "func_json",
+    "func_string",
+    "incremental_load_flag",
+    "join_outer",
+    "pipeline_curation",
+    "pipeline_pack_sequences",
+    "pipeline_pack_sequences_sharded",
+    "pipeline_split_leakage_safe",
+    "pipeline_temperature_mix",
+    "pipeline_token_budget",
+    "pipeline_token_budget_scalable",
+    "q12_priority_shipmode",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q6_forecast_revenue",
+    "sim_mmr_diversify",
+    "snap_upsert_evolve",
+    "stream_rocksdb_state",
+    "text_bpe_encode",
+    "text_quality",
+    "text_winnow_fingerprint",
 )
 
 

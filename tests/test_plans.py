@@ -116,6 +116,22 @@ def test_crossover_one_exchange_before_window(spark, sf_dir):
     assert "partial_sum" in p  # map-side combine under the fact aggregate
 
 
+def test_rolling_outlier_no_fact_broadcast(spark, sf_dir):
+    """ext_window_rolling_outlier joins lineitem⋈part — both grow with
+    scale factor, so no broadcast hint anywhere; and BOTH window specs
+    partition by (brand, ret_flag), so the metadata-sized monthly relation
+    shuffles exactly once for the two window families (4 exchanges total:
+    two SMJ sides, the monthly aggregate, one shared window exchange)."""
+    import re
+
+    p = plan_no_auto_broadcast(spark, sf_dir, "ext_window_rolling_outlier")
+    assert "BroadcastHashJoin" not in p, "fact join must not be hint-broadcast"
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 4
+    assert len(re.findall(r"\(\d+\) Window", p)) == 2
+    assert "partial_sum" in p
+
+
 def test_order_preserve_no_single_partition_sort(spark, sf_dir):
     """The insertion-order index must be built by range-partition + offset
     (global_rank), never a partition-less window that sorts the whole
