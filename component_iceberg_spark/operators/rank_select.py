@@ -284,12 +284,29 @@ def budget_prefix_by_score(
     Caveat (shared with the percentile machinery): a group whose scores
     are all equal collapses to one bucket and that bucket's sort is the
     whole group — the tie-class ceiling, cheap to sort (all keys equal
-    up to the id tiebreak) but not row-reduced."""
+    up to the id tiebreak) but not row-reduced.
+
+    PRECONDITION — ``weight_col`` must be non-negative: the whole-bucket
+    admission step is only equivalent to the greedy window when the
+    running cumsum is monotone. A negative weight would let a later row
+    re-open the budget and the result would silently stop being a
+    prefix, so the projection raises on the first negative weight it
+    scans (a codegen'd CASE, no extra pass — ADVICE r8). Engine callers
+    satisfy it structurally (token counts are counts)."""
+    neg_msg = (
+        f"budget_prefix_by_score: negative value in weight column "
+        f"{weight_col} — the histogram-prefix selection requires "
+        f"non-negative weights (cumsum monotonicity)"
+    )
+    wt_guarded = F.when(
+        F.col(weight_col) < 0,
+        F.raise_error(F.lit(neg_msg)).cast("bigint"),
+    ).otherwise(F.col(weight_col).cast("bigint"))
     base = df.select(
         F.col(group_col).alias("g"),
         F.col(id_col).alias("i"),
         F.col(score_col).cast("double").alias("s"),
-        F.col(weight_col).cast("bigint").alias("wt"),
+        wt_guarded.alias("wt"),
     )
     stats = base.groupBy("g").agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
     width = F.col("mx") - F.col("mn")

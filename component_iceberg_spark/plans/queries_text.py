@@ -1227,6 +1227,18 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # including the final vocab cache the returned lazy plan would
     # otherwise pin for the session lifetime (ADVICE r7).
     lut_rows = vocab.select("tok", n_sym).collect()
+    # Driver-memory guard (ADVICE r8): the collect is bounded by the
+    # DISTINCT-WORD count, not the corpus — but if a future fixture's
+    # vocabulary outgrew broadcast scale this would move the OOM to the
+    # driver silently. Fail loudly instead; at that point the LUT should
+    # stay a DataFrame and the fit caches be released per-generation.
+    _LUT_MAX = 2_000_000  # rows; ~100 MB at avg word length — broadcast-scale
+    if len(lut_rows) > _LUT_MAX:
+        raise RuntimeError(
+            f"text_bpe_encode: vocabulary LUT has {len(lut_rows)} rows "
+            f"(> {_LUT_MAX}) — too large to collect driver-side; keep it "
+            "distributed and broadcast-join instead"
+        )
     for h in handles:
         h.unpersist()
     lut = spark.createDataFrame(lut_rows, "tok string, n_sym int")

@@ -85,10 +85,13 @@ _GATE_PRIORITY = (
     "mm_feature_extract",
     "ext_sessionize",
     "sim_ann_ivf",
-    # --- 2. changed-code re-earn (the r9 broadcast-discipline fix) and
-    #     the new r9 registration (never gated).
+    # --- 2. changed-code re-earns (the r9 broadcast-discipline fix; the
+    #     ADVICE-r9 guards in budget_prefix_by_score and the BPE LUT
+    #     collect) and the new r9 registration (never gated).
     "ext_rollup_rank",
     "ext_window_rolling_outlier",
+    "pipeline_token_budget_scalable",
+    "text_bpe_encode",
     # --- backlog: last gate row r2 (19 names, oldest-first tier)
     "mm_dedup_content",
     "mm_frame_sample",
@@ -307,7 +310,6 @@ _GATE_PRIORITY = (
     "pipeline_split_leakage_safe",
     "pipeline_temperature_mix",
     "pipeline_token_budget",
-    "pipeline_token_budget_scalable",
     "q12_priority_shipmode",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
@@ -316,7 +318,6 @@ _GATE_PRIORITY = (
     "sim_mmr_diversify",
     "snap_upsert_evolve",
     "stream_rocksdb_state",
-    "text_bpe_encode",
     "text_quality",
     "text_winnow_fingerprint",
 )

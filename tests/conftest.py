@@ -40,6 +40,22 @@ def oracle_con(sf_dir):
     con.close()
 
 
+def plan_formatted(df) -> str:
+    """The ONE shared spelling for physical-plan-shape assertions
+    (ADVICE r8): formatted explain text captured through the PUBLIC
+    ``DataFrame.explain`` API — no ``_jvm``/``PythonSQLUtils`` reach-in,
+    so it survives Spark Connect and internal-API changes. Node-count
+    assertions should match the detail headers ``\\n(n) NodeName`` (each
+    node also appears once in the tree section as ``+- NodeName (n)``)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
 def _canon(v):
     """Canonicalize a cell for order-insensitive multiset comparison."""
     if v is None:

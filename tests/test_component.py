@@ -583,3 +583,42 @@ def test_session_cached_reuses_and_evicts(spark):
     with C._LOCK:
         for k in [k for k in C._CACHE if k[0] == app and k[1].startswith("t_")]:
             C._CACHE.pop(k).unpersist()
+
+
+def test_session_cached_lru_bound(spark):
+    """Within ONE live session, distinct keys cannot accumulate persisted
+    relations without limit (ADVICE r8): the cache holds at most
+    _MAX_ENTRIES entries, the least-recently-USED one is unpersisted on
+    overflow, and a touch (cache hit) refreshes recency."""
+    from component_iceberg_spark.plans import cache as C
+
+    app = spark.sparkContext.applicationId
+
+    def drain():
+        # safe: evicted handles recompute from lineage for any caller
+        with C._LOCK:
+            while C._CACHE:
+                _, df = C._CACHE.popitem()
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+
+    drain()
+    dfs = {}
+    for i in range(C._MAX_ENTRIES):
+        dfs[i] = C.session_cached(spark, (f"lru_{i}",), lambda: spark.range(3))
+    # touch entry 0 so it is the MOST recently used
+    assert C.session_cached(spark, ("lru_0",), lambda: spark.range(3)) is dfs[0]
+    # one more key overflows the bound: the LRU victim is evicted —
+    # entry 0 (just touched) survives
+    C.session_cached(spark, ("lru_new",), lambda: spark.range(3))
+    with C._LOCK:
+        assert len(C._CACHE) <= C._MAX_ENTRIES
+        assert (app, "lru_0") in C._CACHE
+        assert (app, "lru_new") in C._CACHE
+    # the evicted relation's handle stays usable (recomputes from lineage)
+    victim = next(df for i, df in dfs.items() if (app, f"lru_{i}") not in C._CACHE)
+    assert victim.count() == 3
+    assert not victim.storageLevel.useMemory  # actually unpersisted
+    drain()

@@ -11,10 +11,9 @@ REGISTRY = load_all()
 
 
 def plan(spark, sf_dir, name: str) -> str:
-    df = REGISTRY[name].fn(spark, sf_dir)
-    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-        df._jdf.queryExecution(), "formatted"
-    )
+    from tests.conftest import plan_formatted
+
+    return plan_formatted(REGISTRY[name].fn(spark, sf_dir))
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):

@@ -482,6 +482,26 @@ def test_budget_prefix_matches_greedy_window(spark):
     assert sum(1 for s, _ in got if s == "fits") == 5
 
 
+def test_budget_prefix_rejects_negative_weight(spark):
+    """A negative weight breaks cumsum monotonicity — the whole-bucket
+    admission would silently return a non-prefix. The projection must
+    raise, not mis-select (ADVICE r8)."""
+    import pytest
+    from pyspark.errors import PySparkRuntimeError
+
+    from component_iceberg_spark.operators import rank_select as RS
+
+    df = spark.createDataFrame(
+        [("s", 0, 5.0, 10), ("s", 1, 4.0, -3), ("s", 2, 3.0, 10)],
+        schema="src string, doc long, score double, wt long",
+    )
+    with pytest.raises((PySparkRuntimeError, Exception), match="negative"):
+        RS.budget_prefix_by_score(
+            df, "src", "score", "wt", "doc", 100,
+            cache_key=("test_budget_prefix_neg",),
+        ).collect()
+
+
 def test_heavy_hitters_excludes_nulls(spark):
     """NULL items are excluded up front — pandas value_counts drops NaN
     inside the MG summaries, so NULLs could never satisfy the

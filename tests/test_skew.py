@@ -210,13 +210,11 @@ def test_grid_join_hot_cell_salting(spark):
     # and the pmod salting expression; the plain plan has neither
     salted_df = _grid_distance_pairs(pts, d, hot_threshold=4, salt_buckets=8)
     plain_df = _grid_distance_pairs(pts, d)
-    def _plan(q):
-        return q._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-            q._jdf.queryExecution(), "formatted"
-        )
     import re
 
-    p_salt, p_plain = _plan(salted_df), _plan(plain_df)
+    from tests.conftest import plan_formatted
+
+    p_salt, p_plain = plan_formatted(salted_df), plan_formatted(plain_df)
     # count physical nodes via the detail-section headers "(n) Generate"
     # (the tree section spells nodes as "+- Generate (n)")
     n_gen = lambda p: len(re.findall(r"\n\(\d+\) Generate", p))  # noqa: E731
