@@ -2205,12 +2205,20 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= WINNOW_MAX_DF)
         .select("fp_hash")
     )
-    a = fp.alias("a")
-    b = fp.alias("b")
+    # df-cap BEFORE the self-join (r9 candidate-volume audit): joining
+    # a⋈b first materializes C(df,2) pairs per fingerprint INCLUDING the
+    # hot ones the rare join then discards — measured 10.3M pre-cap vs
+    # 2.4M post-cap pairs at sf3 (4.3×, and super-linear in corpus size
+    # because hot-hash df grows with constant-density replication).
+    # Semi-reducing each side to rare fingerprints first makes the pair
+    # join's input exactly the surviving volume — same output (the rare
+    # join was an inner filter), sub-linear candidate curve.
+    fp_rare = fp.join(rare, "fp_hash")
+    a = fp_rare.alias("a")
+    b = fp_rare.alias("b")
     return (
         a.join(b, "fp_hash")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .join(rare, "fp_hash")
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

@@ -92,6 +92,7 @@ _GATE_PRIORITY = (
     "ext_window_rolling_outlier",
     "pipeline_token_budget_scalable",
     "text_bpe_encode",
+    "text_winnow_fingerprint",
     # --- backlog: last gate row r2 (19 names, oldest-first tier)
     "mm_dedup_content",
     "mm_frame_sample",
@@ -319,7 +320,6 @@ _GATE_PRIORITY = (
     "snap_upsert_evolve",
     "stream_rocksdb_state",
     "text_quality",
-    "text_winnow_fingerprint",
 )
 
 
