@@ -53,6 +53,14 @@ SF3_QUERIES = (
     # df-capped pair counts should grow ~linearly with the corpus, never
     # quadratically
     "text_winnow_fingerprint",
+    # r9 (VERDICT r8 stretch): extend the 30x curve beyond the dedup
+    # family — the histogram-prefix budget twin's two corpus passes, and
+    # the salted grid join (constant-AREA fixture, so 30x density: pair
+    # OUTPUT grows ~quadratically in occupancy by construction — the wall
+    # tracks output, per the r8 salting-boundary note, not a shuffle
+    # defect)
+    "pipeline_token_budget_scalable",
+    "ext_spatial_grid_join_salted",
 )
 
 # Representative slice of the registry: scan, agg, joins, windows,
@@ -215,6 +223,8 @@ def ensure_scale(
         src_tables.append("events")
     if "documents" in tables:
         src_tables.append("documents")
+    if "customer" in tables and "tpch" not in tables:
+        src_tables.append("customer")
     if "tpch" in tables:
         src_tables += [
             "orders", "lineitem", "customer", "supplier", "part", "nation",
@@ -337,6 +347,13 @@ def ensure_scale(
                 for c in base.columns
             ]
         )
+
+    # standalone customer build (sf3 spatial row) — same keyed offsets as
+    # the tpch family so the fixture is a valid subset of a full build
+    if "customer" in tables and "tpch" not in tables:
+        replicate("customer", keyed).coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "customer.parquet"))
 
     if "tpch" in tables:
         for table, parts in (
@@ -533,6 +550,34 @@ def main() -> None:
                     sf1_cold[name] = round(took, 3)
                 best = min(best, took)
             sf1_timings[name] = round(best, 3)
+        # Second salted-grid row at a PRODUCTION-shaped threshold
+        # (ADVICE/VERDICT r8 #5): the registered query ships with
+        # _SPATIAL_HOT=1 so the oracle exercises the salt lanes on the
+        # sparse fixture — an adversarial configuration where EVERY
+        # 2+-point cell pays the 8x lane fan-out. This row sets the
+        # threshold to the fixture's p99 cell occupancy (30 at sf1,
+        # measured: 12,699 cells, max 40), so only genuinely hot cells
+        # salt and cold cells run at plain-twin cost — the intended
+        # regime the knob documents.
+        import component_iceberg_spark.plans.queries_analytics as _QA
+
+        _prod_key = "ext_spatial_grid_join_salted@hot30"
+        best = float("inf")
+        for i in range(3):
+            t0 = time.perf_counter()
+            force(
+                _QA._grid_distance_pairs(
+                    _QA._spatial_points(spark, SF1_DIR),
+                    _QA._SPATIAL_D,
+                    hot_threshold=30,
+                    salt_buckets=8,
+                )
+            )
+            took = time.perf_counter() - t0
+            if i == 0:
+                sf1_cold[_prod_key] = round(took, 3)
+            best = min(best, took)
+        sf1_timings[_prod_key] = round(best, 3)
         result["sf1"] = {
             "queries": sf1_timings,
             "first_run": sf1_cold,
@@ -546,7 +591,11 @@ def main() -> None:
             "note": (
                 "10x replication at constant cluster/duplicate density; "
                 "best-of-3 per query (same warm-session methodology as "
-                "the sf0.1 column); first_run records the cold pass"
+                "the sf0.1 column); first_run records the cold pass; "
+                "the @hot30 row re-runs the salted grid join with the "
+                "production-shaped threshold (p99 cell occupancy) where "
+                "only genuinely hot cells salt — the registered query's "
+                "threshold=1 measures the adversarial all-cells-hot case"
             ),
         }
 
@@ -558,10 +607,11 @@ def main() -> None:
         # methodology as sf1; only documents + embeddings materialize.
         t0 = time.perf_counter()
         ensure_scale(
-            spark, SF3_DIR, SF3_REPLICAS, tables=("embeddings", "documents")
+            spark, SF3_DIR, SF3_REPLICAS,
+            tables=("embeddings", "documents", "customer"),
         )
         gen3 = round(time.perf_counter() - t0, 3)
-        for t in ("embeddings", "documents"):
+        for t in ("embeddings", "documents", "customer"):
             force(spark.read.parquet(os.path.join(SF3_DIR, f"{t}.parquet")))
         sf3_timings: dict[str, float] = {}
         sf3_cold: dict[str, float] = {}
