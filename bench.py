@@ -504,6 +504,9 @@ def main() -> None:
         "ext_window_crossover",
         "ext_rollup_rank",
         "pipeline_split_leakage_safe",
+        # new in r9
+        "ext_window_rolling_outlier",
+        "ext_active_users_trailing",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -1406,3 +1406,85 @@ def ext_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("num") * 1.0 / den) * (F.col("num") * 1.0 / deny), 6
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window distinct users (r9) — the rolling COUNT DISTINCT idiom
+# ---------------------------------------------------------------------------
+
+_TRAILING_DAYS = 7
+
+_ACTIVE_TRAILING_ORACLE = f"""
+WITH ud AS (
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+    FROM events
+    WHERE ts IS NOT NULL
+),
+exploded AS (
+    SELECT DISTINCT ud.d + CAST(r.i AS INTEGER) AS day, user_id
+    FROM ud, unnest(range(0, {_TRAILING_DAYS})) AS r(i)
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_active_7d
+FROM exploded
+WHERE day <= (SELECT max(d) FROM ud)
+GROUP BY day
+"""
+
+
+@register(
+    "ext_active_users_trailing",
+    oracle=_ACTIVE_TRAILING_ORACLE,
+    tags=("ext", "analytics", "window"),
+)
+def ext_active_users_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the retention/DAU
+    idiom every analytics stack needs and SQL windows cannot express
+    (COUNT(DISTINCT) is not a legal window frame aggregate in either
+    engine; a RANGE frame would double-count a user active on several
+    days of the window).
+
+    The Spark-first re-expression makes the distinct set EXPLICIT:
+    (1) dedup events to distinct (user, day) pairs — the relation
+    shrinks from |events| to at most |users|·|days|; (2) each pair
+    votes for the {_TRAILING_DAYS} calendar days whose trailing window
+    it falls in — a BOUNDED 7× Generate, not a range self-join;
+    (3) distinct (day, user) then a per-day count. Days beyond the last
+    observed day are clipped (their windows are not fully observable).
+    A day appears iff some user was active in its trailing week — a
+    ≥7-day global silence gap yields no row (count 0), matching the
+    oracle exactly.
+
+    Scale: two hash shuffles on metadata-shrunk relations (the pair
+    dedup combines map-side; the 7× fan-out happens AFTER dedup), no
+    window over the fact table, no range join. At 100 TB the events
+    scan dominates and everything downstream is |users|·|days|-bounded.
+    Exactness: pure integer counts on exact DATE arithmetic — no float
+    anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.filter(F.col("ts").isNotNull())
+        .select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+            "user_id",
+        )
+        .distinct()
+    )
+    max_day = ud.agg(F.max("d").alias("mx"))
+    exploded = (
+        ud.select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_TRAILING_DAYS - 1))
+            ).alias("i"),
+            "d",
+            "user_id",
+        )
+        .select(F.date_add(F.col("d"), F.col("i")).alias("day"), "user_id")
+        .distinct()
+    )
+    return (
+        exploded.join(
+            F.broadcast(max_day), F.col("day") <= F.col("mx"), "left_semi"
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active_7d"))
+    )

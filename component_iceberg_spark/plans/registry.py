@@ -90,6 +90,7 @@ _GATE_PRIORITY = (
     #     collect) and the new r9 registration (never gated).
     "ext_rollup_rank",
     "ext_window_rolling_outlier",
+    "ext_active_users_trailing",
     "pipeline_token_budget_scalable",
     "text_bpe_encode",
     "text_winnow_fingerprint",

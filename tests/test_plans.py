@@ -730,3 +730,17 @@ def test_regression_ols_survives_int64_moment_overflow(spark, monkeypatch):
     assert abs(got["slope"] - slope) < 1e-4, (got["slope"], slope)
     assert abs(got["intercept"] - intercept) < 1e-2
     assert 0.0 < got["r2"] <= 1.0
+
+
+def test_active_users_trailing_no_fact_window(spark, sf_dir):
+    """ext_active_users_trailing must NOT window or range-join the fact
+    table: the rolling COUNT DISTINCT is re-expressed as pair dedup → a
+    bounded 7× Generate → per-day count. The plan shows exactly one
+    Generate (the day fan-out, placed AFTER the dedup), zero Window
+    nodes, and map-side partial aggregation."""
+    import re
+
+    p = plan(spark, sf_dir, "ext_active_users_trailing")
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 1
+    assert not re.search(r"\(\d+\) Window", p), "no window over the fact table"
+    assert "partial_count" in p or "partial_" in p

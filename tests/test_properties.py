@@ -1716,3 +1716,59 @@ def test_crossover_null_day_counts_last(spark, tmp_path):
         None: (6.0, 3.0, "view"),                      # NULL day flips back
     }
     assert got == expected
+
+
+def test_active_users_trailing_semantics(spark, tmp_path):
+    """ext_active_users_trailing (the REAL query on a crafted fixture):
+    each day counts DISTINCT users active in its trailing 7 days — a user
+    active on several window days counts once; a >=7-day silence gap
+    yields NO row for the uncovered days; days past the last observed day
+    are clipped; NULL ts rows are ignored."""
+    import datetime as _dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import component_iceberg_spark.plans.queries_analytics as QA
+
+    D = _dt.datetime
+    rows = [
+        # (event_id, ts, user_id): u1 twice on Jan 1 + once on Jan 2 — the
+        # pair dedup must collapse the repeat; u2 on Jan 1; 13-day silence;
+        # u3 on Jan 15 (its window days 16..21 must clip away)
+        (1, D(2024, 1, 1, 9), 1),
+        (2, D(2024, 1, 1, 17), 1),
+        (3, D(2024, 1, 2, 8), 1),
+        (4, D(2024, 1, 1, 12), 2),
+        (5, D(2024, 1, 15, 10), 3),
+        (6, None, 4),  # NULL ts: contributes nowhere
+    ]
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [i for i, *_ in rows],
+                    "ts": [t for _, t, _ in rows],
+                    "user_id": [u for *_, u in rows],
+                    "event_type": ["view"] * len(rows),
+                    "value": [1.0] * len(rows),
+                    "props": ["{}"] * len(rows),
+                }
+            )
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {
+        r.day: r.n_active_7d
+        for r in QA.ext_active_users_trailing(spark, str(tmp_path)).collect()
+    }
+    d = _dt.date
+    expected = {
+        # days 1-7 all cover Jan 1 (u1, u2); Jan 2 adds no new user
+        **{d(2024, 1, k): 2 for k in range(1, 8)},
+        d(2024, 1, 8): 1,   # window [Jan 2..8]: only u1
+        # Jan 9-14: no activity in any trailing window — NO rows
+        d(2024, 1, 15): 1,  # u3; days 16..21 clipped (past max observed)
+    }
+    assert got == expected
