@@ -648,9 +648,15 @@ def main() -> None:
                 if sf1_q.get(n)
             },
             "note": (
-                "30x constant-density spot-check for the dedup family; "
-                "sub-linear-in-30x wall confirms the candidate-volume "
-                "curve holds past the 10x point"
+                "30x constant-density spot-check: the dedup family plus "
+                "the r9 additions pipeline_token_budget_scalable (warm "
+                "read is session-cached by design; cold in first_run) "
+                "and ext_spatial_grid_join_salted. Sub-linear-in-30x "
+                "wall confirms the candidate-volume curve for the dedup "
+                "rows; the salted-grid wall is intentionally "
+                "super-linear — output pairs grow quadratically on the "
+                "constant-area fixture (see the SF3_QUERIES comment) — "
+                "so its row tracks pair output, not a plan defect"
             ),
         }
 

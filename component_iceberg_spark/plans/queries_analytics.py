@@ -1446,8 +1446,8 @@ def ext_active_users_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     The Spark-first re-expression makes the distinct set EXPLICIT:
     (1) dedup events to distinct (user, day) pairs — the relation
     shrinks from |events| to at most |users|·|days|; (2) each pair
-    votes for the {_TRAILING_DAYS} calendar days whose trailing window
-    it falls in — a BOUNDED 7× Generate, not a range self-join;
+    votes for the 7 calendar days whose trailing window it falls in —
+    a BOUNDED 7× Generate, not a range self-join;
     (3) distinct (day, user) then a per-day count. Days beyond the last
     observed day are clipped (their windows are not fully observable).
     A day appears iff some user was active in its trailing week — a

@@ -1526,3 +1526,190 @@ def ext_window_rolling_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dev6") / 1000000.0).alias("dev_ratio"),
         F.rank().over(w_rank).cast("int").alias("dev_rank"),
     )
+
+
+@register(
+    "ext_join_multipass",
+    oracle="""
+    WITH sales AS (
+        SELECT p_partkey, p_name, n_c.n_name AS cust_nation,
+               CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                    THEN 1995 ELSE 1996 END AS yr,
+               count(*) AS cnt,
+               sum(CAST(l_quantity AS BIGINT)) AS qty,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n_c ON c_nationkey = n_c.n_nationkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n_s ON s_nationkey = n_s.n_nationkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND p_size <= 25
+          AND n_s.n_name <> n_c.n_name
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT a.p_partkey, a.p_name, a.cust_nation,
+           a.cnt AS cnt_y1, b.cnt AS cnt_y2,
+           CAST(a.qty AS BIGINT) AS qty_y1, CAST(b.qty AS BIGINT) AS qty_y2,
+           ((a.rev + 50) // 100) / 100.0 AS rev_y1,
+           ((b.rev + 50) // 100) / 100.0 AS rev_y2
+    FROM sales a JOIN sales b
+      ON a.p_partkey = b.p_partkey AND a.cust_nation = b.cust_nation
+    WHERE a.yr = 1995 AND b.yr = 1996 AND b.rev > a.rev
+    """,
+    tags=("relational", "join", "agg"),
+)
+def ext_join_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q64 idiom — the multi-pass deep join chain: the fact
+    (lineitem) joined through a 6-relation dimension chain (orders →
+    customer → nation, supplier → nation, part) TWICE — once per sale
+    year — then the two per-year aggregates self-joined on the item key
+    to report (part, customer-nation) international sale channels whose
+    revenue GREW year-over-year (q64's cross-year cnt comparison, with
+    revenue standing in for the repeat-purchase count).
+
+    Each year pass is built from its own date-range filter at the
+    source, so the o_orderdate predicate is a plain range the Parquet
+    scan can push (q64's date_dim join re-expressed as partition-
+    prunable scan filters — at 100 TB each pass reads exactly its
+    year's partitions, never the whole fact). Join discipline per pass:
+    only the BOUNDED dim (nation, 25 rows, joined twice via aliases as
+    in q7/q8) carries a broadcast hint; orders/customer/supplier/part
+    all grow with scale factor so those joins stay declarative
+    (sort-merge at scale, AQE may demote — pinned by
+    test_multipass_join_discipline). The cross-year self-join runs on
+    the AGGREGATED relation — items × nations × years, metadata-sized
+    next to the fact — so the expensive work never crosses years.
+
+    Exactness: counts and quantities are pure integers; revenue is the
+    all-integer 10⁻⁴-dollar lane (round(price·100) · round((1−disc)·100),
+    summed as bigint) with the year-over-year comparison done on the
+    integer lane and a single divide at display — no float until the
+    final projection (cross-engine rule: engine round() is only trusted
+    on the single-value cent scale, never on accumulated sums)."""
+    n_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    n_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev_m4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((F.lit(1) - F.col("l_discount")) * 100).cast("long")
+    )
+
+    def year_pass(lo: str, hi: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+        )
+        c = load_table(spark, sf_dir, "customer")
+        s = load_table(spark, sf_dir, "supplier")
+        p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+        return (
+            li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+            .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == c.c_custkey)
+            .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("nc_key"))
+            .join(s.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
+            .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("ns_key"))
+            .join(p.select("p_partkey", "p_name"), li.l_partkey == p.p_partkey)
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("p_partkey", "p_name", "cust_nation")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+                F.sum(rev_m4).alias("rev"),
+            )
+        )
+
+    a = year_pass("1995-01-01", "1996-01-01")
+    b = year_pass("1996-01-01", "1997-01-01").select(
+        F.col("p_partkey").alias("b_partkey"),
+        F.col("cust_nation").alias("b_nation"),
+        F.col("cnt").alias("cnt_y2"),
+        F.col("qty").alias("qty_y2"),
+        F.col("rev").alias("rev_y2"),
+    )
+    return (
+        a.join(
+            b,
+            (a.p_partkey == b.b_partkey) & (a.cust_nation == b.b_nation),
+        )
+        .filter(F.col("rev_y2") > F.col("rev"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "cust_nation",
+            F.col("cnt").alias("cnt_y1"),
+            "cnt_y2",
+            F.col("qty").alias("qty_y1"),
+            "qty_y2",
+            (F.expr("(rev + 50) div 100") / 100.0).alias("rev_y1"),
+            (F.expr("(rev_y2 + 50) div 100") / 100.0).alias("rev_y2"),
+        )
+    )
+
+
+_MULTIBAND_LANES = tuple(range(0, 24, 3))  # 8 three-hour bands
+
+_MULTIBAND_ORACLE = "SELECT " + ",\n       ".join(
+    [
+        lane
+        for lo in _MULTIBAND_LANES
+        for lane in (
+            f"CAST(sum(CASE WHEN h >= {lo} AND h < {lo + 3} THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n_h{lo}",
+            f"CAST(sum(CASE WHEN h >= {lo} AND h < {lo + 3} THEN vc ELSE 0 END)"
+            f" AS BIGINT) AS v_h{lo}",
+        )
+    ]
+    + ["CAST(count(*) AS BIGINT) AS n_total"]
+) + (
+    "\nFROM (SELECT hour(ts) AS h, CAST(round(value * 100) AS BIGINT) AS vc"
+    "\n      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)"
+)
+
+
+@register(
+    "ext_multiband_counts",
+    oracle=_MULTIBAND_ORACLE,
+    tags=("relational", "agg"),
+)
+def ext_multiband_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 idiom — N time-band counts from ONE scan: eight
+    three-hour-of-day traffic bands, each reported as a row count and an
+    exact value total, in a single pass over events. q88 spells this as
+    eight scalar subqueries (eight scans in a naive engine); the
+    Spark-first re-expression is conditional-sum lanes in one aggregate
+    — the same "N filters ≠ N scans" contract ext_dq_expectations pins
+    for data-quality checks, applied to q88's band report.
+    test_multiband_single_scan pins the plan: one Parquet scan, zero
+    joins, partial (map-side) aggregation, and a single final exchange —
+    the only shuffled rows are the 17-lane partial states, so at 100 TB
+    the query is exactly one fact-table pass regardless of band count.
+
+    Exactness: counts are pure integers; per-band value totals are
+    integer-cent lanes (round(value·100) summed as bigint — engine
+    round() trusted only on the single-value cent scale), so every
+    column hash-matches DuckDB with no rounding policy at all."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    h = F.hour("ts")
+    vc = F.round(F.col("value") * 100).cast("long")
+    lanes = []
+    for lo in _MULTIBAND_LANES:
+        band = (h >= lo) & (h < lo + 3)
+        lanes.append(
+            F.sum(F.when(band, 1).otherwise(0)).cast("long").alias(f"n_h{lo}")
+        )
+        lanes.append(
+            F.sum(F.when(band, vc).otherwise(0)).cast("long").alias(f"v_h{lo}")
+        )
+    lanes.append(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return ev.agg(*lanes)

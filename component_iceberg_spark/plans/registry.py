@@ -59,14 +59,15 @@ _QUERY_MODULES = (
 #
 # ROTATION SCHEDULE (so every query is re-checked within ~3 rounds, and a
 # regression anywhere is externally caught, not just by local pytest).
-# Rotated for r9 (VERDICT r8 "Next round" #3): sentinels lead
-# unconditionally; tier 2 is the queries whose code changed this round
-# (ext_rollup_rank — the broadcast fix re-earns its row) plus the new r9
-# registration; the backlog then runs strictly oldest gate row first, so
-# the ~50 window takes the 10-name head, the whole 19-name r2 cohort and
-# the first ~21 of the 37-name r3 cohort; the r3 tail leads the r10
-# backlog. Fresh r6-r8 greens sit at the tail and rotate back as their
-# rows age.
+# Rotated for r10 (VERDICT r9 "Next round" #1): sentinels lead
+# unconditionally; tier 2 is the two new r10 registrations (the TPC-DS
+# q64-style multi-pass join chain and the q88-style multi-band single
+# scan — never gated); the backlog then runs strictly oldest gate row
+# first: the r3 TAIL the r9 window cut (20 names, q20 onward through the
+# snap/text r3 block), then the 41-name r4 cohort — the ~50 window takes
+# the 30-name head plus the first ~20 r4 names; the r4 remainder leads
+# the r11 backlog. Everything gated in r9 (the r2 cohort, the r3 head,
+# the r9 tier-2 re-earns) sits at the tail as the freshest evidence.
 #   1. PINNED SENTINELS -- eight flagships, one per family, EVERY round.
 #   2. Queries with NO gate row ever, plus queries whose implementation
 #      or oracle CHANGED this round -- they (re)earn a green row first.
@@ -85,53 +86,13 @@ _GATE_PRIORITY = (
     "mm_feature_extract",
     "ext_sessionize",
     "sim_ann_ivf",
-    # --- 2. changed-code re-earns (the r9 broadcast-discipline fix; the
-    #     ADVICE-r9 guards in budget_prefix_by_score and the BPE LUT
-    #     collect) and the new r9 registration (never gated).
-    "ext_rollup_rank",
-    "ext_window_rolling_outlier",
-    "ext_active_users_trailing",
-    "pipeline_token_budget_scalable",
-    "text_bpe_encode",
-    "text_winnow_fingerprint",
-    # --- backlog: last gate row r2 (19 names, oldest-first tier)
-    "mm_dedup_content",
-    "mm_frame_sample",
-    "mm_ingest_hash",
-    "snap_append_current",
-    "snap_append_timetravel",
-    "snap_catalog_meta",
-    "snap_compact",
-    "snap_delete_where",
-    "snap_partitioned_scan",
-    "snap_replace",
-    "snap_schema_evolution",
-    "snap_snapshots_list",
-    "snap_stats_pruned_scan",
-    "snap_update_where",
-    "text_fingerprint",
-    "text_langid",
-    "text_span_dedup",
-    "text_tokens",
-    "text_top_ngrams",
-    # --- backlog: last gate row r3 (37 names, oldest-first tier)
-    "dedup_simhash",
-    "ext_contamination_screen",
-    "ext_nested_ops",
-    "ext_percentile_exact",
-    "ext_sample_deterministic",
-    "ext_sample_group_cap",
-    "ext_sample_stratified",
-    "mm_audio_segments",
-    "mm_frame_features",
-    "mm_frame_hash",
-    "mm_probe_audio",
-    "mm_probe_video",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_part_supplier_cnt",
-    "q19_discounted_revenue",
+    # --- 2. new r10 registrations (never gated): the TPC-DS q64 idiom
+    #     (multi-pass deep join chain) and the q88 idiom (multi-band
+    #     single-scan lanes).
+    "ext_join_multipass",
+    "ext_multiband_counts",
+    # --- backlog: last gate row r3 (the 20-name tail the r9 window cut,
+    #     oldest-first tier)
     "q20_excess_suppliers",
     "q21_waiting_supplier",
     "q22_dormant_customers",
@@ -321,6 +282,50 @@ _GATE_PRIORITY = (
     "snap_upsert_evolve",
     "stream_rocksdb_state",
     "text_quality",
+    # --- backlog: last gate row r9 (42 names — the r9 tier-2 re-earns,
+    #     the full r2 cohort, and the r3 head; freshest evidence, tail)
+    "ext_rollup_rank",
+    "ext_window_rolling_outlier",
+    "ext_active_users_trailing",
+    "pipeline_token_budget_scalable",
+    "text_bpe_encode",
+    "text_winnow_fingerprint",
+    "mm_dedup_content",
+    "mm_frame_sample",
+    "mm_ingest_hash",
+    "snap_append_current",
+    "snap_append_timetravel",
+    "snap_catalog_meta",
+    "snap_compact",
+    "snap_delete_where",
+    "snap_partitioned_scan",
+    "snap_replace",
+    "snap_schema_evolution",
+    "snap_snapshots_list",
+    "snap_stats_pruned_scan",
+    "snap_update_where",
+    "text_fingerprint",
+    "text_langid",
+    "text_span_dedup",
+    "text_tokens",
+    "text_top_ngrams",
+    "dedup_simhash",
+    "ext_contamination_screen",
+    "ext_nested_ops",
+    "ext_percentile_exact",
+    "ext_sample_deterministic",
+    "ext_sample_group_cap",
+    "ext_sample_stratified",
+    "mm_audio_segments",
+    "mm_frame_features",
+    "mm_frame_hash",
+    "mm_probe_audio",
+    "mm_probe_video",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_part_supplier_cnt",
+    "q19_discounted_revenue",
 )
 
 

@@ -744,3 +744,46 @@ def test_active_users_trailing_no_fact_window(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Generate", p)) == 1
     assert not re.search(r"\(\d+\) Window", p), "no window over the fact table"
     assert "partial_count" in p or "partial_" in p
+
+
+def test_multipass_join_discipline(spark, sf_dir):
+    """ext_join_multipass (TPC-DS q64 idiom): two year passes, each a
+    6-relation join chain. Discipline: each pass's o_orderdate range is
+    PUSHED into its own orders scan (partition-prunable at scale — each
+    pass reads one year, never the whole fact); exactly the 4 bounded
+    nation broadcasts survive with auto-broadcast off (2 aliases × 2
+    passes); every growing-side join (orders/customer/supplier/part per
+    pass + the cross-year self-join on the aggregate) plans sort-merge;
+    the per-year aggregate combines map-side before its shuffle."""
+    import re
+
+    p = plan_no_auto_broadcast(spark, sf_dir, "ext_join_multipass")
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 4, (
+        "exactly the bounded nation dims broadcast (2 aliases x 2 passes)"
+    )
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", p)) == 9, (
+        "4 growing-side joins per pass + the cross-year self-join"
+    )
+    pushed = [
+        ln for ln in p.splitlines() if "PushedFilters:" in ln and "o_orderdate" in ln
+    ]
+    assert len(pushed) == 2, "each year pass pushes its own date range"
+    assert any("1995-01-01" in ln and "1996-01-01" in ln for ln in pushed)
+    assert any("1996-01-01" in ln and "1997-01-01" in ln for ln in pushed)
+    assert "partial_sum" in p, "per-year aggregate combines map-side"
+
+
+def test_multiband_single_scan(spark, sf_dir):
+    """ext_multiband_counts (TPC-DS q88 idiom): all 8 time bands are
+    conditional-sum lanes in ONE aggregate over ONE events scan — never
+    a scan or join per band. The only exchange is the SinglePartition
+    final-aggregate shuffle, whose input is the map-side partial states
+    (17 lanes per task), not fact rows."""
+    import re
+
+    p = plan(spark, sf_dir, "ext_multiband_counts")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, "one scan only"
+    assert not re.search(r"\(\d+\) \w*Join", p), "no join — lanes, not subqueries"
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "SinglePartition" in p
+    assert "partial_sum" in p or "partial_count" in p
