@@ -581,6 +581,60 @@ def main() -> None:
                 sf1_cold[_prod_key] = round(took, 3)
             best = min(best, took)
         sf1_timings[_prod_key] = round(best, 3)
+        # Third: the VERIFY-HEAVY dense-fixture twins (VERDICT r9 #5) —
+        # the regime where the r8 DESIGN_NOTES boundary note says salting
+        # WINS: candidates quadratic, output small. One 400-unit grid
+        # cell holds a 48k-point blob while the verify distance stays 10
+        # (~2.3G candidate pairs -> 2.18M surviving output, a ~10^3:1
+        # verify kill), over a 40k uniform background whose cells stay
+        # under the threshold. Auto-broadcast is OFF for both twins: at
+        # 100 TB neither join side fits under any broadcast threshold,
+        # and a broadcast hash probe has no skew to salt (measured: with
+        # broadcast on, plain wins at every blob size because every core
+        # probes its own slice — no straggler exists). AQE's skew split
+        # does not absorb the shape either — it sizes partitions in
+        # BYTES (the blob is ~2 MB) and cannot see quadratic pair work.
+        # hot_threshold=30 salts only the blob cell; best-of-2 to bound
+        # the bench cost of the deliberately expensive plain twin.
+        from pyspark.sql import functions as F
+
+        _bg = spark.range(40_000).select(
+            F.col("id"),
+            ((F.col("id") * 2654435761) % 10_000_000 / 1000.0).alias("x"),
+            ((F.col("id") * 40503) % 10_000_000 / 1000.0).alias("y"),
+        )
+        _blob = spark.range(48_000).select(
+            (F.col("id") + 10_000_000).alias("id"),
+            (5000.0 + ((F.col("id") * 48271) % 400_000) / 1000.0).alias("x"),
+            (5000.0 + ((F.col("id") * 16807) % 400_000) / 1000.0).alias("y"),
+        )
+        _dense_pts = _bg.unionByName(_blob)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            for _dense_key, _kw in (
+                ("ext_spatial_grid_join@dense", {}),
+                (
+                    "ext_spatial_grid_join_salted@dense",
+                    {"hot_threshold": 30, "salt_buckets": 8},
+                ),
+            ):
+                best = float("inf")
+                for i in range(2):
+                    t0 = time.perf_counter()
+                    force(
+                        _QA._grid_distance_pairs(
+                            _dense_pts, 10.0, cell=400.0, **_kw
+                        )
+                    )
+                    took = time.perf_counter() - t0
+                    if i == 0:
+                        sf1_cold[_dense_key] = round(took, 3)
+                    best = min(best, took)
+                sf1_timings[_dense_key] = round(best, 3)
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
         result["sf1"] = {
             "queries": sf1_timings,
             "first_run": sf1_cold,
@@ -598,7 +652,12 @@ def main() -> None:
                 "the @hot30 row re-runs the salted grid join with the "
                 "production-shaped threshold (p99 cell occupancy) where "
                 "only genuinely hot cells salt — the registered query's "
-                "threshold=1 measures the adversarial all-cells-hot case"
+                "threshold=1 measures the adversarial all-cells-hot case; "
+                "the @dense twins are the crafted verify-heavy fixture "
+                "(one 48k-point hot cell, ~10^3:1 verify kill, "
+                "auto-broadcast off — the 100 TB shuffle-join regime) "
+                "where salting WINS, evidencing the r8 boundary note's "
+                "claim from the other side"
             ),
         }
 

@@ -1137,6 +1137,7 @@ def _grid_distance_pairs(
     d: float,
     hot_threshold: int | None = None,
     salt_buckets: int = 8,
+    cell: float | None = None,
 ) -> DataFrame:
     """Grid distance self-join body, shared by the plain and the
     hot-cell-salted variants. With ``hot_threshold`` set, any cell whose
@@ -1146,9 +1147,20 @@ def _grid_distance_pairs(
     ONLY (cold cells keep lane 0, so the extra replication is paid
     exactly where the density is). The salt is placement-only — the pair
     set is identical — and the hot-cell list is a metadata-sized
-    broadcast (cells, not points)."""
-    cx = F.floor(F.col("x") / d)
-    cy = F.floor(F.col("y") / d)
+    broadcast (cells, not points).
+
+    ``cell`` decouples the candidate grid's cell size from the verify
+    distance ``d`` (default: equal, the registered queries' shape). A
+    coarser grid (cell > d) makes candidate generation cheaper but the
+    verify predicate kill-heavy — the regime where hot-cell salting pays
+    (candidates quadratic, output small; see the r8 DESIGN_NOTES
+    boundary note). Correctness needs cell >= d: the 3x3 neighborhood
+    of a cell covers all points within ``cell`` of it."""
+    if cell is None:
+        cell = d
+    assert cell >= d, "coarser-grid candidates must still cover distance d"
+    cx = F.floor(F.col("x") / cell)
+    cy = F.floor(F.col("y") / cell)
     # side B sits at its own cell
     b = pts.select(
         F.col("id").alias("pb"), F.col("x").alias("xb"),

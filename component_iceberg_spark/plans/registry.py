@@ -62,10 +62,11 @@ _QUERY_MODULES = (
 # Rotated for r10 (VERDICT r9 "Next round" #1): sentinels lead
 # unconditionally; tier 2 is the two new r10 registrations (the TPC-DS
 # q64-style multi-pass join chain and the q88-style multi-band single
-# scan — never gated); the backlog then runs strictly oldest gate row
+# scan — never gated) plus the two spatial twins whose shared body
+# changed this round; the backlog then runs strictly oldest gate row
 # first: the r3 TAIL the r9 window cut (20 names, q20 onward through the
 # snap/text r3 block), then the 41-name r4 cohort — the ~50 window takes
-# the 30-name head plus the first ~20 r4 names; the r4 remainder leads
+# the 32-name head plus the first ~18 r4 names; the r4 remainder leads
 # the r11 backlog. Everything gated in r9 (the r2 cohort, the r3 head,
 # the r9 tier-2 re-earns) sits at the tail as the freshest evidence.
 #   1. PINNED SENTINELS -- eight flagships, one per family, EVERY round.
@@ -88,9 +89,13 @@ _GATE_PRIORITY = (
     "sim_ann_ivf",
     # --- 2. new r10 registrations (never gated): the TPC-DS q64 idiom
     #     (multi-pass deep join chain) and the q88 idiom (multi-band
-    #     single-scan lanes).
+    #     single-scan lanes); plus changed-code re-earns — the shared
+    #     grid-join body grew the `cell` parameter (dense-fixture bench
+    #     evidence), so both spatial twins re-earn their rows.
     "ext_join_multipass",
     "ext_multiband_counts",
+    "ext_spatial_grid_join",
+    "ext_spatial_grid_join_salted",
     # --- backlog: last gate row r3 (the 20-name tail the r9 window cut,
     #     oldest-first tier)
     "q20_excess_suppliers",
@@ -217,7 +222,6 @@ _GATE_PRIORITY = (
     "ext_sample_weighted",
     "ext_shard_shuffle",
     "ext_skyline",
-    "ext_spatial_grid_join",
     "ext_window_yoy",
     "func_array",
     "func_map",
@@ -257,7 +261,6 @@ _GATE_PRIORITY = (
     "ext_profile_columns",
     "ext_profile_columns_approx",
     "ext_range_join",
-    "ext_spatial_grid_join_salted",
     "ext_string_agg",
     "ext_window_crossover",
     "ext_window_distribution",

@@ -221,3 +221,52 @@ def test_grid_join_hot_cell_salting(spark):
     assert n_gen(p_salt) == n_gen(p_plain) + 1, (n_gen(p_salt), n_gen(p_plain))
     assert "pmod" in p_salt and "pmod" not in p_plain
     assert "BroadcastHashJoin" in p_salt  # hot-cell metadata broadcast
+
+
+def test_grid_join_coarse_cell_pair_equality(spark):
+    """The `cell` parameter decouples candidate-grid size from verify
+    distance d (the verify-heavy bench regime). Contract: for any
+    cell >= d the verified pair set is IDENTICAL to the cell == d
+    default — the coarser grid only admits more candidates, and the d²
+    predicate disposes of them. Boundary pairs at exactly distance d
+    included via crafted points; cell < d must be rejected (the 3x3
+    neighborhood would miss true pairs)."""
+    import random
+
+    import pytest
+
+    from component_iceberg_spark.plans.queries_analytics import (
+        _grid_distance_pairs,
+    )
+
+    rnd = random.Random(7)
+    d = 25.0
+    # a dense pocket spanning what a coarse 100-cell sees as ONE cell
+    # but a d-cell sees as 4x4 cells, plus an exact-distance-d pair
+    # laid across a coarse-cell border
+    rows = [
+        (i, rnd.random() * 100.0, rnd.random() * 100.0) for i in range(150)
+    ]
+    rows += [(900, 95.0, 50.0), (901, 120.0, 50.0)]  # dist exactly 25.0
+    pts = spark.createDataFrame(rows, schema="id long, x double, y double")
+
+    base = {
+        (r.pa, r.pb, r.dist) for r in _grid_distance_pairs(pts, d).collect()
+    }
+    assert (900, 901, 25.0) in base  # the boundary pair is a true pair
+    for cell in (100.0, 400.0):
+        coarse = {
+            (r.pa, r.pb, r.dist)
+            for r in _grid_distance_pairs(pts, d, cell=cell).collect()
+        }
+        assert coarse == base, f"cell={cell} changed the verified pair set"
+    # salting composes with the coarse grid too
+    coarse_salted = {
+        (r.pa, r.pb, r.dist)
+        for r in _grid_distance_pairs(
+            pts, d, hot_threshold=10, salt_buckets=8, cell=100.0
+        ).collect()
+    }
+    assert coarse_salted == base
+    with pytest.raises(AssertionError):
+        _grid_distance_pairs(pts, d, cell=10.0)
