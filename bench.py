@@ -507,6 +507,10 @@ def main() -> None:
         # new in r9
         "ext_window_rolling_outlier",
         "ext_active_users_trailing",
+        # new in r10
+        "ext_join_multipass",
+        "ext_multiband_counts",
+        "stream_active_users_trailing",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -1481,6 +1481,21 @@ def ext_active_users_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return _trailing_rollup(ud)
+
+
+def _trailing_rollup(ud: DataFrame) -> DataFrame:
+    """Shared serving rollup for the trailing-active-users twins (batch
+    `ext_active_users_trailing`, streaming `stream_active_users_trailing`
+    — one body so the two cannot drift): distinct (d, user_id) activity
+    pairs → (day, n_active_7d). Each pair votes for the 7 calendar days
+    whose trailing window it falls in (bounded 7× Generate), the votes
+    are deduped per (day, user), days past the last observed day are
+    clipped, and a per-day count closes it out. Input contract: `ud` is
+    already distinct — the rollup's own fan-out dedup makes duplicate
+    input harmless for correctness, but the fan-out then runs pre-dedup
+    volume, so callers dedup first (batch: `.distinct()`; streaming:
+    the key-merged snapshot table)."""
     max_day = ud.agg(F.max("d").alias("mx"))
     exploded = (
         ud.select(

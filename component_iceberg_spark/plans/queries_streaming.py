@@ -774,3 +774,72 @@ def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         agg = SE.windowed_counts(_stream(spark, sf_dir))
         return SE.stream_to_memory(agg, spark, mode="complete")
+
+
+@register(
+    "stream_active_users_trailing",
+    # oracle imported from the batch twin at registration time (below):
+    # one SQL string for both, so the two cannot drift.
+    oracle=None,  # replaced right after definition — see module bottom
+    tags=("ext", "streaming", "analytics"),
+)
+def stream_active_users_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``ext_active_users_trailing`` (rolling 7-day
+    distinct active users): the batch query's dedup→bounded-fan-out→count
+    shape with the DEDUP STATE moved into the lake. Each micro-batch
+    upserts its (day, user) activity pairs into a snapshot table keyed
+    (d, user_id) — the same foreachBatch/snapshot-table store the other
+    stream drills use, so the distinct-pairs state is durable, exactly
+    mergeable, and idempotent under replay (re-delivered events hit the
+    same key; the `last_seen` payload resolves key-duplicate deltas by
+    the upsert's deterministic tie-break and later batches overwrite —
+    the registered result reads keys only). The serving read then
+    runs the SHARED `_trailing_rollup` body over the key-merged table —
+    the 7× Generate and per-day count never see the raw stream, and the
+    state table is |users|·|days|-bounded no matter the event volume
+    (the same reason the batch plan dedups BEFORE fanning out).
+
+    Batch-boundary-independent by construction — the snapshot table
+    after any partitioning of the stream equals DISTINCT (day, user) of
+    the whole fixture — so the final-table check carries the batch
+    twin's exact oracle verbatim. The watermark bounds the upsert's
+    in-flight buffer; correctness never depends on it (late pairs merge
+    into the same key)."""
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.plans.queries_analytics import (
+        _trailing_rollup,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = os.path.join(SCRATCH_ROOT, tag, "warehouse", "stream_dau")
+    if os.path.isdir(wh):
+        shutil.rmtree(wh)
+    cat = SnapCatalog(wh)
+    pairs = (
+        _stream(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+            "user_id",
+            F.col("ts").alias("last_seen"),
+        )
+    )
+    SE.stream_upsert_into(
+        pairs, cat, "stream", "user_days", keys=["d", "user_id"]
+    )
+    ud = cat.read(spark, "stream", "user_days").select("d", "user_id")
+    return _trailing_rollup(ud)
+
+
+def _bind_trailing_oracle() -> None:
+    from component_iceberg_spark.plans.queries_analytics import (
+        _ACTIVE_TRAILING_ORACLE,
+    )
+    from component_iceberg_spark.plans.registry import REGISTRY
+
+    REGISTRY["stream_active_users_trailing"].oracle = _ACTIVE_TRAILING_ORACLE
+
+
+_bind_trailing_oracle()

@@ -60,15 +60,17 @@ _QUERY_MODULES = (
 # ROTATION SCHEDULE (so every query is re-checked within ~3 rounds, and a
 # regression anywhere is externally caught, not just by local pytest).
 # Rotated for r10 (VERDICT r9 "Next round" #1): sentinels lead
-# unconditionally; tier 2 is the two new r10 registrations (the TPC-DS
-# q64-style multi-pass join chain and the q88-style multi-band single
-# scan — never gated) plus the two spatial twins whose shared body
-# changed this round; the backlog then runs strictly oldest gate row
-# first: the r3 TAIL the r9 window cut (20 names, q20 onward through the
-# snap/text r3 block), then the 41-name r4 cohort — the ~50 window takes
-# the 32-name head plus the first ~18 r4 names; the r4 remainder leads
-# the r11 backlog. Everything gated in r9 (the r2 cohort, the r3 head,
-# the r9 tier-2 re-earns) sits at the tail as the freshest evidence.
+# unconditionally; tier 2 is the three new r10 registrations (the TPC-DS
+# q64-style multi-pass join chain, the q88-style multi-band single scan,
+# the streaming trailing-active-users twin — never gated) plus the three
+# changed-code re-earns (both spatial twins: shared body grew `cell`;
+# the batch trailing-users query: rollup factored out); the backlog then
+# runs strictly oldest gate row first: the r3 TAIL the r9 window cut
+# (20 names, q20 onward through the snap/text r3 block), then the
+# 41-name r4 cohort — the ~50 window takes the 34-name head plus the
+# first ~16 r4 names; the r4 remainder leads the r11 backlog. Everything
+# gated in r9 (the r2 cohort, the r3 head, the r9 tier-2 re-earns) sits
+# at the tail as the freshest evidence.
 #   1. PINNED SENTINELS -- eight flagships, one per family, EVERY round.
 #   2. Queries with NO gate row ever, plus queries whose implementation
 #      or oracle CHANGED this round -- they (re)earn a green row first.
@@ -89,13 +91,17 @@ _GATE_PRIORITY = (
     "sim_ann_ivf",
     # --- 2. new r10 registrations (never gated): the TPC-DS q64 idiom
     #     (multi-pass deep join chain) and the q88 idiom (multi-band
-    #     single-scan lanes); plus changed-code re-earns — the shared
-    #     grid-join body grew the `cell` parameter (dense-fixture bench
-    #     evidence), so both spatial twins re-earn their rows.
+    #     single-scan lanes) and the streaming trailing-active-users
+    #     twin; plus changed-code re-earns — the shared grid-join body
+    #     grew the `cell` parameter (dense-fixture bench evidence) and
+    #     the batch trailing-users rollup was factored into the shared
+    #     `_trailing_rollup`, so those three re-earn their rows.
     "ext_join_multipass",
     "ext_multiband_counts",
+    "stream_active_users_trailing",
     "ext_spatial_grid_join",
     "ext_spatial_grid_join_salted",
+    "ext_active_users_trailing",
     # --- backlog: last gate row r3 (the 20-name tail the r9 window cut,
     #     oldest-first tier)
     "q20_excess_suppliers",
@@ -289,7 +295,6 @@ _GATE_PRIORITY = (
     #     the full r2 cohort, and the r3 head; freshest evidence, tail)
     "ext_rollup_rank",
     "ext_window_rolling_outlier",
-    "ext_active_users_trailing",
     "pipeline_token_budget_scalable",
     "text_bpe_encode",
     "text_winnow_fingerprint",

@@ -440,3 +440,59 @@ def test_rocksdb_provider_actually_engaged(spark, sf_dir):
         cm.update(o.get("customMetrics") or {})
     rocks_keys = [k for k in cm if "rocksdb" in k.lower()]
     assert rocks_keys, f"no rocksdb metrics; customMetrics keys: {sorted(cm)[:10]}"
+
+
+def test_trailing_users_state_table_batch_boundary_independent(
+    spark, sf_dir, tmp_path
+):
+    """stream_active_users_trailing's lake-side dedup state: split the
+    fixture into 4 micro-batches — the key-merged (d, user_id) table
+    must equal the batch DISTINCT regardless of how the stream was cut,
+    and replaying the whole stream into the same table must change
+    nothing (idempotence under re-delivery). The serving rollup over
+    that table then equals the batch twin by construction (their shared
+    body is `_trailing_rollup`; the registered query's exact oracle
+    covers the single-batch path)."""
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+
+    def run_once():
+        raw = (
+            spark.readStream.schema("ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "1 day")
+            .filter(F.col("ts").isNotNull())
+            .select(
+                F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+                "user_id",
+                F.col("ts").alias("last_seen"),
+            )
+        )
+        SE.stream_upsert_into(
+            raw, cat, "ns", "user_days", keys=["d", "user_id"]
+        )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    run_once()
+    expected = (
+        ev.filter(F.col("ts").isNotNull())
+        .select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+            "user_id",
+        )
+        .distinct()
+    )
+    got = cat.read(spark, "ns", "user_days").select("d", "user_id")
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+
+    n_snaps = len(cat.snapshots(spark, "ns", "user_days").collect())
+    run_once()  # full replay: every key re-delivered
+    got2 = cat.read(spark, "ns", "user_days").select("d", "user_id")
+    assert got2.count() == expected.count(), "replay must not grow the state"
+    assert got2.exceptAll(expected).count() == 0
+    assert len(cat.snapshots(spark, "ns", "user_days").collect()) > n_snaps
