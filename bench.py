@@ -511,6 +511,7 @@ def main() -> None:
         "ext_join_multipass",
         "ext_multiband_counts",
         "stream_active_users_trailing",
+        "ext_intersect_join",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

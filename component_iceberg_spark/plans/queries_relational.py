@@ -1713,3 +1713,111 @@ def ext_multiband_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     lanes.append(F.count(F.lit(1)).cast("long").alias("n_total"))
     return ev.agg(*lanes)
+
+
+@register(
+    "ext_intersect_join",
+    oracle="""
+    WITH seg AS (
+        SELECT l_partkey AS pk,
+               CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_building,
+               CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_machinery,
+               sum(CASE WHEN c_mktsegment = 'BUILDING'
+                   THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                   ELSE 0 END) AS rev_a,
+               sum(CASE WHEN c_mktsegment = 'MACHINERY'
+                   THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                   ELSE 0 END) AS rev_b
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1995-04-01'
+        GROUP BY l_partkey
+        HAVING sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) > 0
+           AND sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) > 0
+    )
+    SELECT p_partkey, p_name, p_brand, n_building, n_machinery,
+           ((rev_a + 50) // 100) / 100.0 AS rev_building,
+           ((rev_b + 50) // 100) / 100.0 AS rev_machinery
+    FROM seg JOIN part ON pk = p_partkey
+    """,
+    tags=("relational", "setops", "agg"),
+)
+def ext_intersect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q14 idiom — a set INTERSECTION feeding a join: parts sold
+    to BOTH the BUILDING and MACHINERY segments in 1995Q1, with each
+    qualifying part's per-segment line count and revenue (q14's
+    cross_items — items present in every sales channel — restricted to
+    two channels, with the channel aggregate attached).
+
+    q14 spells the intersection as INTERSECT of N channel subqueries —
+    N scans of the fact and a distinct-heavy set operation. The
+    Spark-first re-expression folds the set op INTO the aggregate:
+    presence is max/sum-of-indicator lanes per segment in the SAME
+    grouped pass that computes the per-segment revenue, and the
+    intersection is a post-aggregation filter (both counts > 0) over
+    the metadata-sized per-part relation. One fact pass total — the
+    q88 "N filters ≠ N scans" contract applied to set operations
+    (test_intersect_join_single_pass pins one lineitem scan, no
+    Intersect node, no self-join). The date range is a pushable scan
+    filter; the part-dim join for names stays declarative (part grows
+    with SF; SMJ at scale, AQE may demote); segment membership is a
+    pushed IN filter on customer.
+
+    Exactness: counts are pure integers; revenue lanes are all-integer
+    10⁻⁴-dollar units summed as bigint, divided once at display — the
+    ext_join_multipass money contract."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev_m4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((F.lit(1) - F.col("l_discount")) * 100).cast("long")
+    )
+    in_seg = lambda s: F.col("c_mktsegment") == s  # noqa: E731
+    seg = (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .join(
+            c.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == c.c_custkey,
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(in_seg("BUILDING"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_building"),
+            F.sum(F.when(in_seg("MACHINERY"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_machinery"),
+            F.sum(F.when(in_seg("BUILDING"), rev_m4).otherwise(0)).alias("rev_a"),
+            F.sum(F.when(in_seg("MACHINERY"), rev_m4).otherwise(0)).alias("rev_b"),
+        )
+        .filter((F.col("n_building") > 0) & (F.col("n_machinery") > 0))
+    )
+    return (
+        seg.join(
+            p.select("p_partkey", "p_name", "p_brand"),
+            seg.l_partkey == p.p_partkey,
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "n_building",
+            "n_machinery",
+            (F.expr("(rev_a + 50) div 100") / 100.0).alias("rev_building"),
+            (F.expr("(rev_b + 50) div 100") / 100.0).alias("rev_machinery"),
+        )
+    )

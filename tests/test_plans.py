@@ -787,3 +787,26 @@ def test_multiband_single_scan(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "SinglePartition" in p
     assert "partial_sum" in p or "partial_count" in p
+
+
+def test_intersect_join_single_pass(spark, sf_dir):
+    """ext_intersect_join (TPC-DS q14 idiom): the two-channel set
+    intersection must fold into the ONE grouped fact pass as presence
+    lanes — never an Intersect node or a second lineitem scan — and the
+    date range must push into the scan. All three joins (orders,
+    customer, part) are growing-side and stay declarative."""
+    import re
+
+    p = plan_no_auto_broadcast(spark, sf_dir, "ext_intersect_join")
+    li_scans = [
+        ln for ln in p.splitlines() if "Location" in ln and "lineitem" in ln
+    ]
+    assert len(li_scans) == 1, "one fact pass only"
+    assert not re.search(r"\(\d+\) \w*Intersect", p), "no set-op node"
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", p)) == 3
+    assert "BroadcastHashJoin" not in p, "no growing side is hint-broadcast"
+    pushed = [
+        ln for ln in p.splitlines() if "PushedFilters:" in ln and "o_orderdate" in ln
+    ]
+    assert len(pushed) == 1, "the quarter range pushes into the orders scan"
+    assert "partial_sum" in p
