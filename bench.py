@@ -178,6 +178,15 @@ SCALE_QUERIES = (
     "ext_window_crossover",
     "ext_rollup_rank",
     "pipeline_split_leakage_safe",
+    # r10 wave: the deep-join idioms. The multipass chain's two year
+    # passes each scan one year of a 10x fact through 4 growing SMJs —
+    # wall should track the fact scans (the cross-year join input is
+    # items x nations, metadata-sized). The intersect-join and rolling
+    # windows claim ONE fact pass with metadata-sized post-agg relations.
+    "ext_join_multipass",
+    "ext_intersect_join",
+    "ext_window_rolling_outlier",
+    "ext_active_users_trailing",
 )
 
 
