@@ -184,6 +184,7 @@ SCALE_QUERIES = (
     # items x nations, metadata-sized). The intersect-join and rolling
     # windows claim ONE fact pass with metadata-sized post-agg relations.
     "ext_join_multipass",
+    "ext_join_multipass_fused",
     "ext_intersect_join",
     "ext_window_rolling_outlier",
     "ext_active_users_trailing",
@@ -518,6 +519,7 @@ def main() -> None:
         "ext_active_users_trailing",
         # new in r10
         "ext_join_multipass",
+        "ext_join_multipass_fused",
         "ext_multiband_counts",
         "stream_active_users_trailing",
         "ext_intersect_join",

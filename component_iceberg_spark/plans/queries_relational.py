@@ -1821,3 +1821,103 @@ def ext_intersect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("(rev_b + 50) div 100") / 100.0).alias("rev_machinery"),
         )
     )
+
+
+@register(
+    "ext_join_multipass_fused",
+    # Same oracle as ext_join_multipass, bound below: the two forms are
+    # result-identical by construction (one SQL string for both, the
+    # trailing-twins discipline).
+    oracle=None,  # replaced right after definition — see module bottom
+    tags=("relational", "join", "agg"),
+)
+def ext_join_multipass_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-pass twin of ``ext_join_multipass``: the cross-year
+    self-join fused into per-year conditional lanes — ONE join chain
+    over the two-year range, one grouped pass at (part, cust-nation)
+    grain with (cnt, qty, rev) lanes per year, and the q64 cross-year
+    comparison as a post-aggregation filter (both years present AND
+    rev_y2 > rev_y1). The ext_intersect_join presence-lane trick applied
+    to the multipass chain: the dimension joins run ONCE instead of once
+    per year, and there is no self-join at all.
+
+    Measured (DESIGN_NOTES "r10: two-pass vs fused"): on unpartitioned
+    fixtures the fused form wins 1.57×/1.26× at sf0.1/sf1 — exactly the
+    duplicated-join-work saving. The two-pass twin remains the
+    partition-pruned shape for year-partitioned storage and incremental
+    (one-year-resident) processing; this twin is the batch-over-both-
+    years plan. Same money/count contracts; plan pin
+    test_multipass_fused_single_pass proves one lineitem scan, 2 nation
+    broadcasts, 4 declarative SMJs, zero self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    n_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    n_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev_m4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((F.lit(1) - F.col("l_discount")) * 100).cast("long")
+    )
+    y1 = F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    j = (
+        li.join(
+            o.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("nc_key"))
+        .join(s.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("ns_key"))
+        .join(p.select("p_partkey", "p_name"), li.l_partkey == p.p_partkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    agg = j.groupBy("p_partkey", "p_name", "cust_nation").agg(
+        F.sum(F.when(y1, 1).otherwise(0)).alias("cnt_y1"),
+        F.sum(F.when(~y1, 1).otherwise(0)).alias("cnt_y2"),
+        F.sum(F.when(y1, F.col("l_quantity").cast("long")).otherwise(0)).alias(
+            "qty_y1"
+        ),
+        F.sum(F.when(~y1, F.col("l_quantity").cast("long")).otherwise(0)).alias(
+            "qty_y2"
+        ),
+        F.sum(F.when(y1, rev_m4).otherwise(0)).alias("rev1"),
+        F.sum(F.when(~y1, rev_m4).otherwise(0)).alias("rev2"),
+    )
+    return (
+        agg.filter(
+            (F.col("cnt_y1") > 0)
+            & (F.col("cnt_y2") > 0)
+            & (F.col("rev2") > F.col("rev1"))
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "cust_nation",
+            "cnt_y1",
+            "cnt_y2",
+            "qty_y1",
+            "qty_y2",
+            (F.expr("(rev1 + 50) div 100") / 100.0).alias("rev_y1"),
+            (F.expr("(rev2 + 50) div 100") / 100.0).alias("rev_y2"),
+        )
+    )
+
+
+def _bind_multipass_fused_oracle() -> None:
+    from component_iceberg_spark.plans.registry import REGISTRY
+
+    REGISTRY["ext_join_multipass_fused"].oracle = REGISTRY[
+        "ext_join_multipass"
+    ].oracle
+
+
+_bind_multipass_fused_oracle()

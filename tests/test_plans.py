@@ -810,3 +810,25 @@ def test_intersect_join_single_pass(spark, sf_dir):
     ]
     assert len(pushed) == 1, "the quarter range pushes into the orders scan"
     assert "partial_sum" in p
+
+
+def test_multipass_fused_single_pass(spark, sf_dir):
+    """ext_join_multipass_fused: the cross-year comparison folded into
+    per-year lanes must plan ONE lineitem scan with no self-join — the
+    join chain runs once (4 growing-side SMJs + the 2 nation broadcasts),
+    and the 2-year range pushes into the orders scan."""
+    import re
+
+    p = plan_no_auto_broadcast(spark, sf_dir, "ext_join_multipass_fused")
+    li_scans = [
+        ln for ln in p.splitlines() if "Location" in ln and "lineitem" in ln
+    ]
+    assert len(li_scans) == 1, "one fact pass only"
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 2
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", p)) == 4, "no self-join"
+    pushed = [
+        ln for ln in p.splitlines() if "PushedFilters:" in ln and "o_orderdate" in ln
+    ]
+    assert len(pushed) == 1
+    assert "1995-01-01" in pushed[0] and "1997-01-01" in pushed[0]
+    assert "partial_sum" in p

@@ -1772,3 +1772,172 @@ def test_active_users_trailing_semantics(spark, tmp_path):
         d(2024, 1, 15): 1,  # u3; days 16..21 clipped (past max observed)
     }
     assert got == expected
+
+
+def _write_tpch_multipass_mini(tmp_path):
+    """Crafted 6-table fixture for the q64/q14 idiom pins: parts covering
+    every admission/rejection case of the cross-year and cross-segment
+    comparisons (grew / shrank / equal / size-filtered / one-year-only /
+    same-nation-only / out-of-range)."""
+    import datetime as _dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def w(name, df):
+        pq.write_table(pa.Table.from_pandas(df), str(tmp_path / name))
+
+    w("nation.parquet", pd.DataFrame({
+        "n_nationkey": pd.array([0, 1], dtype="int32"),
+        "n_name": ["NA", "NB"],
+        "n_regionkey": pd.array([0, 0], dtype="int32"),
+    }))
+    w("customer.parquet", pd.DataFrame({
+        "c_custkey": [1, 2, 3],
+        "c_name": ["c1", "c2", "c3"],
+        "c_nationkey": pd.array([1, 0, 1], dtype="int32"),
+        "c_acctbal": [0.0, 0.0, 0.0],
+        # c1: NB + BUILDING; c2: NA (supplier's nation) + MACHINERY;
+        # c3: NB + FURNITURE (out of both segments)
+        "c_mktsegment": ["BUILDING", "MACHINERY", "FURNITURE"],
+    }))
+    w("supplier.parquet", pd.DataFrame({
+        "s_suppkey": [1],
+        "s_name": ["s1"],
+        "s_nationkey": pd.array([0], dtype="int32"),
+        "s_acctbal": [0.0],
+    }))
+    w("part.parquet", pd.DataFrame({
+        "p_partkey": [1, 2, 3, 4, 5],
+        "p_name": ["grew", "shrank", "equal", "big", "oneyear"],
+        "p_brand": ["B"] * 5,
+        "p_type": ["T"] * 5,
+        "p_size": pd.array([10, 10, 10, 30, 10], dtype="int32"),
+        "p_retailprice": [1.0] * 5,
+    }))
+    # one order per (year, customer): y95/y96 via c1 (cross-nation), via
+    # c2 (same-nation), plus a 1997 out-of-range order via c1
+    d95, d96, d97 = (_dt.datetime(y, 2, 1) for y in (1995, 1996, 1997))
+    okeys = {"y95c1": 10, "y96c1": 11, "y95c2": 12, "y96c2": 13, "y97c1": 14}
+    w("orders.parquet", pd.DataFrame({
+        "o_orderkey": list(okeys.values()),
+        "o_custkey": [1, 1, 2, 2, 1],
+        "o_orderstatus": ["F"] * 5,
+        "o_totalprice": [0.0] * 5,
+        # micros, not pandas-default nanos: only events.ts gets the
+        # nanosAsLong normalization in load_table
+        "o_orderdate": pd.Series(
+            [d95, d96, d95, d96, d97], dtype="datetime64[us]"
+        ),
+        "o_orderpriority": ["P"] * 5,
+    }))
+    # lineitems: (orderkey, partkey, qty, extprice)
+    lines = [
+        (okeys["y95c1"], 1, 5, 100.0),   # grew: 1995 rev 100
+        (okeys["y96c1"], 1, 7, 200.0),   # grew: 1996 rev 200  -> IN
+        (okeys["y95c1"], 2, 1, 300.0),   # shrank: 1995 rev 300
+        (okeys["y96c1"], 2, 1, 100.0),   # shrank: 1996 rev 100 -> OUT
+        (okeys["y95c1"], 3, 1, 150.0),   # equal both years -> OUT (strict >)
+        (okeys["y96c1"], 3, 1, 150.0),
+        (okeys["y95c1"], 4, 1, 100.0),   # big part grew but p_size 30 -> OUT
+        (okeys["y96c1"], 4, 1, 900.0),
+        (okeys["y95c1"], 5, 1, 100.0),   # one year only -> OUT
+        (okeys["y95c2"], 1, 1, 100.0),   # same-nation channel: filtered
+        (okeys["y96c2"], 1, 1, 900.0),   #   (supp NA == cust NA) -> OUT
+        (okeys["y97c1"], 1, 1, 999.0),   # out of date range -> ignored
+    ]
+    w("lineitem.parquet", pd.DataFrame({
+        "l_orderkey": [o for o, *_ in lines],
+        "l_partkey": [p for _, p, *_ in lines],
+        "l_suppkey": [1] * len(lines),
+        "l_linenumber": pd.array(range(1, len(lines) + 1), dtype="int32"),
+        "l_quantity": [float(q) for *_, q, _ in lines],
+        "l_extendedprice": [e for *_, e in lines],
+        "l_discount": [0.0] * len(lines),
+        "l_tax": [0.0] * len(lines),
+        "l_returnflag": ["N"] * len(lines),
+        "l_linestatus": ["O"] * len(lines),
+        "l_shipdate": pd.Series(
+            [_dt.datetime(1995, 6, 1)] * len(lines), dtype="datetime64[us]"
+        ),
+    }))
+
+
+def test_multipass_yoy_admission_semantics(spark, tmp_path):
+    """ext_join_multipass on the crafted fixture admits EXACTLY the part
+    whose cross-nation revenue grew year-over-year: shrank/equal (strict
+    >), size-filtered, one-year-only, same-nation-only and out-of-range
+    channels are all rejected — and the fused single-pass twin returns
+    the identical set (the twins' core contract)."""
+    import component_iceberg_spark.plans.queries_relational as QR
+
+    _write_tpch_multipass_mini(tmp_path)
+    rows = QR.ext_join_multipass(spark, str(tmp_path)).collect()
+    assert [
+        (
+            r.p_partkey, r.p_name, r.cust_nation, r.cnt_y1, r.cnt_y2,
+            r.qty_y1, r.qty_y2, r.rev_y1, r.rev_y2,
+        )
+        for r in rows
+    ] == [(1, "grew", "NB", 1, 1, 5, 7, 100.0, 200.0)]
+    fused = QR.ext_join_multipass_fused(spark, str(tmp_path)).collect()
+    assert {tuple(r) for r in fused} == {tuple(r) for r in rows}
+
+
+def test_intersect_join_presence_semantics(spark, tmp_path):
+    """ext_intersect_join on the crafted fixture: only parts with lines
+    in BOTH segments INSIDE the quarter qualify — the c2 (MACHINERY)
+    channel provides the second segment for part 1 only; parts reached by
+    one segment, by the FURNITURE customer, or outside the date range
+    never appear, and the per-segment lanes count only in-range lines."""
+    import datetime as _dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import component_iceberg_spark.plans.queries_relational as QR
+
+    _write_tpch_multipass_mini(tmp_path)
+    # move the two 1995 orders into Q1 (the mini fixture uses Feb 1) and
+    # add a FURNITURE-customer order inside the quarter for part 2: a
+    # third segment must NOT make part 2 qualify
+    orders = pq.read_table(str(tmp_path / "orders.parquet")).to_pandas()
+    extra = pd.DataFrame({
+        "o_orderkey": [15], "o_custkey": [3], "o_orderstatus": ["F"],
+        "o_totalprice": [0.0],
+        "o_orderdate": pd.Series(
+            [_dt.datetime(1995, 3, 1)], dtype="datetime64[us]"
+        ),
+        "o_orderpriority": ["P"],
+    })
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat([orders, extra], ignore_index=True)),
+        str(tmp_path / "orders.parquet"),
+    )
+    li = pq.read_table(str(tmp_path / "lineitem.parquet")).to_pandas()
+    extra_li = pd.DataFrame({
+        "l_orderkey": [15], "l_partkey": [2], "l_suppkey": [1],
+        "l_linenumber": pd.array([99], dtype="int32"),
+        "l_quantity": [1.0], "l_extendedprice": [500.0],
+        "l_discount": [0.0], "l_tax": [0.0],
+        "l_returnflag": ["N"], "l_linestatus": ["O"],
+        "l_shipdate": pd.Series(
+            [_dt.datetime(1995, 6, 1)], dtype="datetime64[us]"
+        ),
+    })
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat([li, extra_li], ignore_index=True)),
+        str(tmp_path / "lineitem.parquet"),
+    )
+
+    rows = QR.ext_intersect_join(spark, str(tmp_path)).collect()
+    # Q1-1995 in-range orders: y95c1 (BUILDING: parts 1,2,3,4,5) and
+    # y95c2 (MACHINERY: part 1) and the FURNITURE order (part 2, not a
+    # qualifying segment). Only part 1 is in BOTH segments.
+    assert [
+        (r.p_partkey, r.n_building, r.n_machinery, r.rev_building,
+         r.rev_machinery)
+        for r in rows
+    ] == [(1, 1, 1, 100.0, 100.0)]
