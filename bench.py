@@ -61,6 +61,13 @@ SF3_QUERIES = (
     # defect)
     "pipeline_token_budget_scalable",
     "ext_spatial_grid_join_salted",
+    # r10: the join-idiom family one more decade out — the fused chain's
+    # post-agg relation is (part x nation)-bounded and the rolling
+    # outlier's windowed relation is (brand x flag x month)-bounded, so
+    # both walls should track the 30x fact scans through the join chain,
+    # never the downstream relations
+    "ext_join_multipass_fused",
+    "ext_window_rolling_outlier",
 )
 
 # Representative slice of the registry: scan, agg, joins, windows,
@@ -680,16 +687,18 @@ def main() -> None:
     if not os.environ.get("SPARK_GRAFT_SKIP_SF1") and not os.environ.get(
         "SPARK_GRAFT_SKIP_SF3"
     ):
-        # 30× spot-check: one extra point on the dedup scaling curve.
-        # Same constant-density construction and warm best-of-2
-        # methodology as sf1; only documents + embeddings materialize.
+        # 30× spot-check: one extra point on the dedup scaling curve
+        # (r10: plus the join-idiom family — the tpch group replaces the
+        # standalone customer build; customer content is identical, same
+        # keyed offsets, so the spatial row's basis is unchanged). Same
+        # constant-density construction and warm methodology as sf1.
         t0 = time.perf_counter()
         ensure_scale(
             spark, SF3_DIR, SF3_REPLICAS,
-            tables=("embeddings", "documents", "customer"),
+            tables=("embeddings", "documents", "tpch"),
         )
         gen3 = round(time.perf_counter() - t0, 3)
-        for t in ("embeddings", "documents", "customer"):
+        for t in ("embeddings", "documents", "customer", "lineitem"):
             force(spark.read.parquet(os.path.join(SF3_DIR, f"{t}.parquet")))
         sf3_timings: dict[str, float] = {}
         sf3_cold: dict[str, float] = {}
@@ -731,7 +740,11 @@ def main() -> None:
                 "rows; the salted-grid wall is intentionally "
                 "super-linear — output pairs grow quadratically on the "
                 "constant-area fixture (see the SF3_QUERIES comment) — "
-                "so its row tracks pair output, not a plan defect"
+                "so its row tracks pair output, not a plan defect. "
+                "r10 adds the join-idiom family (fused multipass chain, "
+                "rolling-outlier window) — their 30x walls should track "
+                "the fact scans, their post-agg relations stay "
+                "metadata-bounded"
             ),
         }
 

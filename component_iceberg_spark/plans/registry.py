@@ -296,7 +296,8 @@ _GATE_PRIORITY = (
     "snap_upsert_evolve",
     "stream_rocksdb_state",
     "text_quality",
-    # --- backlog: last gate row r9 (42 names — the r9 tier-2 re-earns,
+    # --- backlog: last gate row r9 (41 names — the r9 tier-2 re-earns
+    #     minus ext_active_users_trailing, which moved to the r10 tier 2,
     #     the full r2 cohort, and the r3 head; freshest evidence, tail)
     "ext_rollup_rank",
     "ext_window_rolling_outlier",
