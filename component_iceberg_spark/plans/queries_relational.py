@@ -1528,6 +1528,54 @@ def ext_window_rolling_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _q64_chain(spark: SparkSession, sf_dir: str, lo: str, hi: str) -> DataFrame:
+    """Shared join chain for the q64-idiom twins (``ext_join_multipass``
+    builds it once per year; ``ext_join_multipass_fused`` once over the
+    full range): lineitem through orders (date-range-filtered at the
+    source, so the predicate pushes into the scan) → customer → nation
+    (broadcast alias) and supplier → nation (broadcast alias) → part
+    (p_size ≤ 25), restricted to cross-nation channels. Keeps
+    o_orderdate in the projection — the fused twin derives its year
+    lanes from it; Catalyst prunes it from the two-pass plan where the
+    aggregate never reads it."""
+    n_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    n_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    return (
+        li.join(
+            o.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("nc_key"))
+        .join(s.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("ns_key"))
+        .join(p.select("p_partkey", "p_name"), li.l_partkey == p.p_partkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+
+
+def _q64_rev_m4():
+    """Exact 10^-4-dollar revenue lane shared by the q64 twins."""
+    return (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((F.lit(1) - F.col("l_discount")) * 100).cast("long")
+    )
+
+
 @register(
     "ext_join_multipass",
     oracle="""
@@ -1591,39 +1639,14 @@ def ext_join_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer lane and a single divide at display — no float until the
     final projection (cross-engine rule: engine round() is only trusted
     on the single-value cent scale, never on accumulated sums)."""
-    n_c = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
-    )
-    n_s = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
-    )
-    rev_m4 = (
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * F.round((F.lit(1) - F.col("l_discount")) * 100).cast("long")
-    )
-
     def year_pass(lo: str, hi: str) -> DataFrame:
-        li = load_table(spark, sf_dir, "lineitem")
-        o = load_table(spark, sf_dir, "orders").filter(
-            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
-        )
-        c = load_table(spark, sf_dir, "customer")
-        s = load_table(spark, sf_dir, "supplier")
-        p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
         return (
-            li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
-            .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == c.c_custkey)
-            .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("nc_key"))
-            .join(s.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
-            .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("ns_key"))
-            .join(p.select("p_partkey", "p_name"), li.l_partkey == p.p_partkey)
-            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            _q64_chain(spark, sf_dir, lo, hi)
             .groupBy("p_partkey", "p_name", "cust_nation")
             .agg(
                 F.count(F.lit(1)).alias("cnt"),
                 F.sum(F.col("l_quantity").cast("long")).alias("qty"),
-                F.sum(rev_m4).alias("rev"),
+                F.sum(_q64_rev_m4()).alias("rev"),
             )
         )
 
@@ -1849,37 +1872,9 @@ def ext_join_multipass_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     years plan. Same money/count contracts; plan pin
     test_multipass_fused_single_pass proves one lineitem scan, 2 nation
     broadcasts, 4 declarative SMJs, zero self-join."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    c = load_table(spark, sf_dir, "customer")
-    s = load_table(spark, sf_dir, "supplier")
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
-    n_c = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
-    )
-    n_s = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
-    )
-    rev_m4 = (
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * F.round((F.lit(1) - F.col("l_discount")) * 100).cast("long")
-    )
+    rev_m4 = _q64_rev_m4()
     y1 = F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
-    j = (
-        li.join(
-            o.select("o_orderkey", "o_custkey", "o_orderdate"),
-            li.l_orderkey == o.o_orderkey,
-        )
-        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("nc_key"))
-        .join(s.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
-        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("ns_key"))
-        .join(p.select("p_partkey", "p_name"), li.l_partkey == p.p_partkey)
-        .filter(F.col("supp_nation") != F.col("cust_nation"))
-    )
+    j = _q64_chain(spark, sf_dir, "1995-01-01", "1997-01-01")
     agg = j.groupBy("p_partkey", "p_name", "cust_nation").agg(
         F.sum(F.when(y1, 1).otherwise(0)).alias("cnt_y1"),
         F.sum(F.when(~y1, 1).otherwise(0)).alias("cnt_y2"),
