@@ -530,6 +530,7 @@ def main() -> None:
         "ext_multiband_counts",
         "stream_active_users_trailing",
         "ext_intersect_join",
+        "source_binaryfile",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -356,3 +356,65 @@ def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.schema(schema).json(out)
+
+
+def _doc_binary_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage every 20th document's UTF-8 text bytes as one standalone
+    file (``doc_<id>.bin``) so the binaryFile scan under test reads real
+    opaque-blob input. The staging collect is bounded by construction
+    (5% of documents — test-fixture plumbing only; the OPERATOR under
+    test, the binaryFile scan itself, is a fully distributed source and
+    at 100 TB the blobs would already live in object storage)."""
+    path = _scratch(sf_dir, "doc_bin")
+    import shutil as _sh
+
+    _sh.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 20 == 0) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in rows:
+        with open(os.path.join(path, f"doc_{r.doc_id}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    return path
+
+
+@register(
+    "source_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(hex(CAST(text AS BLOB))) AS content_md5
+    FROM documents
+    WHERE doc_id % 20 = 0 AND text IS NOT NULL
+    """,
+    tags=("parity", "source", "multimodal"),
+)
+def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-blob ingest via Spark's ``binaryFile`` source — the
+    multimodal ingest path's missing first mile: raw image/audio/video
+    files on disk or object storage become (path, modificationTime,
+    length, content) rows WITHOUT any decoder, which is exactly how the
+    `ext_multimodal_col` family expects binary columns to arrive (the
+    mm_ingest_hash pipeline starts from a binary column; this source
+    produces it from files). The scan is distributed (one task per file
+    group), supports pathGlobFilter/recursiveFileLookup for lake
+    layouts, and prunes the `content` column when a query reads only
+    metadata — at 100 TB you list+stat without touching bytes.
+
+    Correctness is content-integrity end-to-end: each staged file's
+    byte length and an md5 over its hex expansion must match what the
+    oracle computes FROM THE SOURCE ROWS (DuckDB: text → BLOB → hex →
+    md5; both engines emit uppercase hex, verified), so a truncated,
+    re-encoded, or mis-assigned blob fails the hash, not just a count."""
+    bf = spark.read.format("binaryFile").load(_doc_binary_dir(spark, sf_dir))
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.hex(F.col("content"))).alias("content_md5"),
+    )
