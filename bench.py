@@ -531,6 +531,7 @@ def main() -> None:
         "stream_active_users_trailing",
         "ext_intersect_join",
         "source_binaryfile",
+        "stream_binaryfile_ingest",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -843,3 +843,71 @@ def _bind_trailing_oracle() -> None:
 
 
 _bind_trailing_oracle()
+
+
+@register(
+    "stream_binaryfile_ingest",
+    # Same content-integrity oracle as the batch blob source: the final
+    # table after the stream drains must equal what the oracle computes
+    # from the SOURCE rows (bound below, the shared-string discipline).
+    oracle=None,  # replaced right after definition — see module bottom
+    tags=("ext", "streaming", "multimodal", "source"),
+)
+def stream_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multimodal ingest — the continuous twin of
+    ``source_binaryfile``: new blob files landing in a directory are
+    discovered by the binaryFile FILE-STREAM source (schema pinned, one
+    micro-batch per trigger; at 100 TB this is the watch-the-bucket
+    pattern for image/audio/video drops), reduced in-stream to
+    (doc_id, n_bytes, content_md5) so the heavy `content` bytes never
+    reach state or the sink, and upserted into a snapshot table keyed
+    doc_id — idempotent under re-delivery (a re-dropped file merges
+    into its key), atomic per micro-batch, exactly the
+    stream_upsert_snaptable lake contract applied to blobs.
+
+    The final-table check carries the batch twin's oracle VERBATIM
+    (one SQL string bound to both): the drained table must match byte
+    lengths and hex-md5 content hashes computed from the source rows —
+    a truncated or duplicated ingest fails the hash, not just a
+    count."""
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.plans.queries_scan import _doc_binary_dir
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = os.path.join(SCRATCH_ROOT, tag, "warehouse", "stream_blobs")
+    if os.path.isdir(wh):
+        shutil.rmtree(wh)
+    cat = SnapCatalog(wh)
+    bf = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(_doc_binary_dir(spark, sf_dir))
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+            F.md5(F.hex(F.col("content"))).alias("content_md5"),
+        )
+    )
+    SE.stream_upsert_into(bf, cat, "stream", "blobs", keys=["doc_id"])
+    return cat.read(spark, "stream", "blobs")
+
+
+def _bind_binaryfile_oracle() -> None:
+    # importing the scan module registers the batch twin first (this
+    # module sits earlier in _QUERY_MODULES)
+    import component_iceberg_spark.plans.queries_scan  # noqa: F401
+
+    from component_iceberg_spark.plans.registry import REGISTRY
+
+    REGISTRY["stream_binaryfile_ingest"].oracle = REGISTRY[
+        "source_binaryfile"
+    ].oracle
+
+
+_bind_binaryfile_oracle()

@@ -60,17 +60,17 @@ _QUERY_MODULES = (
 # ROTATION SCHEDULE (so every query is re-checked within ~3 rounds, and a
 # regression anywhere is externally caught, not just by local pytest).
 # Rotated for r10 (VERDICT r9 "Next round" #1): sentinels lead
-# unconditionally; tier 2 is the six new r10 registrations (the TPC-DS
+# unconditionally; tier 2 is the seven new r10 registrations (the TPC-DS
 # q64-style multi-pass join chain and its fused single-pass twin, the
 # q88-style multi-band single scan, the q14-style intersect-inside-join,
 # the streaming trailing-active-users twin, the binaryFile blob source
-# — never gated) plus the three
+# and its streaming-ingest twin — never gated) plus the three
 # changed-code re-earns (both spatial twins: shared body grew `cell`;
 # the batch trailing-users query: rollup factored out); the backlog then
 # runs strictly oldest gate row first: the r3 TAIL the r9 window cut
 # (20 names, q20 onward through the snap/text r3 block), then the
-# 41-name r4 cohort — the ~50 window takes the 37-name head plus the
-# first ~13 r4 names; the r4 remainder leads the r11 backlog. Everything
+# 41-name r4 cohort — the ~50 window takes the 38-name head plus the
+# first ~12 r4 names; the r4 remainder leads the r11 backlog. Everything
 # gated in r9 (the r2 cohort, the r3 head, the r9 tier-2 re-earns) sits
 # at the tail as the freshest evidence.
 #   1. PINNED SENTINELS -- eight flagships, one per family, EVERY round.
@@ -107,6 +107,7 @@ _GATE_PRIORITY = (
     "ext_intersect_join",
     "stream_active_users_trailing",
     "source_binaryfile",
+    "stream_binaryfile_ingest",
     "ext_spatial_grid_join",
     "ext_spatial_grid_join_salted",
     "ext_active_users_trailing",
