@@ -1158,7 +1158,15 @@ def _grid_distance_pairs(
     of a cell covers all points within ``cell`` of it."""
     if cell is None:
         cell = d
-    assert cell >= d, "coarser-grid candidates must still cover distance d"
+    if cell < d:
+        # correctness precondition, not a debug check: a grid finer than
+        # the verify distance silently DROPS true pairs (the 3x3
+        # neighborhood no longer covers distance d), so it must survive
+        # `python -O` — ValueError, never a strippable assert.
+        raise ValueError(
+            f"grid cell ({cell}) must be >= verify distance ({d}): "
+            "coarser-grid candidates must still cover distance d"
+        )
     cx = F.floor(F.col("x") / cell)
     cy = F.floor(F.col("y") / cell)
     # side B sits at its own cell

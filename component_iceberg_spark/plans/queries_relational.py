@@ -1576,9 +1576,12 @@ def _q64_rev_m4():
     )
 
 
-@register(
-    "ext_join_multipass",
-    oracle="""
+# ONE oracle string for both q64-idiom twins (two-pass and fused): the
+# forms are result-identical by construction and binding the same
+# constant to both @register calls means they cannot drift — and no
+# module-bottom REGISTRY mutation is needed (a skipped bind would have
+# silently degraded the gate to a rows-only check).
+_Q64_ORACLE = """
     WITH sales AS (
         SELECT p_partkey, p_name, n_c.n_name AS cust_nation,
                CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
@@ -1608,7 +1611,12 @@ def _q64_rev_m4():
     FROM sales a JOIN sales b
       ON a.p_partkey = b.p_partkey AND a.cust_nation = b.cust_nation
     WHERE a.yr = 1995 AND b.yr = 1996 AND b.rev > a.rev
-    """,
+    """
+
+
+@register(
+    "ext_join_multipass",
+    oracle=_Q64_ORACLE,
     tags=("relational", "join", "agg"),
 )
 def ext_join_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1848,10 +1856,10 @@ def ext_intersect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ext_join_multipass_fused",
-    # Same oracle as ext_join_multipass, bound below: the two forms are
-    # result-identical by construction (one SQL string for both, the
-    # trailing-twins discipline).
-    oracle=None,  # replaced right after definition — see module bottom
+    # Same oracle STRING as ext_join_multipass — the two forms are
+    # result-identical by construction (one module constant bound to
+    # both @register calls, so the twins cannot drift).
+    oracle=_Q64_ORACLE,
     tags=("relational", "join", "agg"),
 )
 def ext_join_multipass_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1907,12 +1915,3 @@ def ext_join_multipass_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bind_multipass_fused_oracle() -> None:
-    from component_iceberg_spark.plans.registry import REGISTRY
-
-    REGISTRY["ext_join_multipass_fused"].oracle = REGISTRY[
-        "ext_join_multipass"
-    ].oracle
-
-
-_bind_multipass_fused_oracle()

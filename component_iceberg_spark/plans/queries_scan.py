@@ -17,8 +17,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from component_iceberg_spark.io import csv_io
+from component_iceberg_spark.io import tables
 from component_iceberg_spark.io.tables import load_table
 from component_iceberg_spark.operators import scan
+from component_iceberg_spark.plans import scratch
 from component_iceberg_spark.plans.registry import register
 from component_iceberg_spark.typebridge import describe
 
@@ -358,14 +360,27 @@ def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).json(out)
 
 
+_DOC_BIN_CAP = 20_000  # staging-collect bound: fail loudly, never silently
+# move megabytes through the driver (the BPE-LUT discipline,
+# plans/queries_text.py _bpe_encode_lut).
+
+
 def _doc_binary_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage every 20th document's UTF-8 text bytes as one standalone
     file (``doc_<id>.bin``) so the binaryFile scan under test reads real
     opaque-blob input. The staging collect is bounded by construction
     (5% of documents — test-fixture plumbing only; the OPERATOR under
     test, the binaryFile scan itself, is a fully distributed source and
-    at 100 TB the blobs would already live in object storage)."""
+    at 100 TB the blobs would already live in object storage) AND by a
+    hard cap that raises rather than silently funnel a bigger fixture
+    through the driver. Staged ONCE behind a freshness marker keyed on
+    the documents fixture: both binaryFile twins call this, and an
+    unconditional restage could yank files out from under the other
+    twin's still-unevaluated scan."""
     path = _scratch(sf_dir, "doc_bin")
+    src = tables.table_path(sf_dir, "documents")
+    if scratch.fresh_stage(path, src):
+        return path
     import shutil as _sh
 
     _sh.rmtree(path, ignore_errors=True)
@@ -374,23 +389,39 @@ def _doc_binary_dir(spark: SparkSession, sf_dir: str) -> str:
         load_table(spark, sf_dir, "documents")
         .filter((F.col("doc_id") % 20 == 0) & F.col("text").isNotNull())
         .select("doc_id", "text")
+        .limit(_DOC_BIN_CAP + 1)
         .collect()
     )
+    if len(rows) > _DOC_BIN_CAP:
+        raise RuntimeError(
+            f"_doc_binary_dir: staging collect exceeds the {_DOC_BIN_CAP}-file "
+            "cap — the blob fixture is driver-staged test plumbing; at this "
+            "scale stage the files distributedly (foreachPartition) instead"
+        )
     for r in rows:
         with open(os.path.join(path, f"doc_{r.doc_id}.bin"), "wb") as f:
             f.write(r.text.encode("utf-8"))
+    scratch.mark_stage(path, src)
     return path
 
 
-@register(
-    "source_binaryfile",
-    oracle="""
+# ONE oracle string for both binaryFile twins (batch source + streaming
+# ingest, which imports this constant at decoration time): content
+# integrity computed FROM THE SOURCE ROWS — byte length + md5 over the
+# hex expansion (both engines emit uppercase hex; DuckDB's BLOB→VARCHAR
+# cast escapes bytes, so a raw md5 of the blob is NOT portable).
+BINARYFILE_ORACLE = """
     SELECT doc_id,
            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
            md5(hex(CAST(text AS BLOB))) AS content_md5
     FROM documents
     WHERE doc_id % 20 = 0 AND text IS NOT NULL
-    """,
+    """
+
+
+@register(
+    "source_binaryfile",
+    oracle=BINARYFILE_ORACLE,
     tags=("parity", "source", "multimodal"),
 )
 def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,35 +22,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 from component_iceberg_spark.io.snaptable import SnapCatalog
 from component_iceberg_spark.io.tables import table_path
+from component_iceberg_spark.plans.queries_analytics import (
+    _ACTIVE_TRAILING_ORACLE,
+)
+from component_iceberg_spark.plans.queries_scan import BINARYFILE_ORACLE
 from component_iceberg_spark.plans.registry import register
+from component_iceberg_spark.plans.scratch import (
+    fresh_stage as _fresh_stage,
+    mark_stage as _mark_stage,
+)
 from component_iceberg_spark.streaming import events as SE
 
 SCRATCH_ROOT = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/cis_scratch")
-
-
-def _src_fingerprint(path: str) -> str:
-    st = os.stat(path)
-    return f"{st.st_size}:{st.st_mtime_ns}"
-
-
-def _fresh_stage(stage_dir: str, src: str) -> bool:
-    """True when ``stage_dir`` was built from the CURRENT source file.
-
-    Scratch persists across runs while the fixture may be regenerated
-    with different content at the same path — an existence-only check
-    would then silently stream stale data (and the correctness gate
-    would blame the streaming operators). A sidecar records the source's
-    (size, mtime) at stage time."""
-    marker = os.path.join(stage_dir, "_SRC")
-    return (
-        os.path.exists(marker)
-        and open(marker).read().strip() == _src_fingerprint(src)
-    )
-
-
-def _mark_stage(stage_dir: str, src: str) -> None:
-    with open(os.path.join(stage_dir, "_SRC"), "w") as f:
-        f.write(_src_fingerprint(src))
 
 
 def _stage_single_file(base: str, src_dir: str, df: DataFrame, name: str) -> None:
@@ -778,9 +761,11 @@ def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_active_users_trailing",
-    # oracle imported from the batch twin at registration time (below):
-    # one SQL string for both, so the two cannot drift.
-    oracle=None,  # replaced right after definition — see module bottom
+    # The batch twin's oracle CONSTANT, imported at decoration time:
+    # one SQL string for both, so the two cannot drift — and no
+    # module-bottom REGISTRY mutation that could silently degrade the
+    # gate to rows-only if skipped.
+    oracle=_ACTIVE_TRAILING_ORACLE,
     tags=("ext", "streaming", "analytics"),
 )
 def stream_active_users_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -833,24 +818,13 @@ def stream_active_users_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _trailing_rollup(ud)
 
 
-def _bind_trailing_oracle() -> None:
-    from component_iceberg_spark.plans.queries_analytics import (
-        _ACTIVE_TRAILING_ORACLE,
-    )
-    from component_iceberg_spark.plans.registry import REGISTRY
-
-    REGISTRY["stream_active_users_trailing"].oracle = _ACTIVE_TRAILING_ORACLE
-
-
-_bind_trailing_oracle()
-
-
 @register(
     "stream_binaryfile_ingest",
-    # Same content-integrity oracle as the batch blob source: the final
-    # table after the stream drains must equal what the oracle computes
-    # from the SOURCE rows (bound below, the shared-string discipline).
-    oracle=None,  # replaced right after definition — see module bottom
+    # Same content-integrity oracle CONSTANT as the batch blob source,
+    # imported at decoration time (the shared-string discipline): the
+    # final table after the stream drains must equal what the oracle
+    # computes from the SOURCE rows.
+    oracle=BINARYFILE_ORACLE,
     tags=("ext", "streaming", "multimodal", "source"),
 )
 def stream_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -898,16 +872,3 @@ def stream_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.read(spark, "stream", "blobs")
 
 
-def _bind_binaryfile_oracle() -> None:
-    # importing the scan module registers the batch twin first (this
-    # module sits earlier in _QUERY_MODULES)
-    import component_iceberg_spark.plans.queries_scan  # noqa: F401
-
-    from component_iceberg_spark.plans.registry import REGISTRY
-
-    REGISTRY["stream_binaryfile_ingest"].oracle = REGISTRY[
-        "source_binaryfile"
-    ].oracle
-
-
-_bind_binaryfile_oracle()

@@ -363,6 +363,43 @@ def test_gate_priority_names_all_registered():
     assert not unlisted, f"registered but not gate-prioritized: {unlisted}"
 
 
+# oracle=None is ALSO the legitimate rows-only-check marker, so a twin
+# query accidentally registered without its shared oracle constant would
+# silently degrade from exact-hash to rows-only. Pin both facts: the
+# rows-only set is exactly the designed one, and each twin pair shares
+# ONE oracle string.
+_ROWS_ONLY_BY_DESIGN = {
+    "ext_agg_approx",
+    "ext_cardinality_hll",
+    "ext_overlap_theta",
+    "ext_pca_project",
+    "ext_profile_columns_approx",
+    "ext_quantile_kll",
+    "sim_ann_ivf_kmeans",
+    "sim_ann_pq_kmeans",
+}
+
+_TWIN_PAIRS = [
+    ("ext_join_multipass", "ext_join_multipass_fused"),
+    ("source_binaryfile", "stream_binaryfile_ingest"),
+    ("ext_active_users_trailing", "stream_active_users_trailing"),
+]
+
+
+def test_rows_only_set_is_exactly_the_designed_one():
+    none_names = {n for n, q in REGISTRY.items() if q.oracle is None}
+    assert none_names == _ROWS_ONLY_BY_DESIGN, (
+        f"unexpected rows-only queries: {sorted(none_names - _ROWS_ONLY_BY_DESIGN)}; "
+        f"missing designed ones: {sorted(_ROWS_ONLY_BY_DESIGN - none_names)}"
+    )
+
+
+def test_twin_queries_share_one_oracle_string():
+    for a, b in _TWIN_PAIRS:
+        assert REGISTRY[a].oracle is not None, a
+        assert REGISTRY[a].oracle == REGISTRY[b].oracle, f"{a} vs {b}"
+
+
 def test_no_antipatterns_any_query(spark, sf_dir):
     """Global anti-pattern net across the whole registry: no query may
     plan a row-at-a-time Python UDF (BatchEvalPython — only Arrow-batched
