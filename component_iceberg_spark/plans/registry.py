@@ -59,20 +59,16 @@ _QUERY_MODULES = (
 #
 # ROTATION SCHEDULE (so every query is re-checked within ~3 rounds, and a
 # regression anywhere is externally caught, not just by local pytest).
-# Rotated for r10 (VERDICT r9 "Next round" #1): sentinels lead
-# unconditionally; tier 2 is the seven new r10 registrations (the TPC-DS
-# q64-style multi-pass join chain and its fused single-pass twin, the
-# q88-style multi-band single scan, the q14-style intersect-inside-join,
-# the streaming trailing-active-users twin, the binaryFile blob source
-# and its streaming-ingest twin — never gated) plus the three
-# changed-code re-earns (both spatial twins: shared body grew `cell`;
-# the batch trailing-users query: rollup factored out); the backlog then
-# runs strictly oldest gate row first: the r3 TAIL the r9 window cut
-# (20 names, q20 onward through the snap/text r3 block), then the
-# 41-name r4 cohort — the ~50 window takes the 38-name head plus the
-# first ~12 r4 names; the r4 remainder leads the r11 backlog. Everything
-# gated in r9 (the r2 cohort, the r3 head, the r9 tier-2 re-earns) sits
-# at the tail as the freshest evidence.
+# Rotated for r11 (VERDICT r10 "Next round" #1): sentinels lead
+# unconditionally; tier 2 is this round's new registrations plus the
+# changed-code re-earns (the binaryFile twins: their shared blob-staging
+# helper gained the freshness-marker + hard-cap discipline, so both
+# re-earn their rows); the backlog then runs strictly oldest gate row
+# first: the r4 REMAINDER the r10 window cut (29 names, ext_topk onward
+# through upsert_by_key), then the 47-name r6 cohort — the ~50 window
+# takes the r4 remainder plus the r6 head; the r6 remainder leads the
+# r12 backlog. Everything gated in r10 (the r3 tail, the r4 head, the
+# r10 tier-2 idioms) sits at the tail as the freshest evidence.
 #   1. PINNED SENTINELS -- eight flagships, one per family, EVERY round.
 #   2. Queries with NO gate row ever, plus queries whose implementation
 #      or oracle CHANGED this round -- they (re)earn a green row first.
@@ -91,61 +87,14 @@ _GATE_PRIORITY = (
     "mm_feature_extract",
     "ext_sessionize",
     "sim_ann_ivf",
-    # --- 2. new r10 registrations (never gated): the TPC-DS q64 idiom
-    #     (multi-pass deep join chain) and its fused single-pass twin,
-    #     the q88 idiom (multi-band single-scan lanes), the q14 idiom
-    #     (intersect-inside-join as presence lanes), the streaming
-    #     trailing-active-users twin, the binaryFile blob source; plus
-    #     changed-code re-earns — the
-    #     shared grid-join body grew the `cell` parameter (dense-fixture
-    #     bench evidence) and the batch trailing-users rollup was
-    #     factored into the shared `_trailing_rollup`, so those three
-    #     re-earn their rows.
-    "ext_join_multipass",
-    "ext_join_multipass_fused",
-    "ext_multiband_counts",
-    "ext_intersect_join",
-    "stream_active_users_trailing",
+    # --- 2. r11 tier 2: new registrations land here as they are added;
+    #     changed-code re-earns — the binaryFile twins share the
+    #     restaged-once/hard-capped _doc_binary_dir helper (r11 advice
+    #     closure), so both re-earn their rows.
     "source_binaryfile",
     "stream_binaryfile_ingest",
-    "ext_spatial_grid_join",
-    "ext_spatial_grid_join_salted",
-    "ext_active_users_trailing",
-    # --- backlog: last gate row r3 (the 20-name tail the r9 window cut,
-    #     oldest-first tier)
-    "q20_excess_suppliers",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "sim_ann_ivf_kmeans",
-    "sink_orc",
-    "snap_delete_mor",
-    "snap_hidden_partition",
-    "snap_incremental_read",
-    "snap_partition_evolution",
-    "snap_rollback",
-    "snap_tag_read",
-    "text_lm_score",
-    "text_normalize",
-    "text_pack_offsets",
-    "text_redact_pii",
-    "text_repetition",
-    # --- backlog: last gate row r4 (41 names, oldest-first tier)
-    "cast_coerce",
-    "ext_agg_cube",
-    "ext_agg_groupby",
-    "ext_agg_rollup",
-    "ext_asof_join",
-    "ext_cardinality_hll",
-    "ext_embedding_mean_pool",
-    "ext_overlap_theta",
-    "ext_pivot",
-    "ext_quantile_kll",
-    "ext_setop_except",
-    "ext_setop_intersect",
+    # --- backlog: last gate row r4 (the 29-name REMAINDER the r10
+    #     window cut, oldest-first tier)
     "ext_topk",
     "ext_unpivot",
     "ext_window_analytic",
@@ -344,6 +293,49 @@ _GATE_PRIORITY = (
     "q15_top_supplier",
     "q16_part_supplier_cnt",
     "q19_discounted_revenue",
+    # --- backlog: last gate row r10 (freshest evidence, tail): the r3
+    #     tail + r4 head the r10 window drove, and the r10 tier-2 idioms
+    #     (minus the binaryFile twins, which re-earn in r11 tier 2).
+    "q20_excess_suppliers",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "sim_ann_ivf_kmeans",
+    "sink_orc",
+    "snap_delete_mor",
+    "snap_hidden_partition",
+    "snap_incremental_read",
+    "snap_partition_evolution",
+    "snap_rollback",
+    "snap_tag_read",
+    "text_lm_score",
+    "text_normalize",
+    "text_pack_offsets",
+    "text_redact_pii",
+    "text_repetition",
+    "cast_coerce",
+    "ext_agg_cube",
+    "ext_agg_groupby",
+    "ext_agg_rollup",
+    "ext_asof_join",
+    "ext_cardinality_hll",
+    "ext_embedding_mean_pool",
+    "ext_overlap_theta",
+    "ext_pivot",
+    "ext_quantile_kll",
+    "ext_setop_except",
+    "ext_setop_intersect",
+    "ext_join_multipass",
+    "ext_join_multipass_fused",
+    "ext_multiband_counts",
+    "ext_intersect_join",
+    "stream_active_users_trailing",
+    "ext_spatial_grid_join",
+    "ext_spatial_grid_join_salted",
+    "ext_active_users_trailing",
 )
 
 
