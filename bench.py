@@ -532,6 +532,8 @@ def main() -> None:
         "ext_intersect_join",
         "source_binaryfile",
         "stream_binaryfile_ingest",
+        # new in r11
+        "snap_delete_mor_positional",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:
@@ -660,11 +662,49 @@ def main() -> None:
             spark.conf.set(
                 "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
             )
+        # Measured shuffle VOLUME for the flagship scale idioms (VERDICT
+        # r10 #2): per-query shuffle-write/read bytes from Spark's task
+        # metrics at BOTH sf0.1 and sf1, against the on-disk source
+        # bytes each query reads (stage-reported input bytes
+        # under-report locally — see component_iceberg_spark.metrics).
+        # This converts the "only partial states / deduped pairs cross
+        # the exchange" claims from plan topology to byte counts; the
+        # saturation twin-pins live in tests/test_shuffle_volume.py.
+        from component_iceberg_spark.metrics import (
+            dataframe_volume,
+            source_bytes,
+        )
+
+        _VOLUME_QUERIES = {
+            "ext_multiband_counts": ("events",),
+            "ext_join_multipass_fused": (
+                "lineitem", "orders", "customer", "supplier", "part",
+                "nation",
+            ),
+            "ext_active_users_trailing": ("events",),
+        }
+        volume: dict[str, dict] = {}
+        for name, tabs in _VOLUME_QUERIES.items():
+            row: dict[str, dict] = {}
+            for sf_label, d in (("sf0.1", SF_DIR), ("sf1", SF1_DIR)):
+                m = dataframe_volume(registry[name].fn(spark, d))
+                src = source_bytes(d, tabs)
+                row[sf_label] = {
+                    "shuffle_write_bytes": m.shuffle_write_bytes,
+                    "shuffle_read_bytes": m.shuffle_read_bytes,
+                    "source_bytes": src,
+                    "write_over_source": round(
+                        m.shuffle_write_bytes / src, 4
+                    ),
+                }
+            volume[name] = row
+
         result["sf1"] = {
             "queries": sf1_timings,
             "first_run": sf1_cold,
             "gen_sec": gen_sec,
             "replicas": SF1_REPLICAS,
+            "shuffle_volume": volume,
             "ratio_vs_sf0.1": {
                 n: round(sf1_timings[n] / base_t[n], 2)
                 for n in SCALE_QUERIES

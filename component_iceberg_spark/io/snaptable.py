@@ -689,8 +689,23 @@ class SnapCatalog:
         manifest = self._manifest(namespace, table, base)
         files = manifest["files"]
         deletes = manifest.get("deletes", [])
+        # dirs covered by a POSITIONAL delete entry must never fold:
+        # folding hard-links data files under new basenames, which would
+        # orphan the (file_path, pos) addresses the delete file stores.
+        # Each such dir gets a unique singleton signature so it is
+        # carried as-is (equality entries scope by dir name and survive
+        # folding; positional entries scope by file path and don't).
+        pos_covered = {
+            d
+            for e in deletes
+            if e.get("mode") == "positional"
+            for d in e["applies_to"]
+        }
         groups: dict[frozenset, list[str]] = {}
         for d in files:
+            if d in pos_covered:
+                groups[frozenset({("solo", d)})] = [d]
+                continue
             sig = frozenset(
                 i for i, e in enumerate(deletes) if d in e["applies_to"]
             )
@@ -741,7 +756,12 @@ class SnapCatalog:
                 extra_rows[nd] = sum(parent_rows[d] for d in dirs)
         remapped = []
         for i, e in enumerate(deletes):
-            applies = sorted(sig_to_dir[sig] for sig in groups if i in sig)
+            if e.get("mode") == "positional":
+                # positional dirs never fold (singleton signatures above),
+                # so the entry carries its surviving dirs unchanged
+                applies = sorted(d for d in e["applies_to"] if d in set(files))
+            else:
+                applies = sorted(sig_to_dir[sig] for sig in groups if i in sig)
             if applies:
                 remapped.append({**e, "applies_to": applies})
         try:
@@ -1065,6 +1085,84 @@ class SnapCatalog:
             carry_dirs=list(manifest["files"]), extra_deletes=[entry],
         )
 
+    # column names a positional scan exposes to delete authors
+    POS_FILE_COL = "_pos_file"
+    POS_IDX_COL = "_pos_idx"
+
+    def read_with_positions(
+        self, spark: SparkSession, namespace: str, table: str
+    ) -> DataFrame:
+        """Scan exposing each row's physical address — (data file path,
+        row ordinal within the file) as ``_pos_file``/``_pos_idx`` — the
+        handle a caller needs to author Iceberg-v2-style POSITIONAL
+        deletes (``delete_positions``). Addresses come from Spark's
+        ``_metadata.file_path``/``row_index`` hidden columns, so the
+        scan stays fully distributed and adds no shuffle.
+
+        Refuses while merge-on-read deletes are pending: a position
+        authored against a masked row would be ambiguous — compact (or
+        author against a clean snapshot) first, matching the
+        ``read_ordered``/``row_count`` pending-delete contracts."""
+        sid = self._current_sid(namespace, table)
+        manifest = self._manifest(namespace, table, sid)
+        if self._pending_deletes(manifest, manifest["files"]):
+            raise ValueError(
+                f"{namespace}.{table}: read_with_positions with pending "
+                "merge-on-read deletes is ambiguous — compact() first"
+            )
+        return self._read_dirs(
+            spark, namespace, table, list(manifest["files"]),
+            bool(manifest.get("partition_by")), with_positions=True,
+        )
+
+    def delete_positions(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        table: str,
+        pos_df: DataFrame,
+    ) -> int:
+        """Merge-on-read POSITIONAL delete (the other Iceberg v2 delete
+        format, reference ex-iceberg's pyiceberg table contract: v2
+        tables carry equality deletes AND (file_path, pos) delete files
+        — the format compaction engines emit). ``pos_df`` carries the
+        doomed rows' physical addresses as ``_pos_file``/``_pos_idx``
+        (author them with ``read_with_positions``). The delete file is
+        written with Iceberg's positional-delete schema (file_path,
+        pos); the commit is metadata-only — no data rewrite.
+
+        Scoping mirrors ``delete_keys``: the entry records the data dirs
+        visible at delete time. Positions are additionally physical —
+        they name files — so rows appended later can never be masked
+        even inside a scoped dir. Reads anti-join on (file, pos);
+        ``compact`` materializes and clears pending positional deletes
+        exactly like equality ones. ``compact_manifests`` never folds a
+        dir covered by a positional entry (folding hard-links data files
+        under new basenames, which would orphan the stored paths)."""
+        base = self._current_sid(namespace, table)
+        manifest = self._manifest(namespace, table, base)
+        del_dir_name = f"posdelete-{uuid.uuid4().hex[:12]}"
+        out = self._tbl(namespace, table, "deletes", del_dir_name)
+        (
+            pos_df.select(
+                F.col(self.POS_FILE_COL).alias("file_path"),
+                F.col(self.POS_IDX_COL).cast("long").alias("pos"),
+            )
+            .distinct()
+            .coalesce(1)
+            .write.parquet(out)
+        )
+        entry = {
+            "dir": del_dir_name,
+            "mode": "positional",
+            "applies_to": list(manifest["files"]),
+        }
+        return self._commit(
+            namespace, table, None, operation="delete", carry=False,
+            base_sid=base, inherit_spec=True,
+            carry_dirs=list(manifest["files"]), extra_deletes=[entry],
+        )
+
     def _pending_deletes(
         self, manifest: dict, dir_names: list[str]
     ) -> list[dict]:
@@ -1106,13 +1204,36 @@ class SnapCatalog:
                 groups.setdefault(key, []).append(d)
             out = None
             for key, dirs in sorted(groups.items(), key=lambda kv: sorted(kv[0])):
-                part = self._read_dirs(spark, namespace, table, dirs, partitioned)
+                # positional entries anti-join on the rows' physical
+                # (file, ordinal) address, which must be projected at
+                # SCAN time (hidden _metadata columns don't survive a
+                # union), so the group's read carries them when needed
+                needs_pos = any(
+                    deletes[i].get("mode") == "positional" for i in key
+                )
+                part = self._read_dirs(
+                    spark, namespace, table, dirs, partitioned,
+                    with_positions=needs_pos,
+                )
                 for i in sorted(key):
                     e = deletes[i]
                     keys_df = spark.read.parquet(
                         self._tbl(namespace, table, "deletes", e["dir"])
                     )
-                    part = part.join(keys_df, e["key_cols"], "left_anti")
+                    if e.get("mode") == "positional":
+                        doomed = keys_df.select(
+                            F.col("file_path").alias(self.POS_FILE_COL),
+                            F.col("pos").alias(self.POS_IDX_COL),
+                        )
+                        part = part.join(
+                            doomed,
+                            [self.POS_FILE_COL, self.POS_IDX_COL],
+                            "left_anti",
+                        )
+                    else:
+                        part = part.join(keys_df, e["key_cols"], "left_anti")
+                if needs_pos:
+                    part = part.drop(self.POS_FILE_COL, self.POS_IDX_COL)
                 out = part if out is None else out.unionByName(
                     part, allowMissingColumns=True
                 )
@@ -1484,6 +1605,7 @@ class SnapCatalog:
         table: str,
         dir_names: list[str],
         partitioned: bool,
+        with_positions: bool = False,
     ) -> DataFrame:
         """Distributed scan over an explicit set of data directories.
 
@@ -1493,7 +1615,29 @@ class SnapCatalog:
 
         Partitioned commits are read per-directory and unioned by name:
         hive partition discovery is per data dir, and the union keeps
-        partition pruning (PartitionFilters) intact on every branch."""
+        partition pruning (PartitionFilters) intact on every branch.
+
+        ``with_positions`` additionally projects each row's physical
+        address (``_pos_file``/``_pos_idx`` from the hidden ``_metadata``
+        struct) — selected per scan branch BEFORE any union, because
+        ``_metadata`` is only resolvable directly on a file-source
+        relation."""
+
+        def _one(path_or_paths) -> DataFrame:
+            r = spark.read.option("mergeSchema", "true")
+            df = (
+                r.parquet(*path_or_paths)
+                if isinstance(path_or_paths, list)
+                else r.parquet(path_or_paths)
+            )
+            if with_positions:
+                df = df.select(
+                    "*",
+                    F.col("_metadata.file_path").alias(self.POS_FILE_COL),
+                    F.col("_metadata.row_index").alias(self.POS_IDX_COL),
+                )
+            return df
+
         dirs = [
             os.path.join(self._tbl(namespace, table, "data"), d)
             for d in dir_names
@@ -1501,12 +1645,12 @@ class SnapCatalog:
         if partitioned and len(dirs) > 1:
             out = None
             for d in dirs:
-                part = spark.read.option("mergeSchema", "true").parquet(d)
+                part = _one(d)
                 out = part if out is None else out.unionByName(
                     part, allowMissingColumns=True
                 )
             return out
-        return spark.read.option("mergeSchema", "true").parquet(*dirs)
+        return _one(dirs)
 
     def row_count(
         self, namespace: str, table: str, snapshot_id: int | None = None

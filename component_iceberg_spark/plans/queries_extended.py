@@ -619,6 +619,72 @@ def snap_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.read(spark, "ns", "orders")
 
 
+@register(
+    "snap_delete_mor_positional",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey % 10 = 0 AND o_orderkey < 30
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_delete_mor_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read POSITIONAL delete (the other Iceberg v2 delete-file
+    format, the one compaction engines emit: (file_path, pos) rows; the
+    equality format is ``snap_delete_mor``). The scenario deletes
+    specific duplicate OCCURRENCES — a row identity no equality delete
+    can express, because both copies carry identical column values:
+
+    1. commit the orders table, then append exact copies of every
+       o_orderkey % 10 == 0 row (duplicates by VALUE);
+    2. author a positional delete for every occurrence AFTER the first
+       per key: ``read_with_positions`` exposes each row's physical
+       (file, ordinal) address, a key-partitioned row_number orders the
+       occurrences, and the rn >= 2 addresses land in a small
+       positional-delete file — a metadata-only commit, no data rewrite
+       (at 100 TB the window shuffles (key, address) pairs only, never
+       payload columns);
+    3. append fresh copies of the o_orderkey < 30 duplicates — these
+       must NOT be masked (positions name FILES, so later rows are
+       physically out of scope: Iceberg's sequence-number rule with an
+       even stronger address-level guarantee).
+
+    The read anti-joins each scoped group on (file, ordinal);
+    ``compact`` materializes pending positional deletes exactly like
+    equality ones (pinned in tests/test_snaptable.py), and
+    ``compact_manifests`` refuses to fold positional-covered dirs (the
+    fold hard-links files under new basenames, which would orphan the
+    stored addresses)."""
+    from pyspark.sql import Window
+
+    from component_iceberg_spark.plans.queries_mutation import _warehouse
+
+    cat = _warehouse(sf_dir, "mor_pos")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dups = o.filter(F.col("o_orderkey") % 10 == 0)
+    cat.create_or_replace("ns", "orders", o)
+    cat.append("ns", "orders", dups)
+    addressed = cat.read_with_positions(spark, "ns", "orders")
+    w = Window.partitionBy("o_orderkey").orderBy(
+        cat.POS_FILE_COL, cat.POS_IDX_COL
+    )
+    doomed = (
+        addressed.select(
+            "o_orderkey", cat.POS_FILE_COL, cat.POS_IDX_COL,
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") >= 2)
+        .select(cat.POS_FILE_COL, cat.POS_IDX_COL)
+    )
+    cat.delete_positions(spark, "ns", "orders", doomed)
+    reborn = dups.filter(F.col("o_orderkey") < 30)
+    cat.append("ns", "orders", reborn)
+    return cat.read(spark, "ns", "orders")
+
+
 # ---------------------------------------------------------------------------
 # Text normalization / redaction / repetition quality
 # ---------------------------------------------------------------------------

@@ -90,9 +90,12 @@ _GATE_PRIORITY = (
     # --- 2. r11 tier 2: new registrations land here as they are added;
     #     changed-code re-earns — the binaryFile twins share the
     #     restaged-once/hard-capped _doc_binary_dir helper (r11 advice
-    #     closure), so both re-earn their rows.
+    #     closure), so both re-earn their rows; snap_delete_mor re-earns
+    #     because _read_with_deletes/_read_dirs grew the positional path.
+    "snap_delete_mor_positional",
     "source_binaryfile",
     "stream_binaryfile_ingest",
+    "snap_delete_mor",
     # --- backlog: last gate row r4 (the 29-name REMAINDER the r10
     #     window cut, oldest-first tier)
     "ext_topk",
@@ -305,7 +308,6 @@ _GATE_PRIORITY = (
     "q9_product_profit",
     "sim_ann_ivf_kmeans",
     "sink_orc",
-    "snap_delete_mor",
     "snap_hidden_partition",
     "snap_incremental_read",
     "snap_partition_evolution",

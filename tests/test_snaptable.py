@@ -511,6 +511,95 @@ def test_merge_on_read_delete_cycle(spark, sf_dir, tmp_path):
     assert cat.row_count("ns", "t") == want + 1  # metadata count works again
 
 
+def test_positional_delete_cycle(spark, sf_dir, tmp_path):
+    """Positional-delete files ((file_path, pos), the second Iceberg v2
+    delete format): no data rewrite at delete time; reads mask exactly
+    the addressed rows; later appends are physically out of scope;
+    compaction materializes and clears them — the same contract as the
+    equality-delete cycle."""
+    import pytest
+
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "t", o)
+    data_root = os.path.join(wh, "ns", "t", "data")
+    dirs_before = set(os.listdir(data_root))
+
+    addressed = cat.read_with_positions(spark, "ns", "t")
+    assert cat.POS_FILE_COL in addressed.columns
+    doomed = addressed.filter("o_orderkey < 100").select(
+        cat.POS_FILE_COL, cat.POS_IDX_COL
+    )
+    sid = cat.delete_positions(spark, "ns", "t", doomed)
+
+    # metadata-only: no new data dir
+    assert set(os.listdir(data_root)) == dirs_before
+    (entry,) = cat._manifest("ns", "t", sid)["deletes"]
+    assert entry["mode"] == "positional"
+    want = o.filter("o_orderkey >= 100").count()
+    assert cat.read(spark, "ns", "t").count() == want
+    # position columns never leak into the user schema
+    assert cat.POS_FILE_COL not in cat.read(spark, "ns", "t").columns
+    # time travel unaffected
+    assert cat.read(spark, "ns", "t", snapshot_id=1).count() == o.count()
+
+    # re-append a deleted key: positions name FILES, so the new physical
+    # row can never be masked
+    reborn = o.filter("o_orderkey = 5").limit(1)
+    cat.append("ns", "t", reborn)
+    assert cat.read(spark, "ns", "t").count() == want + 1
+    assert cat.read(spark, "ns", "t").filter("o_orderkey = 5").count() == 1
+
+    # authoring NEW positions over pending deletes is ambiguous → refuse
+    with pytest.raises(ValueError, match="pending"):
+        cat.read_with_positions(spark, "ns", "t")
+
+    # compaction folds the positional deletes in and clears the entries
+    sid = cat.compact(spark, "ns", "t")
+    m = cat._manifest("ns", "t", sid)
+    assert m["deletes"] == []
+    assert cat.read(spark, "ns", "t").count() == want + 1
+    assert cat.row_count("ns", "t") == want + 1
+
+
+def test_compact_manifests_never_folds_positional_dirs(spark, sf_dir, tmp_path):
+    """Manifest folding hard-links data files under NEW basenames, which
+    would orphan stored (file_path, pos) addresses — dirs covered by a
+    positional entry must be carried as-is, other dirs still fold, and
+    the masked rows stay masked after the fold."""
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "t", n.filter("n_regionkey < 2"))
+    cat.append("ns", "t", n.filter("n_regionkey = 2"))
+    addressed = cat.read_with_positions(spark, "ns", "t")
+    # n_nationkey=6 sits in the first commit (fixture: regionkey = key % 5)
+    doomed = addressed.filter("n_nationkey = 6").select(
+        cat.POS_FILE_COL, cat.POS_IDX_COL
+    )
+    assert doomed.count() == 1
+    cat.delete_positions(spark, "ns", "t", doomed)
+    # two more commits with no pending-delete coverage: these CAN fold
+    cat.append("ns", "t", n.filter("n_regionkey = 3"))
+    cat.append("ns", "t", n.filter("n_regionkey = 4"))
+    want = {r.n_nationkey for r in cat.read(spark, "ns", "t").collect()}
+    assert 6 not in want
+
+    sid = cat.compact_manifests("ns", "t")
+    post = cat._manifest("ns", "t", sid)
+    # the two positional-covered dirs stay separate; the two clean dirs
+    # folded into one -> 3 dirs total
+    assert len(post["files"]) == 3
+    (entry,) = post["deletes"]
+    assert entry["mode"] == "positional"
+    assert len(entry["applies_to"]) == 2
+    got = {r.n_nationkey for r in cat.read(spark, "ns", "t").collect()}
+    assert got == want
+
+
 def test_read_appends_between(spark, sf_dir, tmp_path):
     import pytest
 
