@@ -662,6 +662,39 @@ def main() -> None:
             spark.conf.set(
                 "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
             )
+        # Realistic-vocabulary heavy-hitters row (VERDICT r10 #3): the
+        # registered query's word-soup fixture is the verify pass's
+        # WORST case (vocab ≤ k+1 ⇒ the semi-join filters nothing);
+        # this row runs the same operator over a crafted Zipf(s=1)
+        # stream with a ~100k-word vocabulary at the sf1 token volume —
+        # the regime the r10 audit predicted: MG candidates ≈ k (34
+        # over 99k words) and the semi-join admits only heavy-token
+        # occurrences (~31% of the stream), so the verify passes scan a
+        # minority of it. rank = V^u is the exact Zipf inverse-CDF; the
+        # multiplicative hash makes u deterministic.
+        from component_iceberg_spark.operators import sketch as _SK
+
+        _zV, _zN = 100_000, 3_300_000
+        _zu = ((F.col("id") * 2654435761) % 1_000_000) / 1_000_000.0
+        _zipf_items = spark.range(_zN).select(
+            F.concat(
+                F.lit("t"),
+                F.floor(F.pow(F.lit(float(_zV)), _zu))
+                .cast("long")
+                .cast("string"),
+            ).alias("token")
+        )
+        _zkey = "ext_heavy_hitters@zipf"
+        best = float("inf")
+        for i in range(3):
+            t0 = time.perf_counter()
+            force(_SK.heavy_hitters_exact(_zipf_items, "token", k=32))
+            took = time.perf_counter() - t0
+            if i == 0:
+                sf1_cold[_zkey] = round(took, 3)
+            best = min(best, took)
+        sf1_timings[_zkey] = round(best, 3)
+
         # Measured shuffle VOLUME for the flagship scale idioms (VERDICT
         # r10 #2): per-query shuffle-write/read bytes from Spark's task
         # metrics at BOTH sf0.1 and sf1, against the on-disk source

@@ -140,19 +140,37 @@ def heavy_hitters_exact(
 
     Returns (item, n_occurrences) for items above the frequency floor.
     """
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    spark = df.sparkSession
-    # NULL items are excluded up front: pandas value_counts drops NaN
-    # inside the summaries, so keeping NULLs would silently break the
-    # completeness guarantee for the NULL "item"
     items = df.select(F.col(item_col).alias("item")).filter(
         F.col(item_col).isNotNull()
     )
     n = items.count()  # driver scalar — one cheap aggregated job
     threshold = n // (k + 1) + 1
+    candidates = mg_candidates(items, k)
+    return (
+        items.join(F.broadcast(candidates), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= threshold)
+    )
+
+
+def mg_candidates(items: DataFrame, k: int) -> DataFrame:
+    """The Misra-Gries candidate stage of ``heavy_hitters_exact``,
+    exposed so the stage-volume contract is testable on its own: each
+    Arrow batch reduces to ≤ k (item, weight) rows (the exact batch
+    counts trimmed to the top k with the (k+1)-th count subtracted),
+    partials merge by sum, and the surviving item set is a SUPERSET of
+    every φ-heavy item. On a realistic (vocab ≫ k, Zipf-skewed) stream
+    the merged set stays ≈ k — measured 34 candidates over a 99k-word
+    vocabulary — so the downstream semi-join admits only heavy-token
+    occurrences; the word-soup fixture (vocab ≤ k+1) is the worst case
+    where every token is a candidate (see DESIGN_NOTES r10/r11 heavy-
+    hitters audits). ``items`` must be a single non-NULL column named
+    ``item`` (pandas value_counts drops NaN, which would otherwise break
+    the completeness guarantee for the NULL item)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
 
     item_type = items.schema["item"].dataType
     summary_schema = T.StructType(
@@ -175,15 +193,9 @@ def heavy_hitters_exact(
                 {"item": counts.index, "w": counts.to_numpy()}
             )
 
-    candidates = (
+    return (
         items.mapInPandas(mg_summaries, schema=summary_schema)
         .groupBy("item")
         .agg(F.sum("w").alias("lb"))
         .select("item")
-    )
-    return (
-        items.join(F.broadcast(candidates), "item", "left_semi")
-        .groupBy("item")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
-        .filter(F.col("n_occurrences") >= threshold)
     )

@@ -91,11 +91,15 @@ _GATE_PRIORITY = (
     #     changed-code re-earns — the binaryFile twins share the
     #     restaged-once/hard-capped _doc_binary_dir helper (r11 advice
     #     closure), so both re-earn their rows; snap_delete_mor re-earns
-    #     because _read_with_deletes/_read_dirs grew the positional path.
+    #     because _read_with_deletes/_read_dirs grew the positional path;
+    #     ext_heavy_hitters re-earns after the mg_candidates extraction
+    #     (same plan, re-verified — the Zipf-vocabulary audit needed the
+    #     candidate stage testable on its own).
     "snap_delete_mor_positional",
     "source_binaryfile",
     "stream_binaryfile_ingest",
     "snap_delete_mor",
+    "ext_heavy_hitters",
     # --- backlog: last gate row r4 (the 29-name REMAINDER the r10
     #     window cut, oldest-first tier)
     "ext_topk",
@@ -137,7 +141,6 @@ _GATE_PRIORITY = (
     "ext_funnel",
     "ext_fuzzy_join",
     "ext_gap_fill",
-    "ext_heavy_hitters",
     "ext_hierarchy_flatten",
     "ext_integrity_check",
     "ext_join_bucketed",

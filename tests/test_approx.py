@@ -243,6 +243,50 @@ def test_heavy_hitters_partition_independent(spark, sf_dir):
         assert exact[r["item"]] == r["n_occurrences"]
 
 
+def test_heavy_hitters_candidate_volume_inverts_with_vocabulary(spark):
+    """The r10 audit proved the word-soup fixture (vocab ≤ k+1) is the
+    verify pass's WORST case — every token survives the semi-join — and
+    predicted the inversion at realistic vocabulary: with vocab ≫ k the
+    MG merge keeps ≈ k candidates, so the semi-join admits only
+    heavy-token occurrences. Pin both regimes on crafted fixtures:
+
+    - Zipf(s=1) stream over a ~20k-word vocabulary (rank = V^u is the
+      exact inverse-CDF): candidates stay ≈ k (a 100× reduction vs the
+      vocabulary) and survivors are a MINORITY of the stream;
+    - uniform stream over k-1 tokens: every token is a candidate and
+      survivors are 100% — the documented worst case.
+
+    The verified ANSWER is exact in both regimes (partition-independence
+    test above); this pins the COST claim the 100 TB argument rests on."""
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.operators import sketch as SK
+
+    K, V, N = 32, 20_000, 400_000
+    u = ((F.col("id") * 2654435761) % 1_000_000) / 1_000_000.0
+    zipf = spark.range(N).select(
+        F.concat(
+            F.lit("t"),
+            F.floor(F.pow(F.lit(float(V)), u)).cast("long").cast("string"),
+        ).alias("item")
+    )
+    n = zipf.count()
+    cands = SK.mg_candidates(zipf.repartition(8), K)
+    n_cands = cands.count()
+    survivors = zipf.join(F.broadcast(cands), "item", "left_semi").count()
+    assert n_cands <= 4 * K, n_cands  # ≈ k, never the vocabulary
+    assert survivors < 0.6 * n, (survivors, n)  # minority of the stream
+
+    soup = spark.range(N).select(
+        F.concat(F.lit("w"), (F.col("id") % (K - 1)).cast("string")).alias(
+            "item"
+        )
+    )
+    cands2 = SK.mg_candidates(soup.repartition(8), K)
+    survivors2 = soup.join(F.broadcast(cands2), "item", "left_semi").count()
+    assert survivors2 == N  # vocab ≤ k ⇒ the semi-join filters nothing
+
+
 def test_pq_kmeans_recall(spark, sf_dir):
     """Per-subspace-k-means PQ must be deterministic across runs and not
     degrade recall below the seed-vector codebook by more than one
