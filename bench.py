@@ -68,6 +68,13 @@ SF3_QUERIES = (
     # never the downstream relations
     "ext_join_multipass_fused",
     "ext_window_rolling_outlier",
+    # r11 (VERDICT r10 #6): the trailing-distinct-users watch item — its
+    # sf1 wall ratio (3.54x) tracks the distinct (day, user) PAIR volume
+    # (constant-density replication offsets user ids, so pairs grow with
+    # the replicas), while event-volume independence is pinned by the
+    # doubled-events shuffle test; the 30x row extends the pair-volume
+    # curve one more decade
+    "ext_active_users_trailing",
 )
 
 # Representative slice of the registry: scan, agg, joins, windows,
@@ -770,10 +777,10 @@ def main() -> None:
         t0 = time.perf_counter()
         ensure_scale(
             spark, SF3_DIR, SF3_REPLICAS,
-            tables=("embeddings", "documents", "tpch"),
+            tables=("embeddings", "documents", "tpch", "events"),
         )
         gen3 = round(time.perf_counter() - t0, 3)
-        for t in ("embeddings", "documents", "customer", "lineitem"):
+        for t in ("embeddings", "documents", "customer", "lineitem", "events"):
             force(spark.read.parquet(os.path.join(SF3_DIR, f"{t}.parquet")))
         sf3_timings: dict[str, float] = {}
         sf3_cold: dict[str, float] = {}
