@@ -202,6 +202,10 @@ SCALE_QUERIES = (
     "ext_intersect_join",
     "ext_window_rolling_outlier",
     "ext_active_users_trailing",
+    # r11: the q23 capstone claims exactly two fact passes with a
+    # checkpointed metadata-sized discovery relation — its 10x wall
+    # should track the two fact scans
+    "ext_frequent_best_readout",
 )
 
 
@@ -541,6 +545,7 @@ def main() -> None:
         "stream_binaryfile_ingest",
         # new in r11
         "snap_delete_mor_positional",
+        "ext_frequent_best_readout",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

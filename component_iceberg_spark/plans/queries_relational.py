@@ -1915,3 +1915,136 @@ def ext_join_multipass_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "ext_frequent_best_readout",
+    oracle="""
+    WITH j AS (
+        SELECT l_partkey, o_custkey, l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l_discount) * 100) AS BIGINT) AS rev,
+               o_orderdate
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    freq AS (
+        SELECT l_partkey FROM j GROUP BY 1 HAVING count(*) >= 13
+    ),
+    cust AS (SELECT o_custkey, sum(rev) AS s FROM j GROUP BY 1),
+    best AS (
+        SELECT o_custkey FROM cust WHERE 2 * s > (SELECT max(s) FROM cust)
+    )
+    SELECT l_returnflag AS channel,
+           count(*) AS n_sales,
+           ((sum(rev) + 50) // 100) / 100.0 AS revenue
+    FROM j
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND l_partkey IN (SELECT l_partkey FROM freq)
+      AND o_custkey IN (SELECT o_custkey FROM best)
+    GROUP BY 1
+    """,
+    tags=("relational", "join", "agg"),
+)
+def ext_frequent_best_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q23-idiom capstone: FREQUENT ITEMS (the heavy-hitters
+    threshold discipline) and BEST CUSTOMERS (spend above a fraction of
+    the maximum) discovered over a two-year fact window, then a
+    restricted readout of the recent period's sales that hit BOTH sets,
+    per channel (return-flag standing in for q23's catalog/web split).
+
+    The Spark-first composition the two q23 discovery CTEs reduce to:
+
+    - ONE discovery pass: q23 computes frequent_ss_items and
+      best_ss_customer as two separate scans of store_sales; here both
+      grains come out of a single fact pass via GROUPING SETS
+      ((l_partkey), (o_custkey)) — one scan, one Expand(2x), one
+      group-bounded exchange carrying (item-grain + customer-grain)
+      partial states. gid tells the lanes apart; the frequency
+      threshold (count >= 13, the fixture's p90 — the phi-heavy idiom
+      with an absolute floor) and the best-customer rule are post-agg
+      filters on the metadata-sized grouped relation.
+    - The best-customer cutoff (2*spend > max spend) compares INTEGER
+      10^-4-dollar lanes against a 1-row broadcast maximum (the
+      repo-allowed 1-row-aggregate crossJoin) — no percentile sort, no
+      float until display.
+    - The READOUT pass is the second and final fact scan: the 1996
+      range is pushed into the orders scan, the frequent/best sets
+      arrive as left-semi joins of post-aggregation relations (dim-
+      bounded; declarative so they broadcast at fixture scale and
+      hash-shuffle at 100 TB), and the per-channel money lanes fold in
+      the SAME grouped pass — no Intersect node anywhere.
+
+    The grouped discovery relation has FOUR consumers (freq, cust, the
+    1-row max, best); without materialization Catalyst re-derives the
+    fact lineage for each (measured: 4 lineitem scans). It is
+    group-bounded — |parts| + |customers| rows, metadata-sized next to
+    the fact — so it is localCheckpoint'ed once (the ext_dbscan_grid
+    discipline: compute the small relation ONE time, truncate lineage,
+    every consumer reads the materialized rows).
+
+    Plan pins (test_frequent_best_two_fact_passes): the discovery plan
+    is 1 lineitem scan + 1 Expand; the readout plan is 1 lineitem scan,
+    0 Expand, 0 Intersect, pushed date range, and no scan downstream of
+    the checkpoint. Exactness: counts integer; revenue summed in the
+    10^-4-dollar lane, one divide at display (the q64 contract)."""
+    disc = _q23_discovery(spark, sf_dir).localCheckpoint()
+    freq = disc.filter((F.col("gid") == 1) & (F.col("cnt") >= 13)).select(
+        "l_partkey"
+    )
+    cust = disc.filter(F.col("gid") == 2).select("o_custkey", "s")
+    cmax = cust.agg(F.max("s").alias("smax"))  # 1 row — broadcast-bounded
+    best = (
+        cust.crossJoin(F.broadcast(cmax))
+        .filter(F.col("s") * 2 > F.col("smax"))
+        .select("o_custkey")
+    )
+    # readout: the second (and last) fact pass, recent range pushed
+    return (
+        _q23_joined(spark, sf_dir, "1996-01-01")
+        .join(freq, "l_partkey", "left_semi")
+        .join(best, "o_custkey", "left_semi")
+        .groupBy(F.col("l_returnflag").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sales"),
+            (F.expr("(sum(rev) + 50) div 100") / 100.0).alias("revenue"),
+        )
+    )
+
+
+def _q23_joined(spark: SparkSession, sf_dir: str, lo: str) -> DataFrame:
+    """Fact window shared by the capstone's two passes: lineitem joined
+    to range-filtered orders (the range pushes into the orders scan),
+    projected to the 4 columns the passes read, revenue in the integer
+    10^-4-dollar lane."""
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((F.lit(1) - F.col("l_discount")) * 100).cast("long")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return li.join(
+        o.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == o.o_orderkey,
+    ).select("l_partkey", "o_custkey", "l_returnflag", rev.alias("rev"))
+
+
+def _q23_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone's single discovery pass: both grains (item
+    frequency, customer spend) from ONE fact scan via GROUPING SETS —
+    one Expand(2x), one group-bounded exchange."""
+    return (
+        _q23_joined(spark, sf_dir, "1995-01-01")
+        .groupingSets(
+            [["l_partkey"], ["o_custkey"]], "l_partkey", "o_custkey"
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("rev").alias("s"),
+        )
+    )

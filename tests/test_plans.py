@@ -849,6 +849,58 @@ def test_intersect_join_single_pass(spark, sf_dir):
     assert "partial_sum" in p
 
 
+def test_frequent_best_two_fact_passes(spark, sf_dir):
+    """ext_frequent_best_readout (TPC-DS q23 idiom): the two discovery
+    CTEs (frequent items + best customers) must fuse into ONE fact pass
+    via grouping sets, and the whole query costs exactly TWO fact
+    passes. Pinned in two plans: the discovery relation (1 lineitem
+    scan + 1 Expand, group-bounded exchange) and the registered query
+    (1 lineitem scan — the readout; the checkpointed discovery
+    contributes zero parquet scans downstream, the ext_dbscan_grid
+    discipline), with no Intersect anywhere, pushed date ranges, and
+    the only broadcast under no-auto-broadcast the 1-row spend max."""
+    import re
+
+    from component_iceberg_spark.plans.queries_relational import (
+        _q23_discovery,
+    )
+    from tests.conftest import plan_formatted
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pd_ = plan_formatted(_q23_discovery(spark, sf_dir))
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+    assert (
+        len([ln for ln in pd_.splitlines() if "Location" in ln and "lineitem" in ln])
+        == 1
+    ), "both discovery grains from ONE fact scan"
+    assert len(re.findall(r"\(\d+\) Expand", pd_)) == 1
+    assert "partial_count" in pd_ or "partial_sum" in pd_
+
+    p = plan_no_auto_broadcast(spark, sf_dir, "ext_frequent_best_readout")
+    li_scans = [
+        ln for ln in p.splitlines() if "Location" in ln and "lineitem" in ln
+    ]
+    assert len(li_scans) == 1, (
+        "readout is the only fact scan in the serving plan — discovery "
+        "is checkpointed, never re-derived per consumer"
+    )
+    assert not re.search(r"\(\d+\) Expand", p), "no re-derived discovery"
+    assert not re.search(r"\(\d+\) \w*Intersect", p), "no set-op node"
+    pushed = [
+        ln
+        for ln in p.splitlines()
+        if "PushedFilters:" in ln and "o_orderdate" in ln
+    ]
+    assert len(pushed) == 1, "the readout range pushes into the orders scan"
+    # the 1-row max is the only broadcast; every other join declarative
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1
+    assert "BroadcastHashJoin" not in p
+
+
 def test_multipass_fused_single_pass(spark, sf_dir):
     """ext_join_multipass_fused: the cross-year comparison folded into
     per-year lanes must plan ONE lineitem scan with no self-join — the
