@@ -545,6 +545,7 @@ def main() -> None:
         "stream_binaryfile_ingest",
         # new in r11
         "snap_delete_mor_positional",
+        "snap_rewrite_pos_deletes",
         "ext_frequent_best_readout",
     )
     new_ops: dict[str, float] = {}

@@ -1163,6 +1163,68 @@ class SnapCatalog:
             carry_dirs=list(manifest["files"]), extra_deletes=[entry],
         )
 
+    def compact_position_deletes(
+        self, spark: SparkSession, namespace: str, table: str
+    ) -> int:
+        """Iceberg ``rewrite_position_delete_files`` analogue: merge all
+        pending POSITIONAL delete files into one, dropping dead
+        addresses, without touching data files. Every streaming upsert /
+        CDC-style pipeline accretes small delete files; at read time
+        each costs one anti-join pass over its scoped group, so
+        maintenance folds them.
+
+        Two properties make the merge safe that would NOT hold for
+        equality entries: a positional address can only ever mask its
+        exact (file, ordinal) row, so (a) widening ``applies_to`` to the
+        union of the sources' scopes cannot mask later-appended rows
+        (their files are different), and (b) addresses whose file no
+        longer sits under a live scoped dir are DEAD — a CoW rewrite
+        already materialized them — and are dropped here. Equality
+        entries are semantic (key-scoped) and are carried unchanged.
+
+        No-op (returns the current snapshot id) with fewer than two
+        pending positional entries."""
+        base = self._current_sid(namespace, table)
+        manifest = self._manifest(namespace, table, base)
+        entries = manifest.get("deletes", [])
+        pos = [e for e in entries if e.get("mode") == "positional"]
+        if len(pos) < 2:
+            return base
+        keep = [e for e in entries if e.get("mode") != "positional"]
+        merged = None
+        for e in pos:
+            df = spark.read.parquet(
+                self._tbl(namespace, table, "deletes", e["dir"])
+            )
+            merged = df if merged is None else merged.unionByName(df)
+        # drop dead addresses: only files under a live scoped dir can
+        # still be masked (dir path boundary enforced by the separator)
+        scope = sorted({d for e in pos for d in e["applies_to"]})
+        data_root = self._tbl(namespace, table, "data")
+        live = [
+            F.col("file_path").contains(
+                os.path.join(data_root, d) + os.sep
+            )
+            for d in scope
+        ]
+        alive = live[0]
+        for cond in live[1:]:
+            alive = alive | cond
+        del_dir_name = f"posdelete-{uuid.uuid4().hex[:12]}"
+        out = self._tbl(namespace, table, "deletes", del_dir_name)
+        merged.filter(alive).distinct().coalesce(1).write.parquet(out)
+        entry = {
+            "dir": del_dir_name,
+            "mode": "positional",
+            "applies_to": [d for d in scope if d in set(manifest["files"])],
+        }
+        return self._commit(
+            namespace, table, None, operation="rewrite_position_deletes",
+            carry=False, base_sid=base, inherit_spec=True,
+            carry_dirs=list(manifest["files"]), clear_deletes=True,
+            extra_deletes=keep + [entry],
+        )
+
     def _pending_deletes(
         self, manifest: dict, dir_names: list[str]
     ) -> list[dict]:

@@ -685,6 +685,51 @@ def snap_delete_mor_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.read(spark, "ns", "orders")
 
 
+@register(
+    "snap_rewrite_pos_deletes",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_rewrite_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-file maintenance (Iceberg ``rewrite_position_delete_files``
+    analogue): two positional-delete commits accrete two small delete
+    files — each costs the read one anti-join pass —
+    ``compact_position_deletes`` merges them into ONE file (deduped,
+    dead addresses dropped) without touching data files, and the read
+    after the rewrite must equal the read before it. Scope-widening to
+    the union is safe precisely because positions are physically
+    file-scoped (see the method docstring); the read after maintenance
+    runs ONE anti-join where it ran two."""
+    from component_iceberg_spark.plans.queries_mutation import _warehouse
+
+    cat = _warehouse(sf_dir, "pos_rewrite")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "orders", o)
+    addressed = cat.read_with_positions(spark, "ns", "orders")
+    cat.delete_positions(
+        spark, "ns", "orders",
+        addressed.filter(F.col("o_orderkey") % 5 == 0).select(
+            cat.POS_FILE_COL, cat.POS_IDX_COL
+        ),
+    )
+    # second authoring pass against the snapshot table is refused while
+    # deletes are pending, so both doomed sets come from the SAME
+    # pre-delete addressing (positions are stable — files are immutable)
+    cat.delete_positions(
+        spark, "ns", "orders",
+        addressed.filter(F.col("o_orderkey") % 7 == 0).select(
+            cat.POS_FILE_COL, cat.POS_IDX_COL
+        ),
+    )
+    cat.compact_position_deletes(spark, "ns", "orders")
+    return cat.read(spark, "ns", "orders")
+
+
 # ---------------------------------------------------------------------------
 # Text normalization / redaction / repetition quality
 # ---------------------------------------------------------------------------

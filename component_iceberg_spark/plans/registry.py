@@ -96,6 +96,7 @@ _GATE_PRIORITY = (
     #     (same plan, re-verified — the Zipf-vocabulary audit needed the
     #     candidate stage testable on its own).
     "snap_delete_mor_positional",
+    "snap_rewrite_pos_deletes",
     "ext_frequent_best_readout",
     "source_binaryfile",
     "stream_binaryfile_ingest",

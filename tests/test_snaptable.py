@@ -565,6 +565,129 @@ def test_positional_delete_cycle(spark, sf_dir, tmp_path):
     assert cat.row_count("ns", "t") == want + 1
 
 
+def test_compact_position_deletes(spark, sf_dir, tmp_path):
+    """rewrite_position_delete_files analogue: N pending positional
+    delete files merge into ONE (reads identical, one anti-join pass
+    instead of N), scope-widening is safe (positions are physically
+    file-scoped), dead addresses from CoW-rewritten dirs are dropped,
+    and equality entries ride along unchanged."""
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "t", o.filter("o_orderkey < 800"))
+    cat.append("ns", "t", o.filter("o_orderkey >= 800"))
+
+    # three small positional deletes, authored one clean snapshot at a
+    # time via compact-free reads (read_with_positions refuses pending
+    # deletes, so address everything up front)
+    addressed = cat.read_with_positions(spark, "ns", "t")
+    addr = addressed.select(
+        "o_orderkey", cat.POS_FILE_COL, cat.POS_IDX_COL
+    ).collect()
+    import pandas as pd
+
+    def pos_df(lo, hi):
+        rows = [
+            (r[cat.POS_FILE_COL], r[cat.POS_IDX_COL])
+            for r in addr
+            if lo <= r["o_orderkey"] < hi
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(
+                rows, columns=[cat.POS_FILE_COL, cat.POS_IDX_COL]
+            )
+        )
+
+    cat.delete_positions(spark, "ns", "t", pos_df(0, 50))
+    cat.delete_positions(spark, "ns", "t", pos_df(50, 100))
+    cat.delete_positions(spark, "ns", "t", pos_df(1000, 1100))
+    # one equality entry rides along
+    cat.delete_keys(
+        spark, "ns", "t",
+        o.filter("o_orderkey = 777").select("o_orderkey"), ["o_orderkey"],
+    )
+    before = sorted(
+        tuple(r) for r in cat.read(spark, "ns", "t").collect()
+    )
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    assert len([e for e in m["deletes"] if e.get("mode") == "positional"]) == 3
+
+    sid = cat.compact_position_deletes(spark, "ns", "t")
+    m = cat._manifest("ns", "t", sid)
+    pos_entries = [e for e in m["deletes"] if e.get("mode") == "positional"]
+    eq_entries = [e for e in m["deletes"] if e.get("mode") != "positional"]
+    assert len(pos_entries) == 1, "merged into one delete file"
+    assert len(eq_entries) == 1, "equality entry carried unchanged"
+    after = sorted(tuple(r) for r in cat.read(spark, "ns", "t").collect())
+    assert after == before, "reads identical through the merge"
+    # idempotent second call is a no-op
+    assert cat.compact_position_deletes(spark, "ns", "t") == sid
+
+    # the merged file carries exactly the live addresses (deduped union
+    # of the three source files; nothing dropped here — all scoped dirs
+    # are still live — and nothing double-counted)
+    merged_file_rows = spark.read.parquet(
+        os.path.join(wh, "ns", "t", "deletes", pos_entries[0]["dir"])
+    ).count()
+    assert merged_file_rows == len(
+        [r for r in addr if r["o_orderkey"] < 100 or 1000 <= r["o_orderkey"] < 1100]
+    )
+
+
+def test_compact_position_deletes_drops_dead_addresses(
+    spark, sf_dir, tmp_path
+):
+    """Addresses into a CoW-rewritten (no-longer-referenced) dir are
+    DEAD — the rewrite already materialized those deletes — and must
+    not survive into the merged delete file."""
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "t", o.filter("o_orderkey < 1000"))
+    cat.append("ns", "t", o.filter("o_orderkey >= 1000"))
+    addressed = cat.read_with_positions(spark, "ns", "t")
+    import pandas as pd
+
+    addr = addressed.select(
+        "o_orderkey", cat.POS_FILE_COL, cat.POS_IDX_COL
+    ).collect()
+
+    def pos_df(keys):
+        rows = [
+            (r[cat.POS_FILE_COL], r[cat.POS_IDX_COL])
+            for r in addr
+            if r["o_orderkey"] in keys
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=[cat.POS_FILE_COL, cat.POS_IDX_COL])
+        )
+
+    # entry 1 spans both dirs; entry 2 addresses only the first
+    cat.delete_positions(spark, "ns", "t", pos_df(set(range(0, 50)) | set(range(1000, 1050))))
+    cat.delete_positions(spark, "ns", "t", pos_df(set(range(50, 80))))
+    # CoW-rewrite the second dir: its pending deletes materialize and the
+    # dir leaves the manifest — its addresses are now dead
+    cat.delete_where(spark, "ns", "t", "o_orderkey >= 1200")
+    before = sorted(tuple(r) for r in cat.read(spark, "ns", "t").collect())
+
+    sid = cat.compact_position_deletes(spark, "ns", "t")
+    m = cat._manifest("ns", "t", sid)
+    (entry,) = [e for e in m["deletes"] if e.get("mode") == "positional"]
+    merged = spark.read.parquet(
+        os.path.join(wh, "ns", "t", "deletes", entry["dir"])
+    )
+    live_keys = {
+        r["o_orderkey"] for r in addr if r["o_orderkey"] < 80
+    }
+    assert merged.count() == len(live_keys), "dead second-dir addresses dropped"
+    after = sorted(tuple(r) for r in cat.read(spark, "ns", "t").collect())
+    assert after == before
+
+
 def test_compact_manifests_never_folds_positional_dirs(spark, sf_dir, tmp_path):
     """Manifest folding hard-links data files under NEW basenames, which
     would orphan stored (file_path, pos) addresses — dirs covered by a
