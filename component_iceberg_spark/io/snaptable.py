@@ -703,12 +703,16 @@ class SnapCatalog:
         }
         groups: dict[frozenset, list[str]] = {}
         for d in files:
-            if d in pos_covered:
-                groups[frozenset({("solo", d)})] = [d]
-                continue
             sig = frozenset(
                 i for i, e in enumerate(deletes) if d in e["applies_to"]
             )
+            if d in pos_covered:
+                # singleton group: the ("solo", d) marker makes the key
+                # unique per dir so it can never fold, while the entry
+                # INDICES stay in the key — an equality entry covering
+                # the same dir must keep it through the remap below
+                groups[sig | {("solo", d)}] = [d]
+                continue
             groups.setdefault(sig, []).append(d)
         if len(groups) >= len(files):
             return base  # already one entry per delete-signature: no-op

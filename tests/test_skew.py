@@ -268,5 +268,7 @@ def test_grid_join_coarse_cell_pair_equality(spark):
         ).collect()
     }
     assert coarse_salted == base
-    with pytest.raises(AssertionError):
+    # ValueError, not assert: the guard is correctness-critical and must
+    # survive `python -O` (r11 advice closure)
+    with pytest.raises(ValueError, match="cell"):
         _grid_distance_pairs(pts, d, cell=10.0)

@@ -723,6 +723,46 @@ def test_compact_manifests_never_folds_positional_dirs(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_compact_manifests_equality_entry_keeps_positional_dirs(
+    spark, sf_dir, tmp_path
+):
+    """Regression (r11 self-review): an EQUALITY entry that also covers
+    a positional-covered dir must keep that dir through the manifest
+    fold — the positional dir's singleton group key retains the entry
+    indices, so the remap still attributes the dir to the equality
+    entry (an earlier draft dropped it, silently unmasking the
+    equality-deleted keys in that dir)."""
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "t", n.filter("n_regionkey < 2"))
+    # positional delete covering the sole dir (key 6 lives in it)
+    addressed = cat.read_with_positions(spark, "ns", "t")
+    cat.delete_positions(
+        spark, "ns", "t",
+        addressed.filter("n_nationkey = 6").select(
+            cat.POS_FILE_COL, cat.POS_IDX_COL
+        ),
+    )
+    # equality delete covering the SAME dir (key 1 also lives in it)
+    cat.delete_keys(
+        spark, "ns", "t",
+        n.filter("n_nationkey = 1").select("n_nationkey"), ["n_nationkey"],
+    )
+    # two more foldable clean commits so compact_manifests is not a no-op
+    cat.append("ns", "t", n.filter("n_regionkey = 3"))
+    cat.append("ns", "t", n.filter("n_regionkey = 4"))
+    want = {r.n_nationkey for r in cat.read(spark, "ns", "t").collect()}
+    assert 6 not in want and 1 not in want
+
+    sid = cat.compact_manifests("ns", "t")
+    post = cat._manifest("ns", "t", sid)
+    eq = [e for e in post["deletes"] if e.get("mode") != "positional"]
+    assert len(eq) == 1 and len(eq[0]["applies_to"]) == 1, post["deletes"]
+    got = {r.n_nationkey for r in cat.read(spark, "ns", "t").collect()}
+    assert got == want, "equality delete must survive the fold"
+
+
 def test_read_appends_between(spark, sf_dir, tmp_path):
     import pytest
 
