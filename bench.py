@@ -729,7 +729,23 @@ def main() -> None:
             ),
             "ext_active_users_trailing": ("events",),
         }
-        volume: dict[str, dict] = {}
+        volume: dict[str, dict] = {
+            "note": (
+                "shuffle bytes are serializer-level task counters; "
+                "source_bytes is the on-disk (snappy-parquet) size of "
+                "the tables read. multiband shuffles partial states "
+                "only (bytes independent of input); the fused chain's "
+                "states are group-space-bounded (the constant-density "
+                "fixture grows the group space with the replicas, so "
+                "the ratio holds ~flat); trailing's shuffle tracks "
+                "distinct (day,user) PAIRS, which this fixture grows "
+                "with the replicas BY CONSTRUCTION (user ids offset "
+                "per replica) — its event-volume independence is the "
+                "doubled-events saturation pin in "
+                "tests/test_shuffle_volume.py (exactly flat bytes at "
+                "2x events, same pairs)"
+            )
+        }
         for name, tabs in _VOLUME_QUERIES.items():
             row: dict[str, dict] = {}
             for sf_label, d in (("sf0.1", SF_DIR), ("sf1", SF1_DIR)):
