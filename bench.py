@@ -727,6 +727,12 @@ def main() -> None:
                 "lineitem", "orders", "customer", "supplier", "part",
                 "nation",
             ),
+            # the two-pass twin beside the fused one: same oracle, same
+            # group space — the artifact shows what the fusion saves
+            "ext_join_multipass": (
+                "lineitem", "orders", "customer", "supplier", "part",
+                "nation",
+            ),
             "ext_active_users_trailing": ("events",),
         }
         volume: dict[str, dict] = {

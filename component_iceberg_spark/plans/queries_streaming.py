@@ -842,24 +842,40 @@ def stream_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     The final-table check carries the batch twin's oracle VERBATIM
     (one SQL string bound to both): the drained table must match byte
     lengths and hex-md5 content hashes computed from the source rows —
-    a truncated or duplicated ingest fails the hash, not just a
-    count."""
-    from pyspark.sql import functions as F
-
+    a truncated or duplicated ingest fails the hash, not just a count.
+    The "blob bytes never cross an exchange" claim is additionally a
+    MEASURED saturation pin
+    (tests/test_shuffle_volume.py::test_blob_ingest_shuffle_is_row_sized):
+    growing every blob ~100x while holding the file count fixed leaves
+    the run's shuffle bytes flat."""
     from component_iceberg_spark.plans.queries_scan import _doc_binary_dir
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     wh = os.path.join(SCRATCH_ROOT, tag, "warehouse", "stream_blobs")
-    if os.path.isdir(wh):
-        shutil.rmtree(wh)
-    cat = SnapCatalog(wh)
+    return blob_ingest_stream(spark, _doc_binary_dir(spark, sf_dir), wh)
+
+
+def blob_ingest_stream(
+    spark: SparkSession, src_dir: str, warehouse: str
+) -> DataFrame:
+    """The streaming blob-ingest pipeline body (shared by the
+    registered query and the shuffle-volume saturation test, so the
+    test drives the PRODUCT plan, not a copy): binaryFile file-stream
+    over ``src_dir`` → in-stream reduction to (doc_id, n_bytes,
+    content_md5) BEFORE any state or sink sees blob bytes → foreachBatch
+    upsert into a snapshot table keyed doc_id → serving read."""
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(warehouse):
+        shutil.rmtree(warehouse)
+    cat = SnapCatalog(warehouse)
     bf = (
         spark.readStream.format("binaryFile")
         .schema(
             "path string, modificationTime timestamp, "
             "length long, content binary"
         )
-        .load(_doc_binary_dir(spark, sf_dir))
+        .load(src_dir)
         .select(
             F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
             .cast("bigint")

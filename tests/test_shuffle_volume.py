@@ -125,6 +125,46 @@ def test_trailing_users_shuffle_bounded_by_pairs(
     assert m1.shuffle_write_bytes < src, (m1.as_dict(), src)
 
 
+def test_blob_ingest_shuffle_is_row_sized(spark):
+    """Streaming blob ingest: the stream reduces each file to (doc_id,
+    n_bytes, content_md5) BEFORE any exchange, state, or sink — so the
+    run's shuffle volume is ROW-sized, independent of blob size.
+    Saturation pin: ~100x bigger blobs at the same file count leave
+    shuffle bytes flat, while a plan that shuffled content would grow
+    ~100x. (At 100 TB of media this is the difference between shuffling
+    the corpus and shuffling a manifest.)"""
+    from component_iceberg_spark.metrics import run_with_volume
+    from component_iceberg_spark.plans.queries_streaming import (
+        blob_ingest_stream,
+    )
+
+    base = "/tmp/cis_scratch/vol_pin_blobs"
+    shutil.rmtree(base, ignore_errors=True)
+    sizes = {}
+    for label, blob_bytes in (("small", 200), ("big", 20_000)):
+        src = os.path.join(base, label, "src")
+        os.makedirs(src)
+        for i in range(40):
+            with open(os.path.join(src, f"doc_{i}.bin"), "wb") as f:
+                f.write(bytes((i + j) % 251 for j in range(blob_bytes)))
+        wh = os.path.join(base, label, "wh")
+        out = {}
+        m = run_with_volume(
+            spark,
+            lambda s=src, w=wh, o=out: o.setdefault(
+                "rows", blob_ingest_stream(spark, s, w).collect()
+            ),
+        )
+        assert len(out["rows"]) == 40
+        assert all(r["n_bytes"] == blob_bytes for r in out["rows"])
+        sizes[label] = m.shuffle_write_bytes
+    shutil.rmtree(base, ignore_errors=True)
+    # 100x the blob bytes, flat shuffle (content never crosses a wire)
+    assert sizes["big"] <= 1.3 * sizes["small"] + 2048, sizes
+    # and absolutely row-sized: far below even the small corpus' bytes
+    assert sizes["big"] < 40 * 20_000 * 0.2, sizes
+
+
 def test_multipass_fused_shuffle_bounded_by_group_space(
     spark, sf_dir, doubled_lineitem_dir
 ):
