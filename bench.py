@@ -546,6 +546,7 @@ def main() -> None:
         # new in r11
         "snap_delete_mor_positional",
         "snap_rewrite_pos_deletes",
+        "snap_partitions_meta",
         "ext_frequent_best_readout",
     )
     new_ops: dict[str, float] = {}

@@ -1898,6 +1898,96 @@ class SnapCatalog:
             rows.append(tuple(rec))
         return spark.createDataFrame(rows, schema=", ".join(fields))
 
+    def _partitions_pushdown_df(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        table: str,
+        data_dir: str,
+        part_cols: list[str],
+        stat_cols: tuple[str, ...],
+    ) -> DataFrame:
+        """One data dir's per-partition (count, min, max) via parquet
+        AGGREGATE PUSHDOWN: with the DSv2 parquet reader and
+        ``spark.sql.parquet.aggregatePushdown`` on, COUNT(*)/MIN/MAX
+        grouped by partition columns are answered from file FOOTERS and
+        hive directory values — zero data-column pages are read (the
+        plan shows PushedAggregation/PushedGroupBy; pinned in
+        tests/test_plans.py). Build AND materialize inside the conf
+        scope: pushdown is decided at physical-planning time, so a lazy
+        frame escaping the scope would silently fall back to a scan."""
+        df = spark.read.parquet(
+            os.path.join(self._tbl(namespace, table, "data"), data_dir)
+        )
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in stat_cols:
+            aggs += [
+                F.min(c).alias(f"min_{c}"),
+                F.max(c).alias(f"max_{c}"),
+            ]
+        return df.groupBy(*part_cols).agg(*aggs)
+
+    def partitions(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        table: str,
+        stat_cols: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """Per-PARTITION-VALUE metadata table — the Iceberg
+        ``t.partitions`` analogue at partition grain (``files`` is the
+        per-commit-dir grain): (partition value, row count, min/max of
+        the requested columns) answered WITHOUT reading any data-column
+        pages. Mechanism: parquet aggregate pushdown per data dir
+        (COUNT/MIN/MAX from footers, partition values from the hive
+        paths), then a metadata-sized re-aggregation across commits
+        (sum of counts, min of mins, max of maxs). At 100 TB this
+        audits partition skew and layout from footers alone.
+
+        Refuses while merge-on-read deletes are pending (counts would
+        need a scan — the ``row_count`` contract); raises on an
+        unpartitioned table (use ``files``). The result is
+        partition-count-sized, so it is materialized eagerly — the
+        pushdown conf scope must cover execution (see
+        ``_partitions_pushdown_df``)."""
+        sid = self._current_sid(namespace, table)
+        manifest = self._manifest(namespace, table, sid)
+        part_cols = list(manifest.get("partition_by") or [])
+        if not part_cols:
+            raise ValueError(
+                f"{namespace}.{table}: not hive-partitioned — "
+                "use files() for the per-commit-dir metadata table"
+            )
+        if self._pending_deletes(manifest, manifest["files"]):
+            raise ValueError(
+                f"{namespace}.{table}: partitions() with pending "
+                "merge-on-read deletes needs a scan — compact() first"
+            )
+        from component_iceberg_spark.session import scoped_conf
+
+        with scoped_conf(
+            spark,
+            **{
+                "spark.sql.sources.useV1SourceList": "",
+                "spark.sql.parquet.aggregatePushdown": "true",
+            },
+        ):
+            per_dir = None
+            for d in manifest["files"]:
+                one = self._partitions_pushdown_df(
+                    spark, namespace, table, d, part_cols, stat_cols
+                )
+                per_dir = one if per_dir is None else per_dir.unionByName(one)
+            merge = [F.sum("n_rows").cast("long").alias("n_rows")]
+            for c in stat_cols:
+                merge += [
+                    F.min(f"min_{c}").alias(f"min_{c}"),
+                    F.max(f"max_{c}").alias(f"max_{c}"),
+                ]
+            rows = per_dir.groupBy(*part_cols).agg(*merge).collect()
+        out_schema = per_dir.groupBy(*part_cols).agg(*merge).schema
+        return spark.createDataFrame(rows, schema=out_schema)
+
     def schema(self, spark: SparkSession, namespace: str, table: str):
         return self.read(spark, namespace, table).schema
 

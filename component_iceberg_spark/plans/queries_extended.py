@@ -730,6 +730,47 @@ def snap_rewrite_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.read(spark, "ns", "orders")
 
 
+@register(
+    "snap_partitions_meta",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           min(o_orderkey) AS min_o_orderkey,
+           max(o_orderkey) AS max_o_orderkey
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("parity", "snapshot", "meta"),
+)
+def snap_partitions_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition metadata table (Iceberg ``t.partitions`` analogue):
+    partition value, row count, and column min/max for a two-commit
+    hive-partitioned table — answered WITHOUT reading a single
+    data-column page. The mechanism is Spark's parquet AGGREGATE
+    PUSHDOWN (DSv2 reader): COUNT(*)/MIN/MAX grouped by the partition
+    columns come from file footers and hive directory values
+    (PushedAggregation/PushedGroupBy in the scan, pinned by
+    test_partitions_meta_pushdown), then a partition-count-sized
+    re-aggregation merges the per-commit results. The oracle full-scans
+    and must agree — the same trust contract ``snap_files_meta`` pins
+    for manifest stats, here for footer stats. At 100 TB this is how
+    partition skew is audited from metadata alone."""
+    from component_iceberg_spark.plans.queries_mutation import _warehouse
+
+    cat = _warehouse(sf_dir, "parts_meta")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    cat.create_or_replace(
+        "ns", "orders", o.filter(F.col("o_orderkey") < 800),
+        partition_by=["o_orderpriority"],
+    )
+    cat.append("ns", "orders", o.filter(F.col("o_orderkey") >= 800))
+    return cat.partitions(
+        spark, "ns", "orders", stat_cols=("o_orderkey",)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text normalization / redaction / repetition quality
 # ---------------------------------------------------------------------------

@@ -97,6 +97,7 @@ _GATE_PRIORITY = (
     #     candidate stage testable on its own).
     "snap_delete_mor_positional",
     "snap_rewrite_pos_deletes",
+    "snap_partitions_meta",
     "ext_frequent_best_readout",
     "source_binaryfile",
     "stream_binaryfile_ingest",

@@ -901,6 +901,68 @@ def test_frequent_best_two_fact_passes(spark, sf_dir):
     assert "BroadcastHashJoin" not in p
 
 
+def test_partitions_meta_pushdown(spark, sf_dir, tmp_path):
+    """snap_partitions_meta's claim is METADATA-ONLY partition stats:
+    the per-dir scan must carry PushedAggregation (COUNT/MIN/MAX from
+    parquet footers) and PushedGroupBy (partition values from hive
+    paths) — no data-column pages. Pinned on the inner pushdown frame
+    inside the conf scope (pushdown is a physical-planning decision, so
+    the scope must cover the explain)."""
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.io.snaptable import SnapCatalog
+    from component_iceberg_spark.io.tables import load_table
+    from component_iceberg_spark.session import scoped_conf
+    from tests.conftest import plan_formatted
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    cat.create_or_replace(
+        "ns", "t", o, partition_by=["o_orderpriority"]
+    )
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    with scoped_conf(
+        spark,
+        **{
+            "spark.sql.sources.useV1SourceList": "",
+            "spark.sql.parquet.aggregatePushdown": "true",
+        },
+    ):
+        inner = cat._partitions_pushdown_df(
+            spark, "ns", "t", m["files"][0], ["o_orderpriority"],
+            ("o_orderkey",),
+        )
+        p = plan_formatted(inner)
+    assert "PushedAggregation: [COUNT(*), MIN(o_orderkey), MAX(o_orderkey)]" in p
+    assert "PushedGroupBy: [o_orderpriority]" in p
+    # and the public method agrees with a full-scan group-by
+    got = {
+        tuple(r)
+        for r in cat.partitions(
+            spark, "ns", "t", stat_cols=("o_orderkey",)
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_o_orderkey"),
+            F.max("o_orderkey").alias("max_o_orderkey"),
+        )
+        .collect()
+    }
+    assert got == want
+    # unpartitioned tables are refused (files() is the right surface)
+    import pytest
+
+    cat.create_or_replace("ns", "flat", o)
+    with pytest.raises(ValueError, match="not hive-partitioned"):
+        cat.partitions(spark, "ns", "flat")
+
+
 def test_multipass_fused_single_pass(spark, sf_dir):
     """ext_join_multipass_fused: the cross-year comparison folded into
     per-year lanes must plan ONE lineitem scan with no self-join — the
