@@ -823,6 +823,29 @@ def main() -> None:
                     sf3_cold[name] = round(took, 3)
                 best = min(best, took)
             sf3_timings[name] = round(best, 3)
+        # Zipf heavy-hitters one more decade out: 3x the sf1 token
+        # volume at the SAME 100k-word vocabulary — candidates should
+        # stay ~k and the wall should track the two linear passes (the
+        # sf1 @zipf row is this fixture at 3.3M tokens).
+        _z3u = ((F.col("id") * 2654435761) % 1_000_000) / 1_000_000.0
+        _zipf3 = spark.range(9_900_000).select(
+            F.concat(
+                F.lit("t"),
+                F.floor(F.pow(F.lit(100_000.0), _z3u))
+                .cast("long")
+                .cast("string"),
+            ).alias("token")
+        )
+        _z3key = "ext_heavy_hitters@zipf"
+        best = float("inf")
+        for i in range(3):
+            t0 = time.perf_counter()
+            force(_SK.heavy_hitters_exact(_zipf3, "token", k=32))
+            took = time.perf_counter() - t0
+            if i == 0:
+                sf3_cold[_z3key] = round(took, 3)
+            best = min(best, took)
+        sf3_timings[_z3key] = round(best, 3)
         sf1_q = result.get("sf1", {}).get("queries", {})
         result["sf3"] = {
             "queries": sf3_timings,
@@ -839,7 +862,7 @@ def main() -> None:
             },
             "ratio_vs_sf1": {
                 n: round(sf3_timings[n] / sf1_q[n], 2)
-                for n in SF3_QUERIES
+                for n in (*SF3_QUERIES, _z3key)
                 if sf1_q.get(n)
             },
             "note": (
