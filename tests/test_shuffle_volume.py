@@ -165,6 +165,20 @@ def test_blob_ingest_shuffle_is_row_sized(spark):
     assert sizes["big"] < 40 * 20_000 * 0.2, sizes
 
 
+def test_ann_ivf_shuffle_is_topk_sized(spark, sf_dir):
+    """IVF ANN's registry claim is ZERO-SHUFFLE BLAS assignment: the
+    centroid matmul happens inside each Arrow batch and only the
+    K-bounded candidate/top-k partials ever cross an exchange. In
+    bytes: the whole query's shuffle is ~4 KB of top-k partials and
+    CONSTANT across scale (measured 3.9 KB at both sf0.001 and sf0.1,
+    i.e. 0.5% of sf0.1's 798 KB of embeddings) — so the pin is the
+    absolute bound, with a lenient ratio guard for the tiny test SF."""
+    m = dataframe_volume(REGISTRY["sim_ann_ivf"].fn(spark, sf_dir))
+    src = source_bytes(sf_dir, ("embeddings",))
+    assert m.shuffle_write_bytes < 64 * 1024, m.as_dict()
+    assert m.shuffle_write_bytes < 0.05 * src, (m.as_dict(), src)
+
+
 def test_multipass_fused_shuffle_bounded_by_group_space(
     spark, sf_dir, doubled_lineitem_dir
 ):
