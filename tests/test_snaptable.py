@@ -565,6 +565,40 @@ def test_positional_delete_cycle(spark, sf_dir, tmp_path):
     assert cat.row_count("ns", "t") == want + 1
 
 
+def test_partitions_meta_hidden_spec(spark, sf_dir, tmp_path):
+    """partitions() on a HIDDEN-partitioned table (transform spec)
+    surfaces the DERIVED values — exactly Iceberg's partitions table,
+    which shows transformed partition values — with footer-only counts
+    that must agree with a real scan."""
+    from pyspark.sql import functions as F
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "t", o, partition_spec=["month(o_orderdate)"])
+    got = cat.partitions(spark, "ns", "t", stat_cols=("o_orderkey",))
+    assert got.columns == [
+        "_pt_month_o_orderdate", "n_rows", "min_o_orderkey",
+        "max_o_orderkey",
+    ]
+    want = {
+        tuple(r)
+        for r in o.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("m")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey"),
+            F.max("o_orderkey"),
+        )
+        .collect()
+    }
+    assert {tuple(r) for r in got.collect()} == want
+    # the user-facing read still hides the derived column
+    assert "_pt_month_o_orderdate" not in cat.read(spark, "ns", "t").columns
+
+
 def test_compact_position_deletes(spark, sf_dir, tmp_path):
     """rewrite_position_delete_files analogue: N pending positional
     delete files merge into ONE (reads identical, one anti-join pass
