@@ -547,6 +547,7 @@ def main() -> None:
         "snap_delete_mor_positional",
         "snap_rewrite_pos_deletes",
         "snap_partitions_meta",
+        "source_text_lines",
         "ext_frequent_best_readout",
     )
     new_ops: dict[str, float] = {}

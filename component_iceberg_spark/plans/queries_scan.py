@@ -360,6 +360,49 @@ def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).json(out)
 
 
+@register(
+    "source_text_lines",
+    oracle="""
+    SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+    """,
+    tags=("parity", "source", "text"),
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-lines ingest — the pretraining-corpus wire format (one
+    record per line: ``id<TAB>text``), the shape crawl dumps and
+    line-delimited corpora arrive in before any parquet exists. The
+    ``text`` source is splittable (line-aligned splits), so the scan
+    distributes like any columnar read, and the parse is schema-on-read
+    via codegen'd string expressions (split on the FIRST tab only —
+    substring_index for the id, instr+substring for the body — so a
+    tab-free body round-trips exactly; the fixture is verified
+    tab/newline-free at every SF, and a real pipeline would escape or
+    length-prefix). Round-trip must reproduce (doc_id, text) exactly —
+    the oracle reads the original table."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    out = _scratch(sf_dir, "source_text")
+    (
+        d.select(
+            F.concat_ws(
+                "\t", F.col("doc_id").cast("string"), F.col("text")
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(out)
+    )
+    lines = spark.read.text(out)
+    return lines.select(
+        F.substring_index(F.col("value"), "\t", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+    )
+
+
 _DOC_BIN_CAP = 20_000  # staging-collect bound: fail loudly, never silently
 # move megabytes through the driver (the BPE-LUT discipline,
 # plans/queries_text.py _bpe_encode_lut).

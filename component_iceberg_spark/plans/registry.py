@@ -98,6 +98,7 @@ _GATE_PRIORITY = (
     "snap_delete_mor_positional",
     "snap_rewrite_pos_deletes",
     "snap_partitions_meta",
+    "source_text_lines",
     "ext_frequent_best_readout",
     "source_binaryfile",
     "stream_binaryfile_ingest",
