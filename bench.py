@@ -209,6 +209,22 @@ SCALE_QUERIES = (
 )
 
 
+def zipf_tokens(spark, n: int, vocab: int = 100_000):
+    """Deterministic Zipf(s=1) token stream: rank = vocab^u is the exact
+    inverse-CDF (density ∝ 1/(r·ln V)), u a multiplicative hash of the
+    row id — ONE definition shared by the sf1 and sf3 @zipf rows so the
+    30x ratio really compares the same fixture at different N."""
+    from pyspark.sql import functions as F
+
+    u = ((F.col("id") * 2654435761) % 1_000_000) / 1_000_000.0
+    return spark.range(n).select(
+        F.concat(
+            F.lit("t"),
+            F.floor(F.pow(F.lit(float(vocab)), u)).cast("long").cast("string"),
+        ).alias("token")
+    )
+
+
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -689,16 +705,7 @@ def main() -> None:
         # multiplicative hash makes u deterministic.
         from component_iceberg_spark.operators import sketch as _SK
 
-        _zV, _zN = 100_000, 3_300_000
-        _zu = ((F.col("id") * 2654435761) % 1_000_000) / 1_000_000.0
-        _zipf_items = spark.range(_zN).select(
-            F.concat(
-                F.lit("t"),
-                F.floor(F.pow(F.lit(float(_zV)), _zu))
-                .cast("long")
-                .cast("string"),
-            ).alias("token")
-        )
+        _zipf_items = zipf_tokens(spark, 3_300_000)
         _zkey = "ext_heavy_hitters@zipf"
         best = float("inf")
         for i in range(3):
@@ -828,15 +835,7 @@ def main() -> None:
         # volume at the SAME 100k-word vocabulary — candidates should
         # stay ~k and the wall should track the two linear passes (the
         # sf1 @zipf row is this fixture at 3.3M tokens).
-        _z3u = ((F.col("id") * 2654435761) % 1_000_000) / 1_000_000.0
-        _zipf3 = spark.range(9_900_000).select(
-            F.concat(
-                F.lit("t"),
-                F.floor(F.pow(F.lit(100_000.0), _z3u))
-                .cast("long")
-                .cast("string"),
-            ).alias("token")
-        )
+        _zipf3 = zipf_tokens(spark, 9_900_000)
         _z3key = "ext_heavy_hitters@zipf"
         best = float("inf")
         for i in range(3):

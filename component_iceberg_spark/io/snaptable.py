@@ -1114,10 +1114,14 @@ class SnapCatalog:
                 f"{namespace}.{table}: read_with_positions with pending "
                 "merge-on-read deletes is ambiguous — compact() first"
             )
-        return self._read_dirs(
+        out = self._read_dirs(
             spark, namespace, table, list(manifest["files"]),
             bool(manifest.get("partition_by")), with_positions=True,
         )
+        # hidden transform-partition columns never reach callers (the
+        # read() contract) — the POS columns are the only additions
+        hidden = [c for c in out.columns if c.startswith("_pt_")]
+        return out.drop(*hidden) if hidden else out
 
     def delete_positions(
         self,
@@ -1135,10 +1139,13 @@ class SnapCatalog:
         written with Iceberg's positional-delete schema (file_path,
         pos); the commit is metadata-only — no data rewrite.
 
-        Scoping mirrors ``delete_keys``: the entry records the data dirs
-        visible at delete time. Positions are additionally physical —
-        they name files — so rows appended later can never be masked
-        even inside a scoped dir. Reads anti-join on (file, pos);
+        Scoping is TIGHTER than ``delete_keys``: the entry records only
+        the data dirs the addresses actually touch (derived from the
+        file paths), so untouched dirs keep folding in
+        ``compact_manifests`` and their read groups never pay this
+        entry's anti-join. Positions are additionally physical — they
+        name files — so rows appended later can never be masked even
+        inside a scoped dir. Reads anti-join on (file, pos);
         ``compact`` materializes and clears pending positional deletes
         exactly like equality ones. ``compact_manifests`` never folds a
         dir covered by a positional entry (folding hard-links data files
@@ -1156,16 +1163,44 @@ class SnapCatalog:
             .coalesce(1)
             .write.parquet(out)
         )
+        # scope to the dirs the addresses actually TOUCH (derivable from
+        # the file paths for free), not every dir visible at delete
+        # time: untouched dirs stay foldable by compact_manifests and
+        # their read groups skip this entry's anti-join entirely. The
+        # dir-name extraction is representation-safe — commit dir names
+        # are uuid hex, never URI-escaped.
+        touched = {
+            r["d"]
+            for r in spark.read.parquet(out)
+            .select(
+                F.regexp_extract(
+                    F.col("file_path"), r"/data/([^/]+)/", 1
+                ).alias("d")
+            )
+            .distinct()
+            .collect()
+        }
         entry = {
             "dir": del_dir_name,
             "mode": "positional",
-            "applies_to": list(manifest["files"]),
+            "applies_to": sorted(
+                d for d in manifest["files"] if d in touched
+            ),
         }
-        return self._commit(
-            namespace, table, None, operation="delete", carry=False,
-            base_sid=base, inherit_spec=True,
-            carry_dirs=list(manifest["files"]), extra_deletes=[entry],
-        )
+        if not entry["applies_to"]:
+            # nothing addressed: don't publish a dead entry (and don't
+            # leave the empty delete file for orphan GC to chase)
+            shutil.rmtree(out, ignore_errors=True)
+            return base
+        try:
+            return self._commit(
+                namespace, table, None, operation="delete", carry=False,
+                base_sid=base, inherit_spec=True,
+                carry_dirs=list(manifest["files"]), extra_deletes=[entry],
+            )
+        except CommitConflict:
+            shutil.rmtree(out, ignore_errors=True)  # no manifest refs it
+            raise
 
     def compact_position_deletes(
         self, spark: SparkSession, namespace: str, table: str
@@ -1202,14 +1237,17 @@ class SnapCatalog:
             )
             merged = df if merged is None else merged.unionByName(df)
         # drop dead addresses: only files under a live scoped dir can
-        # still be masked (dir path boundary enforced by the separator)
+        # still be masked. Match on the /data/<dirname>/ COMPONENT, not
+        # the absolute warehouse path: stored addresses are Spark
+        # _metadata URIs (file:…, percent-encoded), so an absolute-path
+        # substring silently misses on any warehouse path with
+        # URI-escaped characters and would drop LIVE addresses —
+        # dir names are uuid hex and never escape, so the component
+        # match is representation-safe (a false keep is harmless: the
+        # address simply never matches a scanned row).
         scope = sorted({d for e in pos for d in e["applies_to"]})
-        data_root = self._tbl(namespace, table, "data")
         live = [
-            F.col("file_path").contains(
-                os.path.join(data_root, d) + os.sep
-            )
-            for d in scope
+            F.col("file_path").contains(f"/data/{d}/") for d in scope
         ]
         alive = live[0]
         for cond in live[1:]:
@@ -1222,12 +1260,19 @@ class SnapCatalog:
             "mode": "positional",
             "applies_to": [d for d in scope if d in set(manifest["files"])],
         }
-        return self._commit(
-            namespace, table, None, operation="rewrite_position_deletes",
-            carry=False, base_sid=base, inherit_spec=True,
-            carry_dirs=list(manifest["files"]), clear_deletes=True,
-            extra_deletes=keep + [entry],
-        )
+        try:
+            return self._commit(
+                namespace, table, None,
+                operation="rewrite_position_deletes",
+                carry=False, base_sid=base, inherit_spec=True,
+                carry_dirs=list(manifest["files"]), clear_deletes=True,
+                extra_deletes=keep + [entry],
+            )
+        except CommitConflict:
+            # no manifest references the merged file yet — sweep it
+            # (the compact_manifests link-dir discipline)
+            shutil.rmtree(out, ignore_errors=True)
+            raise
 
     def _pending_deletes(
         self, manifest: dict, dir_names: list[str]
@@ -1984,8 +2029,9 @@ class SnapCatalog:
                     F.min(f"min_{c}").alias(f"min_{c}"),
                     F.max(f"max_{c}").alias(f"max_{c}"),
                 ]
-            rows = per_dir.groupBy(*part_cols).agg(*merge).collect()
-        out_schema = per_dir.groupBy(*part_cols).agg(*merge).schema
+            final = per_dir.groupBy(*part_cols).agg(*merge)
+            rows = final.collect()
+            out_schema = final.schema  # one analysis of the N-dir union
         return spark.createDataFrame(rows, schema=out_schema)
 
     def schema(self, spark: SparkSession, namespace: str, table: str):

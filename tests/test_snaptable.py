@@ -595,8 +595,13 @@ def test_partitions_meta_hidden_spec(spark, sf_dir, tmp_path):
         .collect()
     }
     assert {tuple(r) for r in got.collect()} == want
-    # the user-facing read still hides the derived column
+    # the user-facing read still hides the derived column — and so does
+    # the positional-address scan (r11 review fix: the read() contract
+    # holds on every caller-facing surface)
     assert "_pt_month_o_orderdate" not in cat.read(spark, "ns", "t").columns
+    rp = cat.read_with_positions(spark, "ns", "t")
+    assert "_pt_month_o_orderdate" not in rp.columns
+    assert cat.POS_FILE_COL in rp.columns
 
 
 def test_compact_position_deletes(spark, sf_dir, tmp_path):
@@ -726,7 +731,10 @@ def test_compact_manifests_never_folds_positional_dirs(spark, sf_dir, tmp_path):
     """Manifest folding hard-links data files under NEW basenames, which
     would orphan stored (file_path, pos) addresses — dirs covered by a
     positional entry must be carried as-is, other dirs still fold, and
-    the masked rows stay masked after the fold."""
+    the masked rows stay masked after the fold. Positional entries scope
+    to the dirs their addresses TOUCH (not every dir visible at delete
+    time), so the second commit — addressed by nothing — folds with the
+    clean dirs."""
     wh = str(tmp_path / "wh")
     cat = SnapCatalog(wh)
     n = load_table(spark, sf_dir, "nation")
@@ -747,12 +755,12 @@ def test_compact_manifests_never_folds_positional_dirs(spark, sf_dir, tmp_path):
 
     sid = cat.compact_manifests("ns", "t")
     post = cat._manifest("ns", "t", sid)
-    # the two positional-covered dirs stay separate; the two clean dirs
-    # folded into one -> 3 dirs total
-    assert len(post["files"]) == 3
+    # the ADDRESSED dir stays separate; the unaddressed second commit
+    # folds with the two clean dirs -> 2 dirs total
+    assert len(post["files"]) == 2
     (entry,) = post["deletes"]
     assert entry["mode"] == "positional"
-    assert len(entry["applies_to"]) == 2
+    assert len(entry["applies_to"]) == 1
     got = {r.n_nationkey for r in cat.read(spark, "ns", "t").collect()}
     assert got == want
 
