@@ -565,6 +565,14 @@ def main() -> None:
         "snap_partitions_meta",
         "source_text_lines",
         "ext_frequent_best_readout",
+        # new in the r11 continuation session
+        "snap_history_meta",
+        "snap_refs_meta",
+        "snap_rename_column",
+        "snap_drop_column",
+        "snap_widen_column",
+        "snap_bloom_pruned_scan",
+        "ext_interpolate_linear",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:
@@ -776,12 +784,43 @@ def main() -> None:
                 }
             volume[name] = row
 
+        # Streaming STATE volume (the stream-side sibling of the shuffle
+        # section): peak stateOperators rows/bytes for the windowed
+        # aggregate at both SFs, beside the input rows it absorbed. The
+        # state tracks the (window, type) KEY SPACE — this fixture grows
+        # that space with the replicas by construction (timestamps
+        # offset per replica), so the artifact shows rows ≈ key space at
+        # both SFs; event-volume independence is the doubled-events
+        # saturation pin in tests/test_state_volume.py (exactly flat
+        # rows at 2x events, same windows).
+        from component_iceberg_spark.metrics import (
+            state_volume_from_progress,
+        )
+        from component_iceberg_spark.plans.queries_streaming import (
+            _stream as _events_stream,
+        )
+        from component_iceberg_spark.streaming import events as _SE
+
+        state_vol: dict[str, dict] = {}
+        for sf_label, d in (("sf0.1", SF_DIR), ("sf1", SF1_DIR)):
+            agg = _SE.windowed_counts(_events_stream(spark, d))
+            _, prog = _SE.stream_to_memory_progress(agg, spark, "complete")
+            state_vol[sf_label] = state_volume_from_progress(prog).as_dict()
+
         result["sf1"] = {
             "queries": sf1_timings,
             "first_run": sf1_cold,
             "gen_sec": gen_sec,
             "replicas": SF1_REPLICAS,
             "shuffle_volume": volume,
+            "stream_state_volume": {
+                "stream_window_counts": state_vol,
+                "note": (
+                    "peak stateOperators rows/bytes vs input rows; state "
+                    "is (window,type)-space-bounded — the saturation "
+                    "pins live in tests/test_state_volume.py"
+                ),
+            },
             "ratio_vs_sf0.1": {
                 n: round(sf1_timings[n] / base_t[n], 2)
                 for n in SCALE_QUERIES

@@ -34,6 +34,7 @@ Design notes (what makes this 100 TB-shaped even though it's small):
 from __future__ import annotations
 
 import datetime as _dt
+import hashlib
 import json
 import os
 import re
@@ -132,6 +133,153 @@ def dir_column_stats(path: str) -> dict[str, list]:
                     else:
                         stats[name] = [mn, mx]
     return stats
+
+
+def _bloom_key(v) -> bytes | None:
+    """Canonical hash input for a bloom-filter value. Ints and strings
+    only — float/timestamp equality lookups are not a pruning use case
+    (range stats cover them); bools are too low-cardinality to help.
+    The representation is shared by the build side (parquet values) and
+    the probe side (parsed predicate literals), so int 5 and the literal
+    5 always hash identically."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return b"i:%d" % v
+    if isinstance(v, str):
+        return b"s:" + v.encode("utf-8")
+    return None
+
+
+def _bloom_indices(key: bytes, bits: int) -> list[int]:
+    """k=4 bit positions from one md5 digest (4-byte words mod bits —
+    bits is a power of two, so the mod is unbiased enough for pruning)."""
+    d = hashlib.md5(key).digest()
+    return [
+        int.from_bytes(d[i : i + 4], "little") % bits for i in (0, 4, 8, 12)
+    ]
+
+
+def dir_column_blooms(
+    path: str, cols: list[str], max_bits: int = 2**18
+) -> dict[str, dict]:
+    """Per-column bloom filter over every Parquet file under ``path`` —
+    the point-lookup complement to :func:`dir_column_stats`: min/max
+    cannot skip a directory for ``col = 'x'`` when values interleave
+    across commits (every dir's range covers 'x'), a bloom can. Unlike
+    the footer-only stats this reads the column pages, so it runs only
+    for columns the table explicitly registered (``bloom_cols``) and
+    only over the freshly written directory — the same moment Iceberg
+    computes its write-time metrics (a real deployment pushes this into
+    the writing tasks; driver-side here, like ``dir_column_stats``).
+
+    Sizing: bits = next power of two ≥ 16 × distinct (k=4 → ~2% false
+    positives), capped at ``max_bits`` (32 KB of filter, ~44 KB base64
+    in the manifest) — an overloaded bloom degrades to fewer skips,
+    never to wrong results. Returns {col: {"bits": n, "b64": filter}};
+    columns with unhashable types are silently absent (no pruning)."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    values: dict[str, set] = {c: set() for c in cols}
+    bad: set[str] = set()
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            f = pq.ParquetFile(os.path.join(root, fn))
+            present = [
+                c for c in cols
+                if c not in bad and c in f.schema_arrow.names
+            ]
+            if not present:
+                continue
+            t = f.read(columns=present)
+            for c in present:
+                for v in t.column(c).to_pylist():
+                    if v is None:
+                        continue
+                    k = _bloom_key(v)
+                    if k is None:
+                        bad.add(c)
+                        values.pop(c, None)
+                        break
+                    values[c].add(k)
+    out: dict[str, dict] = {}
+    for c, keys in values.items():
+        if not keys:
+            continue
+        kinds = {k[:1] for k in keys}
+        if len(kinds) != 1:
+            continue  # cannot happen for one parquet column; be safe
+        bits = 64
+        while bits < 16 * len(keys) and bits < max_bits:
+            bits *= 2
+        buf = bytearray(bits // 8)
+        for k in keys:
+            for i in _bloom_indices(k, bits):
+                buf[i >> 3] |= 1 << (i & 7)
+        out[c] = {
+            "bits": bits,
+            "kind": kinds.pop().decode(),
+            "b64": base64.b64encode(bytes(buf)).decode(),
+        }
+    return out
+
+
+def bloom_maybe_contains(bloom: dict, lit) -> bool:
+    """Probe a manifest bloom entry for a predicate literal. Conservative:
+    True (dir stays a candidate) for unhashable literals AND for
+    literal/column type mismatches — ``v = 5`` against a STRING column
+    would hash the int key while the bloom holds string keys, and the
+    engine's cast semantics could still match the row, so a kind
+    mismatch must never skip (the bloom records its value kind; the
+    range-stats path gets the same safety from its TypeError catch). A
+    numeric literal parsed as float but integral probes the int key —
+    simple_conjuncts yields 5 for ``= 5`` but 5.0 for ``= 5.0``."""
+    import base64
+
+    if isinstance(lit, float) and lit.is_integer():
+        lit = int(lit)
+    key = _bloom_key(lit)
+    if key is None:
+        return True
+    if bloom.get("kind") != key[:1].decode():
+        return True  # type mismatch or legacy entry: never skip
+    buf = base64.b64decode(bloom["b64"])
+    return all(
+        buf[i >> 3] & (1 << (i & 7))
+        for i in _bloom_indices(key, bloom["bits"])
+    )
+
+
+def _merge_dir_blooms(per_dir: list[dict | None]) -> dict:
+    """OR-merge per-directory blooms for manifest folding: a column
+    survives only if every folded dir carries it at the SAME size (the
+    union of the value sets is exactly the OR of the bitarrays). Columns
+    that don't line up drop out — absent blooms only disable skipping."""
+    import base64
+
+    if any(not b for b in per_dir):
+        return {}
+    common = set.intersection(*(set(b) for b in per_dir))
+    merged: dict[str, dict] = {}
+    for c in common:
+        sizes = {b[c]["bits"] for b in per_dir}
+        kinds = {b[c].get("kind") for b in per_dir}
+        if len(sizes) != 1 or len(kinds) != 1 or kinds == {None}:
+            continue
+        acc = bytearray(base64.b64decode(per_dir[0][c]["b64"]))
+        for b in per_dir[1:]:
+            for i, byte in enumerate(base64.b64decode(b[c]["b64"])):
+                acc[i] |= byte
+        merged[c] = {
+            "bits": sizes.pop(),
+            "kind": kinds.pop(),
+            "b64": base64.b64encode(bytes(acc)).decode(),
+        }
+    return merged
 
 
 def _merge_dir_stats(per_dir: list[dict | None]) -> dict | None:
@@ -282,6 +430,7 @@ class SnapCatalog:
         sort_by: list[str] | None = None,
         sort_partitions: int | None = None,
         check: str | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int:
         """Append commit: write new data files, new manifest = old files +
         new dir. No existing data is touched (metadata-only append).
@@ -306,12 +455,14 @@ class SnapCatalog:
             namespace, table, df, operation="append", carry=True,
             partition_by=partition_by, transform_spec=partition_spec,
             sort_by=sort_by, sort_partitions=sort_partitions, check=check,
+            bloom_cols=bloom_cols,
         )
 
     def create_or_replace(
         self, namespace: str, table: str, df: DataFrame,
         partition_by: list[str] | None = None,
         partition_spec: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int:
         """Replace commit (drop-and-recreate parity,
         ``wr-iceberg/src/component.py:115-124`` — but as one atomic snapshot
@@ -330,6 +481,7 @@ class SnapCatalog:
         return self._commit(
             namespace, table, df, operation="replace", carry=False,
             partition_by=partition_by, transform_spec=partition_spec,
+            bloom_cols=bloom_cols,
         )
 
     def upsert(
@@ -719,10 +871,12 @@ class SnapCatalog:
         data_root = self._tbl(namespace, table, "data")
         parent_stats = manifest.get("dir_stats", {})
         parent_rows = manifest.get("dir_rows", {})
+        parent_blooms = manifest.get("dir_blooms", {})
         new_files: list[str] = []
         sig_to_dir: dict[frozenset, str] = {}
         extra_stats: dict[str, dict] = {}
         extra_rows: dict[str, int] = {}
+        extra_blooms: dict[str, dict] = {}
         linked_dirs: list[str] = []
         for sig, dirs in sorted(groups.items(), key=lambda kv: sorted(kv[1])):
             if len(dirs) == 1:
@@ -758,6 +912,9 @@ class SnapCatalog:
                 extra_stats[nd] = merged
             if all(d in parent_rows for d in dirs):
                 extra_rows[nd] = sum(parent_rows[d] for d in dirs)
+            mb = _merge_dir_blooms([parent_blooms.get(d) for d in dirs])
+            if mb:
+                extra_blooms[nd] = mb
         remapped = []
         for i, e in enumerate(deletes):
             if e.get("mode") == "positional":
@@ -774,7 +931,7 @@ class SnapCatalog:
                 carry=False, base_sid=base, inherit_spec=True,
                 carry_dirs=new_files, clear_deletes=True,
                 extra_deletes=remapped, extra_dir_stats=extra_stats,
-                extra_dir_rows=extra_rows,
+                extra_dir_rows=extra_rows, extra_dir_blooms=extra_blooms,
             )
         except CommitConflict:
             for d in linked_dirs:  # don't leave link dirs for orphan GC
@@ -976,6 +1133,11 @@ class SnapCatalog:
                 **target,
                 "snapshot_id": sid,
                 "parent_id": snaps[-1]["snapshot_id"],
+                # lineage pointer for the history metadata table: the
+                # rollback's CONTENT ancestor is the target, so the
+                # undone snapshots fall off the current-ancestor chain
+                # (Iceberg history semantics)
+                "rollback_of": target["snapshot_id"],
                 "timestamp_ms": int(time.time() * 1000),
                 "operation": "rollback",
             }
@@ -1114,9 +1276,13 @@ class SnapCatalog:
                 f"{namespace}.{table}: read_with_positions with pending "
                 "merge-on-read deletes is ambiguous — compact() first"
             )
-        out = self._read_dirs(
-            spark, namespace, table, list(manifest["files"]),
-            bool(manifest.get("partition_by")), with_positions=True,
+        out = self._resolve_schema(
+            self._read_dirs(
+                spark, namespace, table, list(manifest["files"]),
+                bool(manifest.get("partition_by")), with_positions=True,
+                read_schema=self._scan_schema(manifest),
+            ),
+            manifest,
         )
         # hidden transform-partition columns never reach callers (the
         # read() contract) — the POS columns are the only additions
@@ -1304,8 +1470,15 @@ class SnapCatalog:
         dropped so callers always see the user schema."""
         partitioned = bool(manifest.get("partition_by"))
         deletes = self._pending_deletes(manifest, dir_names)
+        scan_schema = self._scan_schema(manifest)
         if not deletes:
-            out = self._read_dirs(spark, namespace, table, dir_names, partitioned)
+            out = self._resolve_schema(
+                self._read_dirs(
+                    spark, namespace, table, dir_names, partitioned,
+                    read_schema=scan_schema,
+                ),
+                manifest,
+            )
         else:
             groups: dict[frozenset, list[str]] = {}
             for d in dir_names:
@@ -1322,9 +1495,15 @@ class SnapCatalog:
                 needs_pos = any(
                     deletes[i].get("mode") == "positional" for i in key
                 )
-                part = self._read_dirs(
-                    spark, namespace, table, dirs, partitioned,
-                    with_positions=needs_pos,
+                # schema resolution runs BEFORE the anti-joins: delete
+                # entries authored after a rename reference logical names
+                # (pre-rename entries refuse the rename — compact first)
+                part = self._resolve_schema(
+                    self._read_dirs(
+                        spark, namespace, table, dirs, partitioned,
+                        with_positions=needs_pos, read_schema=scan_schema,
+                    ),
+                    manifest,
                 )
                 for i in sorted(key):
                     e = deletes[i]
@@ -1644,9 +1823,14 @@ class SnapCatalog:
             )
         partitioned = bool(manifest.get("partition_by"))
         out = None
+        ordered_schema = self._scan_schema(manifest)
         for i, d in enumerate(manifest["files"]):
-            part = self._read_dirs(
-                spark, namespace, table, [d], partitioned
+            part = self._resolve_schema(
+                self._read_dirs(
+                    spark, namespace, table, [d], partitioned,
+                    read_schema=ordered_schema,
+                ),
+                manifest,
             ).withColumn("_commit_seq", F.lit(i))
             if with_position:
                 # _metadata is only resolvable on the scan-backed frame —
@@ -1695,6 +1879,7 @@ class SnapCatalog:
         """Dir-level interval check: (candidates, skipped). Literals must
         already be normalized to the stats' comparison domain."""
         dir_stats = manifest.get("dir_stats", {})
+        dir_blooms = manifest.get("dir_blooms", {})
         candidates, skipped = [], []
         for d in manifest["files"]:
             stats = dir_stats.get(d)
@@ -1706,8 +1891,313 @@ class SnapCatalog:
                     ):
                         keep = False
                         break
+            if keep:
+                # point-lookup skipping past what min/max can see: a
+                # registered bloom answers "value definitely absent"
+                blooms = dir_blooms.get(d) or {}
+                for col, op, lit in conjuncts:
+                    if (
+                        op == "="
+                        and col in blooms
+                        and not bloom_maybe_contains(blooms[col], lit)
+                    ):
+                        keep = False
+                        break
             (candidates if keep else skipped).append(d)
         return candidates, skipped
+
+    def _resolve_schema(self, df: DataFrame, manifest: dict) -> DataFrame:
+        """Apply the manifest's column-rename chain and logical-schema
+        projection to a raw multi-dir scan — the read half of
+        METADATA-ONLY rename/drop (:meth:`rename_column` /
+        :meth:`drop_column`): directories written before a rename keep
+        their physical names forever (no data rewrite at any scale); the
+        scan surfaces both generations via mergeSchema and this step
+        folds them into the logical column (coalesce is exact — a dir
+        contains at most ONE generation of a column, enforced by the
+        retired-name reuse guard), then projects to the logical schema so
+        dropped columns vanish. Tables that never renamed/dropped skip
+        this entirely — their plans are untouched."""
+        renames = manifest.get("renames") or []
+        if not renames and not manifest.get("retired"):
+            return df
+        for old, new in renames:
+            if old in df.columns:
+                if new in df.columns:
+                    df = df.withColumn(
+                        new, F.coalesce(F.col(new), F.col(old))
+                    ).drop(old)
+                else:
+                    df = df.withColumnRenamed(old, new)
+        fields = [
+            f["name"]
+            for f in (manifest.get("schema") or {}).get("fields", [])
+        ]
+        if fields:
+            extras = [
+                c
+                for c in df.columns
+                if c.startswith("_pt_")
+                or c in (self.POS_FILE_COL, self.POS_IDX_COL)
+            ]
+            df = df.select(
+                *[c for c in fields if c in df.columns], *extras
+            )
+        return df
+
+    def rename_column(
+        self, namespace: str, table: str, old: str, new: str
+    ) -> int:
+        """Iceberg ``ALTER TABLE .. RENAME COLUMN`` analogue —
+        METADATA-ONLY: no data file is read, written, or moved, at any
+        table size. The commit rewrites the logical schema, remaps the
+        per-dir stats keys (so stats pruning keeps working on the new
+        name), and appends to the manifest's rename chain; reads resolve
+        old physical names through the chain (:meth:`_resolve_schema`).
+
+        Name-reuse contract: Iceberg disambiguates generations by field
+        id; this layout is name-based, so a retired name (rename source
+        or dropped column) can never be reintroduced while any directory
+        might still contain it physically — the guard lives in
+        :meth:`_commit`. Refuses renaming partition-spec sources (hive
+        dir names embed them) and columns referenced by pending
+        equality-delete entries (their key files are physical — compact
+        first, the read_ordered discipline)."""
+        return self._schema_edit_commit(
+            namespace, table, "rename_column", old=old, new=new
+        )
+
+    def drop_column(self, namespace: str, table: str, col: str) -> int:
+        """Iceberg ``ALTER TABLE .. DROP COLUMN`` analogue —
+        METADATA-ONLY: the column leaves the logical schema and every
+        read projects it away; the bytes stay in place (and remain
+        time-travelable through pre-drop snapshots) until compaction or
+        GC naturally rewrites them. Same guards as
+        :meth:`rename_column`; also refuses dropping the last column."""
+        return self._schema_edit_commit(
+            namespace, table, "drop_column", old=col, new=None
+        )
+
+    # Iceberg-legal type promotions (spec §Schema Evolution): the Spark
+    # parquet reader upcasts a narrow physical column into the wide
+    # requested type, so widening is metadata-only — old files stay.
+    _WIDENINGS = {("integer", "long"), ("float", "double")}
+
+    def widen_column_type(
+        self, namespace: str, table: str, col: str, new_type: str
+    ) -> int:
+        """Iceberg ``ALTER TABLE .. ALTER COLUMN .. TYPE`` analogue —
+        METADATA-ONLY type promotion (int→long, float→double, the
+        Iceberg-legal widenings): the commit rewrites the logical field
+        type; reads pass an explicit wide schema to the scan (the parquet
+        reader upcasts narrow physical columns — mergeSchema alone
+        refuses to merge int with long) and old files are never
+        rewritten. Refuses non-widening changes, partitioned layouts
+        (hive path values are typed by the directory names), and pending
+        merge-on-read deletes (delete key files are physically narrow —
+        compact first)."""
+        spark_name = {"bigint": "long", "int": "integer"}.get(
+            new_type, new_type
+        )
+        while True:
+            snaps = self._snapshots(namespace, table)
+            cur = snaps[-1]
+            schema = cur.get("schema") or {}
+            fields = schema.get("fields", [])
+            match = [f for f in fields if f["name"] == col]
+            if not match:
+                raise ValueError(
+                    f"{namespace}.{table} has no column {col!r}"
+                )
+            old_type = match[0]["type"]
+            if (old_type, spark_name) not in self._WIDENINGS:
+                raise ValueError(
+                    f"cannot widen {col!r} from {old_type} to "
+                    f"{spark_name}: only "
+                    f"{sorted(self._WIDENINGS)} are metadata-only"
+                )
+            if cur.get("partition_by") or cur.get("partition_spec"):
+                raise ValueError(
+                    "widen_column_type on a partitioned table is "
+                    "unsupported — rewrite the layout first"
+                )
+            if cur.get("deletes"):
+                raise ValueError(
+                    f"{namespace}.{table}: widening with pending "
+                    "merge-on-read deletes is unsupported — compact() "
+                    "first"
+                )
+            manifest = {
+                **cur,
+                "snapshot_id": cur["snapshot_id"] + 1,
+                "parent_id": cur["snapshot_id"],
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": "widen_column",
+                "schema": {
+                    **schema,
+                    "fields": [
+                        {**f, "type": spark_name} if f["name"] == col else f
+                        for f in fields
+                    ],
+                },
+                "widened": True,
+            }
+            manifest.pop("rollback_of", None)
+            sid = manifest["snapshot_id"]
+            snap_path = self._tbl(
+                namespace, table, "snapshots", f"{sid}.json"
+            )
+            try:
+                with open(snap_path, "x") as f:
+                    json.dump(manifest, f)
+                break
+            except FileExistsError:
+                continue
+        cur_tmp = self._tbl(
+            namespace, table, f"_current.tmp-{uuid.uuid4().hex}"
+        )
+        with open(cur_tmp, "w") as f:
+            f.write(str(sid))
+        os.replace(cur_tmp, self._tbl(namespace, table, "_current"))
+        return sid
+
+    def _scan_schema(self, manifest: dict):
+        """Explicit read schema for widened tables (None otherwise —
+        the scan keeps its mergeSchema plan untouched): every logical
+        field at its current (wide) type, plus each field's retired
+        rename aliases at the same wide type, so directories from any
+        name/width generation read correctly (absent columns NULL-fill,
+        narrow columns upcast) and :meth:`_resolve_schema` folds the
+        generations."""
+        if not manifest.get("widened"):
+            return None
+        from pyspark.sql import types as T
+
+        logical = T.StructType.fromJson(manifest["schema"])
+        alias_of: dict[str, list[str]] = {}
+        for old, new in manifest.get("renames") or []:
+            alias_of.setdefault(new, []).extend(
+                [old] + alias_of.pop(old, [])
+            )
+        out = []
+        for f in logical.fields:
+            out.append(f)
+            for a in alias_of.get(f.name, []):
+                out.append(T.StructField(a, f.dataType, True))
+        return T.StructType(out)
+
+    def _schema_edit_commit(
+        self, namespace: str, table: str, operation: str,
+        old: str, new: str | None,
+    ) -> int:
+        """Shared optimistic metadata-only publish for rename/drop."""
+        while True:
+            snaps = self._snapshots(namespace, table)
+            cur = snaps[-1]
+            schema = cur.get("schema") or {}
+            names = [f["name"] for f in schema.get("fields", [])]
+            if old not in names:
+                raise ValueError(
+                    f"{namespace}.{table} has no column {old!r}"
+                )
+            retired = list(cur.get("retired") or [])
+            if new is not None:
+                if new in names:
+                    raise ValueError(
+                        f"{namespace}.{table} already has a column {new!r}"
+                    )
+                if new in retired:
+                    raise ValueError(
+                        f"column name {new!r} was retired by an earlier "
+                        "rename/drop and old data files may still contain "
+                        "it; name reuse is not supported on this "
+                        "name-based layout"
+                    )
+            elif len(names) == 1:
+                raise ValueError("cannot drop the last column")
+            sources = set(cur.get("partition_by") or [])
+            for f in partition_spec.parse_spec(
+                cur.get("partition_spec") or []
+            ):
+                sources.add(f.source)
+            if old in sources:
+                raise ValueError(
+                    f"column {old!r} is a partition-spec source; hive "
+                    "directory names embed it — rewrite the layout first"
+                )
+            for e in cur.get("deletes") or []:
+                if e.get("mode") != "positional" and old in e.get(
+                    "key_cols", []
+                ):
+                    raise ValueError(
+                        f"column {old!r} is referenced by a pending "
+                        "equality-delete entry; compact() first"
+                    )
+            if new is not None:
+                fields = [
+                    {**f, "name": new} if f["name"] == old else f
+                    for f in schema["fields"]
+                ]
+                dir_stats = {
+                    d: {new if k == old else k: v for k, v in st.items()}
+                    for d, st in (cur.get("dir_stats") or {}).items()
+                }
+                dir_blooms = {
+                    d: {new if k == old else k: v for k, v in bl.items()}
+                    for d, bl in (cur.get("dir_blooms") or {}).items()
+                }
+                bloom_cols = [
+                    new if c == old else c
+                    for c in (cur.get("bloom_cols") or [])
+                ]
+                renames = (cur.get("renames") or []) + [[old, new]]
+            else:
+                fields = [f for f in schema["fields"] if f["name"] != old]
+                dir_stats = {
+                    d: {k: v for k, v in st.items() if k != old}
+                    for d, st in (cur.get("dir_stats") or {}).items()
+                }
+                dir_blooms = {
+                    d: {k: v for k, v in bl.items() if k != old}
+                    for d, bl in (cur.get("dir_blooms") or {}).items()
+                }
+                bloom_cols = [
+                    c for c in (cur.get("bloom_cols") or []) if c != old
+                ]
+                renames = cur.get("renames") or []
+            manifest = {
+                **cur,
+                "snapshot_id": cur["snapshot_id"] + 1,
+                "parent_id": cur["snapshot_id"],
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": operation,
+                "schema": {**schema, "fields": fields},
+                "dir_stats": dir_stats,
+                "dir_blooms": dir_blooms,
+                "bloom_cols": bloom_cols,
+                "renames": renames,
+                "retired": retired + [old],
+            }
+            # a lineage pointer copied from a rollback parent would make
+            # history() walk past this commit's real parent
+            manifest.pop("rollback_of", None)
+            sid = manifest["snapshot_id"]
+            snap_path = self._tbl(
+                namespace, table, "snapshots", f"{sid}.json"
+            )
+            try:
+                with open(snap_path, "x") as f:
+                    json.dump(manifest, f)
+                break
+            except FileExistsError:
+                continue  # metadata-only: recompute on the new head
+        cur_tmp = self._tbl(
+            namespace, table, f"_current.tmp-{uuid.uuid4().hex}"
+        )
+        with open(cur_tmp, "w") as f:
+            f.write(str(sid))
+        os.replace(cur_tmp, self._tbl(namespace, table, "_current"))
+        return sid
 
     def _read_dirs(
         self,
@@ -1717,12 +2207,16 @@ class SnapCatalog:
         dir_names: list[str],
         partitioned: bool,
         with_positions: bool = False,
+        read_schema=None,
     ) -> DataFrame:
         """Distributed scan over an explicit set of data directories.
 
         mergeSchema: appends may evolve the schema (add columns); rows
         from pre-evolution files read the new columns as NULL — Iceberg
-        schema-evolution semantics.
+        schema-evolution semantics. ``read_schema`` (from
+        :meth:`_scan_schema`, widened tables only) replaces mergeSchema
+        with an explicit schema so narrow physical columns upcast —
+        mergeSchema itself refuses to merge int with long.
 
         Partitioned commits are read per-directory and unioned by name:
         hive partition discovery is per data dir, and the union keeps
@@ -1735,7 +2229,10 @@ class SnapCatalog:
         relation."""
 
         def _one(path_or_paths) -> DataFrame:
-            r = spark.read.option("mergeSchema", "true")
+            if read_schema is not None:
+                r = spark.read.schema(read_schema)
+            else:
+                r = spark.read.option("mergeSchema", "true")
             df = (
                 r.parquet(*path_or_paths)
                 if isinstance(path_or_paths, list)
@@ -1809,7 +2306,8 @@ class SnapCatalog:
         for s in self._snapshots(namespace, table):
             if from_snapshot_id < s["snapshot_id"] <= end_sid and s[
                 "operation"
-            ] not in ("append",):
+            ] not in ("append", "rename_column", "drop_column",
+                      "widen_column"):
                 raise ValueError(
                     f"{namespace}.{table}: snapshot {s['snapshot_id']} is a "
                     f"{s['operation']!r}, not an append — incremental read "
@@ -1817,9 +2315,13 @@ class SnapCatalog:
                 )
         new_dirs = [d for d in end["files"] if d not in set(start["files"])]
         if not new_dirs:
-            return self._read_dirs(
-                spark, namespace, table, end["files"],
-                bool(end.get("partition_by")),
+            return self._resolve_schema(
+                self._read_dirs(
+                    spark, namespace, table, end["files"],
+                    bool(end.get("partition_by")),
+                    read_schema=self._scan_schema(end),
+                ),
+                end,
             ).limit(0)
         return self._read_with_deletes(spark, namespace, table, end, new_dirs)
 
@@ -1861,9 +2363,16 @@ class SnapCatalog:
         def scan(dirs: list[str], manifest: dict) -> DataFrame | None:
             if not dirs:
                 return None
-            return self._read_dirs(
-                spark, namespace, table, dirs,
-                bool(manifest.get("partition_by")),
+            # both sides resolve with the END manifest's rename chain:
+            # the changelog consumer reads the end schema, and the chain
+            # covers dirs written under any earlier generation
+            return self._resolve_schema(
+                self._read_dirs(
+                    spark, namespace, table, dirs,
+                    bool(manifest.get("partition_by")),
+                    read_schema=self._scan_schema(b),
+                ),
+                b,
             )
 
         old_rows, new_rows = scan(removed, a), scan(added, b)
@@ -1889,6 +2398,67 @@ class SnapCatalog:
         ]
         return spark.createDataFrame(
             rows, schema="snapshot_id long, timestamp_ms long, operation string"
+        )
+
+    def history(
+        self, spark: SparkSession, namespace: str, table: str
+    ) -> DataFrame:
+        """Table-history metadata table — the Iceberg ``t.history``
+        analogue (reference surfaces table metadata read-only the same
+        way, ``ex-iceberg/src/component.py:148-157``): one row per
+        snapshot with its commit wall-clock, lineage parent, and whether
+        it is an ancestor of the CURRENT state. ``is_current_ancestor``
+        is the column audit tooling reads to tell retained-but-abandoned
+        history (rolled-back snapshots) from the live lineage — at 100 TB
+        that distinction decides what expire_snapshots may reclaim.
+
+        Lineage rule: a rollback commit's content ancestor is its TARGET
+        (the ``rollback_of`` manifest field), not the head it displaced —
+        so the snapshots a rollback undid are reachable for time travel
+        but NOT current ancestors, matching Iceberg's history table.
+        Answered entirely from manifests: no data scan, no Spark job.
+        """
+        snaps = self._snapshots(namespace, table)
+        current = snaps[-1]["snapshot_id"]
+        by_id = {s["snapshot_id"]: s for s in snaps}
+        ancestors: set[int] = set()
+        walk: int | None = current
+        while walk is not None and walk in by_id and walk not in ancestors:
+            ancestors.add(walk)
+            s = by_id[walk]
+            walk = s.get("rollback_of") or s.get("parent_id")
+        rows = [
+            (
+                s["timestamp_ms"],
+                s["snapshot_id"],
+                s.get("rollback_of") or s.get("parent_id"),
+                s["snapshot_id"] in ancestors,
+            )
+            for s in snaps
+        ]
+        return spark.createDataFrame(
+            rows,
+            schema=(
+                "made_current_at_ms long, snapshot_id long, "
+                "parent_id long, is_current_ancestor boolean"
+            ),
+        )
+
+    def refs(
+        self, spark: SparkSession, namespace: str, table: str
+    ) -> DataFrame:
+        """Named-refs metadata table — the Iceberg ``t.refs`` analogue:
+        every branch/tag with the snapshot it pins, plus the implicit
+        ``main`` branch at the current snapshot (Iceberg lists main the
+        same way). Manifest/ref files only — no data scan."""
+        rows = [
+            ("main", "branch", self._current_sid(namespace, table))
+        ] + [
+            (r["name"], r["type"], r["snapshot_id"])
+            for r in self.list_refs(namespace, table)
+        ]
+        return spark.createDataFrame(
+            rows, schema="name string, type string, snapshot_id long"
         )
 
     def files(
@@ -2086,6 +2656,8 @@ class SnapCatalog:
         clear_deletes: bool = False,
         extra_dir_stats: dict | None = None,
         extra_dir_rows: dict | None = None,
+        extra_dir_blooms: dict | None = None,
+        bloom_cols: list[str] | None = None,
         sort_by: list[str] | None = None,
         sort_partitions: int | None = None,
         check: str | None = None,
@@ -2124,6 +2696,8 @@ class SnapCatalog:
             partition_by = snaps[-1].get("partition_by")
         if transform_spec is None and (carry or inherit_spec) and snaps:
             transform_spec = snaps[-1].get("partition_spec")
+        if bloom_cols is None and (carry or inherit_spec) and snaps:
+            bloom_cols = snaps[-1].get("bloom_cols")
 
         # Data files are written ONCE under a collision-free name; only the
         # metadata publish participates in the optimistic-commit loop, so a
@@ -2179,8 +2753,12 @@ class SnapCatalog:
                     )
             new_stats = dir_column_stats(out_dir)
             new_rows = dir_row_count(out_dir)
+            new_blooms = (
+                dir_column_blooms(out_dir, bloom_cols) if bloom_cols else {}
+            )
         else:
             data_dir_name, out_dir, new_stats, new_rows = None, None, None, 0
+            new_blooms = {}
             schema_json = snaps[-1]["schema"] if snaps else None
 
         # Optimistic publish: claim snapshot id N+1 via exclusive create of
@@ -2220,6 +2798,15 @@ class SnapCatalog:
             dir_rows = {d: parent_rows[d] for d in files if d in parent_rows}
             if data_dir_name:
                 dir_rows[data_dir_name] = new_rows
+            parent_blooms = snaps[-1].get("dir_blooms", {}) if snaps else {}
+            dir_blooms = {
+                d: parent_blooms[d] for d in files if d in parent_blooms
+            }
+            if data_dir_name and new_blooms:
+                dir_blooms[data_dir_name] = new_blooms
+            for d, bl in (extra_dir_blooms or {}).items():
+                if d in files and bl:
+                    dir_blooms[d] = bl
             # caller-computed metadata for dirs it assembled WITHOUT a data
             # write (compact_manifests merges stats from the parent
             # manifest — the dirs are new names, so parent lookup misses)
@@ -2240,6 +2827,55 @@ class SnapCatalog:
                     if keep:
                         deletes.append({**e, "applies_to": keep})
             deletes.extend(extra_deletes or [])
+            # rename-chain / retired-name metadata follows the carried
+            # dirs (they keep their pre-rename physical names); a pure
+            # replace rewrites everything, so both reset. Reintroducing a
+            # retired name would make old physical bytes ambiguous with
+            # the new column — refuse (the name-based layout's substitute
+            # for Iceberg field ids).
+            renames: list = []
+            retired: list = []
+            widened = False
+            if snaps and (carry or carry_dirs is not None):
+                renames = snaps[-1].get("renames") or []
+                retired = snaps[-1].get("retired") or []
+                widened = bool(snaps[-1].get("widened"))
+                if widened and schema_json:
+                    # a narrow-typed append after a widening must not
+                    # revert the logical type: the narrow files upcast at
+                    # scan, the schema keeps the wide type
+                    ptypes = {
+                        f["name"]: f["type"]
+                        for f in (snaps[-1].get("schema") or {}).get(
+                            "fields", []
+                        )
+                    }
+                    schema_json = {
+                        **schema_json,
+                        "fields": [
+                            {**f, "type": ptypes[f["name"]]}
+                            if (
+                                f["name"] in ptypes
+                                and (f["type"], ptypes[f["name"]])
+                                in self._WIDENINGS
+                            )
+                            else f
+                            for f in schema_json["fields"]
+                        ],
+                    }
+                if schema_json and retired:
+                    clash = {
+                        f["name"] for f in schema_json.get("fields", [])
+                    } & set(retired)
+                    if clash:
+                        if out_dir:  # unpublished — sweep, don't orphan
+                            shutil.rmtree(out_dir, ignore_errors=True)
+                        raise ValueError(
+                            f"column name(s) {sorted(clash)} were retired "
+                            "by an earlier rename/drop and old data files "
+                            "may still contain them; name reuse is not "
+                            "supported on this name-based layout"
+                        )
             manifest = {
                 "snapshot_id": sid,
                 "parent_id": snaps[-1]["snapshot_id"] if snaps else None,
@@ -2252,6 +2888,11 @@ class SnapCatalog:
                 "dir_stats": dir_stats,
                 "dir_rows": dir_rows,
                 "deletes": deletes,
+                "renames": renames,
+                "retired": retired,
+                "widened": widened,
+                "bloom_cols": bloom_cols or [],
+                "dir_blooms": dir_blooms,
             }
             snap_path = self._tbl(namespace, table, "snapshots", f"{sid}.json")
             try:

@@ -132,3 +132,62 @@ def dataframe_volume(df: DataFrame) -> VolumeMetrics:
     return run_with_volume(
         spark, lambda: df.write.format("noop").mode("overwrite").save()
     )
+
+
+@dataclass
+class StateVolume:
+    """Streaming state-store volume, summarized from a query's
+    ``StreamingQueryProgress`` records — the stream-side sibling of
+    :class:`VolumeMetrics`. A streaming operator's 100 TB viability is
+    its STATE bound, not its wall clock: a windowed aggregate must hold
+    |window × key| rows regardless of event volume, a stream dedup
+    |distinct keys|, a stream-stream interval join |rows in the
+    watermark band|. ``peak_rows``/``peak_bytes`` are the max across
+    batches of the summed stateOperators counters; ``input_rows`` is the
+    total rows the source delivered — the denominator a saturation pin
+    doubles while requiring the peak to stay flat."""
+
+    peak_rows: int
+    peak_bytes: int
+    input_rows: int
+    n_stateful_batches: int
+
+    def as_dict(self) -> dict:
+        return {
+            "peak_state_rows": self.peak_rows,
+            "peak_state_bytes": self.peak_bytes,
+            "input_rows": self.input_rows,
+            "n_stateful_batches": self.n_stateful_batches,
+        }
+
+
+def state_volume_from_progress(progress: list[dict]) -> StateVolume:
+    """Summarize a list of StreamingQueryProgress dicts (as returned by
+    ``events.stream_to_memory_progress``) into a :class:`StateVolume`.
+
+    ``memoryUsedBytes`` is the HDFS-backed provider's loaded-map size;
+    the RocksDB provider reports the same key (backed by its own memory
+    accounting), so the summary is provider-agnostic."""
+    peak_rows = 0
+    peak_bytes = 0
+    input_rows = 0
+    stateful = 0
+    for p in progress:
+        input_rows += int(p.get("numInputRows") or 0)
+        ops = p.get("stateOperators") or []
+        if not ops:
+            continue
+        stateful += 1
+        peak_rows = max(
+            peak_rows, sum(int(o.get("numRowsTotal") or 0) for o in ops)
+        )
+        peak_bytes = max(
+            peak_bytes,
+            sum(int(o.get("memoryUsedBytes") or 0) for o in ops),
+        )
+    return StateVolume(
+        peak_rows=peak_rows,
+        peak_bytes=peak_bytes,
+        input_rows=input_rows,
+        n_stateful_batches=stateful,
+    )

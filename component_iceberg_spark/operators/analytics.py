@@ -180,6 +180,92 @@ def gap_fill_daily(
     )
 
 
+def interpolate_linear_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Linear interpolation over the densified daily series — the gap
+    treatment forward fill (``gap_fill_daily``) cannot express: an
+    interior missing day takes ``prev + (next − prev) · Δ/span`` between
+    its surrounding OBSERVED days; leading/trailing gaps (no anchor on
+    one side) stay NULL, pandas' ``interpolate(limit_area='inside')``
+    contract.
+
+    Spark shape: the same broadcast-sized calendar×keys spine as
+    gap_fill_daily (no fact-table shuffle beyond the daily
+    pre-aggregation), then ONE window Exchange per key serving four
+    anchor columns — prev/next observed day and value via
+    last/first(ignorenulls) over mirrored frames. State per key is one
+    running anchor in each direction regardless of gap length.
+
+    Exactness contract: anchors are the 6dp-rounded daily means (the
+    gap_fill discipline — rounding absorbs summation-order divergence),
+    the interpolation expression is the identical IEEE op sequence in
+    both engines, and the emitted value is scaled to MICRO units with
+    ``floor(x·10⁶ + 0.5)`` as BIGINT (the repo's half-boundary contract:
+    engine round() half-rules differ; floor(+0.5) does not).
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    daily = (
+        df.select(F.col(key_col).alias("key"), day, F.col(value_col).alias("v"))
+        .groupBy("key", "day")
+        .agg(F.round(F.avg("v"), 6).alias("av"))
+    )
+    bounds = df.select(F.to_date(F.col(ts_col)).alias("d")).agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    calendar = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    keys = df.select(F.col(key_col).alias("key")).distinct()
+    grid = calendar.crossJoin(F.broadcast(keys))
+    filled = grid.join(daily, ["key", "day"], "left")
+    wb = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    anchored = filled.select(
+        "key",
+        "day",
+        "av",
+        F.last(
+            F.when(F.col("av").isNotNull(), F.col("day")), ignorenulls=True
+        ).over(wb).alias("pd"),
+        F.last("av", ignorenulls=True).over(wb).alias("pv"),
+        F.first(
+            F.when(F.col("av").isNotNull(), F.col("day")), ignorenulls=True
+        ).over(wf).alias("nd"),
+        F.first("av", ignorenulls=True).over(wf).alias("nv"),
+    )
+    interp = F.when(F.col("av").isNotNull(), F.col("av")).otherwise(
+        F.when(
+            F.col("pd").isNotNull() & F.col("nd").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                F.datediff(F.col("day"), F.col("pd")).cast("double")
+                / F.datediff(F.col("nd"), F.col("pd")).cast("double")
+            ),
+        )
+    )
+    return anchored.select(
+        "key",
+        "day",
+        F.col("av").alias("observed_avg"),
+        F.floor(interp * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("interp_micro"),
+    )
+
+
 def event_transitions(
     df: DataFrame,
     user_col: str,

@@ -143,6 +143,72 @@ LEFT JOIN daily d ON d.key = k.key AND d.day = c.day
 """
 
 
+_INTERP_ORACLE = """
+WITH src AS (
+    SELECT event_type, ts, value FROM events
+    WHERE date_part('day', ts) % 3 <> 0
+), bounds AS (
+    SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+    FROM src
+), cal AS (
+    SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+           AS day
+    FROM bounds
+), keys AS (
+    SELECT DISTINCT event_type AS key FROM src
+), daily AS (
+    SELECT event_type AS key, CAST(ts AS DATE) AS day,
+           round(avg(value), 6) AS av
+    FROM src GROUP BY 1, 2
+), g AS (
+    SELECT k.key, c.day, d.av
+    FROM cal c CROSS JOIN keys k
+    LEFT JOIN daily d ON d.key = k.key AND d.day = c.day
+), a AS (
+    SELECT key, day, av,
+           last_value(CASE WHEN av IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY key ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+           last_value(av IGNORE NULLS)
+               OVER (PARTITION BY key ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           first_value(CASE WHEN av IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY key ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+           first_value(av IGNORE NULLS)
+               OVER (PARTITION BY key ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+    FROM g
+)
+SELECT key, day, av AS observed_avg,
+       CAST(floor(
+           (CASE WHEN av IS NOT NULL THEN av
+                 WHEN pd IS NOT NULL AND nd IS NOT NULL THEN
+                     pv + (nv - pv) * (CAST(day - pd AS DOUBLE)
+                                       / CAST(nd - pd AS DOUBLE))
+            END) * 1000000.0 + 0.5) AS BIGINT) AS interp_micro
+FROM a
+"""
+
+
+@register(
+    "ext_interpolate_linear", oracle=_INTERP_ORACLE, tags=("ext", "analytics")
+)
+def ext_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation over the daily series — the time-series
+    treatment forward fill cannot express (``prev + (next−prev)·Δ/span``
+    on interior gaps, NULL outside the anchors). Every third calendar
+    day is removed from the input so interior gaps exist at every SF and
+    the interpolation path is genuinely exercised. Spine is
+    broadcast-sized, one window Exchange per key serves all four anchors
+    (operators/analytics.interpolate_linear_daily); micro-unit integer
+    output per the repo's half-boundary contract."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.dayofmonth("ts") % 3 != 0
+    )
+    return analytics.interpolate_linear_daily(ev, "event_type", "ts", "value")
+
+
 @register("ext_gap_fill", oracle=_GAP_FILL_ORACLE, tags=("ext", "analytics"))
 def ext_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily resample with zero-fill + forward-filled daily mean: the

@@ -628,6 +628,198 @@ def snap_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.read(spark, "ns", "customer")
 
 
+@register(
+    "snap_history_meta",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE),
+        (CAST(2 AS BIGINT), CAST(1 AS BIGINT), TRUE),
+        (CAST(3 AS BIGINT), CAST(2 AS BIGINT), FALSE),
+        (CAST(4 AS BIGINT), CAST(2 AS BIGINT), TRUE)
+    ) AS t(snapshot_id, parent_id, is_current_ancestor)
+    """,
+    tags=("parity", "meta", "snapshot"),
+)
+def snap_history_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``t.history`` metadata table: v1 → v2 append → v3 replace
+    → rollback to v2. The rolled-back v3 stays time-travelable but is
+    NOT a current ancestor (the rollback's lineage parent is its TARGET),
+    while v1/v2/v4 form the live chain — the distinction expire tooling
+    and audits read. Wall-clock column dropped for determinism; the
+    lineage triple is the golden. Manifest-only — no data scan."""
+    cat = _warehouse(sf_dir, "history")
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "nation", n.filter(F.col("n_regionkey") < 2))
+    cat.append("ns", "nation", n.filter(F.col("n_regionkey") >= 2))
+    cat.create_or_replace("ns", "nation", n.filter(F.col("n_nationkey") < 5))
+    cat.rollback_to("ns", "nation", 2)
+    assert cat.read(spark, "ns", "nation", snapshot_id=3).count() > 0
+    return cat.history(spark, "ns", "nation").select(
+        "snapshot_id", "parent_id", "is_current_ancestor"
+    )
+
+
+@register(
+    "snap_rename_column",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+           c_acctbal AS account_balance
+    FROM customer
+    WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    """,
+    tags=("parity", "snapshot", "schema"),
+)
+def snap_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ALTER TABLE .. RENAME COLUMN — METADATA-ONLY: the rename
+    commit rewrites the logical schema and the stats keys, never a data
+    file. Directories written before the rename keep their physical name
+    and resolve through the manifest's rename chain at read; the append
+    AFTER the rename writes the new name — the result merges both
+    generations exactly. At 100 TB this is the difference between an
+    instant commit and rewriting the table."""
+    cat = _warehouse(sf_dir, "rename_col")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    cat.create_or_replace(
+        "ns", "customer", c.filter(F.col("c_mktsegment") == "AUTOMOBILE")
+    )
+    cat.rename_column("ns", "customer", "c_acctbal", "account_balance")
+    cat.append(
+        "ns", "customer",
+        c.filter(F.col("c_mktsegment") == "BUILDING").withColumnRenamed(
+            "c_acctbal", "account_balance"
+        ),
+    )
+    return cat.read(spark, "ns", "customer")
+
+
+@register(
+    "snap_drop_column",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey % 3 <= 1
+    """,
+    tags=("parity", "snapshot", "schema"),
+)
+def snap_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ALTER TABLE .. DROP COLUMN — METADATA-ONLY: the column
+    leaves the logical schema; its bytes stay in place (time-travelable
+    through pre-drop snapshots) and every read projects it away. The
+    post-drop append lands on the narrowed schema; the dropped name is
+    retired against reintroduction (the name-based layout's substitute
+    for Iceberg field ids)."""
+    cat = _warehouse(sf_dir, "drop_col")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "orders", o.filter(F.col("o_orderkey") % 3 == 0))
+    cat.drop_column("ns", "orders", "o_orderstatus")
+    cat.append(
+        "ns", "orders",
+        o.filter(F.col("o_orderkey") % 3 == 1).drop("o_orderstatus"),
+    )
+    assert "o_orderstatus" in cat.read(
+        spark, "ns", "orders", snapshot_id=1
+    ).columns
+    return cat.read(spark, "ns", "orders")
+
+
+@register(
+    "snap_bloom_pruned_scan",
+    oracle="SELECT * FROM customer WHERE c_name = 'Customer#000000001'",
+    tags=("parity", "snapshot", "pruning"),
+)
+def snap_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest BLOOM-FILTER pruning — the point-lookup complement to
+    min/max stats (Iceberg's puffin blooms / Delta bloom indexes): three
+    commits split by c_custkey % 3 interleave c_name across the whole
+    lexical range, so range stats cannot skip the first dir for an
+    equality lookup; the per-dir blooms (registered via
+    ``bloom_cols=['c_name']``, computed once at write time, OR-merged by
+    manifest folds) answer "value definitely absent" and the scan opens
+    only the one directory that can contain the row. At 100 TB this is
+    needle-in-haystack lookup cost ~ one file instead of one table. An
+    overloaded or absent bloom only disables skipping — never wrong
+    results (never-skip safety pinned in tests/test_snaptable.py)."""
+    cat = _warehouse(sf_dir, "bloom")
+    c = load_table(spark, sf_dir, "customer")
+    cat.create_or_replace(
+        "ns", "customer", c.filter(F.col("c_custkey") % 3 == 0),
+        bloom_cols=["c_name"],
+    )
+    cat.append("ns", "customer", c.filter(F.col("c_custkey") % 3 == 1))
+    cat.append("ns", "customer", c.filter(F.col("c_custkey") % 3 == 2))
+    m = cat._manifest("ns", "customer", cat._current_sid("ns", "customer"))
+    _cand, skipped = cat._prune_dirs(m, "c_name = 'Customer#000000001'")
+    assert len(skipped) >= 2, skipped  # bloom skipped what min/max cannot
+    return cat.read(
+        spark, "ns", "customer", where="c_name = 'Customer#000000001'"
+    )
+
+
+@register(
+    "snap_widen_column",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey + 8589934592, concat(n_name, '-V2'), n_regionkey
+    FROM nation WHERE n_regionkey = 0
+    """,
+    tags=("parity", "snapshot", "schema"),
+)
+def snap_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ALTER TABLE .. ALTER COLUMN .. TYPE — METADATA-ONLY type
+    promotion (int→long here): the commit rewrites the logical field
+    type, old narrow files upcast at scan through the explicit wide read
+    schema (mergeSchema alone refuses to merge int with long), and the
+    post-widen append carries keys beyond the 32-bit range. No data file
+    is rewritten at any table size."""
+    cat = _warehouse(sf_dir, "widen_col")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        "n_regionkey",
+    )
+    cat.create_or_replace("ns", "nation", n)
+    cat.widen_column_type("ns", "nation", "n_nationkey", "bigint")
+    beyond = n.filter(F.col("n_regionkey") == 0).select(
+        (F.col("n_nationkey").cast("long") + F.lit(2**33)).alias("n_nationkey"),
+        F.concat(F.col("n_name"), F.lit("-V2")).alias("n_name"),
+        "n_regionkey",
+    )
+    cat.append("ns", "nation", beyond)
+    return cat.read(spark, "ns", "nation")
+
+
+@register(
+    "snap_refs_meta",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('audit-1996', 'tag', CAST(1 AS BIGINT)),
+        ('dev', 'branch', CAST(2 AS BIGINT)),
+        ('main', 'branch', CAST(3 AS BIGINT))
+    ) AS t(name, type, snapshot_id)
+    """,
+    tags=("parity", "meta", "snapshot"),
+)
+def snap_refs_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``t.refs`` metadata table: an immutable tag on v1, a
+    branch left at v2, and the implicit ``main`` branch tracking the
+    current snapshot (v3 after the last append) — the ref inventory GC
+    reads to know what it may never reclaim. Ref/manifest files only —
+    no data scan, no Spark job."""
+    cat = _warehouse(sf_dir, "refsmeta")
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "nation", n.filter(F.col("n_regionkey") == 0))
+    cat.create_tag("ns", "nation", "audit-1996")
+    cat.append("ns", "nation", n.filter(F.col("n_regionkey") == 1))
+    cat.create_branch("ns", "nation", "dev")
+    cat.append("ns", "nation", n.filter(F.col("n_regionkey") == 2))
+    return cat.refs(spark, "ns", "nation")
+
+
 _PART_EVO_ORACLE = """
 SELECT o_orderstatus, count(*) AS n
 FROM orders

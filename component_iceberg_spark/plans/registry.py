@@ -100,6 +100,13 @@ _GATE_PRIORITY = (
     "snap_partitions_meta",
     "source_text_lines",
     "ext_frequent_best_readout",
+    "snap_history_meta",
+    "snap_refs_meta",
+    "snap_rename_column",
+    "snap_drop_column",
+    "snap_widen_column",
+    "snap_bloom_pruned_scan",
+    "ext_interpolate_linear",
     "source_binaryfile",
     "stream_binaryfile_ingest",
     "snap_delete_mor",

@@ -140,10 +140,33 @@ def sliding_window_counts(
 def stream_to_memory(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     """Drive a bounded stream to completion into an in-memory sink and
     return the materialized result (test/demo harness)."""
+    return stream_to_memory_progress(df, spark, mode)[0]
+
+
+def stream_to_memory_progress(
+    df: DataFrame, spark: SparkSession, mode: str
+) -> tuple[DataFrame, list[dict]]:
+    """Like :func:`stream_to_memory`, but also return the run's
+    StreamingQueryProgress records as plain dicts — the raw material for
+    state-VOLUME pins (``metrics.state_volume_from_progress``): peak
+    stateOperators rows/bytes are how the "state is bounded by the key
+    space, not the event volume" claims get measured instead of argued."""
+    import json
+
     name = f"stream_{uuid.uuid4().hex[:12]}"
-    writer = df.writeStream.outputMode(mode).format("memory").queryName(name)
-    run_to_completion(writer, spark)
-    return df.sparkSession.table(name)
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    prog = [
+        json.loads(p if isinstance(p, str) else p.json)
+        for p in (q.recentProgress or [])
+    ]
+    return df.sparkSession.table(name), prog
 
 
 def stream_upsert_into(

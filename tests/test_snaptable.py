@@ -6,6 +6,8 @@ from __future__ import annotations
 import glob
 import os
 
+from pyspark.sql import functions as F
+
 from component_iceberg_spark.io.snaptable import SnapCatalog
 from component_iceberg_spark.io.tables import load_table
 
@@ -1740,3 +1742,461 @@ def test_merge_evolve_multi_action(spark, tmp_path):
         3: ("t3", None), 4: ("t4", None), 5: ("t5", None),
         100: ("ins", 3.5),
     }, rows
+
+
+def test_history_lineage_marks_rolled_back_non_ancestor(spark, sf_dir, tmp_path):
+    """t.history metadata table: the rollback's lineage parent is its
+    TARGET, so the snapshots it undid stay time-travelable but drop off
+    the current-ancestor chain — including through a rollback OF a
+    rollback (the walk follows rollback_of transitively)."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "t", n.filter("n_regionkey = 0"))   # sid 1
+    cat.append("ns", "t", n.filter("n_regionkey = 1"))              # sid 2
+    cat.append("ns", "t", n.filter("n_regionkey = 2"))              # sid 3
+    cat.rollback_to("ns", "t", 2)                                   # sid 4
+    h = {
+        r.snapshot_id: (r.parent_id, r.is_current_ancestor)
+        for r in cat.history(spark, "ns", "t").collect()
+    }
+    assert h == {
+        1: (None, True),
+        2: (1, True),
+        3: (2, False),
+        4: (2, True),   # lineage parent = rollback target
+    }, h
+    # made_current_at is populated and non-decreasing in snapshot order
+    ts = [
+        r.made_current_at_ms
+        for r in cat.history(spark, "ns", "t")
+        .orderBy("snapshot_id")
+        .collect()
+    ]
+    assert all(a <= b for a, b in zip(ts, ts[1:])) and ts[0] > 0
+
+    # rollback OF a rollback: undoing sid 4 back to sid 3 re-admits 3
+    # (and its ancestors) and drops 4 off the chain
+    cat.rollback_to("ns", "t", 3)                                   # sid 5
+    h2 = {
+        r.snapshot_id: r.is_current_ancestor
+        for r in cat.history(spark, "ns", "t").collect()
+    }
+    assert h2 == {1: True, 2: True, 3: True, 4: False, 5: True}, h2
+
+
+def test_refs_table_includes_implicit_main(spark, sf_dir, tmp_path):
+    """t.refs metadata table: explicit tags/branches plus the implicit
+    main branch tracking the CURRENT snapshot (it advances with every
+    commit; explicit refs stay pinned)."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "t", n.filter("n_regionkey = 0"))   # sid 1
+    cat.create_tag("ns", "t", "v1")
+    refs = {
+        r.name: (r.type, r.snapshot_id)
+        for r in cat.refs(spark, "ns", "t").collect()
+    }
+    assert refs == {"main": ("branch", 1), "v1": ("tag", 1)}, refs
+    cat.append("ns", "t", n.filter("n_regionkey = 1"))              # sid 2
+    refs = {
+        r.name: (r.type, r.snapshot_id)
+        for r in cat.refs(spark, "ns", "t").collect()
+    }
+    assert refs == {"main": ("branch", 2), "v1": ("tag", 1)}, refs
+
+
+def test_rename_column_metadata_only(spark, sf_dir, tmp_path):
+    """rename_column is a METADATA-ONLY commit: the data dirs are carried
+    byte-identical, old dirs resolve their physical name through the
+    rename chain (values merge exactly with post-rename appends), stats
+    keys remap so metrics pruning keeps working on the new name, and
+    time travel at the pre-rename snapshot still shows the old name."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cat.create_or_replace("ns", "t", n.filter("n_regionkey < 2"))   # sid 1
+    sid2 = cat.rename_column("ns", "t", "n_name", "nation_name")    # sid 2
+    assert sid2 == 2
+    # metadata-only: same data dirs, no new files
+    m1 = cat._manifest("ns", "t", 1)
+    m2 = cat._manifest("ns", "t", 2)
+    assert m1["files"] == m2["files"]
+    # post-rename append writes the new physical name
+    cat.append(
+        "ns", "t",
+        n.filter("n_regionkey >= 2").withColumnRenamed("n_name", "nation_name"),
+    )                                                               # sid 3
+    got = {
+        r.n_nationkey: r.nation_name
+        for r in cat.read(spark, "ns", "t").collect()
+    }
+    want = {r.n_nationkey: r.n_name for r in n.collect()}
+    assert got == want                      # both generations, no NULLs
+    assert "n_name" not in cat.read(spark, "ns", "t").columns
+    # time travel: the pre-rename snapshot keeps the old name
+    assert "n_name" in cat.read(spark, "ns", "t", snapshot_id=1).columns
+    # stats keys remapped: files() answers min/max under the NEW name
+    f = cat.files(spark, "ns", "t", stat_cols=("nation_name",)).collect()
+    assert all(r.min_nation_name is not None for r in f)
+    # and stats pruning on the new name skips non-matching OLD dirs
+    cand, skipped = cat._prune_dirs(
+        cat._manifest("ns", "t", 3), "nation_name = 'ZZZ'"
+    )
+    assert skipped, (cand, skipped)
+
+
+def test_rename_column_chain_and_guards(spark, sf_dir, tmp_path):
+    """Rename chains resolve transitively; guards: unknown column,
+    existing target, retired-name reuse (rename target AND re-append),
+    partition-spec source, pending equality delete."""
+    import pytest
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cat.create_or_replace("ns", "t", n.filter("n_regionkey = 0"))
+    cat.rename_column("ns", "t", "n_name", "nm1")
+    cat.rename_column("ns", "t", "nm1", "nm2")
+    rows = cat.read(spark, "ns", "t").collect()
+    assert rows and all(r.nm2 is not None for r in rows)
+    with pytest.raises(ValueError, match="no column"):
+        cat.rename_column("ns", "t", "nope", "x")
+    with pytest.raises(ValueError, match="already has"):
+        cat.rename_column("ns", "t", "n_nationkey", "nm2")
+    with pytest.raises(ValueError, match="retired"):
+        cat.rename_column("ns", "t", "n_regionkey", "n_name")
+    # appending a retired name back is refused too
+    with pytest.raises(ValueError, match="retired"):
+        cat.append(
+            "ns", "t",
+            n.filter("n_regionkey = 1")
+            .withColumnRenamed("n_name", "nm2")
+            .withColumn("nm1", F.lit("ghost")),
+        )
+    # partition-source guard
+    o = load_table(spark, sf_dir, "orders").limit(100)
+    cat.create_or_replace(
+        "ns", "p", o, partition_spec=["year(o_orderdate)"]
+    )
+    with pytest.raises(ValueError, match="partition-spec source"):
+        cat.rename_column("ns", "p", "o_orderdate", "odate")
+    # pending equality-delete guard
+    cat.create_or_replace("ns", "d", n.filter("n_regionkey <= 1"))
+    cat.delete_keys(
+        spark, "ns", "d",
+        spark.createDataFrame([(0,)], "n_nationkey long"),
+        ["n_nationkey"],
+    )
+    with pytest.raises(ValueError, match="equality-delete"):
+        cat.rename_column("ns", "d", "n_nationkey", "k")
+    cat.compact(spark, "ns", "d")
+    cat.rename_column("ns", "d", "n_nationkey", "k")   # now fine
+    assert 0 not in {r.k for r in cat.read(spark, "ns", "d").collect()}
+
+
+def test_drop_column_metadata_only(spark, sf_dir, tmp_path):
+    """drop_column projects the column away on every read without
+    touching data; pre-drop snapshots still show it; post-drop appends
+    land on the narrowed schema; the dropped name is retired (no
+    reintroduction); the last column refuses to drop."""
+    import pytest
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "t", o.filter("o_orderkey % 3 = 0"))  # sid 1
+    cat.drop_column("ns", "t", "o_orderstatus")                       # sid 2
+    m1, m2 = cat._manifest("ns", "t", 1), cat._manifest("ns", "t", 2)
+    assert m1["files"] == m2["files"]                # metadata-only
+    cols = cat.read(spark, "ns", "t").columns
+    assert cols == ["o_orderkey", "o_custkey", "o_totalprice"], cols
+    assert "o_orderstatus" in cat.read(spark, "ns", "t", snapshot_id=1).columns
+    cat.append(
+        "ns", "t",
+        o.filter("o_orderkey % 3 = 1").drop("o_orderstatus"),
+    )
+    assert cat.read(spark, "ns", "t").count() == o.filter(
+        "o_orderkey % 3 <= 1"
+    ).count()
+    with pytest.raises(ValueError, match="retired"):
+        cat.append("ns", "t", o.filter("o_orderkey % 3 = 2"))
+    tiny = SnapCatalog(str(tmp_path / "wh2"))
+    tiny.create_or_replace(
+        "ns", "one", spark.createDataFrame([(1,)], "x long")
+    )
+    with pytest.raises(ValueError, match="last column"):
+        tiny.drop_column("ns", "one", "x")
+
+
+def test_schema_edits_reset_on_replace_and_compact(spark, sf_dir, tmp_path):
+    """A full replace (and a compact, which rewrites every dir from a
+    resolved read) materializes the logical schema — the rename chain
+    and retired set reset, so the names become reusable again."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cat.create_or_replace("ns", "t", n.filter("n_regionkey = 0"))
+    cat.rename_column("ns", "t", "n_name", "nm")
+    cat.compact(spark, "ns", "t")
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    assert not m.get("renames") and not m.get("retired")
+    # retired name reusable after the physical rewrite
+    cat.append(
+        "ns", "t",
+        n.filter("n_regionkey = 1")
+        .withColumnRenamed("n_name", "nm")
+        .withColumn("n_name", F.lit("fresh")),
+    )
+    rows = cat.read(spark, "ns", "t").collect()
+    assert {r.n_name for r in rows} == {None, "fresh"}
+
+
+def test_incremental_read_across_rename(spark, sf_dir, tmp_path):
+    """read_appends_between stays well-posed across metadata-only schema
+    edits (no rows changed): appends after the rename surface under the
+    end schema."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cat.create_or_replace("ns", "t", n.filter("n_regionkey = 0"))   # sid 1
+    cat.rename_column("ns", "t", "n_name", "nm")                    # sid 2
+    cat.append(
+        "ns", "t",
+        n.filter("n_regionkey = 1").withColumnRenamed("n_name", "nm"),
+    )                                                               # sid 3
+    inc = cat.read_appends_between(spark, "ns", "t", 1)
+    assert inc.columns == ["n_nationkey", "nm", "n_regionkey"]
+    assert inc.count() == n.filter("n_regionkey = 1").count()
+
+
+def test_widen_column_type_metadata_only(spark, sf_dir, tmp_path):
+    """widen_column_type (int→long / float→double, the Iceberg-legal
+    promotions) is METADATA-ONLY: old narrow files upcast at scan via
+    the explicit wide read schema; post-widen appends may exceed the old
+    range; a narrow append after the widening cannot revert the logical
+    type; time travel pre-widen shows the narrow type; stats pruning
+    still works; illegal promotions and partitioned layouts refuse."""
+    import pytest
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").cast("int").alias("k"),
+            F.col("n_name").alias("nm"),
+            F.col("n_regionkey").cast("float").alias("r"),
+        )
+    )
+    cat.create_or_replace("ns", "t", n.filter("k < 10"))            # sid 1
+    cat.widen_column_type("ns", "t", "k", "bigint")                 # sid 2
+    cat.widen_column_type("ns", "t", "r", "double")                 # sid 3
+    m1 = cat._manifest("ns", "t", 1)
+    m3 = cat._manifest("ns", "t", 3)
+    assert m1["files"] == m3["files"]               # metadata-only
+    # post-widen append with values beyond int range
+    big = spark.createDataFrame(
+        [(2**40, "BIGLAND", 9.25)], "k long, nm string, r double"
+    )
+    cat.append("ns", "t", big)                                      # sid 4
+    df = cat.read(spark, "ns", "t")
+    assert dict(df.dtypes)["k"] == "bigint" and dict(df.dtypes)["r"] == "double"
+    got = {r.k for r in df.collect()}
+    assert 2**40 in got and 0 in got and len(got) == 11
+    # narrow append after the widening: upcasts, logical type stays wide
+    cat.append(
+        "ns", "t",
+        spark.createDataFrame([(11, "NARROW", 1.5)], "k int, nm string, r float"),
+    )
+    df = cat.read(spark, "ns", "t")
+    assert dict(df.dtypes)["k"] == "bigint"
+    assert {r.k for r in df.collect()} == got | {11}
+    # time travel: pre-widen snapshot keeps the narrow type
+    assert dict(cat.read(spark, "ns", "t", snapshot_id=1).dtypes)["k"] == "int"
+    # stats pruning still prunes on the widened column
+    cand, skipped = cat._prune_dirs(
+        cat._manifest("ns", "t", cat._current_sid("ns", "t")),
+        "k > 1000000000000000",
+    )
+    assert skipped, (cand, skipped)
+    # guards
+    with pytest.raises(ValueError, match="only"):
+        cat.widen_column_type("ns", "t", "nm", "bigint")
+    with pytest.raises(ValueError, match="no column"):
+        cat.widen_column_type("ns", "t", "zzz", "bigint")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .limit(50)
+        .withColumn("o_orderkey", F.col("o_orderkey").cast("int"))
+    )
+    cat.create_or_replace("ns", "p", o, partition_by=["o_orderstatus"])
+    with pytest.raises(ValueError, match="partitioned"):
+        cat.widen_column_type("ns", "p", "o_orderkey", "bigint")
+
+
+def test_widen_composes_with_rename(spark, sf_dir, tmp_path):
+    """Rename + widen on the same column: the explicit scan schema
+    carries the retired alias at the WIDE type, so the oldest generation
+    (narrow, old name) upcasts and folds into the logical column."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.create_or_replace(
+        "ns", "t",
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+    )                                                               # sid 1
+    cat.rename_column("ns", "t", "k", "key")                        # sid 2
+    cat.widen_column_type("ns", "t", "key", "bigint")               # sid 3
+    cat.append(
+        "ns", "t",
+        spark.createDataFrame([(2**40, "b")], "key long, v string"),
+    )                                                               # sid 4
+    rows = {r.key: r.v for r in cat.read(spark, "ns", "t").collect()}
+    assert rows == {1: "a", 2**40: "b"}, rows
+    assert dict(cat.read(spark, "ns", "t").dtypes)["key"] == "bigint"
+
+
+def test_bloom_pruning_skips_dirs_minmax_cannot(spark, sf_dir, tmp_path):
+    """Manifest bloom filters (the point-lookup complement to min/max
+    stats): commits split by key % 3 interleave c_name across the whole
+    lexical range, so range stats prune NOTHING for an equality lookup —
+    the registered bloom skips every dir that cannot contain the value,
+    and never skips the dir that does (probed over a value sample)."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    cat.create_or_replace(
+        "ns", "t", c.filter("c_custkey % 3 = 0"), bloom_cols=["c_name"]
+    )
+    cat.append("ns", "t", c.filter("c_custkey % 3 = 1"))  # inherits blooms
+    cat.append("ns", "t", c.filter("c_custkey % 3 = 2"))
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    assert all(len(bl) == 1 for bl in m["dir_blooms"].values())
+    # min/max alone cannot prune the % 3 = 0 dir (its name range covers
+    # the value; only the boundary dir whose lexical min exceeds the
+    # literal falls to range stats)
+    stats_only = {**m, "dir_blooms": {}}
+    cand, stats_skipped = cat._split_by_stats(
+        stats_only,
+        [("c_name", "=", "Customer#000000001")],
+    )
+    assert len(stats_skipped) <= 1, stats_skipped
+    # the bloom skips the two non-containing dirs
+    cand, skipped = cat._prune_dirs(m, "c_name = 'Customer#000000001'")
+    assert len(skipped) == 2, (cand, skipped)
+    # never-skip safety: every probed value's dir survives -> exact reads
+    for k in (0, 1, 2, 7, 11):
+        name = f"Customer#{k:09d}"
+        got = cat.read(spark, "ns", "t", where=f"c_name = '{name}'").count()
+        assert got == 1, (name, got)
+    # absent value: every dir skipped
+    cand, skipped = cat._prune_dirs(m, "c_name = 'Customer#notreal'")
+    assert not cand, (cand, skipped)
+
+
+def test_bloom_int_column_and_widen_compat(spark, sf_dir, tmp_path):
+    """Integer-column blooms: the probe hashes the parsed int literal
+    the same way the build side hashed the parquet values, including
+    after an int->long widening (the canonical int representation is
+    width-independent)."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(0, 400, 2)], "k int, v string"
+    )
+    cat.create_or_replace("ns", "t", df, bloom_cols=["k"])
+    cat.append(
+        "ns", "t",
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 400, 2)], "k int, v string"
+        ),
+    )
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    cand, skipped = cat._prune_dirs(m, "k = 7")
+    assert len(skipped) == 1, (cand, skipped)
+    assert cat.read(spark, "ns", "t", where="k = 7").count() == 1
+    cat.widen_column_type("ns", "t", "k", "bigint")
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    cand, skipped = cat._prune_dirs(m, "k = 7")
+    assert len(skipped) == 1, (cand, skipped)
+    assert cat.read(spark, "ns", "t", where="k = 7").count() == 1
+
+
+def test_bloom_survives_manifest_fold_and_rename(spark, sf_dir, tmp_path):
+    """compact_manifests OR-merges same-shape blooms into the folded
+    entry (value union = bit OR), and rename_column remaps the bloom
+    keys with the stats keys — point lookups keep skipping after both."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    cat.create_or_replace(
+        "ns", "t", c.filter("c_custkey % 4 = 0"), bloom_cols=["c_name"]
+    )
+    for r in (1, 2, 3):
+        cat.append("ns", "t", c.filter(f"c_custkey % 4 = {r}"))
+    n_total = c.count()
+    cat.compact_manifests("ns", "t")
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    assert len(m["files"]) == 1
+    folded = m["files"][0]
+    assert "c_name" in (m["dir_blooms"].get(folded) or {}), m["dir_blooms"]
+    # merged bloom: present values hit, absent values skip the only dir
+    cand, _ = cat._prune_dirs(m, "c_name = 'Customer#000000002'")
+    assert cand == [folded]
+    cand, skipped = cat._prune_dirs(m, "c_name = 'Customer#notreal'")
+    assert not cand and skipped == [folded]
+    assert cat.read(spark, "ns", "t").count() == n_total
+    # rename remaps the bloom key
+    cat.rename_column("ns", "t", "c_name", "customer_name")
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    cand, skipped = cat._prune_dirs(
+        m, "customer_name = 'Customer#notreal'"
+    )
+    assert not cand and skipped == [folded]
+    assert (
+        cat.read(
+            spark, "ns", "t",
+            where="customer_name = 'Customer#000000002'",
+        ).count()
+        == 1
+    )
+
+
+def test_bloom_type_mismatch_never_skips(spark, tmp_path):
+    """A numeric predicate literal against a STRING-valued bloom column
+    (``v = 5`` where v holds '5') must NOT skip the dir — the engine's
+    cast semantics can still match the row. The bloom records its value
+    kind and a kind mismatch is always conservative."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "5"), (2, "7")], "k long, v string"
+    )
+    cat.create_or_replace("ns", "t", df, bloom_cols=["v"])
+    m = cat._manifest("ns", "t", 1)
+    d = m["files"][0]
+    assert m["dir_blooms"][d]["v"]["kind"] == "s"
+    # int literal vs string bloom: never prune
+    cand, skipped = cat._split_by_stats(m, [("v", "=", 5)])
+    assert cand == [d] and not skipped
+    # matching kind still prunes the absent value
+    cand, skipped = cat._split_by_stats(m, [("v", "=", "zzz")])
+    assert not cand and skipped == [d]
+    # and the engine read (cast match) returns the row either way
+    assert cat.read(spark, "ns", "t", where="v = 5").count() == 1
+
+
+def test_incremental_read_across_widen(spark, tmp_path):
+    """read_appends_between stays well-posed across a widen commit
+    (metadata-only, no rows changed)."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.create_or_replace(
+        "ns", "t", spark.createDataFrame([(1, "a")], "k int, v string")
+    )                                                               # sid 1
+    cat.widen_column_type("ns", "t", "k", "bigint")                 # sid 2
+    cat.append(
+        "ns", "t",
+        spark.createDataFrame([(2**40, "b")], "k long, v string"),
+    )                                                               # sid 3
+    inc = cat.read_appends_between(spark, "ns", "t", 1)
+    assert [r.k for r in inc.collect()] == [2**40]

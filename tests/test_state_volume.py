@@ -1,0 +1,142 @@
+"""Measured streaming STATE-volume pins — the stream-side sibling of
+tests/test_shuffle_volume.py (same discipline: claims about boundedness
+asserted as engine-reported counters, not plan topology).
+
+A streaming operator survives 100 TB/day exactly when its state store is
+bounded by a KEY SPACE the deployment controls (windows × types, distinct
+dedup keys, watermark-band rows) and not by event volume. Each pin here
+doubles the input while holding the key space fixed and requires the
+peak stateOperators rows to stay EXACTLY flat (rows are deterministic;
+bytes get small headroom for map-capacity noise):
+
+- windowed aggregate: 2× events with identical timestamps/types →
+  identical (window, type) state rows (measured 216 → 216 at sf0.01);
+- stream dedup: 2× duplicate copies of every event_id → identical
+  per-key dedup state rows (the extra copies only increase drops).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from component_iceberg_spark.metrics import state_volume_from_progress
+from component_iceberg_spark.streaming import events as SE
+
+SCRATCH = "/tmp/cis_scratch/state_vol_pins"
+
+
+def _stage(spark, sf_dir: str, name: str, copies: int = 1, offset_ids=False):
+    """Stage the events fixture into a fresh stream-source dir: either
+    ``copies`` verbatim file copies (true duplicates — same event_ids) or
+    one file with the rows doubled under offset event_ids (2× volume,
+    identical timestamp/type space)."""
+    from pyspark.sql import functions as F
+
+    d = os.path.join(SCRATCH, name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    src = os.path.join(sf_dir, "events.parquet")
+    if offset_ids:
+        base = spark.read.parquet(src)
+        dbl = base.unionByName(
+            base.withColumn("event_id", F.col("event_id") + 10**9)
+        )
+        dbl.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "staged")
+        )
+        inner = os.path.join(d, "staged")
+        return inner
+    for i in range(copies):
+        shutil.copyfile(src, os.path.join(d, f"events_{i}.parquet"))
+    return d
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _cleanup():
+    yield
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+def _windowed_state(spark, src_dir):
+    agg = SE.windowed_counts(SE.read_events_stream(spark, src_dir))
+    df, prog = SE.stream_to_memory_progress(agg, spark, mode="complete")
+    return df, state_volume_from_progress(prog)
+
+
+def test_windowed_agg_state_is_window_space_bounded(spark, sf_dir):
+    """Complete-mode tumbling aggregate: final state holds exactly one
+    row per (hour-window, event_type) — the whole key space, nothing
+    more — and doubling the EVENTS with identical timestamps/types
+    leaves state rows exactly flat while input rows double."""
+    from pyspark.sql import functions as F
+
+    base_dir = _stage(spark, sf_dir, "agg_base", copies=1)
+    df1, sv1 = _windowed_state(spark, base_dir)
+    space = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(F.date_trunc("hour", "ts"), "event_type")
+        .distinct()
+        .count()
+    )
+    assert sv1.peak_rows == space, (sv1.as_dict(), space)
+    assert sv1.peak_bytes > 0 and sv1.input_rows > 0
+
+    dbl_dir = _stage(spark, sf_dir, "agg_dbl", offset_ids=True)
+    df2, sv2 = _windowed_state(spark, dbl_dir)
+    assert sv2.input_rows == 2 * sv1.input_rows, (
+        sv1.as_dict(),
+        sv2.as_dict(),
+    )
+    assert sv2.peak_rows == sv1.peak_rows, (sv1.as_dict(), sv2.as_dict())
+    assert sv2.peak_bytes <= 1.3 * sv1.peak_bytes + 4096, (
+        sv1.as_dict(),
+        sv2.as_dict(),
+    )
+    # the aggregate VALUES see both copies (counts double), so the flat
+    # state is genuinely 2x input into the same rows, not a short read
+    n1 = df1.agg(F.sum("n_events")).collect()[0][0]
+    n2 = df2.agg(F.sum("n_events")).collect()[0][0]
+    assert n2 == 2 * n1
+
+
+def test_stream_dedup_state_is_key_space_bounded(spark, sf_dir):
+    """dropDuplicatesWithinWatermark keeps ONE state row per event_id:
+    doubling the number of duplicate copies (2 → 4 file copies) doubles
+    input rows but leaves peak state rows exactly |distinct event_id| —
+    the extra copies are drops, not state."""
+    from pyspark.sql import functions as F
+
+    def run(copies: int):
+        d = _stage(spark, sf_dir, f"dedup_x{copies}", copies=copies)
+        ev = SE.read_events_stream(spark, d)
+        deduped = (
+            ev.withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id")
+        )
+        df, prog = SE.stream_to_memory_progress(deduped, spark, "append")
+        return df, state_volume_from_progress(prog)
+
+    keys = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    df2, sv2 = run(2)
+    df4, sv4 = run(4)
+    assert sv2.peak_rows == keys, (sv2.as_dict(), keys)
+    assert sv4.peak_rows == keys, (sv4.as_dict(), keys)
+    assert sv4.input_rows == 2 * sv2.input_rows, (
+        sv2.as_dict(),
+        sv4.as_dict(),
+    )
+    assert sv4.peak_bytes <= 1.3 * sv2.peak_bytes + 4096, (
+        sv2.as_dict(),
+        sv4.as_dict(),
+    )
+    # and the emitted set is the key space exactly, both times
+    assert df2.count() == keys and df4.count() == keys
