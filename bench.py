@@ -573,6 +573,7 @@ def main() -> None:
         "snap_widen_column",
         "snap_bloom_pruned_scan",
         "ext_interpolate_linear",
+        "stream_static_enrich",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:
@@ -751,6 +752,10 @@ def main() -> None:
                 "nation",
             ),
             "ext_active_users_trailing": ("events",),
+            # the q23 capstone: "exactly two fact passes, group-bounded
+            # exchange" as bytes — shuffle carries (part,cust) partial
+            # states + the readout lanes, never lineitem rows
+            "ext_frequent_best_readout": ("lineitem", "orders"),
         }
         volume: dict[str, dict] = {
             "note": (

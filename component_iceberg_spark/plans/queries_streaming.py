@@ -310,6 +310,60 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT n.n_name AS nation, count(*) AS n_events,
+           round(sum(e.value), 3) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+    tags=("ext", "streaming", "join"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join — the dimension-enrichment shape every
+    streaming deployment runs (events against a customer dim): the
+    static side is a plain batch DataFrame, the join needs NO watermark
+    or join state — the dim broadcasts into each batch — and only the
+    post-join aggregate keeps state, one row per nation. The
+    complete-mode result must equal the batch join+aggregate.
+
+    Dim-refresh caveat (measured, pinned in
+    tests/test_streaming_batches.py::test_static_dim_caching_semantics):
+    a file-source static DataFrame caches its file listing at CREATION —
+    replacing the dim files mid-stream does NOT refresh the join (the
+    stale index fails on the deleted file, even across a
+    checkpoint-recovered restart of the same DataFrame object). An
+    updatable dim must be re-read per micro-batch inside foreachBatch
+    (or served by a catalog whose read re-resolves, e.g.
+    SnapCatalog.read) — that pattern picks up the update exactly at the
+    next batch."""
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.io.tables import load_table
+
+    ev = _stream(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            load_table(spark, sf_dir, "nation").select(
+                "n_nationkey", "n_name"
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), F.col("n_name"))
+    )
+    enriched = ev.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 3).alias("total_value"),
+    )
+    return SE.stream_to_memory(agg, spark, mode="complete")
+
+
+@register(
     "stream_stream_join",
     oracle="""
     SELECT p.event_id AS purchase_id, v.event_id AS view_id,

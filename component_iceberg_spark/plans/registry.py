@@ -107,6 +107,7 @@ _GATE_PRIORITY = (
     "snap_widen_column",
     "snap_bloom_pruned_scan",
     "ext_interpolate_linear",
+    "stream_static_enrich",
     "source_binaryfile",
     "stream_binaryfile_ingest",
     "snap_delete_mor",

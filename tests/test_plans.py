@@ -983,3 +983,24 @@ def test_multipass_fused_single_pass(spark, sf_dir):
     assert len(pushed) == 1
     assert "1995-01-01" in pushed[0] and "1997-01-01" in pushed[0]
     assert "partial_sum" in p
+
+
+def test_interpolate_single_window_no_shuffle_join(spark, sf_dir):
+    """ext_interpolate_linear's plan contract: the calendar×keys spine
+    reaches the fact-daily relation through BROADCAST joins only (the
+    spine is metadata-sized by construction), and all four anchor
+    columns — prev/next day and value — come out of ONE fused Window
+    node over one sort (both frame specs share the (key, day) ordering),
+    so the whole interpolation costs one keyed exchange regardless of
+    gap length."""
+    import re
+
+    from component_iceberg_spark.plans import load_all
+    from tests.conftest import plan_formatted
+
+    df = load_all()["ext_interpolate_linear"].fn(spark, sf_dir)
+    p = plan_formatted(df)
+    detail_nodes = re.findall(r"^\(\d+\) (\w[\w ]*\w)", p, re.M)
+    assert detail_nodes.count("Window") == 1, detail_nodes
+    assert "SortMergeJoin" not in p
+    assert any("BroadcastExchange" in n for n in detail_nodes), detail_nodes

@@ -202,3 +202,28 @@ def test_multipass_fused_shuffle_bounded_by_group_space(
         ("lineitem", "orders", "customer", "supplier", "part", "nation"),
     )
     assert m1.shuffle_write_bytes < src, (m1.as_dict(), src)
+
+
+def test_frequent_best_shuffle_is_state_sized(
+    spark, sf_dir, doubled_lineitem_dir
+):
+    """q23 capstone: the discovery grouping-sets pass and the readout
+    pass shuffle (part, cust)-grain partial states and the qualifier
+    lanes, never fact rows. Exact flatness under doubling is NOT the
+    contract here — doubled multiplicities push more items past the
+    frequency THRESHOLD, so the qualifier relation legitimately grows —
+    but the shuffle must stay state-sized. At this file's tiny test SF
+    (sf0.001) the (part, cust)-grain state floor is a few KB against
+    ~150 KB of source, so the bound here is 10%; the bench's
+    shuffle_volume section records the ratio at sf0.1 and sf1, where the
+    group-bounded states shrink toward 0% of the fact."""
+    src = source_bytes(sf_dir, ("lineitem", "orders"))
+    m1 = dataframe_volume(
+        REGISTRY["ext_frequent_best_readout"].fn(spark, sf_dir)
+    )
+    assert m1.shuffle_write_bytes < 0.10 * src, (m1.as_dict(), src)
+    m2 = dataframe_volume(
+        REGISTRY["ext_frequent_best_readout"].fn(spark, doubled_lineitem_dir)
+    )
+    src2 = source_bytes(doubled_lineitem_dir, ("lineitem", "orders"))
+    assert m2.shuffle_write_bytes < 0.10 * src2, (m2.as_dict(), src2)

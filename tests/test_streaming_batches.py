@@ -496,3 +496,108 @@ def test_trailing_users_state_table_batch_boundary_independent(
     assert got2.count() == expected.count(), "replay must not grow the state"
     assert got2.exceptAll(expected).count() == 0
     assert len(cat.snapshots(spark, "ns", "user_days").collect()) > n_snaps
+
+
+def test_static_dim_caching_semantics(spark, tmp_path):
+    """stream_static_enrich's dim-refresh caveat, measured: (a) a
+    file-source static DataFrame created BEFORE the stream caches its
+    file listing — replacing the dim files between triggered runs fails
+    the restarted join on the deleted file (the stale-index negative);
+    (b) re-reading the dim per micro-batch inside foreachBatch picks up
+    the replacement exactly at the next batch (the production pattern
+    for updatable dims)."""
+    import glob
+    import os
+    import shutil
+
+    import pytest
+
+    base = str(tmp_path)
+    src, dimd = os.path.join(base, "src"), os.path.join(base, "dim")
+    os.makedirs(src)
+
+    def stage(df, d, name):
+        tmp = os.path.join(base, "_t")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.makedirs(d, exist_ok=True)
+        shutil.move(part, os.path.join(d, f"{name}.parquet"))
+        shutil.rmtree(tmp)
+
+    def swap_dim(label):
+        for f in glob.glob(os.path.join(dimd, "*.parquet")):
+            os.remove(f)
+        stage(
+            spark.createDataFrame([(1, label)], "k long, label string"),
+            dimd, f"v_{label}",
+        )
+
+    stage(
+        spark.createDataFrame([(1, "OLD")], "k long, label string"),
+        dimd, "v1",
+    )
+    stage(
+        spark.createDataFrame([(10, 1)], "event_id long, k long"),
+        src, "e1",
+    )
+
+    # (a) static DataFrame captured once -> stale listing after the swap
+    dim = spark.read.parquet(dimd)
+    ev = spark.readStream.schema("event_id long, k long").parquet(src)
+    stale_join = ev.join(dim, "k").select("event_id", "label")
+    got: list = []
+
+    def run(df, ckpt):
+        q = (
+            df.writeStream.foreachBatch(
+                lambda b, _e: got.extend(
+                    (r.event_id, r.label) for r in b.collect()
+                )
+            )
+            .option("checkpointLocation", os.path.join(base, ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(stale_join, "ck_stale")
+    assert got == [(10, "OLD")], got
+    swap_dim("NEW")
+    stage(
+        spark.createDataFrame([(20, 1)], "event_id long, k long"),
+        src, "e2",
+    )
+    with pytest.raises(Exception, match="FILE_NOT_EXIST|FAILED_READ"):
+        run(stale_join, "ck_stale")
+
+    # (b) per-batch dim re-read inside foreachBatch sees the update
+    got2: list = []
+
+    def enrich(batch, _epoch):
+        fresh = spark.read.parquet(dimd)
+        got2.extend(
+            (r.event_id, r.label)
+            for r in batch.join(fresh, "k").select("event_id", "label").collect()
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", os.path.join(base, "ck_fresh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(got2) == [(10, "NEW"), (20, "NEW")], got2
+    swap_dim("NEWER")
+    stage(
+        spark.createDataFrame([(30, 1)], "event_id long, k long"),
+        src, "e3",
+    )
+    q = (
+        ev.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", os.path.join(base, "ck_fresh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(got2) == [(10, "NEW"), (20, "NEW"), (30, "NEWER")], got2
