@@ -321,7 +321,10 @@ def simple_conjuncts(predicate: str) -> list[tuple[str, str, object]]:
         if raw.upper().startswith("TIMESTAMP"):
             raw = raw[len("TIMESTAMP"):].strip()
         if len(raw) >= 2 and raw[0] == "'" and raw[-1] == "'":
-            lit: object = raw[1:-1]
+            # SQL escaping: '' inside the literal is one quote — the
+            # engine's filter sees O'Brien, so stats/bloom probes must
+            # hash/compare the UNESCAPED value or they wrongly skip
+            lit: object = raw[1:-1].replace("''", "'")
         elif _NUM_RE.match(raw):
             lit = float(raw) if "." in raw else int(raw)
         else:
@@ -1100,6 +1103,11 @@ class SnapCatalog:
                 carry=False, base_sid=base, carry_dirs=new_files,
                 clear_deletes=True, extra_dir_stats=extra_stats,
                 extra_dir_rows=extra_rows,
+                # every dir above is freshly written from a RESOLVED
+                # read — logical names/types are materialized, so the
+                # rename chain resets (compact()'s semantics); only
+                # compact_manifests, which hard-links OLD files, keeps it
+                reset_schema_lineage=True,
             )
         except CommitConflict:
             for d in new_files:
@@ -1785,6 +1793,16 @@ class SnapCatalog:
                 part_filters = partition_spec.derive_predicates(
                     partition_spec.parse_spec(spec), simple_conjuncts(where)
                 )
+        if not dir_names and manifest.get("schema"):
+            # pruning (stats or bloom) excluded EVERY directory — the
+            # normal outcome for a point lookup of an absent value. A
+            # zero-path parquet read cannot infer a schema, so answer
+            # from the manifest schema directly: 0 rows, right columns.
+            from pyspark.sql import types as T
+
+            return spark.createDataFrame(
+                [], T.StructType.fromJson(manifest["schema"])
+            )
         df = self._read_with_deletes(
             spark, namespace, table, manifest, dir_names,
             partition_filters=part_filters,
@@ -1945,6 +1963,42 @@ class SnapCatalog:
             )
         return df
 
+    def _publish_metadata_commit(self, namespace: str, table: str, build) -> int:
+        """Optimistic publish loop for METADATA-ONLY commits derived from
+        the current head: ``build(cur_manifest)`` returns the new
+        manifest body (id/parent/timestamp are stamped here, any copied
+        rollback lineage pointer is stripped); a publish collision
+        recomputes on the new head. Shared by the schema-edit commits —
+        rename/drop (:meth:`_schema_edit_commit`) and
+        :meth:`widen_column_type`."""
+        while True:
+            snaps = self._snapshots(namespace, table)
+            cur = snaps[-1]
+            manifest = build(cur)
+            manifest["snapshot_id"] = cur["snapshot_id"] + 1
+            manifest["parent_id"] = cur["snapshot_id"]
+            manifest["timestamp_ms"] = int(time.time() * 1000)
+            # a lineage pointer copied from a rollback parent would make
+            # history() walk past this commit's real parent
+            manifest.pop("rollback_of", None)
+            sid = manifest["snapshot_id"]
+            snap_path = self._tbl(
+                namespace, table, "snapshots", f"{sid}.json"
+            )
+            try:
+                with open(snap_path, "x") as f:
+                    json.dump(manifest, f)
+                break
+            except FileExistsError:
+                continue  # metadata-only: recompute on the new head
+        cur_tmp = self._tbl(
+            namespace, table, f"_current.tmp-{uuid.uuid4().hex}"
+        )
+        with open(cur_tmp, "w") as f:
+            f.write(str(sid))
+        os.replace(cur_tmp, self._tbl(namespace, table, "_current"))
+        return sid
+
     def rename_column(
         self, namespace: str, table: str, old: str, new: str
     ) -> int:
@@ -1999,9 +2053,8 @@ class SnapCatalog:
         spark_name = {"bigint": "long", "int": "integer"}.get(
             new_type, new_type
         )
-        while True:
-            snaps = self._snapshots(namespace, table)
-            cur = snaps[-1]
+
+        def build(cur: dict) -> dict:
             schema = cur.get("schema") or {}
             fields = schema.get("fields", [])
             match = [f for f in fields if f["name"] == col]
@@ -2027,11 +2080,8 @@ class SnapCatalog:
                     "merge-on-read deletes is unsupported — compact() "
                     "first"
                 )
-            manifest = {
+            return {
                 **cur,
-                "snapshot_id": cur["snapshot_id"] + 1,
-                "parent_id": cur["snapshot_id"],
-                "timestamp_ms": int(time.time() * 1000),
                 "operation": "widen_column",
                 "schema": {
                     **schema,
@@ -2042,24 +2092,8 @@ class SnapCatalog:
                 },
                 "widened": True,
             }
-            manifest.pop("rollback_of", None)
-            sid = manifest["snapshot_id"]
-            snap_path = self._tbl(
-                namespace, table, "snapshots", f"{sid}.json"
-            )
-            try:
-                with open(snap_path, "x") as f:
-                    json.dump(manifest, f)
-                break
-            except FileExistsError:
-                continue
-        cur_tmp = self._tbl(
-            namespace, table, f"_current.tmp-{uuid.uuid4().hex}"
-        )
-        with open(cur_tmp, "w") as f:
-            f.write(str(sid))
-        os.replace(cur_tmp, self._tbl(namespace, table, "_current"))
-        return sid
+
+        return self._publish_metadata_commit(namespace, table, build)
 
     def _scan_schema(self, manifest: dict):
         """Explicit read schema for widened tables (None otherwise —
@@ -2090,10 +2124,10 @@ class SnapCatalog:
         self, namespace: str, table: str, operation: str,
         old: str, new: str | None,
     ) -> int:
-        """Shared optimistic metadata-only publish for rename/drop."""
-        while True:
-            snaps = self._snapshots(namespace, table)
-            cur = snaps[-1]
+        """Shared guards + manifest construction for rename/drop; the
+        publish loop is :meth:`_publish_metadata_commit`."""
+
+        def build(cur: dict) -> dict:
             schema = cur.get("schema") or {}
             names = [f["name"] for f in schema.get("fields", [])]
             if old not in names:
@@ -2165,11 +2199,8 @@ class SnapCatalog:
                     c for c in (cur.get("bloom_cols") or []) if c != old
                 ]
                 renames = cur.get("renames") or []
-            manifest = {
+            return {
                 **cur,
-                "snapshot_id": cur["snapshot_id"] + 1,
-                "parent_id": cur["snapshot_id"],
-                "timestamp_ms": int(time.time() * 1000),
                 "operation": operation,
                 "schema": {**schema, "fields": fields},
                 "dir_stats": dir_stats,
@@ -2178,26 +2209,8 @@ class SnapCatalog:
                 "renames": renames,
                 "retired": retired + [old],
             }
-            # a lineage pointer copied from a rollback parent would make
-            # history() walk past this commit's real parent
-            manifest.pop("rollback_of", None)
-            sid = manifest["snapshot_id"]
-            snap_path = self._tbl(
-                namespace, table, "snapshots", f"{sid}.json"
-            )
-            try:
-                with open(snap_path, "x") as f:
-                    json.dump(manifest, f)
-                break
-            except FileExistsError:
-                continue  # metadata-only: recompute on the new head
-        cur_tmp = self._tbl(
-            namespace, table, f"_current.tmp-{uuid.uuid4().hex}"
-        )
-        with open(cur_tmp, "w") as f:
-            f.write(str(sid))
-        os.replace(cur_tmp, self._tbl(namespace, table, "_current"))
-        return sid
+
+        return self._publish_metadata_commit(namespace, table, build)
 
     def _read_dirs(
         self,
@@ -2658,6 +2671,7 @@ class SnapCatalog:
         extra_dir_rows: dict | None = None,
         extra_dir_blooms: dict | None = None,
         bloom_cols: list[str] | None = None,
+        reset_schema_lineage: bool = False,
         sort_by: list[str] | None = None,
         sort_partitions: int | None = None,
         check: str | None = None,
@@ -2836,10 +2850,42 @@ class SnapCatalog:
             renames: list = []
             retired: list = []
             widened = False
-            if snaps and (carry or carry_dirs is not None):
+            if (
+                snaps
+                and (carry or carry_dirs is not None)
+                and not reset_schema_lineage
+            ):
                 renames = snaps[-1].get("renames") or []
                 retired = snaps[-1].get("retired") or []
                 widened = bool(snaps[-1].get("widened"))
+                if schema_json and (renames or retired or widened):
+                    # reads on lineage-active tables PROJECT to the
+                    # manifest schema, so a narrower append must not
+                    # hide previously evolved columns (mergeSchema
+                    # keeps surfacing them on plain tables): keep every
+                    # parent field in parent order (taking the new
+                    # field dict where names overlap), then append the
+                    # genuinely new columns
+                    parent_fields = (snaps[-1].get("schema") or {}).get(
+                        "fields", []
+                    )
+                    if parent_fields:
+                        new_by_name = {
+                            f["name"]: f for f in schema_json["fields"]
+                        }
+                        pnames = {f["name"] for f in parent_fields}
+                        schema_json = {
+                            **schema_json,
+                            "fields": [
+                                new_by_name.get(f["name"], f)
+                                for f in parent_fields
+                            ]
+                            + [
+                                f
+                                for f in schema_json["fields"]
+                                if f["name"] not in pnames
+                            ],
+                        }
                 if widened and schema_json:
                     # a narrow-typed append after a widening must not
                     # revert the logical type: the narrow files upcast at

@@ -143,6 +143,69 @@ LEFT JOIN daily d ON d.key = k.key AND d.day = c.day
 """
 
 
+_PATTERN_NEG_ORACLE = """
+WITH w AS (
+    SELECT user_id, event_id, event_type, ts,
+           max(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts) AS last_view_ts,
+           max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts) AS last_click_ts
+    FROM events
+)
+SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, last_view_ts
+FROM w
+WHERE event_type = 'purchase'
+  AND last_view_ts IS NOT NULL
+  AND (last_click_ts IS NULL OR last_click_ts <= last_view_ts)
+"""
+
+
+@register(
+    "ext_pattern_negation",
+    oracle=_PATTERN_NEG_ORACLE,
+    tags=("ext", "analytics", "window"),
+)
+def ext_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-pattern matching with NEGATION — the MATCH_RECOGNIZE shape
+    (view ⇒ purchase with NO intervening click) that funnel step-counts
+    cannot express: a purchase qualifies iff the user's most recent view
+    is more recent than their most recent click at purchase time.
+    Spark-first form: ONE keyed window Exchange serves both conditional
+    running-max anchors over the default peer-inclusive RANGE frame —
+    tie semantics are timestamp-set based (max over peers), so the
+    result is deterministic without an event-id tiebreak and identical
+    in both engines. No joins, no per-pattern state machine: at 100 TB
+    the cost is the one exchange the sessionization family already
+    pays."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    anchored = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).over(w).alias("last_view_ts"),
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).over(w).alias("last_click_ts"),
+    )
+    return anchored.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("last_view_ts").isNotNull()
+        & (
+            F.col("last_click_ts").isNull()
+            | (F.col("last_click_ts") <= F.col("last_view_ts"))
+        )
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "last_view_ts",
+    )
+
+
 _INTERP_ORACLE = """
 WITH src AS (
     SELECT event_type, ts, value FROM events

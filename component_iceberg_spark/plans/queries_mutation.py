@@ -752,7 +752,11 @@ def snap_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.append("ns", "customer", c.filter(F.col("c_custkey") % 3 == 2))
     m = cat._manifest("ns", "customer", cat._current_sid("ns", "customer"))
     _cand, skipped = cat._prune_dirs(m, "c_name = 'Customer#000000001'")
-    assert len(skipped) >= 2, skipped  # bloom skipped what min/max cannot
+    # evidence, not a guarantee: an overloaded bloom may false-positive a
+    # dir back into the candidates (legal degradation — never wrong
+    # results), so require only that SOMETHING was skipped; the exact
+    # two-dir skip at gate SFs is pinned in tests/test_snaptable.py
+    assert len(skipped) >= 1, skipped
     return cat.read(
         spark, "ns", "customer", where="c_name = 'Customer#000000001'"
     )

@@ -108,6 +108,7 @@ _GATE_PRIORITY = (
     "snap_bloom_pruned_scan",
     "ext_interpolate_linear",
     "stream_static_enrich",
+    "ext_pattern_negation",
     "source_binaryfile",
     "stream_binaryfile_ingest",
     "snap_delete_mor",

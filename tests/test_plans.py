@@ -1004,3 +1004,66 @@ def test_interpolate_single_window_no_shuffle_join(spark, sf_dir):
     assert detail_nodes.count("Window") == 1, detail_nodes
     assert "SortMergeJoin" not in p
     assert any("BroadcastExchange" in n for n in detail_nodes), detail_nodes
+
+
+def test_pattern_negation_semantics(spark, tmp_path):
+    """ext_pattern_negation's rule on a crafted fixture: view→purchase
+    qualifies; view→click→purchase does NOT (the click intervenes); a
+    click at the SAME timestamp as the view does not intervene
+    (tie rule: click_ts <= view_ts); a purchase with no prior view
+    never qualifies; a later view after an old click re-qualifies."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.plans import load_all
+
+    rows = [
+        # u1: view -> purchase  => qualifies
+        (1, 1, "view", "2024-01-01 10:00:00", 1.0),
+        (2, 1, "purchase", "2024-01-01 10:05:00", 1.0),
+        # u2: view -> click -> purchase => click intervenes, no match
+        (3, 2, "view", "2024-01-01 10:00:00", 1.0),
+        (4, 2, "click", "2024-01-01 10:02:00", 1.0),
+        (5, 2, "purchase", "2024-01-01 10:05:00", 1.0),
+        # u3: click at the same ts as the view -> tie does not intervene
+        (6, 3, "view", "2024-01-01 10:00:00", 1.0),
+        (7, 3, "click", "2024-01-01 10:00:00", 1.0),
+        (8, 3, "purchase", "2024-01-01 10:05:00", 1.0),
+        # u4: purchase with no prior view -> never qualifies
+        (9, 4, "click", "2024-01-01 10:00:00", 1.0),
+        (10, 4, "purchase", "2024-01-01 10:05:00", 1.0),
+        # u5: click, then a LATER view, then purchase -> re-qualifies
+        (11, 5, "click", "2024-01-01 10:00:00", 1.0),
+        (12, 5, "view", "2024-01-01 10:02:00", 1.0),
+        (13, 5, "purchase", "2024-01-01 10:05:00", 1.0),
+    ]
+    df = spark.createDataFrame(
+        [(e, u, t, ts, v) for e, u, t, ts, v in rows],
+        "event_id long, user_id long, event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    d = str(tmp_path / "fixture")
+    os.makedirs(d)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    out = load_all()["ext_pattern_negation"].fn(spark, d)
+    got = sorted((r.user_id, r.purchase_id) for r in out.collect())
+    assert got == [(1, 2), (3, 8), (5, 13)], got
+
+
+def test_pattern_negation_one_scan_one_window(spark, sf_dir):
+    """ext_pattern_negation's plan contract: ONE events scan, ZERO
+    joins (both pattern anchors are conditional running-maxes, not
+    self-joins), and ONE Window node over one keyed exchange — the
+    pattern matcher costs exactly what sessionization costs."""
+    import re
+
+    from tests.conftest import plan_formatted
+
+    p = plan_formatted(REGISTRY["ext_pattern_negation"].fn(spark, sf_dir))
+    detail = re.findall(r"^\(\d+\) (\w[\w ]*\w)", p, re.M)
+    assert detail.count("Scan parquet") == 1, detail
+    assert not any("Join" in n for n in detail), detail
+    assert detail.count("Window") == 1, detail
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, detail

@@ -217,8 +217,12 @@ def test_lost_update_detected_during_data_write(spark, sf_dir, tmp_path):
     real_read_dirs = SnapCatalog._read_dirs
     state = {"raced": False}
 
-    def racing_read_dirs(self, spark_, namespace, table, dirs, partitioned):
-        df = real_read_dirs(self, spark_, namespace, table, dirs, partitioned)
+    def racing_read_dirs(
+        self, spark_, namespace, table, dirs, partitioned, **kw
+    ):
+        df = real_read_dirs(
+            self, spark_, namespace, table, dirs, partitioned, **kw
+        )
         if not state["raced"]:
             state["raced"] = True
             b.append("ns", "t", n.limit(3))  # rival lands mid-operation
@@ -2200,3 +2204,93 @@ def test_incremental_read_across_widen(spark, tmp_path):
     )                                                               # sid 3
     inc = cat.read_appends_between(spark, "ns", "t", 1)
     assert [r.k for r in inc.collect()] == [2**40]
+
+
+def test_read_returns_empty_when_all_dirs_pruned(spark, sf_dir, tmp_path):
+    """Point lookup of an ABSENT value on a bloom-registered table: every
+    dir is skipped — the normal bloom outcome — and read() must return
+    an empty frame with the logical schema, not crash on a zero-path
+    parquet read."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    cat.create_or_replace(
+        "ns", "t", c.filter("c_custkey % 2 = 0"), bloom_cols=["c_name"]
+    )
+    cat.append("ns", "t", c.filter("c_custkey % 2 = 1"))
+    out = cat.read(spark, "ns", "t", where="c_name = 'Customer#notreal'")
+    assert out.columns == ["c_custkey", "c_name"]
+    assert out.count() == 0
+
+
+def test_prune_literal_quote_unescape(spark, tmp_path):
+    """SQL-escaped quotes in predicate literals: the engine's filter
+    sees O'Brien, so the stats/bloom probes must compare/hash the
+    UNESCAPED value — before the fix the bloom hashed the raw O''Brien
+    and wrongly skipped the dir holding the row."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "O'Brien"), (2, "Smith")], "k long, v string"
+    )
+    cat.create_or_replace("ns", "t", df, bloom_cols=["v"])
+    out = cat.read(spark, "ns", "t", where="v = 'O''Brien'")
+    assert [r.k for r in out.collect()] == [1]
+    m = cat._manifest("ns", "t", 1)
+    cand, _ = cat._prune_dirs(m, "v = 'O''Brien'")
+    assert cand == m["files"]
+
+
+def test_narrow_append_keeps_evolved_columns_on_renamed_table(
+    spark, tmp_path
+):
+    """A lineage-active table (rename chain present) PROJECTS reads to
+    the manifest schema — so an append with a NARROWER schema must not
+    hide previously evolved columns (mergeSchema keeps surfacing them on
+    plain tables; the manifest schema unions the parent's fields)."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.create_or_replace(
+        "ns", "t", spark.createDataFrame([(1, "b1")], "a long, b string")
+    )
+    cat.append(
+        "ns", "t",
+        spark.createDataFrame([(2, "b2", "d2")], "a long, b string, d string"),
+    )                                   # evolution adds d
+    cat.rename_column("ns", "t", "a", "x")
+    cat.append(
+        "ns", "t", spark.createDataFrame([(3, "b3")], "x long, b string")
+    )                                   # narrower than the evolved schema
+    rows = {r.x: (r.b, r.d) for r in cat.read(spark, "ns", "t").collect()}
+    assert rows == {1: ("b1", None), 2: ("b2", "d2"), 3: ("b3", None)}, rows
+
+
+def test_cluster_rewrite_resets_schema_lineage(spark, sf_dir, tmp_path):
+    """cluster/zorder rewrites materialize every dir from a RESOLVED
+    read, so the rename chain and retired set reset (compact()'s
+    semantics) and retired names become reusable — while
+    compact_manifests, whose folded dirs hard-link OLD files, keeps the
+    lineage."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cat.create_or_replace("ns", "t", n.filter("n_regionkey <= 1"))
+    cat.rename_column("ns", "t", "n_name", "nm")
+    cat.cluster_rewrite(spark, "ns", "t", "n_nationkey", n_buckets=2)
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    assert not m.get("renames") and not m.get("retired")
+    cat.append(
+        "ns", "t",
+        n.filter("n_regionkey = 2")
+        .withColumnRenamed("n_name", "nm")
+        .withColumn("n_name", F.lit("reused")),
+    )
+    assert cat.read(spark, "ns", "t").filter("n_name = 'reused'").count() > 0
+    # contrast: manifest folding KEEPS the lineage (old files hard-linked)
+    cat2 = SnapCatalog(str(tmp_path / "wh2"))
+    cat2.create_or_replace("ns", "t", n.filter("n_regionkey = 0"))
+    cat2.append("ns", "t", n.filter("n_regionkey = 1"))
+    cat2.rename_column("ns", "t", "n_name", "nm")
+    cat2.compact_manifests("ns", "t")
+    m2 = cat2._manifest("ns", "t", cat2._current_sid("ns", "t"))
+    assert m2.get("renames") and "n_name" in (m2.get("retired") or [])
+    got = {r.n_nationkey for r in cat2.read(spark, "ns", "t").collect()}
+    assert got == {r.n_nationkey for r in n.filter("n_regionkey <= 1").collect()}

@@ -73,10 +73,15 @@ def test_windowed_agg_state_is_window_space_bounded(spark, sf_dir):
     leaves state rows exactly flat while input rows double."""
     from pyspark.sql import functions as F
 
+    from component_iceberg_spark.io.tables import load_table
+
     base_dir = _stage(spark, sf_dir, "agg_base", copies=1)
     df1, sv1 = _windowed_state(spark, base_dir)
+    # load_table, not a raw parquet read: the fixture's ts physical type
+    # varies (a NANOS build scans as long) and the loader normalizes it
+    # the same way the stream path does
     space = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        load_table(spark, sf_dir, "events")
         .select(F.date_trunc("hour", "ts"), "event_type")
         .distinct()
         .count()
