@@ -75,6 +75,12 @@ SF3_QUERIES = (
     # doubled-events shuffle test; the 30x row extends the pair-volume
     # curve one more decade
     "ext_active_users_trailing",
+    # r11 continuation: the pattern matcher is ONE window over the full
+    # event stream (wall should track the keyed exchange ~linearly);
+    # the interpolator is calendar-spine-bounded after its daily
+    # pre-aggregation (wall should be ~flat past the fact scans)
+    "ext_pattern_negation",
+    "ext_interpolate_linear",
 )
 
 # Representative slice of the registry: scan, agg, joins, windows,
@@ -169,6 +175,11 @@ SCALE_QUERIES = (
     # still parallelize, so wall should be ~linear with no shuffle growth
     # beyond the single hash Exchange on source
     "pipeline_pack_sequences",
+    # r11 continuation: one keyed window over 10x events (pattern
+    # matcher — ~linear) and the spine-bounded interpolator (~flat past
+    # the fact scans); both also carry 30x rows in SF3_QUERIES
+    "ext_pattern_negation",
+    "ext_interpolate_linear",
     # r8 wave: the last r7 corpus-sized ops whose 10x candidate volume
     # hasn't been measured (winnow's fingerprint-pair join; the
     # temperature sampler's hash-filter scan; MMR's greedy kernel over a
@@ -575,6 +586,7 @@ def main() -> None:
         "ext_interpolate_linear",
         "stream_static_enrich",
         "ext_pattern_negation",
+        "snap_maintenance_report",
     )
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

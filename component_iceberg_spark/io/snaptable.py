@@ -2617,6 +2617,67 @@ class SnapCatalog:
             out_schema = final.schema  # one analysis of the N-dir union
         return spark.createDataFrame(rows, schema=out_schema)
 
+    def maintenance_report(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        table: str,
+        small_dir_rows: int = 10_000,
+    ) -> DataFrame:
+        """Table-health summary — the one-row report an operator reads
+        BEFORE deciding which maintenance action to run, answered from
+        manifests/refs alone (no data scan, no Spark job):
+
+        - ``n_data_dirs`` high + ``n_small_dirs`` high → ``compact()``
+          (or ``compact_manifests`` when only the entry count hurts),
+        - ``n_pending_delete_entries`` > 0 → merge-on-read debt;
+          ``compact_position_deletes`` / ``compact()`` fold it,
+        - ``n_snapshots`` ≫ ``n_current_ancestors`` → rolled-back or
+          superseded history; ``expire_snapshots`` reclaims it (minus
+          the ``n_refs``-pinned heads),
+        - ``total_rows`` is NULL when any dir lacks manifest row counts
+          (absent metadata degrades observability, never correctness —
+          the files() contract).
+
+        At 100 TB this is the difference between planning maintenance
+        from metadata and paying a table scan to discover you need one.
+        """
+        snaps = self._snapshots(namespace, table)
+        cur = snaps[-1]
+        refs = self.list_refs(namespace, table)
+        ancestors = {
+            r.snapshot_id
+            for r in self.history(spark, namespace, table).collect()
+            if r.is_current_ancestor
+        }
+        dir_rows = cur.get("dir_rows") or {}
+        files = cur["files"]
+        have_all = all(d in dir_rows for d in files)
+        total = sum(dir_rows[d] for d in files) if have_all else None
+        small = sum(
+            1
+            for d in files
+            if d in dir_rows and dir_rows[d] < small_dir_rows
+        )
+        row = (
+            len(snaps),
+            len(ancestors),
+            len(refs),
+            len(files),
+            small,
+            total,
+            len(cur.get("deletes") or []),
+            bool(cur.get("renames") or cur.get("retired")),
+        )
+        return spark.createDataFrame(
+            [row],
+            schema=(
+                "n_snapshots long, n_current_ancestors long, n_refs long, "
+                "n_data_dirs long, n_small_dirs long, total_rows long, "
+                "n_pending_delete_entries long, schema_lineage_active boolean"
+            ),
+        )
+
     def schema(self, spark: SparkSession, namespace: str, table: str):
         return self.read(spark, namespace, table).schema
 

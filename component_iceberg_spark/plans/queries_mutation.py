@@ -726,6 +726,48 @@ def snap_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snap_maintenance_report",
+    oracle="""
+    SELECT * FROM (VALUES (
+        CAST(6 AS BIGINT),  -- n_snapshots
+        CAST(5 AS BIGINT),  -- n_current_ancestors (the replace rolled off)
+        CAST(1 AS BIGINT),  -- n_refs
+        CAST(3 AS BIGINT),  -- n_data_dirs
+        CAST(3 AS BIGINT),  -- n_small_dirs
+        CAST(15 AS BIGINT), -- total_rows
+        CAST(1 AS BIGINT),  -- n_pending_delete_entries
+        FALSE               -- schema_lineage_active
+    )) AS t(n_snapshots, n_current_ancestors, n_refs, n_data_dirs,
+            n_small_dirs, total_rows, n_pending_delete_entries,
+            schema_lineage_active)
+    """,
+    tags=("parity", "meta", "snapshot"),
+)
+def snap_maintenance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-health report from metadata alone — what an operator reads
+    BEFORE picking a maintenance action: three small appended dirs (→
+    compact), one pending equality-delete entry (→ MoR debt), a
+    rolled-back replace leaving a non-ancestor snapshot (→ expire
+    candidate, minus the tag-pinned head). The scenario drives every
+    counter away from its trivial value; the golden oracle pins them.
+    No data scan, no Spark job — manifests and refs only."""
+    cat = _warehouse(sf_dir, "maint")
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "nation", n.filter(F.col("n_regionkey") == 0))
+    cat.append("ns", "nation", n.filter(F.col("n_regionkey") == 1))
+    cat.append("ns", "nation", n.filter(F.col("n_regionkey") == 2))   # sid 3
+    cat.create_or_replace("ns", "nation", n.filter(F.col("n_regionkey") <= 3))
+    cat.rollback_to("ns", "nation", 3)                                # sid 5
+    cat.create_tag("ns", "nation", "keep")
+    cat.delete_keys(
+        spark, "ns", "nation",
+        n.filter(F.col("n_nationkey") == 0).select("n_nationkey"),
+        ["n_nationkey"],
+    )                                                                 # sid 6
+    return cat.maintenance_report(spark, "ns", "nation")
+
+
+@register(
     "snap_bloom_pruned_scan",
     oracle="SELECT * FROM customer WHERE c_name = 'Customer#000000001'",
     tags=("parity", "snapshot", "pruning"),

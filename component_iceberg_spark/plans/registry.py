@@ -109,6 +109,7 @@ _GATE_PRIORITY = (
     "ext_interpolate_linear",
     "stream_static_enrich",
     "ext_pattern_negation",
+    "snap_maintenance_report",
     "source_binaryfile",
     "stream_binaryfile_ingest",
     "snap_delete_mor",
