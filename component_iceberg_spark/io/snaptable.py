@@ -237,10 +237,19 @@ def bloom_maybe_contains(bloom: dict, lit) -> bool:
     mismatch must never skip (the bloom records its value kind; the
     range-stats path gets the same safety from its TypeError catch). A
     numeric literal parsed as float but integral probes the int key —
-    simple_conjuncts yields 5 for ``= 5`` but 5.0 for ``= 5.0``."""
+    simple_conjuncts yields 5 for ``= 5`` but 5.0 for ``= 5.0``.
+
+    The float→int probe is only sound below 2**53: the engine compares
+    ``long_col = double_lit`` by casting the long to double, so beyond
+    double precision a stored long can be double-equal yet
+    integer-different from the literal — it would hash to a different
+    bloom key and the dir would be wrongly skipped while the engine
+    filter matches the row. Above that magnitude, never skip."""
     import base64
 
     if isinstance(lit, float) and lit.is_integer():
+        if abs(lit) >= 2.0**53:
+            return True  # double-equality is coarser than int identity
         lit = int(lit)
     key = _bloom_key(lit)
     if key is None:
@@ -486,6 +495,126 @@ class SnapCatalog:
             partition_by=partition_by, transform_spec=partition_spec,
             bloom_cols=bloom_cols,
         )
+
+    def add_files(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        table: str,
+        src_dir: str,
+        compute_stats: bool = True,
+    ) -> int:
+        """Metadata-only import of an EXISTING parquet directory — the
+        Iceberg ``add_files`` procedure analogue (pyiceberg 0.9.1, the
+        library the reference embeds via
+        ``components/common/pyproject.toml:7-18``, exposes it; the
+        reference itself has no call site). This is the 100 TB
+        *onboarding* verb: adopting a pre-existing lake directory must
+        cost one commit, not a rewrite of the bytes.
+
+        No data byte is read into Spark or copied: each parquet file is
+        HARD-LINKED into a new data dir of the table (the filesystem
+        twin of Iceberg's adopt-in-place manifest entry; symlink
+        fallback across devices), and the commit carries every parent
+        dir untouched. Footer-only work on the driver: schema gate,
+        row counts, and — when ``compute_stats`` — min/max stats and
+        registered blooms for the adopted dir. ``compute_stats=False``
+        declares stats absent: :meth:`files` surfaces NULLs and pruning
+        keeps the dir a candidate (the documented degradation contract),
+        exactly as Iceberg treats metrics-free adopted files.
+
+        Refused: a source inside the table's own layout, a source
+        already adopted by this table (double-adoption would double
+        rows silently), a hive-partitioned table (adopted flat files
+        carry no partition values in their paths), and any schema
+        mismatch — (name, type) pairs must equal the table's CURRENT
+        logical schema, so adoption composes with rename/drop/widen
+        lineage the same way a post-evolution append does.
+
+        Lifecycle composition: the adopted dir is a first-class manifest
+        entry — pruning, compaction, expiry, and orphan GC treat it like
+        any written dir. GC of a snapshot that drops it removes only the
+        links; the source files keep their data (link count)."""
+        src_dir = os.path.realpath(src_dir)
+        if not os.path.isdir(src_dir):
+            raise ValueError(f"add_files source is not a directory: {src_dir}")
+        tbl_root = os.path.realpath(self._tbl(namespace, table))
+        if os.path.commonpath([src_dir, tbl_root]) == tbl_root:
+            raise ValueError(
+                "add_files source lies inside the table's own layout: "
+                f"{src_dir}"
+            )
+        base = self._current_sid(namespace, table)
+        manifest = self._manifest(namespace, table, base)
+        if manifest.get("partition_by") or manifest.get("partition_spec"):
+            raise ValueError(
+                "add_files into a hive-partitioned table is not "
+                "supported: adopted files carry no partition values in "
+                "their paths"
+            )
+        # one marker per adoption records the source realpath; a second
+        # adoption of the same (or a nested/enclosing) source is refused
+        adopt_root = self._tbl(namespace, table, "adopted")
+        os.makedirs(adopt_root, exist_ok=True)
+        for fn in os.listdir(adopt_root):
+            with open(os.path.join(adopt_root, fn)) as f:
+                prior = json.load(f)["src"]
+            common = os.path.commonpath([src_dir, prior])
+            if common in (src_dir, prior):
+                raise ValueError(
+                    f"add_files source overlaps an already-adopted path: "
+                    f"{src_dir} vs {prior}"
+                )
+        parquet_files = []
+        for root, _dirs, fns in os.walk(src_dir):
+            for fn in fns:
+                if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                    parquet_files.append(os.path.join(root, fn))
+        if not parquet_files:
+            raise ValueError(f"add_files source has no parquet files: {src_dir}")
+        # schema gate against the CURRENT logical schema — plan-only
+        # (spark.read.parquet resolves footers, collects nothing)
+        self._validate_source_schema(
+            namespace, table, manifest, spark.read.parquet(src_dir),
+            "add_files",
+        )
+        nd = f"adopted-{uuid.uuid4().hex[:12]}"
+        dst_root = os.path.join(self._tbl(namespace, table, "data"), nd)
+        try:
+            for src in parquet_files:
+                rel = os.path.relpath(src, src_dir)
+                dst = os.path.join(dst_root, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.link(src, dst)  # adopt-in-place: zero bytes copied
+                except OSError:  # cross-device: reference, still no copy
+                    os.symlink(src, dst)
+            extra_rows = {nd: dir_row_count(dst_root)}
+            extra_stats: dict[str, dict] = {}
+            extra_blooms: dict[str, dict] = {}
+            if compute_stats:
+                stats = dir_column_stats(dst_root)
+                if stats:
+                    extra_stats[nd] = stats
+                bloom_cols = manifest.get("bloom_cols") or []
+                if bloom_cols:
+                    bl = dir_column_blooms(dst_root, bloom_cols)
+                    if bl:
+                        extra_blooms[nd] = bl
+            sid = self._commit(
+                namespace, table, None, operation="add_files",
+                carry=False, base_sid=base, inherit_spec=True,
+                carry_dirs=manifest["files"] + [nd],
+                extra_dir_stats=extra_stats, extra_dir_rows=extra_rows,
+                extra_dir_blooms=extra_blooms,
+            )
+        except Exception:
+            shutil.rmtree(dst_root, ignore_errors=True)
+            raise
+        marker = os.path.join(adopt_root, f"{nd}.json")
+        with open(marker, "w") as f:
+            json.dump({"src": src_dir, "dir": nd, "snapshot_id": sid}, f)
+        return sid
 
     def upsert(
         self,
@@ -1069,6 +1198,7 @@ class SnapCatalog:
                 "partition spec first (competing physical layouts)"
             )
         df = self.read(spark, namespace, table, snapshot_id=base)
+        bloom_cols = manifest.get("bloom_cols") or []
         bucketed = (
             df.withColumn("_ck", make_cluster_col(df))
             .repartitionByRange(n_buckets, F.col("_ck"))
@@ -1085,6 +1215,7 @@ class SnapCatalog:
         new_files: list[str] = []
         extra_stats: dict[str, dict] = {}
         extra_rows: dict[str, int] = {}
+        extra_blooms: dict[str, dict] = {}
         try:
             for sub in sorted(os.listdir(tmp_root)):
                 if not sub.startswith("_cluster_bucket="):
@@ -1097,12 +1228,17 @@ class SnapCatalog:
                 if stats is not None:
                     extra_stats[nd] = stats
                 extra_rows[nd] = dir_row_count(dst)
+                if bloom_cols:
+                    bl = dir_column_blooms(dst, bloom_cols)
+                    if bl:
+                        extra_blooms[nd] = bl
             shutil.rmtree(tmp_root, ignore_errors=True)
             return self._commit(
                 namespace, table, None, operation="cluster_rewrite",
-                carry=False, base_sid=base, carry_dirs=new_files,
+                carry=False, base_sid=base, inherit_spec=True,
+                carry_dirs=new_files,
                 clear_deletes=True, extra_dir_stats=extra_stats,
-                extra_dir_rows=extra_rows,
+                extra_dir_rows=extra_rows, extra_dir_blooms=extra_blooms,
                 # every dir above is freshly written from a RESOLVED
                 # read — logical names/types are materialized, so the
                 # rename chain resets (compact()'s semantics); only
@@ -1698,6 +1834,8 @@ class SnapCatalog:
         return out
 
     def resolve_ref(self, namespace: str, table: str, name: str) -> int:
+        if name == "main":  # implicit current branch, same as refs() lists
+            return self._current_sid(namespace, table)
         return self._read_ref(namespace, table, name)["snapshot_id"]
 
     def _read_ref(self, namespace: str, table: str, name: str) -> dict:
@@ -1709,6 +1847,15 @@ class SnapCatalog:
 
     def _write_ref(self, namespace: str, table: str, name: str, kind: str,
                    snapshot_id: int | None, overwrite: bool) -> None:
+        if name == "main":
+            # 'main' is the implicit current-snapshot branch (refs()
+            # synthesizes its row); a user ref of the same name would
+            # make refs() list two conflicting 'main' rows and
+            # resolve_ref('main') disagree with the refs() row.
+            raise ValueError(
+                "'main' is the implicit current branch and cannot be "
+                "created as a ref; tag or branch another name"
+            )
         if snapshot_id is None:
             snapshot_id = self._current_sid(namespace, table)
         else:

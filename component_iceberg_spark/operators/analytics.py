@@ -306,3 +306,76 @@ def event_transitions(
             F.col("n_steps") * 1.0 / F.sum("n_steps").over(w_prev), 6
         ).alias("p_next"),
     )
+
+
+def pattern_funnel_negation(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[tuple[str, str | None]],
+) -> DataFrame:
+    """k-step ordered pattern match with PER-STEP negation — the general
+    MATCH_RECOGNIZE shape ``A ⇒ B (no X between) ⇒ C (no Y between)``
+    that single-anchor negation (``ext_pattern_negation``) covers only
+    for k = 2. ``steps`` is ordered ``[(match_type, negated_type), …]``;
+    the first step's negation slot is ignored (there is no prior anchor
+    to guard).
+
+    Composition rule (conditional running-max anchors): an event of
+    ``steps[i]`` is *qualified* iff the running max of qualified
+    step-``i-1`` timestamps is set AND the running max of the negated
+    type is at-or-before it — i.e. no negated event landed strictly
+    after the most recent qualified predecessor. ``q_i`` is then the
+    running max of qualified step-``i`` timestamps. Anchors use the
+    default peer-inclusive RANGE frame, so timestamp ties resolve by
+    set-max in both engines — deterministic without an id tiebreak.
+
+    Cost model (the 100 TB claim): every negation running-max is
+    computable in the FIRST window pass; each later step adds one Window
+    node that depends on the previous one's output — but all windows
+    share one (user) partitioning and one sort, so Catalyst plans ONE
+    Exchange and ONE Sort for the whole k-step chain: no joins, no
+    per-pattern state machine, no extra shuffle per step. Plan-pinned in
+    tests/test_plans.py.
+
+    Output: one row per qualified FINAL-step event with its event id,
+    timestamp, and the anchor timestamp of the previous step."""
+    if len(steps) < 2:
+        raise ValueError("pattern_funnel_negation needs at least 2 steps")
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # first pass: running max per negated type (all computable up front)
+    neg_types = sorted({n for _m, n in steps[1:] if n is not None})
+    cur = df.select(
+        user_col,
+        "event_id",
+        type_col,
+        ts_col,
+        *[
+            F.max(F.when(F.col(type_col) == n, F.col(ts_col)))
+            .over(w)
+            .alias(f"_last_neg_{n}")
+            for n in neg_types
+        ],
+        F.max(F.when(F.col(type_col) == steps[0][0], F.col(ts_col)))
+        .over(w)
+        .alias("_q0"),
+    )
+    # each subsequent step: one more Window node over the SAME spec
+    for i, (match_type, neg_type) in enumerate(steps[1:], start=1):
+        prev = F.col(f"_q{i - 1}")
+        qualified = (F.col(type_col) == match_type) & prev.isNotNull()
+        if neg_type is not None:
+            neg = F.col(f"_last_neg_{neg_type}")
+            qualified = qualified & (neg.isNull() | (neg <= prev))
+        if i == len(steps) - 1:
+            return cur.filter(qualified).select(
+                F.col(user_col),
+                F.col("event_id").alias("match_id"),
+                F.col(ts_col).alias("match_ts"),
+                prev.alias("anchor_ts"),
+            )
+        cur = cur.withColumn(
+            f"_q{i}",
+            F.max(F.when(qualified, F.col(ts_col))).over(w),
+        )

@@ -624,7 +624,8 @@ def snap_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.append("ns", "customer", c.filter(F.col("c_mktsegment") == "BUILDING"))
     cat.create_or_replace("ns", "customer", c.filter(F.col("c_mktsegment") == "MACHINERY"))
     cat.rollback_to("ns", "customer", 2)
-    assert cat.read(spark, "ns", "customer", snapshot_id=3).count() > 0
+    if cat.read(spark, "ns", "customer", snapshot_id=3).count() == 0:
+        raise ValueError("rollback lost the intervening snapshot 3")
     return cat.read(spark, "ns", "customer")
 
 
@@ -653,7 +654,8 @@ def snap_history_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.append("ns", "nation", n.filter(F.col("n_regionkey") >= 2))
     cat.create_or_replace("ns", "nation", n.filter(F.col("n_nationkey") < 5))
     cat.rollback_to("ns", "nation", 2)
-    assert cat.read(spark, "ns", "nation", snapshot_id=3).count() > 0
+    if cat.read(spark, "ns", "nation", snapshot_id=3).count() == 0:
+        raise ValueError("rollback lost the intervening snapshot 3")
     return cat.history(spark, "ns", "nation").select(
         "snapshot_id", "parent_id", "is_current_ancestor"
     )
@@ -719,9 +721,13 @@ def snap_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ns", "orders",
         o.filter(F.col("o_orderkey") % 3 == 1).drop("o_orderstatus"),
     )
-    assert "o_orderstatus" in cat.read(
+    if "o_orderstatus" not in cat.read(
         spark, "ns", "orders", snapshot_id=1
-    ).columns
+    ).columns:
+        raise ValueError(
+            "drop_column leaked into the pre-drop snapshot: "
+            "o_orderstatus missing from snapshot 1"
+        )
     return cat.read(spark, "ns", "orders")
 
 
@@ -798,7 +804,8 @@ def snap_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dir back into the candidates (legal degradation — never wrong
     # results), so require only that SOMETHING was skipped; the exact
     # two-dir skip at gate SFs is pinned in tests/test_snaptable.py
-    assert len(skipped) >= 1, skipped
+    if len(skipped) < 1:
+        raise ValueError(f"bloom pruning skipped no dir: {skipped}")
     return cat.read(
         spark, "ns", "customer", where="c_name = 'Customer#000000001'"
     )
@@ -925,7 +932,9 @@ def snap_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     remaining = len(cat._snapshots("ns", "nation"))
     # retained previous snapshot must still be readable (time travel)
     prev_sid = cat._snapshots("ns", "nation")[0]["snapshot_id"]
-    assert cat.read(spark, "ns", "nation", snapshot_id=prev_sid).count() >= 0
+    # force the read: a retained snapshot must stay time-travelable
+    # (read() raises if expire() broke it)
+    cat.read(spark, "ns", "nation", snapshot_id=prev_sid).count()
     return cat.read(spark, "ns", "nation").select(
         "*",
         F.lit(len(expired)).alias("n_expired"),
@@ -1133,8 +1142,10 @@ def snap_expire_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     remaining = [s["snapshot_id"] for s in cat._snapshots("ns", "nation")]
     # the branch head and its retained ancestor must both stay readable
-    assert cat.read(spark, "ns", "nation", ref="audit").count() >= 0
-    assert cat.read(spark, "ns", "nation", snapshot_id=sids[0]).count() >= 0
+    # force both reads: the branch head and its retained ancestor must
+    # stay readable (read() raises if the policy expire broke either)
+    cat.read(spark, "ns", "nation", ref="audit").count()
+    cat.read(spark, "ns", "nation", snapshot_id=sids[0]).count()
     return cat.read(spark, "ns", "nation").select(
         "*",
         F.lit(len(expired)).alias("n_expired"),
@@ -1225,7 +1236,8 @@ def snap_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n.limit(5).write.mode("overwrite").parquet(orphan_dir)
     removed = cat.remove_orphans("ns", "nation", older_than_ms=0)
-    assert removed == ["commit-failed-sim"], removed
+    if removed != ["commit-failed-sim"]:
+        raise ValueError(f"orphan cleanup removed the wrong set: {removed}")
     out = cat.read(spark, "ns", "nation")
     return out.agg(F.count(F.lit(1)).alias("n_rows")).select(
         F.lit(len(removed)).cast("long").alias("n_removed"), "n_rows"
@@ -1467,3 +1479,42 @@ def snap_upsert_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cat.upsert("ns", "cust", delta, keys=["c_custkey"], evolve=True)
     return cat.read(spark, "ns", "cust")
+
+
+@register(
+    "snap_add_files",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    """,
+    tags=("snapshot", "mutation"),
+)
+def snap_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only table import — the Iceberg ``add_files`` procedure
+    analogue (pyiceberg 0.9.1, the reference's embedded library, exposes
+    it; no reference call site). A pre-existing parquet directory is
+    adopted into the table as ONE commit with zero bytes copied (files
+    hard-linked in place, footer-only stats), then a normal append lands
+    on top — the read over create + adopt + append must equal the oracle
+    over the union of all three thirds. At 100 TB this is the onboarding
+    path: bringing an existing lake directory under snapshot management
+    costs a driver-side footer pass, not a cluster rewrite. The no-copy
+    pin (file identity via hard-link inode) and the refusal modes
+    (double adoption, path inside the table, schema mismatch,
+    partitioned target) are unit-pinned in tests/test_snaptable.py."""
+    import shutil as _shutil
+
+    cat = _warehouse(sf_dir, "add_files")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    # external source staged OUTSIDE the warehouse (rebuilt with it so
+    # the adopted bytes always match the current fixture)
+    ext = os.path.join(os.path.dirname(cat.warehouse), "add_files_ext")
+    if os.path.isdir(ext):
+        _shutil.rmtree(ext)
+    o.filter(F.col("o_orderkey") % 3 == 1).write.parquet(ext)
+    cat.create_or_replace("ns", "orders", o.filter(F.col("o_orderkey") % 3 == 0))
+    cat.add_files(spark, "ns", "orders", ext)
+    cat.append("ns", "orders", o.filter(F.col("o_orderkey") % 3 == 2))
+    return cat.read(spark, "ns", "orders")

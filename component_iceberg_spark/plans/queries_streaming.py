@@ -47,7 +47,10 @@ def _stage_single_file(base: str, src_dir: str, df: DataFrame, name: str) -> Non
     tmp = os.path.join(base, f"_tmp_{name}")
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     files = _g.glob(os.path.join(tmp, "part-*.parquet"))
-    assert len(files) == 1, f"{name}: expected one part file, got {len(files)}"
+    if len(files) != 1:
+        raise ValueError(
+            f"{name}: expected one part file, got {len(files)}"
+        )
     shutil.move(files[0], os.path.join(src_dir, f"{name}.parquet"))
     shutil.rmtree(tmp)
 
@@ -463,7 +466,10 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             import glob as _g
 
             files = _g.glob(os.path.join(part_dir, "part-*.parquet"))
-            assert len(files) == 1
+            if len(files) != 1:
+                raise ValueError(
+                    f"batch {b}: expected one part file, got {len(files)}"
+                )
             dst = os.path.join(stage, f"batch-{b:02d}.parquet")
             shutil.move(files[0], dst)
             shutil.rmtree(part_dir)

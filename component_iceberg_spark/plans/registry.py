@@ -59,16 +59,19 @@ _QUERY_MODULES = (
 #
 # ROTATION SCHEDULE (so every query is re-checked within ~3 rounds, and a
 # regression anywhere is externally caught, not just by local pytest).
-# Rotated for r11 (VERDICT r10 "Next round" #1): sentinels lead
+# Rotated for r12 (VERDICT r11 "Next round" #1): sentinels lead
 # unconditionally; tier 2 is this round's new registrations plus the
-# changed-code re-earns (the binaryFile twins: their shared blob-staging
-# helper gained the freshness-marker + hard-cap discipline, so both
-# re-earn their rows); the backlog then runs strictly oldest gate row
-# first: the r4 REMAINDER the r10 window cut (29 names, ext_topk onward
-# through upsert_by_key), then the 47-name r6 cohort — the ~50 window
-# takes the r4 remainder plus the r6 head; the r6 remainder leads the
-# r12 backlog. Everything gated in r10 (the r3 tail, the r4 head, the
-# r10 tier-2 idioms) sits at the tail as the freshest evidence.
+# changed-code re-earns (the ADVICE closures touched
+# _clustered_rewrite's commit spec, bloom_maybe_contains' float probe,
+# refs()/resolve_ref's main handling, and the assert→ValueError sweep
+# through the expire/rollback/orphan/bloom scenario bodies — every
+# registered query whose body or load-bearing helper changed re-earns);
+# the backlog then runs strictly oldest gate row first: the 6-name r4
+# TAIL the r11 window cut (stream_session_window … upsert_by_key — the
+# stalest greens in the table), then the 47-name r6 cohort — the ~50
+# window takes the tail plus the r6 head; the r6 remainder leads the
+# r13 backlog. Everything gated in r11 sits at the very end as the
+# freshest evidence.
 #   1. PINNED SENTINELS -- eight flagships, one per family, EVERY round.
 #   2. Queries with NO gate row ever, plus queries whose implementation
 #      or oracle CHANGED this round -- they (re)earn a green row first.
@@ -87,58 +90,33 @@ _GATE_PRIORITY = (
     "mm_feature_extract",
     "ext_sessionize",
     "sim_ann_ivf",
-    # --- 2. r11 tier 2: new registrations land here as they are added;
-    #     changed-code re-earns — the binaryFile twins share the
-    #     restaged-once/hard-capped _doc_binary_dir helper (r11 advice
-    #     closure), so both re-earn their rows; snap_delete_mor re-earns
-    #     because _read_with_deletes/_read_dirs grew the positional path;
-    #     ext_heavy_hitters re-earns after the mg_candidates extraction
-    #     (same plan, re-verified — the Zipf-vocabulary audit needed the
-    #     candidate stage testable on its own).
-    "snap_delete_mor_positional",
-    "snap_rewrite_pos_deletes",
-    "snap_partitions_meta",
-    "source_text_lines",
-    "ext_frequent_best_readout",
-    "snap_history_meta",
-    "snap_refs_meta",
-    "snap_rename_column",
-    "snap_drop_column",
-    "snap_widen_column",
+    # --- 2. r12 tier 2: new registrations land here as they are added;
+    #     changed-code re-earns: snap_cluster_rewrite + snap_zorder_rewrite
+    #     (shared _clustered_rewrite now inherits spec/blooms),
+    #     snap_bloom_pruned_scan + snap_stats_pruned_scan
+    #     (bloom_maybe_contains float-probe guard), snap_refs_meta +
+    #     snap_expire_branches + snap_wap_publish (main-ref reservation in
+    #     _write_ref / resolve_ref), and the assert→ValueError bodies
+    #     (snap_rollback, snap_history_meta, snap_drop_column, snap_expire,
+    #     snap_orphan_cleanup, stream_incremental_dedup + the staged-file
+    #     streaming drills via the shared _stage helper).
+    "snap_add_files",
+    "ext_funnel_negation",
+    "snap_cluster_rewrite",
+    "snap_zorder_rewrite",
     "snap_bloom_pruned_scan",
-    "ext_interpolate_linear",
-    "stream_static_enrich",
-    "ext_pattern_negation",
-    "snap_maintenance_report",
-    "source_binaryfile",
-    "stream_binaryfile_ingest",
-    "snap_delete_mor",
-    "ext_heavy_hitters",
-    # --- backlog: last gate row r4 (the 29-name REMAINDER the r10
-    #     window cut, oldest-first tier)
-    "ext_topk",
-    "ext_unpivot",
-    "ext_window_analytic",
-    "ext_window_rank",
-    "insert_union",
-    "join_anti",
-    "join_semi",
-    "meta_describe",
-    "order_preserve",
-    "q11_important_parts",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "scan_custom_sql",
-    "scan_filter_pushdown",
-    "scan_full",
-    "scan_limit",
-    "scan_projection",
-    "sink_csv",
-    "sink_parquet",
-    "sink_parquet_partitioned",
-    "source_csv_all_varchar",
-    "source_csv_typed",
-    "source_json",
+    "snap_stats_pruned_scan",
+    "snap_refs_meta",
+    "snap_expire_branches",
+    "snap_wap_publish",
+    "snap_rollback",
+    "snap_history_meta",
+    "snap_drop_column",
+    "snap_expire",
+    "snap_orphan_cleanup",
+    "stream_incremental_dedup",
+    # --- backlog: last gate row r4 (the 6-name TAIL the r11 window cut,
+    #     oldest-first tier — the stalest greens in the registry)
     "stream_session_window",
     "stream_stateful_totals",
     "text_bm25_topk",
@@ -178,15 +156,10 @@ _GATE_PRIORITY = (
     "sim_quantized_topk",
     "sim_topk_bruteforce",
     "snap_changelog_cdc",
-    "snap_cluster_rewrite",
     "snap_compact_manifests",
-    "snap_expire",
-    "snap_expire_branches",
     "snap_incremental_agg",
     "snap_upsert",
-    "snap_wap_publish",
     "stream_dedup_watermark",
-    "stream_incremental_dedup",
     "stream_stream_join",
     "stream_upsert_snaptable",
     "text_collocations",
@@ -218,10 +191,8 @@ _GATE_PRIORITY = (
     "snap_dpp_join",
     "snap_files_meta",
     "snap_merge_multi",
-    "snap_orphan_cleanup",
     "snap_scd2_apply",
     "snap_timetravel_asof",
-    "snap_zorder_rewrite",
     "stream_anomaly_alerts",
     "stream_late_data_drop",
     "stream_replay_idempotent",
@@ -289,7 +260,6 @@ _GATE_PRIORITY = (
     "snap_replace",
     "snap_schema_evolution",
     "snap_snapshots_list",
-    "snap_stats_pruned_scan",
     "snap_update_where",
     "text_fingerprint",
     "text_langid",
@@ -328,7 +298,6 @@ _GATE_PRIORITY = (
     "snap_hidden_partition",
     "snap_incremental_read",
     "snap_partition_evolution",
-    "snap_rollback",
     "snap_tag_read",
     "text_lm_score",
     "text_normalize",
@@ -355,6 +324,48 @@ _GATE_PRIORITY = (
     "ext_spatial_grid_join",
     "ext_spatial_grid_join_salted",
     "ext_active_users_trailing",
+    # --- backlog: last gate row r11 (freshest evidence, tail): the r11
+    #     tier-2 registrations/re-earns that are NOT re-earning again in
+    #     the r12 tier 2, plus the 23-name r4-remainder head the r11
+    #     window drove.
+    "snap_delete_mor_positional",
+    "snap_rewrite_pos_deletes",
+    "snap_partitions_meta",
+    "source_text_lines",
+    "ext_frequent_best_readout",
+    "snap_rename_column",
+    "snap_widen_column",
+    "ext_interpolate_linear",
+    "stream_static_enrich",
+    "ext_pattern_negation",
+    "snap_maintenance_report",
+    "source_binaryfile",
+    "stream_binaryfile_ingest",
+    "snap_delete_mor",
+    "ext_heavy_hitters",
+    "ext_topk",
+    "ext_unpivot",
+    "ext_window_analytic",
+    "ext_window_rank",
+    "insert_union",
+    "join_anti",
+    "join_semi",
+    "meta_describe",
+    "order_preserve",
+    "q11_important_parts",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "scan_custom_sql",
+    "scan_filter_pushdown",
+    "scan_full",
+    "scan_limit",
+    "scan_projection",
+    "sink_csv",
+    "sink_parquet",
+    "sink_parquet_partitioned",
+    "source_csv_all_varchar",
+    "source_csv_typed",
+    "source_json",
 )
 
 

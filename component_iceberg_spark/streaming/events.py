@@ -166,6 +166,21 @@ def stream_to_memory_progress(
         json.loads(p if isinstance(p, str) else p.json)
         for p in (q.recentProgress or [])
     ]
+    # recentProgress is a ring buffer capped at
+    # spark.sql.streaming.numRecentProgressUpdates (default 100): a run
+    # with more micro-batches silently loses its earliest records, which
+    # would undercount input_rows and could miss the true state peak in
+    # the volume pins. Fail loudly instead of returning truncated data.
+    cap = int(
+        spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+    )
+    if len(prog) >= cap:
+        raise RuntimeError(
+            f"recentProgress returned {len(prog)} records, at/over the "
+            f"numRecentProgressUpdates cap ({cap}) — earliest progress was "
+            "likely dropped; raise the cap for this run or batch the "
+            "source into fewer micro-batches"
+        )
     return df.sparkSession.table(name), prog
 
 

@@ -2294,3 +2294,192 @@ def test_cluster_rewrite_resets_schema_lineage(spark, sf_dir, tmp_path):
     assert m2.get("renames") and "n_name" in (m2.get("retired") or [])
     got = {r.n_nationkey for r in cat2.read(spark, "ns", "t").collect()}
     assert got == {r.n_nationkey for r in n.filter("n_regionkey <= 1").collect()}
+
+
+def test_cluster_rewrite_keeps_bloom_registration(spark, sf_dir, tmp_path):
+    """cluster_rewrite must not silently drop the table's bloom
+    registration (ADVICE r11): the rewritten manifest keeps bloom_cols,
+    carries fresh blooms for the new bucket dirs, and a subsequent
+    append keeps building blooms — point-lookup pruning survives the
+    re-layout."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    cat.create_or_replace("ns", "t", c, bloom_cols=["c_name"])
+    cat.cluster_rewrite(spark, "ns", "t", "c_nationkey", n_buckets=3)
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    assert m.get("bloom_cols") == ["c_name"], m.get("bloom_cols")
+    assert m["files"] and all(
+        "c_name" in (m["dir_blooms"].get(d) or {}) for d in m["files"]
+    ), m.get("dir_blooms")
+    # appends after the rewrite keep building blooms (inherited cols)
+    cat.append("ns", "t", c.limit(7))
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    assert all(
+        "c_name" in (m["dir_blooms"].get(d) or {}) for d in m["files"]
+    )
+    # and the registered bloom still prunes an absent value entirely
+    cand, skipped = cat._prune_dirs(m, "c_name = 'Customer#notreal'")
+    assert not cand and len(skipped) == len(m["files"])
+
+
+def test_bloom_float_probe_beyond_double_precision_never_skips(
+    spark, tmp_path
+):
+    """A float equality literal at/above 2**53 must never bloom-skip
+    (ADVICE r11): the engine compares long = double by casting the long
+    to double, so a stored long can be double-equal yet integer-unequal
+    to the literal — the int-keyed probe would miss and wrongly skip the
+    dir. Below 2**53 the conversion stays exact and pruning still
+    works."""
+    from component_iceberg_spark.io.snaptable import bloom_maybe_contains
+
+    big = 2**53 + 1  # rounds to 2**53 as a double
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame([(big, "x")], "k long, v string")
+    cat.create_or_replace("ns", "t", df, bloom_cols=["k"])
+    m = cat._manifest("ns", "t", 1)
+    bloom = m["dir_blooms"][m["files"][0]]["k"]
+    # double-equal but integer-different literal: conservative keep
+    assert bloom_maybe_contains(bloom, float(2**53)) is True
+    assert bloom_maybe_contains(bloom, -float(2**53)) is True
+    # below the precision cliff the exact int conversion still prunes
+    assert bloom_maybe_contains(bloom, 12345.0) is False
+
+
+def test_main_ref_is_reserved_and_resolves_to_current(
+    spark, sf_dir, tmp_path
+):
+    """'main' is the implicit current-snapshot branch (ADVICE r11): a
+    user ref of that name is rejected (refs() would list two conflicting
+    main rows), and resolve_ref('main') tracks the current snapshot,
+    agreeing with the implicit row refs() synthesizes."""
+    import pytest
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    n = load_table(spark, sf_dir, "nation")
+    cat.create_or_replace("ns", "t", n.filter("n_regionkey = 0"))   # sid 1
+    with pytest.raises(ValueError, match="implicit current branch"):
+        cat.create_branch("ns", "t", "main")
+    with pytest.raises(ValueError, match="implicit current branch"):
+        cat.create_tag("ns", "t", "main")
+    assert cat.resolve_ref("ns", "t", "main") == 1
+    cat.append("ns", "t", n.filter("n_regionkey = 1"))              # sid 2
+    assert cat.resolve_ref("ns", "t", "main") == 2
+    names = [r.name for r in cat.refs(spark, "ns", "t").collect()]
+    assert names.count("main") == 1, names
+
+
+def test_add_files_no_copy_and_lifecycle(spark, sf_dir, tmp_path):
+    """add_files adopts an external parquet directory as ONE metadata
+    commit with ZERO bytes copied: every adopted file is the SAME inode
+    as its source (hard link), the parent dirs are carried verbatim, the
+    read equals the union, and footer stats make the adopted dir a
+    first-class pruning citizen. Dropping the adopting snapshot removes
+    only the links — the source files keep their bytes."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ext = str(tmp_path / "external_src")
+    o.filter("o_orderkey % 3 = 1").write.parquet(ext)
+    cat.create_or_replace("ns", "t", o.filter("o_orderkey % 3 = 0"))
+    n_before = cat.read(spark, "ns", "t").count()
+    sid = cat.add_files(spark, "ns", "t", ext)
+    m = cat._manifest("ns", "t", sid)
+    assert m["operation"] == "add_files"
+    adopted = [d for d in m["files"] if d.startswith("adopted-")]
+    assert len(adopted) == 1 and len(m["files"]) == 2
+    # no-copy pin: file identity via inode
+    ad_dir = os.path.join(cat.warehouse, "ns", "t", "data", adopted[0])
+    linked = sorted(glob.glob(os.path.join(ad_dir, "**", "*.parquet"),
+                              recursive=True))
+    srcs = sorted(glob.glob(os.path.join(ext, "*.parquet")))
+    assert linked and len(linked) == len(srcs)
+    for a, b in zip(linked, srcs):
+        assert os.path.samefile(a, b), (a, b)
+    # read = union; row_count answered from the manifest
+    n_ext = o.filter("o_orderkey % 3 = 1").count()
+    assert cat.read(spark, "ns", "t").count() == n_before + n_ext
+    assert cat.row_count("ns", "t") == n_before + n_ext
+    # footer stats recorded → the adopted dir prunes like any other
+    assert "o_orderkey" in (m["dir_stats"].get(adopted[0]) or {})
+    # appends on top keep working
+    cat.append("ns", "t", o.filter("o_orderkey % 3 = 2"))
+    assert cat.read(spark, "ns", "t").count() == o.count()
+    # dropping the adopting snapshots unlinks, never deletes source bytes
+    cat.create_or_replace("ns", "t", o.limit(1))
+    cat.expire_snapshots("ns", "t", keep_last=1)
+    assert sorted(glob.glob(os.path.join(ext, "*.parquet"))) == srcs
+    assert spark.read.parquet(ext).count() == n_ext
+
+
+def test_add_files_refusal_modes(spark, sf_dir, tmp_path):
+    """add_files refuses: double adoption (same or nested source path),
+    a source inside the table's own layout, a schema-mismatched source,
+    a hive-partitioned target, and an empty source."""
+    import pytest
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ext = str(tmp_path / "src_a")
+    o.filter("o_orderkey % 3 = 1").write.parquet(ext)
+    cat.create_or_replace("ns", "t", o.filter("o_orderkey % 3 = 0"))
+    cat.add_files(spark, "ns", "t", ext)
+    with pytest.raises(ValueError, match="overlaps an already-adopted"):
+        cat.add_files(spark, "ns", "t", ext)
+    inside = os.path.join(cat.warehouse, "ns", "t", "data")
+    with pytest.raises(ValueError, match="inside the table's own layout"):
+        cat.add_files(spark, "ns", "t", inside)
+    bad = str(tmp_path / "src_bad")
+    o.withColumnRenamed("o_totalprice", "price").write.parquet(bad)
+    with pytest.raises(ValueError, match="schema must match"):
+        cat.add_files(spark, "ns", "t", bad)
+    empty = str(tmp_path / "src_empty")
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="no parquet files"):
+        cat.add_files(spark, "ns", "t", empty)
+    cat2 = SnapCatalog(str(tmp_path / "wh2"))
+    full = load_table(spark, sf_dir, "orders")
+    cat2.create_or_replace(
+        "ns", "p", full.limit(100), partition_by=["o_orderstatus"]
+    )
+    src_c = str(tmp_path / "src_c")
+    full.limit(10).write.parquet(src_c)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        cat2.add_files(spark, "ns", "p", src_c)
+
+
+def test_add_files_without_stats_degrades_not_breaks(
+    spark, sf_dir, tmp_path
+):
+    """compute_stats=False declares the adopted dir metrics-free: files()
+    surfaces NULL min/max (degradation contract), pruning keeps the dir
+    a candidate (never a wrong skip), and reads stay exact."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ext = str(tmp_path / "nostats_src")
+    o.filter("o_orderkey % 2 = 1").write.parquet(ext)
+    cat.create_or_replace("ns", "t", o.filter("o_orderkey % 2 = 0"))
+    sid = cat.add_files(spark, "ns", "t", ext, compute_stats=False)
+    m = cat._manifest("ns", "t", sid)
+    ad = [d for d in m["files"] if d.startswith("adopted-")][0]
+    assert ad not in (m.get("dir_stats") or {})
+    # files() NULL degradation on the metrics-free dir
+    frow = {
+        r.data_dir: (r.min_o_orderkey, r.max_o_orderkey)
+        for r in cat.files(
+            spark, "ns", "t", stat_cols=("o_orderkey",)
+        ).collect()
+    }
+    assert frow[ad] == (None, None), frow
+    # pruning never skips the stat-free dir
+    cand, skipped = cat._prune_dirs(m, "o_orderkey = 1")
+    assert ad in cand and ad not in skipped
+    got = cat.read(spark, "ns", "t", where="o_orderkey = 1").count()
+    assert got == o.filter("o_orderkey = 1").count()
