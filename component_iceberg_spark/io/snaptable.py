@@ -982,7 +982,7 @@ class SnapCatalog:
         pos_covered = {
             d
             for e in deletes
-            if e.get("mode") == "positional"
+            if e.get("mode") in ("positional", "dv")
             for d in e["applies_to"]
         }
         groups: dict[frozenset, list[str]] = {}
@@ -1049,9 +1049,10 @@ class SnapCatalog:
                 extra_blooms[nd] = mb
         remapped = []
         for i, e in enumerate(deletes):
-            if e.get("mode") == "positional":
-                # positional dirs never fold (singleton signatures above),
-                # so the entry carries its surviving dirs unchanged
+            if e.get("mode") in ("positional", "dv"):
+                # path-scoped dirs never fold (singleton signatures
+                # above), so the entry carries its surviving dirs
+                # unchanged
                 applies = sorted(d for d in e["applies_to"] if d in set(files))
             else:
                 applies = sorted(sig_to_dir[sig] for sig in groups if i in sig)
@@ -1584,6 +1585,155 @@ class SnapCatalog:
             shutil.rmtree(out, ignore_errors=True)
             raise
 
+    def delete_positions_dv(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        table: str,
+        pos_df: DataFrame,
+    ) -> int:
+        """Merge-on-read DELETE as a DELETION VECTOR — the Iceberg v3 /
+        Delta-DV evolution of the positional delete file
+        (``delete_positions``): instead of one (file_path, pos) ROW per
+        doomed row, ONE row per touched data file carrying the sorted
+        int array of its deleted ordinals (the explicit-array form of
+        the roaring bitmap; this container has no roaring codec, and
+        the array keeps the entry a plain parquet value).
+
+        Why a third format: positional-file density is the failure mode
+        of the r11 format — a delete touching 1M rows of one file costs
+        1M delete ROWS and an anti-join whose build side is
+        row-count-sized. The DV entry for the same delete is ONE row
+        whose array is run-length-friendly parquet, the delete relation
+        is FILE-count-sized (so it broadcasts at any delete density),
+        and the read-side apply is a per-row membership probe with NO
+        shuffle — see the ``dv`` branch of ``_read_with_deletes``.
+        Same scoping, folding, and maintenance contracts as positional
+        entries: scoped to touched dirs, never folded by
+        ``compact_manifests``, materialized + cleared by ``compact``,
+        rewritten by ``rewrite_deletes_to_dv``."""
+        base = self._current_sid(namespace, table)
+        manifest = self._manifest(namespace, table, base)
+        del_dir_name = f"dvdelete-{uuid.uuid4().hex[:12]}"
+        out = self._tbl(namespace, table, "deletes", del_dir_name)
+        (
+            pos_df.select(
+                F.col(self.POS_FILE_COL).alias("file_path"),
+                F.col(self.POS_IDX_COL).cast("long").alias("pos"),
+            )
+            .groupBy("file_path")
+            .agg(F.sort_array(F.collect_set("pos")).alias("positions"))
+            .coalesce(1)
+            .write.parquet(out)
+        )
+        touched = {
+            r["d"]
+            for r in spark.read.parquet(out)
+            .select(
+                F.regexp_extract(
+                    F.col("file_path"), r"/data/([^/]+)/", 1
+                ).alias("d")
+            )
+            .distinct()
+            .collect()
+        }
+        entry = {
+            "dir": del_dir_name,
+            "mode": "dv",
+            "applies_to": sorted(
+                d for d in manifest["files"] if d in touched
+            ),
+        }
+        if not entry["applies_to"]:
+            shutil.rmtree(out, ignore_errors=True)
+            return base
+        try:
+            return self._commit(
+                namespace, table, None, operation="delete", carry=False,
+                base_sid=base, inherit_spec=True,
+                carry_dirs=list(manifest["files"]), extra_deletes=[entry],
+            )
+        except CommitConflict:
+            shutil.rmtree(out, ignore_errors=True)
+            raise
+
+    def rewrite_deletes_to_dv(
+        self, spark: SparkSession, namespace: str, table: str
+    ) -> int:
+        """Maintenance: fold EVERY pending path-scoped delete entry —
+        r11 positional files and existing DVs alike — into ONE deletion
+        vector, dropping dead addresses, without touching data files
+        (the DV-era successor of ``compact_position_deletes``: same
+        dead-address and scope-union contracts, but the output is the
+        one-row-per-file format, so k accreted delete files collapse to
+        a single broadcastable relation and the read side goes from k
+        anti-join passes to one shuffle-free probe).
+
+        Address-level safety is identical to the positional fold: a
+        (file, ordinal) can only mask its exact row, so unioning scopes
+        masks nothing new, and addresses whose file no longer lives
+        under a scoped dir are dead (a CoW rewrite materialized them) —
+        dropped here. Equality entries are semantic and carried
+        unchanged. No-op when there is nothing to fold (no path-scoped
+        entries, or already exactly one DV)."""
+        base = self._current_sid(namespace, table)
+        manifest = self._manifest(namespace, table, base)
+        entries = manifest.get("deletes", [])
+        pos = [e for e in entries if e.get("mode") in ("positional", "dv")]
+        if not pos or (len(pos) == 1 and pos[0]["mode"] == "dv"):
+            return base
+        keep = [e for e in entries if e.get("mode") not in ("positional", "dv")]
+        merged = None
+        for e in pos:
+            df = spark.read.parquet(
+                self._tbl(namespace, table, "deletes", e["dir"])
+            )
+            if e["mode"] == "dv":
+                df = df.select(
+                    "file_path", F.explode("positions").alias("pos")
+                )
+            merged = df if merged is None else merged.unionByName(df)
+        # dead-address drop: same representation-safe /data/<dir>/
+        # component match as compact_position_deletes
+        scope = sorted({d for e in pos for d in e["applies_to"]})
+        live_scope = [d for d in scope if d in set(manifest["files"])]
+        if not live_scope:
+            # every scoped dir was since rewritten: all addresses are
+            # dead — publish the equality entries only, no DV at all
+            return self._commit(
+                namespace, table, None, operation="rewrite_to_dv",
+                carry=False, base_sid=base, inherit_spec=True,
+                carry_dirs=list(manifest["files"]), clear_deletes=True,
+                extra_deletes=keep,
+            )
+        alive = F.col("file_path").contains(f"/data/{scope[0]}/")
+        for d in scope[1:]:
+            alive = alive | F.col("file_path").contains(f"/data/{d}/")
+        del_dir_name = f"dvdelete-{uuid.uuid4().hex[:12]}"
+        out = self._tbl(namespace, table, "deletes", del_dir_name)
+        (
+            merged.filter(alive)
+            .groupBy("file_path")
+            .agg(F.sort_array(F.collect_set("pos")).alias("positions"))
+            .coalesce(1)
+            .write.parquet(out)
+        )
+        entry = {
+            "dir": del_dir_name,
+            "mode": "dv",
+            "applies_to": live_scope,
+        }
+        try:
+            return self._commit(
+                namespace, table, None, operation="rewrite_to_dv",
+                carry=False, base_sid=base, inherit_spec=True,
+                carry_dirs=list(manifest["files"]), clear_deletes=True,
+                extra_deletes=keep + [entry],
+            )
+        except CommitConflict:
+            shutil.rmtree(out, ignore_errors=True)
+            raise
+
     def _pending_deletes(
         self, manifest: dict, dir_names: list[str]
     ) -> list[dict]:
@@ -1637,7 +1787,8 @@ class SnapCatalog:
                 # SCAN time (hidden _metadata columns don't survive a
                 # union), so the group's read carries them when needed
                 needs_pos = any(
-                    deletes[i].get("mode") == "positional" for i in key
+                    deletes[i].get("mode") in ("positional", "dv")
+                    for i in key
                 )
                 # schema resolution runs BEFORE the anti-joins: delete
                 # entries authored after a rename reference logical names
@@ -1663,6 +1814,29 @@ class SnapCatalog:
                             doomed,
                             [self.POS_FILE_COL, self.POS_IDX_COL],
                             "left_anti",
+                        )
+                    elif e.get("mode") == "dv":
+                        # deletion vector: one (file, sorted positions)
+                        # row per touched file — file-count-sized, so it
+                        # BROADCASTS and the apply is a per-row bitmap
+                        # membership probe with no shuffle at all (the
+                        # anti-join form would hash-exchange the scan)
+                        dv = keys_df.select(
+                            F.col("file_path").alias(self.POS_FILE_COL),
+                            F.col("positions").alias("_dv_positions"),
+                        )
+                        part = (
+                            part.join(
+                                F.broadcast(dv), [self.POS_FILE_COL], "left"
+                            )
+                            .filter(
+                                F.col("_dv_positions").isNull()
+                                | ~F.array_contains(
+                                    F.col("_dv_positions"),
+                                    F.col(self.POS_IDX_COL),
+                                )
+                            )
+                            .drop("_dv_positions")
                         )
                     else:
                         part = part.join(keys_df, e["key_cols"], "left_anti")
@@ -2672,6 +2846,58 @@ class SnapCatalog:
                 rec += [lo, hi]
             rows.append(tuple(rec))
         return spark.createDataFrame(rows, schema=", ".join(fields))
+
+    def entries(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        table: str,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Per-data-FILE metadata table — the Iceberg ``t.entries`` /
+        pyiceberg ``inspect.entries`` analogue, one level below
+        :meth:`files` (which is per-directory): every parquet file a
+        snapshot references, with its commit ordinal, row count, byte
+        size, and row-group count. Footer/stat-only driver work — one
+        ``os.walk`` + one parquet-footer read per file, no data pages,
+        no Spark job — the same cost shape Iceberg pays reading its
+        manifest entries. This is the view that answers file-level
+        layout questions ``files`` cannot: small-file skew inside a
+        commit, row-group granularity before a compaction decision,
+        and which exact file a positional delete addresses.
+
+        Columns: ``ordinal`` (manifest position of the dir), ``data_dir``,
+        ``file_ordinal`` (position in sorted file-name order within the
+        dir — names are Spark part-uuids, so the ordinal, not the name,
+        is the stable handle), ``n_rows``, ``n_row_groups``,
+        ``size_bytes``."""
+        import pyarrow.parquet as pq
+
+        sid = snapshot_id or self._current_sid(namespace, table)
+        m = self._manifest(namespace, table, sid)
+        rows = []
+        for i, d in enumerate(m["files"]):
+            root = self._tbl(namespace, table, "data", d)
+            paths = []
+            for rdir, _sub, fns in os.walk(root):
+                for fn in fns:
+                    if fn.endswith(".parquet") and not fn.startswith(
+                        (".", "_")
+                    ):
+                        paths.append(os.path.join(rdir, fn))
+            for j, p in enumerate(sorted(paths)):
+                md = pq.ParquetFile(p).metadata
+                rows.append(
+                    (i, d, j, md.num_rows, md.num_row_groups,
+                     os.path.getsize(p))
+                )
+        return spark.createDataFrame(
+            rows,
+            schema=(
+                "ordinal int, data_dir string, file_ordinal int, "
+                "n_rows long, n_row_groups int, size_bytes long"
+            ),
+        )
 
     def _partitions_pushdown_df(
         self,

@@ -731,6 +731,96 @@ def snap_rewrite_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snap_delete_dv",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey % 3 = 0 AND o_orderkey < 30
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE as a DELETION VECTOR (the Iceberg v3 /
+    Delta-DV third delete format, after r2's equality and r11's
+    positional files): the scenario deletes a DENSE third of the table
+    — exactly the density where the positional-file format stops being
+    economic. The DV entry stores ONE row per touched data file with
+    the sorted array of deleted ordinals, so the delete relation is
+    file-count-sized whatever the row density: it broadcasts, and the
+    read applies it as a per-row membership probe with NO shuffle (the
+    positional anti-join would hash-exchange the whole scan against a
+    row-count-sized build side). A later append of deleted keys must
+    NOT be masked — DV addresses name files, the same physical scoping
+    as positional entries. Maintenance: ``rewrite_deletes_to_dv``
+    (``snap_rewrite_to_dv``); fold/compaction contracts pinned in
+    tests/test_snaptable.py."""
+    from component_iceberg_spark.plans.queries_mutation import _warehouse
+
+    cat = _warehouse(sf_dir, "mor_dv")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "orders", o)
+    addressed = cat.read_with_positions(spark, "ns", "orders")
+    doomed = addressed.filter(F.col("o_orderkey") % 3 == 0).select(
+        cat.POS_FILE_COL, cat.POS_IDX_COL
+    )
+    cat.delete_positions_dv(spark, "ns", "orders", doomed)
+    reborn = o.filter(
+        (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") < 30)
+    )
+    cat.append("ns", "orders", reborn)
+    return cat.read(spark, "ns", "orders")
+
+
+@register(
+    "snap_rewrite_to_dv",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_rewrite_to_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format delete maintenance: one POSITIONAL-file commit and
+    one DV commit accrete against the same table, then
+    ``rewrite_deletes_to_dv`` folds BOTH into a single deletion vector
+    (dead addresses dropped, scope unioned) without touching data
+    files — the DV-era ``rewrite_position_delete_files``. The read
+    after the rewrite must equal the read before it; afterwards the
+    read pays one broadcast membership probe where it paid an anti-join
+    pass per entry. This is the upgrade path a table follows when its
+    accreted v2 positional files are rewritten into v3 DVs."""
+    from component_iceberg_spark.plans.queries_mutation import _warehouse
+
+    cat = _warehouse(sf_dir, "dv_rewrite")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "orders", o)
+    addressed = cat.read_with_positions(spark, "ns", "orders")
+    # both doomed sets from the SAME pre-delete addressing (positions
+    # are stable — files are immutable; authoring over pending deletes
+    # is refused)
+    cat.delete_positions(
+        spark, "ns", "orders",
+        addressed.filter(F.col("o_orderkey") % 5 == 0).select(
+            cat.POS_FILE_COL, cat.POS_IDX_COL
+        ),
+    )
+    cat.delete_positions_dv(
+        spark, "ns", "orders",
+        addressed.filter(F.col("o_orderkey") % 7 == 0).select(
+            cat.POS_FILE_COL, cat.POS_IDX_COL
+        ),
+    )
+    cat.rewrite_deletes_to_dv(spark, "ns", "orders")
+    return cat.read(spark, "ns", "orders")
+
+
+@register(
     "snap_partitions_meta",
     oracle="""
     SELECT o_orderpriority,
@@ -768,6 +858,56 @@ def snap_partitions_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.append("ns", "orders", o.filter(F.col("o_orderkey") >= 800))
     return cat.partitions(
         spark, "ns", "orders", stat_cols=("o_orderkey",)
+    )
+
+
+@register(
+    "snap_entries_meta",
+    oracle="""
+    SELECT CAST(0 AS INT) AS ordinal, CAST(3 AS BIGINT) AS n_files,
+           (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+               AS n_rows
+    UNION ALL
+    SELECT CAST(1 AS INT), CAST(2 AS BIGINT),
+           (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 1)
+    """,
+    tags=("parity", "snapshot", "meta"),
+)
+def snap_entries_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-data-FILE metadata table (Iceberg ``t.entries`` / pyiceberg
+    ``inspect.entries`` analogue — the last metadata view in the
+    inventory after snapshots/history/refs/files/partitions): one row
+    per parquet file with commit ordinal, row count, row-group count
+    and byte size, answered from file FOOTERS only — no data pages, no
+    Spark job. The scenario pins the whole contract the cheap way: two
+    commits written at known parallelism (3-file replace + 2-file
+    append) roll up to per-commit (n_files, n_rows) that a full-scan
+    oracle must reproduce — footer row counts are trusted exactly like
+    manifest counts (`snap_files_meta`) and footer-stat pushdown
+    (`snap_partitions_meta`). File-level lanes (per-file rows,
+    row-group counts, sizes) are unit-pinned in
+    tests/test_snaptable.py. At 100 TB this is the view a compaction
+    decision reads: small-file skew INSIDE a commit, which ``files``
+    (per-dir) cannot see."""
+    from component_iceberg_spark.plans.queries_mutation import _warehouse
+
+    cat = _warehouse(sf_dir, "entries_meta")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace(
+        "ns", "orders", o.filter(F.col("o_orderkey") % 2 == 0).repartition(3)
+    )
+    cat.append(
+        "ns", "orders", o.filter(F.col("o_orderkey") % 2 == 1).repartition(2)
+    )
+    return (
+        cat.entries(spark, "ns", "orders")
+        .groupBy("ordinal")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").alias("n_rows"),
+        )
     )
 
 

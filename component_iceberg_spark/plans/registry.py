@@ -102,6 +102,9 @@ _GATE_PRIORITY = (
     #     streaming drills via the shared _stage helper).
     "snap_add_files",
     "ext_funnel_negation",
+    "snap_delete_dv",
+    "snap_rewrite_to_dv",
+    "snap_entries_meta",
     "snap_cluster_rewrite",
     "snap_zorder_rewrite",
     "snap_bloom_pruned_scan",

@@ -227,3 +227,57 @@ def test_frequent_best_shuffle_is_state_sized(
     )
     src2 = source_bytes(doubled_lineitem_dir, ("lineitem", "orders"))
     assert m2.shuffle_write_bytes < 0.10 * src2, (m2.as_dict(), src2)
+
+
+def test_dv_read_shuffle_free_vs_positional(spark, sf_dir):
+    """The DV format's 100 TB claim, in bytes: applying a DENSE delete
+    (a third of the table) at read time. The positional-file format
+    anti-joins a row-count-sized build side — under the no-auto-
+    broadcast regime (what a 100 TB build side forces) that plan
+    hash-exchanges the whole scan. The DV relation is FILE-count-sized
+    and explicitly broadcast, so the DV read shuffles ~NOTHING at any
+    delete density. Same table, same doomed rows, two formats."""
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.io.snaptable import SnapCatalog
+
+    wh_root = "/tmp/cis_scratch/vol_pin_dv"
+    shutil.rmtree(wh_root, ignore_errors=True)
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    reads = {}
+    for fmt in ("positional", "dv"):
+        cat = SnapCatalog(os.path.join(wh_root, fmt))
+        cat.create_or_replace("ns", "t", o)
+        addressed = cat.read_with_positions(spark, "ns", "t")
+        doomed = addressed.filter(F.col("o_orderkey") % 3 == 0).select(
+            cat.POS_FILE_COL, cat.POS_IDX_COL
+        )
+        if fmt == "dv":
+            cat.delete_positions_dv(spark, "ns", "t", doomed)
+        else:
+            cat.delete_positions(spark, "ns", "t", doomed)
+        reads[fmt] = cat, "ns", "t"
+    want = o.filter("o_orderkey % 3 <> 0").count()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        vols = {}
+        for fmt, (cat, ns, t) in reads.items():
+            df = cat.read(spark, ns, t)
+            assert df.count() == want, fmt
+            vols[fmt] = dataframe_volume(cat.read(spark, ns, t))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    dv, pos = vols["dv"], vols["positional"]
+    # DV: explicit broadcast of the file-count-sized relation — the
+    # read plans no shuffle at all
+    assert dv.shuffle_write_bytes < 64 * 1024, dv.as_dict()
+    # positional under the 100 TB join regime: the anti-join exchanges
+    # the scan + the row-count-sized delete side
+    assert pos.shuffle_write_bytes > 10 * max(dv.shuffle_write_bytes, 1), (
+        pos.as_dict(),
+        dv.as_dict(),
+    )
+    shutil.rmtree(wh_root, ignore_errors=True)

@@ -2483,3 +2483,250 @@ def test_add_files_without_stats_degrades_not_breaks(
     assert ad in cand and ad not in skipped
     got = cat.read(spark, "ns", "t", where="o_orderkey = 1").count()
     assert got == o.filter("o_orderkey = 1").count()
+
+
+def test_dv_delete_cycle(spark, sf_dir, tmp_path):
+    """Deletion-vector delete files (the Iceberg v3 / Delta-DV third
+    delete format): one (file_path, sorted positions array) row per
+    touched data file — file-count-sized at ANY delete density. Same
+    lifecycle contract as the positional cycle: no data rewrite at
+    delete time, reads mask exactly the addressed rows, later appends
+    are physically out of scope, re-addressing over pending deletes is
+    refused, and compaction materializes + clears."""
+    import pytest
+
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "t", o)
+    data_root = os.path.join(wh, "ns", "t", "data")
+    dirs_before = set(os.listdir(data_root))
+
+    addressed = cat.read_with_positions(spark, "ns", "t")
+    # DENSE doom set (a third of the table): the density regime where
+    # the positional-file format stops being economic
+    doomed = addressed.filter("o_orderkey % 3 = 0").select(
+        cat.POS_FILE_COL, cat.POS_IDX_COL
+    )
+    n_doomed = doomed.count()
+    sid = cat.delete_positions_dv(spark, "ns", "t", doomed)
+
+    assert set(os.listdir(data_root)) == dirs_before, "metadata-only"
+    (entry,) = cat._manifest("ns", "t", sid)["deletes"]
+    assert entry["mode"] == "dv"
+    # the DV relation is FILE-count-sized: one row per touched file,
+    # regardless of how many rows are doomed
+    dv_df = spark.read.parquet(
+        os.path.join(wh, "ns", "t", "deletes", entry["dir"])
+    )
+    n_files = doomed.select(cat.POS_FILE_COL).distinct().count()
+    assert dv_df.count() == n_files < n_doomed
+    import pyspark.sql.functions as SF
+    assert (
+        dv_df.select(SF.sum(SF.size("positions")).alias("s")).collect()[0].s
+        == n_doomed
+    )
+
+    want = o.filter("o_orderkey % 3 <> 0").count()
+    assert cat.read(spark, "ns", "t").count() == want
+    assert cat.POS_FILE_COL not in cat.read(spark, "ns", "t").columns
+    assert cat.read(spark, "ns", "t", snapshot_id=1).count() == o.count()
+
+    # later append of deleted keys: DV addresses name files — unmasked
+    reborn = o.filter("o_orderkey % 3 = 0").limit(5)
+    cat.append("ns", "t", reborn)
+    assert cat.read(spark, "ns", "t").count() == want + 5
+
+    with pytest.raises(ValueError, match="pending"):
+        cat.read_with_positions(spark, "ns", "t")
+
+    sid = cat.compact(spark, "ns", "t")
+    m = cat._manifest("ns", "t", sid)
+    assert m["deletes"] == []
+    assert cat.read(spark, "ns", "t").count() == want + 5
+    assert cat.row_count("ns", "t") == want + 5
+
+
+def test_rewrite_deletes_to_dv_mixed_formats(spark, sf_dir, tmp_path):
+    """rewrite_deletes_to_dv folds positional files AND existing DVs
+    into ONE deletion vector: reads identical through the fold, the
+    equality entry rides along unchanged, a second call is a no-op, and
+    the merged DV carries exactly the live addresses."""
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "t", o.filter("o_orderkey < 800"))
+    cat.append("ns", "t", o.filter("o_orderkey >= 800"))
+    addressed = cat.read_with_positions(spark, "ns", "t")
+    addr = addressed.select(
+        "o_orderkey", cat.POS_FILE_COL, cat.POS_IDX_COL
+    ).collect()
+    import pandas as pd
+
+    def pos_df(pred):
+        rows = [
+            (r[cat.POS_FILE_COL], r[cat.POS_IDX_COL])
+            for r in addr if pred(r["o_orderkey"])
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=[cat.POS_FILE_COL, cat.POS_IDX_COL])
+        )
+
+    cat.delete_positions(spark, "ns", "t", pos_df(lambda k: k < 50))
+    cat.delete_positions_dv(
+        spark, "ns", "t", pos_df(lambda k: 50 <= k < 100)
+    )
+    cat.delete_positions(
+        spark, "ns", "t", pos_df(lambda k: 1000 <= k < 1100)
+    )
+    cat.delete_keys(
+        spark, "ns", "t",
+        o.filter("o_orderkey = 777").select("o_orderkey"), ["o_orderkey"],
+    )
+    before = sorted(tuple(r) for r in cat.read(spark, "ns", "t").collect())
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    assert len(
+        [e for e in m["deletes"] if e.get("mode") in ("positional", "dv")]
+    ) == 3
+
+    sid = cat.rewrite_deletes_to_dv(spark, "ns", "t")
+    m = cat._manifest("ns", "t", sid)
+    dv_entries = [e for e in m["deletes"] if e.get("mode") == "dv"]
+    assert len(dv_entries) == 1, "one DV for all path-scoped entries"
+    assert not any(e.get("mode") == "positional" for e in m["deletes"])
+    assert len([e for e in m["deletes"] if "key_cols" in e]) == 1
+    after = sorted(tuple(r) for r in cat.read(spark, "ns", "t").collect())
+    assert after == before
+    # a lone DV is already the target shape: no-op
+    assert cat.rewrite_deletes_to_dv(spark, "ns", "t") == sid
+    # merged DV masks exactly the live doomed addresses
+    import pyspark.sql.functions as SF
+    merged = spark.read.parquet(
+        os.path.join(wh, "ns", "t", "deletes", dv_entries[0]["dir"])
+    )
+    n_live = len(
+        [r for r in addr
+         if r["o_orderkey"] < 100 or 1000 <= r["o_orderkey"] < 1100]
+    )
+    assert (
+        merged.select(SF.sum(SF.size("positions")).alias("s")).collect()[0].s
+        == n_live
+    )
+
+
+def test_rewrite_deletes_to_dv_drops_dead_addresses(
+    spark, sf_dir, tmp_path
+):
+    """Addresses into a CoW-rewritten dir are dead and must not survive
+    into the folded DV (mirror of the positional dead-address pin)."""
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "t", o.filter("o_orderkey < 1000"))
+    cat.append("ns", "t", o.filter("o_orderkey >= 1000"))
+    addressed = cat.read_with_positions(spark, "ns", "t")
+    import pandas as pd
+
+    addr = addressed.select(
+        "o_orderkey", cat.POS_FILE_COL, cat.POS_IDX_COL
+    ).collect()
+
+    def pos_df(keys):
+        rows = [
+            (r[cat.POS_FILE_COL], r[cat.POS_IDX_COL])
+            for r in addr if r["o_orderkey"] in keys
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=[cat.POS_FILE_COL, cat.POS_IDX_COL])
+        )
+
+    cat.delete_positions_dv(
+        spark, "ns", "t", pos_df(set(range(0, 50)) | set(range(1000, 1050)))
+    )
+    cat.delete_positions(spark, "ns", "t", pos_df(set(range(50, 80))))
+    cat.delete_where(spark, "ns", "t", "o_orderkey >= 1200")
+    before = sorted(tuple(r) for r in cat.read(spark, "ns", "t").collect())
+
+    sid = cat.rewrite_deletes_to_dv(spark, "ns", "t")
+    m = cat._manifest("ns", "t", sid)
+    (entry,) = [e for e in m["deletes"] if e.get("mode") == "dv"]
+    import pyspark.sql.functions as SF
+    merged = spark.read.parquet(
+        os.path.join(wh, "ns", "t", "deletes", entry["dir"])
+    )
+    live_keys = {r["o_orderkey"] for r in addr if r["o_orderkey"] < 80}
+    assert (
+        merged.select(SF.sum(SF.size("positions")).alias("s")).collect()[0].s
+        == len(live_keys)
+    ), "dead second-dir addresses dropped"
+    after = sorted(tuple(r) for r in cat.read(spark, "ns", "t").collect())
+    assert after == before
+
+
+def test_compact_manifests_never_folds_dv_dirs(spark, sf_dir, tmp_path):
+    """Dirs covered by a DV entry are path-scoped exactly like
+    positional ones: compact_manifests must carry them as-is (folding
+    hard-links files under new basenames, orphaning the stored
+    addresses) while still folding uncovered dirs."""
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "t", o.filter("o_orderkey < 500"))
+    cat.append("ns", "t", o.filter("o_orderkey >= 500 AND o_orderkey < 1000"))
+    addressed = cat.read_with_positions(spark, "ns", "t")
+    doomed = addressed.filter("o_orderkey < 50").select(
+        cat.POS_FILE_COL, cat.POS_IDX_COL
+    )
+    cat.delete_positions_dv(spark, "ns", "t", doomed)
+    covered = set(
+        cat._manifest("ns", "t", cat._current_sid("ns", "t"))["deletes"][0][
+            "applies_to"
+        ]
+    )
+    # two more commits that CAN fold
+    cat.append("ns", "t", o.filter("o_orderkey >= 1000 AND o_orderkey < 1500"))
+    cat.append("ns", "t", o.filter("o_orderkey >= 1500 AND o_orderkey < 2000"))
+    before = cat.read(spark, "ns", "t").count()
+    sid = cat.compact_manifests("ns", "t")
+    m = cat._manifest("ns", "t", sid)
+    assert covered <= set(m["files"]), "DV-covered dirs carried as-is"
+    assert len(m["files"]) < 4, "uncovered dirs folded"
+    assert cat.read(spark, "ns", "t").count() == before
+
+
+def test_entries_metadata_table(spark, sf_dir, tmp_path):
+    """entries() (Iceberg t.entries analogue): one row per parquet file
+    with footer-derived row counts that sum to the manifest's dir
+    counts, stable file ordinals, positive sizes/row-groups, and
+    time-travel to any snapshot's file set — all without a data scan."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "t", o.filter("o_orderkey < 700").repartition(3))
+    cat.append("ns", "t", o.filter("o_orderkey >= 700").repartition(2))
+    e = cat.entries(spark, "ns", "t").collect()
+    by_dir: dict = {}
+    for r in e:
+        by_dir.setdefault(r.ordinal, []).append(r)
+    assert len(by_dir[0]) == 3 and len(by_dir[1]) == 2
+    # footer rows sum to the manifest's per-dir counts
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    for ordv, rows in by_dir.items():
+        d = m["files"][ordv]
+        assert sum(r.n_rows for r in rows) == m["dir_rows"][d]
+    assert all(r.size_bytes > 0 and r.n_row_groups >= 1 for r in e)
+    # file ordinals are 0..k-1 within each dir
+    for rows in by_dir.values():
+        assert sorted(r.file_ordinal for r in rows) == list(range(len(rows)))
+    # time travel: snapshot 1 shows only the first commit's files
+    e1 = cat.entries(spark, "ns", "t", snapshot_id=1).collect()
+    assert {r.ordinal for r in e1} == {0} and len(e1) == 3

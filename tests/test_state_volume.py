@@ -145,3 +145,76 @@ def test_stream_dedup_state_is_key_space_bounded(spark, sf_dir):
     )
     # and the emitted set is the key space exactly, both times
     assert df2.count() == keys and df4.count() == keys
+
+
+def test_session_window_state_is_session_space_bounded(spark, sf_dir):
+    """Session-window aggregate: final state holds one row per merged
+    (user, session) — doubling the events with identical (user, ts)
+    space leaves the session set, and therefore peak state rows,
+    exactly flat while input rows double."""
+    from pyspark.sql import functions as F
+
+    def run(name: str, offset_ids: bool):
+        d = _stage(
+            spark, sf_dir, name,
+            copies=1 if not offset_ids else 1, offset_ids=offset_ids,
+        )
+        ev = SE.read_events_stream(spark, d)
+        agg = (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        df, prog = SE.stream_to_memory_progress(agg, spark, "complete")
+        return df, state_volume_from_progress(prog)
+
+    df1, sv1 = run("sess_base", offset_ids=False)
+    n_sessions = df1.count()
+    assert sv1.peak_rows == n_sessions, (sv1.as_dict(), n_sessions)
+
+    df2, sv2 = run("sess_dbl", offset_ids=True)
+    assert sv2.input_rows == 2 * sv1.input_rows, (
+        sv1.as_dict(), sv2.as_dict(),
+    )
+    assert sv2.peak_rows == sv1.peak_rows, (sv1.as_dict(), sv2.as_dict())
+    # the doubled copies land in the SAME sessions (counts double)
+    n1 = df1.agg(F.sum("n_events")).collect()[0][0]
+    n2 = df2.agg(F.sum("n_events")).collect()[0][0]
+    assert n2 == 2 * n1
+
+
+def test_custom_stateful_totals_state_is_user_space_bounded(spark, sf_dir):
+    """applyInPandasWithState per-user running totals: the custom state
+    store holds ONE tuple per user — doubling the events (same user
+    space) doubles input rows and leaves peak state rows exactly
+    |distinct user_id|."""
+    from pyspark.sql import functions as F
+
+    users = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+
+    def run(name: str, offset_ids: bool):
+        d = _stage(spark, sf_dir, name, offset_ids=offset_ids)
+        ev = SE.read_events_stream(spark, d)
+        df, prog = SE.stream_to_memory_progress(
+            SE.running_user_totals(ev), spark, "append"
+        )
+        return df, state_volume_from_progress(prog)
+
+    df1, sv1 = run("totals_base", offset_ids=False)
+    df2, sv2 = run("totals_dbl", offset_ids=True)
+    assert sv1.peak_rows == users, (sv1.as_dict(), users)
+    assert sv2.peak_rows == users, (sv2.as_dict(), users)
+    assert sv2.input_rows == 2 * sv1.input_rows, (
+        sv1.as_dict(), sv2.as_dict(),
+    )
+    # the state VALUES saw both copies: per-user counts double
+    n1 = df1.agg(F.sum("n_events")).collect()[0][0]
+    n2 = df2.agg(F.sum("n_events")).collect()[0][0]
+    assert n2 == 2 * n1
