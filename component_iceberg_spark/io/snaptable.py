@@ -1301,6 +1301,85 @@ class SnapCatalog:
         os.replace(cur_tmp, self._tbl(namespace, table, "_current"))
         return sid
 
+    def cherry_pick(
+        self, namespace: str, table: str, snapshot_id: int
+    ) -> int:
+        """Iceberg ``cherrypick_snapshot``: re-apply the DELTA an append
+        snapshot introduced (its data dirs minus its parent's) onto the
+        CURRENT state as a new metadata-only commit. The canonical use
+        is rollback recovery: an append gets rolled back, the table
+        advances with other work, and the orphaned snapshot's rows are
+        recovered WITHOUT re-reading or re-writing its bytes — the dirs
+        are re-referenced, stats/blooms carried from the source
+        manifest.
+
+        Only append snapshots cherry-pick: a replace/delete/compact
+        delta is defined relative to its parent's whole state and
+        re-applying it elsewhere silently loses or resurrects rows
+        (Iceberg restricts cherry-pick the same way). Refused when the
+        delta is already referenced by the current snapshot (double
+        apply would double rows), when the source schema differs from
+        the current logical schema (the delta's physical names must
+        mean the same thing today), and when the delta's dirs were
+        garbage-collected."""
+        src = self._manifest(namespace, table, snapshot_id)
+        if src.get("operation") != "append":
+            raise ValueError(
+                f"cherry_pick: snapshot {snapshot_id} is "
+                f"{src.get('operation')!r}; only append snapshots have a "
+                "well-defined re-applicable delta"
+            )
+        if src.get("parent_id") is not None:
+            parent_files = set(
+                self._manifest(namespace, table, src["parent_id"])["files"]
+            )
+        else:
+            parent_files = set()
+        delta = [d for d in src["files"] if d not in parent_files]
+        if not delta:
+            raise ValueError(
+                f"cherry_pick: snapshot {snapshot_id} added no data dirs"
+            )
+        base = self._current_sid(namespace, table)
+        cur = self._manifest(namespace, table, base)
+        present = [d for d in delta if d in set(cur["files"])]
+        if present:
+            raise ValueError(
+                f"cherry_pick: delta dirs already referenced by the "
+                f"current snapshot: {present}"
+            )
+        src_fields = [
+            (f["name"], f["type"])
+            for f in (src.get("schema") or {}).get("fields", [])
+        ]
+        cur_fields = [
+            (f["name"], f["type"])
+            for f in (cur.get("schema") or {}).get("fields", [])
+        ]
+        if src_fields != cur_fields:
+            raise ValueError(
+                "cherry_pick: source snapshot schema differs from the "
+                "current schema; evolve/compact first"
+            )
+        for d in delta:
+            if not os.path.isdir(self._tbl(namespace, table, "data", d)):
+                raise ValueError(
+                    f"cherry_pick: delta dir {d} was garbage-collected"
+                )
+        src_stats = src.get("dir_stats") or {}
+        src_rows = src.get("dir_rows") or {}
+        src_blooms = src.get("dir_blooms") or {}
+        return self._commit(
+            namespace, table, None, operation="cherry_pick",
+            carry=False, base_sid=base, inherit_spec=True,
+            carry_dirs=cur["files"] + delta,
+            extra_dir_stats={d: src_stats[d] for d in delta if d in src_stats},
+            extra_dir_rows={d: src_rows[d] for d in delta if d in src_rows},
+            extra_dir_blooms={
+                d: src_blooms[d] for d in delta if d in src_blooms
+            },
+        )
+
     def delete_where(
         self, spark: SparkSession, namespace: str, table: str, predicate: str
     ) -> int:

@@ -1518,3 +1518,35 @@ def snap_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.add_files(spark, "ns", "orders", ext)
     cat.append("ns", "orders", o.filter(F.col("o_orderkey") % 3 == 2))
     return cat.read(spark, "ns", "orders")
+
+
+@register(
+    "snap_cherry_pick",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``cherrypick_snapshot`` — rollback recovery: an append is
+    rolled back, the table advances with other work, then the orphaned
+    snapshot's delta is re-applied as a METADATA-ONLY commit (its data
+    dirs re-referenced with their manifest stats — zero bytes read or
+    written; at 100 TB recovering a rolled-back batch costs one
+    manifest write, not a re-ingest). The final read must equal base ∪
+    other-work ∪ recovered delta. Refusal modes (non-append source,
+    already-present delta, schema drift, GC'd dirs) and the
+    metadata-only/stat-carry contracts are unit-pinned in
+    tests/test_snaptable.py."""
+    cat = _warehouse(sf_dir, "cherry")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "orders", o.filter(F.col("o_orderkey") % 3 == 1))
+    staged_sid = cat.append(
+        "ns", "orders", o.filter(F.col("o_orderkey") % 3 == 0)
+    )                                                               # sid 2
+    cat.rollback_to("ns", "orders", 1)                              # sid 3
+    cat.append("ns", "orders", o.filter(F.col("o_orderkey") % 3 == 2))
+    cat.cherry_pick("ns", "orders", staged_sid)                     # sid 5
+    return cat.read(spark, "ns", "orders")

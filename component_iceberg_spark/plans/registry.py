@@ -105,6 +105,7 @@ _GATE_PRIORITY = (
     "snap_delete_dv",
     "snap_rewrite_to_dv",
     "snap_entries_meta",
+    "snap_cherry_pick",
     "snap_cluster_rewrite",
     "snap_zorder_rewrite",
     "snap_bloom_pruned_scan",

@@ -2730,3 +2730,53 @@ def test_entries_metadata_table(spark, sf_dir, tmp_path):
     # time travel: snapshot 1 shows only the first commit's files
     e1 = cat.entries(spark, "ns", "t", snapshot_id=1).collect()
     assert {r.ordinal for r in e1} == {0} and len(e1) == 3
+
+
+def test_cherry_pick_contract(spark, sf_dir, tmp_path):
+    """cherry_pick re-applies a rolled-back append's delta onto the
+    current state: metadata-only (the delta dir is re-referenced, no
+    new data dir), stats/blooms carried from the source manifest, and
+    every refusal mode fires (non-append source, delta already present,
+    schema drift, GC'd delta)."""
+    import pytest
+
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace(
+        "ns", "t", o.filter("o_orderkey % 3 = 1"), bloom_cols=["o_orderkey"]
+    )                                                               # sid 1
+    staged = cat.append("ns", "t", o.filter("o_orderkey % 3 = 0"))  # sid 2
+    cat.rollback_to("ns", "t", 1)                                   # sid 3
+    cat.append("ns", "t", o.filter("o_orderkey % 3 = 2"))           # sid 4
+    data_root = os.path.join(wh, "ns", "t", "data")
+    dirs_before = set(os.listdir(data_root))
+    sid = cat.cherry_pick("ns", "t", staged)                        # sid 5
+    # metadata-only: no new data dir on disk
+    assert set(os.listdir(data_root)) == dirs_before
+    assert cat.read(spark, "ns", "t").count() == o.count()
+    m = cat._manifest("ns", "t", sid)
+    src = cat._manifest("ns", "t", staged)
+    delta = [d for d in src["files"] if d not in
+             set(cat._manifest("ns", "t", 1)["files"])]
+    (dd,) = delta
+    # stats, rows and blooms carried from the source manifest
+    assert m["dir_stats"].get(dd) == src["dir_stats"].get(dd)
+    assert m["dir_rows"].get(dd) == src["dir_rows"].get(dd)
+    assert m["dir_blooms"].get(dd) == src["dir_blooms"].get(dd)
+    assert cat.row_count("ns", "t") == o.count()
+    # refusals
+    with pytest.raises(ValueError, match="already referenced"):
+        cat.cherry_pick("ns", "t", staged)
+    with pytest.raises(ValueError, match="only append"):
+        cat.cherry_pick("ns", "t", 1)  # replace snapshot
+    # schema drift: a renamed column on current refuses the old delta
+    cat2 = SnapCatalog(str(tmp_path / "wh2"))
+    cat2.create_or_replace("ns", "t", o.filter("o_orderkey % 3 = 1"))
+    s2 = cat2.append("ns", "t", o.filter("o_orderkey % 3 = 0"))
+    cat2.rollback_to("ns", "t", 1)
+    cat2.rename_column("ns", "t", "o_totalprice", "price")
+    with pytest.raises(ValueError, match="schema differs"):
+        cat2.cherry_pick("ns", "t", s2)
