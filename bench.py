@@ -678,6 +678,7 @@ def main() -> None:
         "snap_rewrite_to_dv",
         "snap_entries_meta",
         "snap_cherry_pick",
+        "dedup_semantic_ivf",
     )
     # best-of-3 (was 2 through r11): measured on the PQ family, rep 1
     # pays Arrow/BLAS worker warm-up (10.9 s) and rep 2 is still not

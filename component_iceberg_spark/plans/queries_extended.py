@@ -1456,6 +1456,110 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_K = 16
+
+
+def _semantic_ivf_oracle() -> str:
+    from component_iceberg_spark.plans.queries_similarity import _D, _cos
+
+    cos_ac = _cos("a.v", "a.nrm", "c.cv", "c.cnrm")
+    cos_ab = _cos("a.v", "a.nrm", "b.v", "b.nrm")
+    return f"""
+WITH RECURSIVE {_D},
+cent AS (
+    SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+    FROM n ORDER BY vec_id LIMIT {_IVF_K}
+),
+assign AS (
+    SELECT vec_id, cent_id AS bucket FROM (
+        SELECT a.vec_id, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY a.vec_id ORDER BY {cos_ac} DESC, c.cent_id
+               ) AS rn
+        FROM n a CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+pairs AS (
+    SELECT a.vec_id AS pa, b.vec_id AS pb
+    FROM n a
+    JOIN assign aa ON a.vec_id = aa.vec_id
+    JOIN assign ab ON aa.bucket = ab.bucket AND a.vec_id < ab.vec_id
+    JOIN n b ON b.vec_id = ab.vec_id
+    WHERE {cos_ab} >= {SEM_THRESHOLD}
+),
+e2 AS (SELECT pa AS src, pb AS dst FROM pairs UNION SELECT pb, pa FROM pairs),
+reach(node, r) AS (
+    SELECT src, src FROM e2
+    UNION
+    SELECT reach.node, e2.dst FROM reach JOIN e2 ON e2.src = reach.r
+),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT emb.vec_id,
+       coalesce(cc.cluster_id, emb.vec_id) AS cluster_id,
+       coalesce(cc.cluster_id, emb.vec_id) = emb.vec_id AS keep
+FROM embeddings emb LEFT JOIN cc ON emb.vec_id = cc.node
+"""
+
+
+@register(
+    "dedup_semantic_ivf",
+    oracle=_semantic_ivf_oracle(),
+    tags=("ext", "dedup", "similarity"),
+)
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over a FIXED-size quantizer — the CONTROL ARM of
+    the r12 sfN forensic (DESIGN_NOTES): ``dedup_semantic`` derives one
+    centroid per label, so its centroid set grows with the corpus and
+    argmax selection over more candidates concentrates buckets,
+    fattening the conditional cosine tail — threshold pairs grow
+    super-linearly by that SELECTION-BIAS mechanism alone. Here the
+    codebook is a constant {_IVF_K} centroids (the {_IVF_K} smallest
+    vec_ids — deterministic and SQL-replayable), so selection strength
+    is scale-independent and within-bucket pair DENSITY stays constant
+    as the corpus grows — the contrast that pins the mechanism. The
+    scale ledger is stated plainly: fixed K makes per-bucket occupancy
+    ∝ n/K and gram-stage work ∝ n²/K, so a 100 TB deployment must grow
+    K with the corpus (bucket-size-constant) and take centroid QUALITY
+    (k-means fit, not argmax over weak random-ish candidates) as the
+    lever that keeps selection bias from re-fattening the tail —
+    exactly the trade the two variants bracket. Same
+    pair/connected-components/keep semantics as ``dedup_semantic``;
+    identical quantizer replayed in the recursive-CTE oracle."""
+    from component_iceberg_spark.operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        e.orderBy("vec_id")
+        .limit(_IVF_K)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_vec"),
+            S.norm(F.col("embedding")).alias("cent_norm"),
+        )
+    )
+    assigned = S.nearest_assign(
+        e.select("vec_id", S.as_double(F.col("embedding")).alias("embedding")),
+        cent,
+        "vec_id",
+        "embedding",
+        "bucket",
+        keep=("embedding",),
+    )
+    pairs = S.bucketed_threshold_pairs(
+        assigned, "bucket", "vec_id", "embedding", SEM_THRESHOLD
+    )
+    cc = D.connected_components(pairs, "pa", "pb")
+    return (
+        e.select("vec_id")
+        .join(cc, F.col("vec_id") == F.col("doc"), "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster_id"), F.col("vec_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("cluster_id") == F.col("vec_id"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding pooling (r4): element-wise mean per group
 # ---------------------------------------------------------------------------

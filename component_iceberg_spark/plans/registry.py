@@ -106,6 +106,7 @@ _GATE_PRIORITY = (
     "snap_rewrite_to_dv",
     "snap_entries_meta",
     "snap_cherry_pick",
+    "dedup_semantic_ivf",
     "snap_cluster_rewrite",
     "snap_zorder_rewrite",
     "snap_bloom_pruned_scan",
