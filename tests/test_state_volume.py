@@ -218,3 +218,117 @@ def test_custom_stateful_totals_state_is_user_space_bounded(spark, sf_dir):
     n1 = df1.agg(F.sum("n_events")).collect()[0][0]
     n2 = df2.agg(F.sum("n_events")).collect()[0][0]
     assert n2 == 2 * n1
+
+
+def test_stream_stream_join_state_is_band_bounded(spark, sf_dir):
+    """Stream-stream interval join (purchases ⋈ views within the
+    preceding hour): watermarks bound the join state to the interval +
+    watermark BAND, not the stream length. Driven as time-ordered
+    micro-batches (maxFilesPerTrigger=1) so the watermark ratchets and
+    old rows evict mid-run; DOUBLING the stream's time span (2× input
+    rows, same per-window density) must leave peak state rows ~flat —
+    an unbounded-state plan would double. Result equality vs the batch
+    interval join is pinned both times."""
+    import glob as _g
+
+    from pyspark.sql import functions as F
+
+    def run(name: str, doubled: bool):
+        base_dir = os.path.join(SCRATCH, name)
+        shutil.rmtree(base_dir, ignore_errors=True)
+        src = os.path.join(base_dir, "src")
+        os.makedirs(src)
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "user_id", "event_type",
+        )
+        if doubled:
+            lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+            shift = (hi - lo) + __import__("datetime").timedelta(hours=2)
+            ev = ev.unionByName(
+                ev.select(
+                    (F.col("event_id") + 10**9).alias("event_id"),
+                    (F.col("ts") + F.lit(shift)).alias("ts"),
+                    "user_id", "event_type",
+                )
+            )
+        n_files = 8 if doubled else 4
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+        span = (hi - lo) / n_files
+        for i in range(n_files):
+            a = lo + span * i
+            cond = (F.col("ts") >= F.lit(a)) if i else F.lit(True)
+            if i < n_files - 1:
+                cond = cond & (F.col("ts") < F.lit(lo + span * (i + 1)))
+            part_dir = os.path.join(base_dir, f"_t_{i}")
+            ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+                part_dir
+            )
+            (part,) = _g.glob(os.path.join(part_dir, "part-*.parquet"))
+            dst = os.path.join(src, f"b{i:02d}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(part_dir)
+            t = 1_600_000_000 + i
+            os.utime(dst, (t, t))
+        schema = spark.read.parquet(src).schema
+        st = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        p = (
+            st.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"), "user_id",
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "10 minutes")
+        )
+        v = (
+            st.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "10 minutes")
+        )
+        joined = p.join(
+            v,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("view_ts") <= F.col("purchase_ts")),
+        ).select("purchase_id", "view_id")
+        df, prog = SE.stream_to_memory_progress(joined, spark, "append")
+        # result equality vs the batch interval join
+        bp = ev.filter("event_type = 'purchase'").select(
+            F.col("event_id").alias("purchase_id"), "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        bv = ev.filter("event_type = 'view'").select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        batch = bp.join(
+            bv,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("view_ts") <= F.col("purchase_ts")),
+        ).select("purchase_id", "view_id")
+        got = sorted(tuple(r) for r in df.collect())
+        want = sorted(tuple(r) for r in batch.collect())
+        assert got == want, (len(got), len(want))
+        return state_volume_from_progress(prog)
+
+    sv1 = run("ssj_base", doubled=False)
+    sv2 = run("ssj_dbl", doubled=True)
+    # eviction works at all: peak state is a strict subset of the input
+    assert 0 < sv1.peak_rows < sv1.input_rows, sv1.as_dict()
+    # saturation: 2x the stream length, ~flat peak state (band-bounded)
+    assert sv2.input_rows == 2 * sv1.input_rows, (
+        sv1.as_dict(), sv2.as_dict(),
+    )
+    assert sv2.peak_rows <= 1.3 * sv1.peak_rows + 64, (
+        sv1.as_dict(), sv2.as_dict(),
+    )
