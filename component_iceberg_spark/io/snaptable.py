@@ -1405,6 +1405,43 @@ class SnapCatalog:
             base_sid=base, inherit_spec=True, carry_dirs=untouched,
         )
 
+    def delete_where_mor(
+        self, spark: SparkSession, namespace: str, table: str, predicate: str
+    ) -> int:
+        """Row-level DELETE, merge-on-read as a DELETION VECTOR — the
+        MoR twin of :meth:`delete_where` (Iceberg ``DELETE FROM`` with
+        ``write.delete.mode=merge-on-read`` on a v3/DV table): doomed
+        rows' physical addresses are computed from a positional scan of
+        only the PREDICATE-CANDIDATE dirs (stats/bloom pruning — dirs
+        that cannot match contribute nothing and are never scanned) and
+        committed as one DV entry. No data file is rewritten; the read
+        applies the DV as a broadcast membership probe. This is the
+        DELETE shape for a small-to-moderate doomed fraction of a huge
+        table: delete cost is one pruned scan + a file-count-sized
+        metadata write, with the rewrite deferred to compaction.
+        Refused while other deletes are pending (positional addressing
+        over masked rows is ambiguous — same contract as
+        ``read_with_positions``)."""
+        base = self._current_sid(namespace, table)
+        manifest = self._manifest(namespace, table, base)
+        if self._pending_deletes(manifest, manifest["files"]):
+            raise ValueError(
+                f"{namespace}.{table}: delete_where_mor with pending "
+                "merge-on-read deletes is ambiguous — compact() first"
+            )
+        candidates, _untouched = self._prune_dirs(manifest, predicate)
+        if not candidates:
+            return base  # no dir can match: nothing to delete
+        scan = self._read_dirs(
+            spark, namespace, table, candidates,
+            bool(manifest.get("partition_by")), with_positions=True,
+            read_schema=self._scan_schema(manifest),
+        )
+        doomed = self._resolve_schema(scan, manifest).filter(
+            predicate
+        ).select(self.POS_FILE_COL, self.POS_IDX_COL)
+        return self.delete_positions_dv(spark, namespace, table, doomed)
+
     def update_where(
         self,
         spark: SparkSession,

@@ -2780,3 +2780,41 @@ def test_cherry_pick_contract(spark, sf_dir, tmp_path):
     cat2.rename_column("ns", "t", "o_totalprice", "price")
     with pytest.raises(ValueError, match="schema differs"):
         cat2.cherry_pick("ns", "t", s2)
+
+
+def test_delete_where_mor_dv(spark, sf_dir, tmp_path):
+    """delete_where_mor: predicate DELETE as a deletion vector — no
+    data rewrite, stats-pruned addressing scan, read masks exactly the
+    matching rows, later appends unmasked, pending-delete refusal, and
+    compact() materializes. Completes the delete matrix: CoW predicate
+    / MoR equality / MoR positional / MoR DV / MoR predicate-DV."""
+    import pytest
+
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "t", o.filter("o_orderkey < 800"))
+    cat.append("ns", "t", o.filter("o_orderkey >= 800"))
+    data_root = os.path.join(wh, "ns", "t", "data")
+    dirs_before = set(os.listdir(data_root))
+    # a predicate whose stats exclude every dir is a metadata-only no-op
+    base_sid = cat._current_sid("ns", "t")
+    assert cat.delete_where_mor(spark, "ns", "t", "o_orderkey < 0") == base_sid
+    sid = cat.delete_where_mor(spark, "ns", "t", "o_orderkey % 4 = 0")
+    assert set(os.listdir(data_root)) == dirs_before, "no rewrite"
+    (entry,) = cat._manifest("ns", "t", sid)["deletes"]
+    assert entry["mode"] == "dv"
+    want = o.filter("o_orderkey % 4 <> 0").count()
+    assert cat.read(spark, "ns", "t").count() == want
+    # pending-delete refusal on a REAL predicate
+    with pytest.raises(ValueError, match="pending"):
+        cat.delete_where_mor(spark, "ns", "t", "o_orderkey % 5 = 0")
+    # later append of deleted keys is unmasked; compact materializes
+    cat.append("ns", "t", o.filter("o_orderkey % 4 = 0").limit(3))
+    assert cat.read(spark, "ns", "t").count() == want + 3
+    cat.compact(spark, "ns", "t")
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    assert m["deletes"] == []
+    assert cat.read(spark, "ns", "t").count() == want + 3
