@@ -1323,11 +1323,14 @@ class SnapCatalog:
         mean the same thing today), and when the delta's dirs were
         garbage-collected."""
         src = self._manifest(namespace, table, snapshot_id)
-        if src.get("operation") != "append":
+        # add_files commits are purely additive like appends (their delta
+        # is the adopted dirs), so a rolled-back adoption is recoverable
+        if src.get("operation") not in ("append", "add_files"):
             raise ValueError(
                 f"cherry_pick: snapshot {snapshot_id} is "
-                f"{src.get('operation')!r}; only append snapshots have a "
-                "well-defined re-applicable delta"
+                f"{src.get('operation')!r}; only additive snapshots "
+                "(append / add_files) have a well-defined re-applicable "
+                "delta"
             )
         if src.get("parent_id") is not None:
             parent_files = set(

@@ -2770,7 +2770,7 @@ def test_cherry_pick_contract(spark, sf_dir, tmp_path):
     # refusals
     with pytest.raises(ValueError, match="already referenced"):
         cat.cherry_pick("ns", "t", staged)
-    with pytest.raises(ValueError, match="only append"):
+    with pytest.raises(ValueError, match="only additive"):
         cat.cherry_pick("ns", "t", 1)  # replace snapshot
     # schema drift: a renamed column on current refuses the old delta
     cat2 = SnapCatalog(str(tmp_path / "wh2"))
@@ -2818,3 +2818,21 @@ def test_delete_where_mor_dv(spark, sf_dir, tmp_path):
     m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
     assert m["deletes"] == []
     assert cat.read(spark, "ns", "t").count() == want + 3
+
+
+def test_cherry_pick_recovers_rolled_back_adoption(spark, sf_dir, tmp_path):
+    """add_files commits are additive like appends: a rolled-back
+    adoption cherry-picks back onto the advanced table, metadata-only,
+    and the read recovers the adopted rows."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ext = str(tmp_path / "ext_src")
+    o.filter("o_orderkey % 3 = 0").write.parquet(ext)
+    cat.create_or_replace("ns", "t", o.filter("o_orderkey % 3 = 1"))
+    adopted = cat.add_files(spark, "ns", "t", ext)               # sid 2
+    cat.rollback_to("ns", "t", 1)                                # sid 3
+    cat.append("ns", "t", o.filter("o_orderkey % 3 = 2"))        # sid 4
+    cat.cherry_pick("ns", "t", adopted)                          # sid 5
+    assert cat.read(spark, "ns", "t").count() == o.count()
