@@ -380,6 +380,20 @@ class SnapCatalog:
     (``ex-iceberg/src/component.py:148-157``), time-travel reads (``:38``).
     """
 
+    # -- deletion-vector apply gate (see _dv_apply_is_dense) -----------------
+    #
+    # The broadcast membership probe (`array_contains`) costs O(rows ×
+    # positions-per-file) comparisons per data file and broadcasts one
+    # long PER DELETED ROW — both fine at sparse density, both scale-
+    # killers at dense density (a 2M-row file with 667k doomed ordinals
+    # is ~10^12 comparisons, and a table-wide dense DV is a row-count-
+    # sized broadcast payload that can OOM the driver). Above any of
+    # these thresholds the read explodes the DV into a (file, pos)
+    # anti-join instead: one hash exchange, linear work, no broadcast.
+    DV_PROBE_MAX_DENSITY = 0.05          # doomed fraction of scoped rows
+    DV_PROBE_MAX_FILE_POSITIONS = 8192   # per-file probe work bound
+    DV_PROBE_MAX_TOTAL_POSITIONS = 2_000_000  # broadcast bytes bound (~16 MB)
+
     def __init__(self, warehouse: str):
         self.warehouse = warehouse
         os.makedirs(warehouse, exist_ok=True)
@@ -1445,6 +1459,63 @@ class SnapCatalog:
         ).select(self.POS_FILE_COL, self.POS_IDX_COL)
         return self.delete_positions_dv(spark, namespace, table, doomed)
 
+    def delete_where_auto(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        table: str,
+        predicate: str,
+        cow_density: float = 0.2,
+    ) -> int:
+        """Row-level DELETE with the physical strategy chosen by MEASURED
+        doom density — the auto-selection layer over the two DELETE
+        shapes (Iceberg exposes the same choice as a static table
+        property, ``write.delete.mode``; here the engine measures and
+        picks per statement, the way Spark's AQE picks join strategies
+        at runtime). One predicate-pushed count over only the
+        stats/bloom-pruned candidate dirs yields the doomed fraction:
+        at or below ``cow_density`` the delete is merge-on-read as a
+        deletion vector (:meth:`delete_where_mor` — metadata-sized
+        commit, rewrite deferred to compaction); above it, copy-on-write
+        (:meth:`delete_where` — deleting most of a dir means the
+        deferred rewrite dominates anyway, and a dense DV would tax
+        every read with an anti-join until compaction). Pending
+        merge-on-read deletes force the CoW path (DV authoring over
+        masked rows is refused; CoW is always legal).
+
+        The decision scan is the cheap kind: the predicate reaches the
+        parquet reader as a pushed filter and COUNT reads no other
+        columns, so at 100 TB this costs one pruned metadata-heavy pass
+        — small next to either delete's own work."""
+        if not 0.0 < cow_density <= 1.0:
+            raise ValueError(f"cow_density must be in (0, 1]: {cow_density}")
+        base = self._current_sid(namespace, table)
+        manifest = self._manifest(namespace, table, base)
+        if self._pending_deletes(manifest, manifest["files"]):
+            return self.delete_where(spark, namespace, table, predicate)
+        candidates, _untouched = self._prune_dirs(manifest, predicate)
+        if not candidates:
+            return base  # no dir can match: nothing to delete
+        scan = self._resolve_schema(
+            self._read_dirs(
+                spark, namespace, table, candidates,
+                bool(manifest.get("partition_by")),
+                read_schema=self._scan_schema(manifest),
+            ),
+            manifest,
+        )
+        doomed_n = scan.filter(predicate).count()
+        if doomed_n == 0:
+            return base
+        dir_rows = manifest.get("dir_rows") or {}
+        if all(d in dir_rows for d in candidates):
+            cand_rows = sum(dir_rows[d] for d in candidates)
+        else:  # stats-free adopted dirs: count once (column-free scan)
+            cand_rows = scan.count()
+        if cand_rows and doomed_n / cand_rows > cow_density:
+            return self.delete_where(spark, namespace, table, predicate)
+        return self.delete_where_mor(spark, namespace, table, predicate)
+
     def update_where(
         self,
         spark: SparkSession,
@@ -1723,10 +1794,17 @@ class SnapCatalog:
         of the r11 format — a delete touching 1M rows of one file costs
         1M delete ROWS and an anti-join whose build side is
         row-count-sized. The DV entry for the same delete is ONE row
-        whose array is run-length-friendly parquet, the delete relation
-        is FILE-count-sized (so it broadcasts at any delete density),
-        and the read-side apply is a per-row membership probe with NO
-        shuffle — see the ``dv`` branch of ``_read_with_deletes``.
+        whose array is run-length-friendly parquet. The relation is
+        file-count-sized in ROWS but positions-sized in BYTES, so the
+        read-side apply is DENSITY-GATED (``_dv_apply_is_dense``): at
+        sparse density it broadcasts and rows probe their file's sorted
+        ordinal array with NO shuffle; at dense density (where the
+        probe's O(rows × positions-per-file) work and the broadcast
+        payload both blow up) the read explodes it back into a
+        (file, pos) anti-join. Writers stamp ``n_positions`` /
+        ``max_file_positions`` on the entry so the gate costs reads
+        nothing. Storage stays DV either way — the gate picks the apply
+        PLAN, not the format.
         Same scoping, folding, and maintenance contracts as positional
         entries: scoped to touched dirs, never folded by
         ``compact_manifests``, materialized + cleared by ``compact``,
@@ -1745,23 +1823,33 @@ class SnapCatalog:
             .coalesce(1)
             .write.parquet(out)
         )
-        touched = {
-            r["d"]
-            for r in spark.read.parquet(out)
+        # one metadata-sized pass over the written (file-count-sized)
+        # relation yields the touched dirs AND the position stats the
+        # read-side density gate consumes without a job of its own
+        stat = (
+            spark.read.parquet(out)
             .select(
                 F.regexp_extract(
                     F.col("file_path"), r"/data/([^/]+)/", 1
-                ).alias("d")
+                ).alias("d"),
+                F.size("positions").alias("n"),
             )
-            .distinct()
-            .collect()
-        }
+            .agg(
+                F.collect_set("d").alias("dirs"),
+                F.sum("n").alias("n"),
+                F.max("n").alias("mx"),
+            )
+            .first()
+        )
+        touched = set(stat["dirs"] or [])
         entry = {
             "dir": del_dir_name,
             "mode": "dv",
             "applies_to": sorted(
                 d for d in manifest["files"] if d in touched
             ),
+            "n_positions": int(stat["n"] or 0),
+            "max_file_positions": int(stat["mx"] or 0),
         }
         if not entry["applies_to"]:
             shutil.rmtree(out, ignore_errors=True)
@@ -1785,8 +1873,10 @@ class SnapCatalog:
         (the DV-era successor of ``compact_position_deletes``: same
         dead-address and scope-union contracts, but the output is the
         one-row-per-file format, so k accreted delete files collapse to
-        a single broadcastable relation and the read side goes from k
-        anti-join passes to one shuffle-free probe).
+        ONE entry and the read side goes from k apply passes to one —
+        a shuffle-free broadcast probe at sparse density, a single
+        anti-join at dense density; the folded entry carries the
+        position stats the gate reads, see ``_dv_apply_is_dense``).
 
         Address-level safety is identical to the positional fold: a
         (file, ordinal) can only mask its exact row, so unioning scopes
@@ -1837,10 +1927,16 @@ class SnapCatalog:
             .coalesce(1)
             .write.parquet(out)
         )
+        # stamp the position stats the read-side density gate consumes
+        # (_dv_apply_is_dense) — the fold must not launder a dense DV
+        # into an unstamped entry that reads then probe blindly
+        n_pos, mx_pos = self._dv_position_stats(spark.read.parquet(out))
         entry = {
             "dir": del_dir_name,
             "mode": "dv",
             "applies_to": live_scope,
+            "n_positions": n_pos,
+            "max_file_positions": mx_pos,
         }
         try:
             return self._commit(
@@ -1860,6 +1956,47 @@ class SnapCatalog:
             e for e in manifest.get("deletes", [])
             if set(e["applies_to"]) & set(dir_names)
         ]
+
+    def _dv_position_stats(self, keys_df: DataFrame) -> tuple[int, int]:
+        """(total positions, max positions per file) of a DV relation —
+        one aggregate over the file-count-sized delete file. Writers
+        stamp these on the entry (``n_positions``/``max_file_positions``)
+        so reads normally never run this; it exists for entries written
+        before the stamp."""
+        row = keys_df.select(
+            F.sum(F.size("positions")).alias("n"),
+            F.max(F.size("positions")).alias("mx"),
+        ).first()
+        return int(row["n"] or 0), int(row["mx"] or 0)
+
+    def _dv_apply_is_dense(
+        self, manifest: dict, entry: dict, keys_df: DataFrame
+    ) -> bool:
+        """Representation choice for the DV read apply: False → the
+        file-count-sized relation broadcasts and rows probe their file's
+        sorted ordinal array (shuffle-free; right at sparse density);
+        True → the DV explodes into a (file, pos) anti-join (one hash
+        exchange; right when the probe's O(rows × positions-per-file)
+        work or the broadcast's total-positions payload would blow up).
+        Dense means ANY of: doomed fraction of the scoped dirs' rows
+        above ``DV_PROBE_MAX_DENSITY``, a single file carrying more than
+        ``DV_PROBE_MAX_FILE_POSITIONS`` ordinals, or total positions
+        above ``DV_PROBE_MAX_TOTAL_POSITIONS``."""
+        n = entry.get("n_positions")
+        mx = entry.get("max_file_positions")
+        if n is None or mx is None:
+            n, mx = self._dv_position_stats(keys_df)
+        if mx > self.DV_PROBE_MAX_FILE_POSITIONS:
+            return True
+        if n > self.DV_PROBE_MAX_TOTAL_POSITIONS:
+            return True
+        dir_rows = manifest.get("dir_rows") or {}
+        scoped = [dir_rows.get(d) for d in entry["applies_to"]]
+        if scoped and all(s is not None for s in scoped):
+            total = sum(scoped)
+            if total and n / total > self.DV_PROBE_MAX_DENSITY:
+                return True
+        return False
 
     def _read_with_deletes(
         self,
@@ -1936,27 +2073,47 @@ class SnapCatalog:
                         )
                     elif e.get("mode") == "dv":
                         # deletion vector: one (file, sorted positions)
-                        # row per touched file — file-count-sized, so it
-                        # BROADCASTS and the apply is a per-row bitmap
-                        # membership probe with no shuffle at all (the
-                        # anti-join form would hash-exchange the scan)
-                        dv = keys_df.select(
-                            F.col("file_path").alias(self.POS_FILE_COL),
-                            F.col("positions").alias("_dv_positions"),
-                        )
-                        part = (
-                            part.join(
-                                F.broadcast(dv), [self.POS_FILE_COL], "left"
+                        # row per touched file. DENSITY-GATED apply
+                        # (_dv_apply_is_dense): sparse → the file-count-
+                        # sized relation broadcasts and rows probe their
+                        # file's ordinal array, no shuffle at all; dense
+                        # → the probe's O(rows × positions-per-file)
+                        # work and the positions-sized broadcast payload
+                        # both blow up, so the DV explodes back into a
+                        # (file, pos) anti-join: one hash exchange,
+                        # linear work, bounded memory.
+                        if self._dv_apply_is_dense(manifest, e, keys_df):
+                            doomed = keys_df.select(
+                                F.col("file_path").alias(self.POS_FILE_COL),
+                                F.explode("positions").alias(
+                                    self.POS_IDX_COL
+                                ),
                             )
-                            .filter(
-                                F.col("_dv_positions").isNull()
-                                | ~F.array_contains(
-                                    F.col("_dv_positions"),
-                                    F.col(self.POS_IDX_COL),
+                            part = part.join(
+                                doomed,
+                                [self.POS_FILE_COL, self.POS_IDX_COL],
+                                "left_anti",
+                            )
+                        else:
+                            dv = keys_df.select(
+                                F.col("file_path").alias(self.POS_FILE_COL),
+                                F.col("positions").alias("_dv_positions"),
+                            )
+                            part = (
+                                part.join(
+                                    F.broadcast(dv),
+                                    [self.POS_FILE_COL],
+                                    "left",
                                 )
+                                .filter(
+                                    F.col("_dv_positions").isNull()
+                                    | ~F.array_contains(
+                                        F.col("_dv_positions"),
+                                        F.col(self.POS_IDX_COL),
+                                    )
+                                )
+                                .drop("_dv_positions")
                             )
-                            .drop("_dv_positions")
-                        )
                     else:
                         part = part.join(keys_df, e["key_cols"], "left_anti")
                 if needs_pos:

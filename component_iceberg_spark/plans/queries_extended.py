@@ -747,15 +747,17 @@ def snap_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional files): the scenario deletes a DENSE third of the table
     — exactly the density where the positional-file format stops being
     economic. The DV entry stores ONE row per touched data file with
-    the sorted array of deleted ordinals, so the delete relation is
-    file-count-sized whatever the row density: it broadcasts, and the
-    read applies it as a per-row membership probe with NO shuffle (the
-    positional anti-join would hash-exchange the whole scan against a
-    row-count-sized build side). A later append of deleted keys must
-    NOT be masked — DV addresses name files, the same physical scoping
-    as positional entries. Maintenance: ``rewrite_deletes_to_dv``
-    (``snap_rewrite_to_dv``); fold/compaction contracts pinned in
-    tests/test_snaptable.py."""
+    the sorted array of deleted ordinals — storage stays one
+    run-length-friendly row per file whatever the density. The read
+    APPLY is density-gated (r13, ``_dv_apply_is_dense``): this dense
+    third exceeds the probe gate, so the read explodes the DV into one
+    (file, pos) anti-join — bounded probe work and no positions-sized
+    broadcast — while a sparse DV applies as the shuffle-free broadcast
+    probe (both branches pinned in tests/test_shuffle_volume.py). A
+    later append of deleted keys must NOT be masked — DV addresses name
+    files, the same physical scoping as positional entries.
+    Maintenance: ``rewrite_deletes_to_dv`` (``snap_rewrite_to_dv``);
+    fold/compaction contracts pinned in tests/test_snaptable.py."""
     from component_iceberg_spark.plans.queries_mutation import _warehouse
 
     cat = _warehouse(sf_dir, "mor_dv")
@@ -790,9 +792,11 @@ def snap_rewrite_to_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dead addresses dropped, scope unioned) without touching data
     files — the DV-era ``rewrite_position_delete_files``. The read
     after the rewrite must equal the read before it; afterwards the
-    read pays one broadcast membership probe where it paid an anti-join
-    pass per entry. This is the upgrade path a table follows when its
-    accreted v2 positional files are rewritten into v3 DVs."""
+    read pays ONE apply pass where it paid one per entry (the folded
+    entry carries position stats, so the density gate picks broadcast
+    probe vs anti-join without a job — this ~31%-doomed fold lands on
+    the anti-join branch). This is the upgrade path a table follows
+    when its accreted v2 positional files are rewritten into v3 DVs."""
     from component_iceberg_spark.plans.queries_mutation import _warehouse
 
     cat = _warehouse(sf_dir, "dv_rewrite")
@@ -818,6 +822,62 @@ def snap_rewrite_to_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cat.rewrite_deletes_to_dv(spark, "ns", "orders")
     return cat.read(spark, "ns", "orders")
+
+
+@register(
+    "snap_delete_auto",
+    oracle="""
+    SELECT 'sparse' AS lane, o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT 'dense', o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey % 3 <> 0
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_delete_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE with the physical strategy chosen by MEASURED doom density
+    (``delete_where_auto``, r13): Iceberg pins merge-on-read vs
+    copy-on-write statically per table (``write.delete.mode``); here
+    the engine measures the doomed fraction with one predicate-pushed
+    count and picks per statement — AQE-style runtime physical
+    selection for mutations. Two lanes over the same source: a ~1%
+    predicate must author a deletion vector (metadata-sized commit,
+    zero data files rewritten — the 100 TB-cheap path), a ~33%
+    predicate must rewrite copy-on-write (a dense DV would tax every
+    read until compaction, and the deferred rewrite dominates anyway).
+    The query itself verifies WHICH representation each lane produced
+    (manifest inspection — a wrong dispatch fails the gate, not just a
+    unit test); row results are oracle-exact either way because the
+    strategy is physical, not semantic."""
+    from component_iceberg_spark.plans.queries_mutation import _warehouse
+
+    cat = _warehouse(sf_dir, "delete_auto")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lanes = []
+    for lane, mod in (("sparse", 97), ("dense", 3)):
+        cat.create_or_replace("ns", lane, o)
+        sid = cat.delete_where_auto(
+            spark, "ns", lane, f"o_orderkey % {mod} = 0"
+        )
+        deletes = cat._manifest("ns", lane, sid)["deletes"]
+        if lane == "sparse" and [e.get("mode") for e in deletes] != ["dv"]:
+            raise AssertionError(
+                f"sparse lane must dispatch to a DV entry: {deletes}"
+            )
+        if lane == "dense" and deletes:
+            raise AssertionError(
+                f"dense lane must dispatch to copy-on-write: {deletes}"
+            )
+        lanes.append(
+            cat.read(spark, "ns", lane).select(
+                F.lit(lane).alias("lane"),
+                "o_orderkey", "o_custkey", "o_totalprice",
+            )
+        )
+    return lanes[0].unionByName(lanes[1])
 
 
 @register(

@@ -230,13 +230,14 @@ def test_frequent_best_shuffle_is_state_sized(
 
 
 def test_dv_read_shuffle_free_vs_positional(spark, sf_dir):
-    """The DV format's 100 TB claim, in bytes: applying a DENSE delete
-    (a third of the table) at read time. The positional-file format
-    anti-joins a row-count-sized build side — under the no-auto-
+    """The DV format's 100 TB claim, in bytes, at the density the probe
+    is FOR (sparse — below the r13 density gate): the positional-file
+    format anti-joins a row-count-sized build side — under the no-auto-
     broadcast regime (what a 100 TB build side forces) that plan
-    hash-exchanges the whole scan. The DV relation is FILE-count-sized
-    and explicitly broadcast, so the DV read shuffles ~NOTHING at any
-    delete density. Same table, same doomed rows, two formats."""
+    hash-exchanges the whole scan — while the DV relation broadcasts and
+    the read shuffles ~NOTHING. Same table, same doomed rows, two
+    formats. (The DENSE regime, where the gate flips the DV apply to
+    the anti-join, is pinned by test_dv_read_density_gate_flips_apply.)"""
     from pyspark.sql import functions as F
 
     from component_iceberg_spark.io.snaptable import SnapCatalog
@@ -251,7 +252,9 @@ def test_dv_read_shuffle_free_vs_positional(spark, sf_dir):
         cat = SnapCatalog(os.path.join(wh_root, fmt))
         cat.create_or_replace("ns", "t", o)
         addressed = cat.read_with_positions(spark, "ns", "t")
-        doomed = addressed.filter(F.col("o_orderkey") % 3 == 0).select(
+        # ~1% of rows: below DV_PROBE_MAX_DENSITY, so the DV read stays
+        # on the broadcast-probe branch
+        doomed = addressed.filter(F.col("o_orderkey") % 97 == 0).select(
             cat.POS_FILE_COL, cat.POS_IDX_COL
         )
         if fmt == "dv":
@@ -259,7 +262,7 @@ def test_dv_read_shuffle_free_vs_positional(spark, sf_dir):
         else:
             cat.delete_positions(spark, "ns", "t", doomed)
         reads[fmt] = cat, "ns", "t"
-    want = o.filter("o_orderkey % 3 <> 0").count()
+    want = o.filter("o_orderkey % 97 <> 0").count()
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -275,9 +278,61 @@ def test_dv_read_shuffle_free_vs_positional(spark, sf_dir):
     # read plans no shuffle at all
     assert dv.shuffle_write_bytes < 64 * 1024, dv.as_dict()
     # positional under the 100 TB join regime: the anti-join exchanges
-    # the scan + the row-count-sized delete side
+    # the scan + the delete side
     assert pos.shuffle_write_bytes > 10 * max(dv.shuffle_write_bytes, 1), (
         pos.as_dict(),
         dv.as_dict(),
     )
+    shutil.rmtree(wh_root, ignore_errors=True)
+
+
+def test_dv_read_density_gate_flips_apply(spark, sf_dir):
+    """The r13 density gate, pinned at both densities on the SAME table
+    shape (VERDICT r12 #2): a sparse DV (~1% doomed) applies as the
+    broadcast membership probe — BroadcastExchange + array_contains in
+    the plan, no exchange of the scan; a dense DV (a third doomed, the
+    exact regime the r12 gate scenario used) flips to the exploded
+    (file, pos) LeftAnti join — no array_contains probe, no broadcast
+    of the positions-sized payload (the ADVICE r12 OOM vector), probe
+    work linear instead of O(rows × positions-per-file)."""
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.io.snaptable import SnapCatalog
+
+    wh_root = "/tmp/cis_scratch/vol_pin_dv_gate"
+    shutil.rmtree(wh_root, ignore_errors=True)
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    plans = {}
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # no auto-broadcast: any BroadcastExchange in the plan is OURS
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for label, mod in (("sparse", 97), ("dense", 3)):
+            cat = SnapCatalog(os.path.join(wh_root, label))
+            cat.create_or_replace("ns", "t", o)
+            addressed = cat.read_with_positions(spark, "ns", "t")
+            cat.delete_positions_dv(
+                spark, "ns", "t",
+                addressed.filter(F.col("o_orderkey") % mod == 0).select(
+                    cat.POS_FILE_COL, cat.POS_IDX_COL
+                ),
+            )
+            df = cat.read(spark, "ns", "t")
+            assert df.count() == o.filter(
+                f"o_orderkey % {mod} <> 0"
+            ).count(), label
+            plans[label] = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    sparse, dense = plans["sparse"], plans["dense"]
+    assert "array_contains" in sparse and "BroadcastExchange" in sparse, (
+        sparse
+    )
+    assert "LeftAnti" not in sparse, sparse
+    assert "array_contains" not in dense and "BroadcastExchange" not in dense, (
+        dense
+    )
+    assert "LeftAnti" in dense, dense
     shutil.rmtree(wh_root, ignore_errors=True)
