@@ -517,6 +517,7 @@ class SnapCatalog:
         table: str,
         src_dir: str,
         compute_stats: bool = True,
+        allow_symlink: bool = False,
     ) -> int:
         """Metadata-only import of an EXISTING parquet directory — the
         Iceberg ``add_files`` procedure analogue (pyiceberg 0.9.1, the
@@ -528,9 +529,16 @@ class SnapCatalog:
 
         No data byte is read into Spark or copied: each parquet file is
         HARD-LINKED into a new data dir of the table (the filesystem
-        twin of Iceberg's adopt-in-place manifest entry; symlink
-        fallback across devices), and the commit carries every parent
-        dir untouched. Footer-only work on the driver: schema gate,
+        twin of Iceberg's adopt-in-place manifest entry), and the
+        commit carries every parent dir untouched. Hard links make the
+        table co-own the bytes — deleting or rewriting the SOURCE
+        afterwards cannot corrupt table reads. Across devices no hard
+        link is possible; by default that REFUSES rather than silently
+        weakening the durability contract. ``allow_symlink=True`` opts
+        into a symlink fallback, where the source keeps sole ownership
+        of the bytes (delete the source and the table's reads break);
+        the adoption marker records ``link_mode`` so an operator can
+        audit which contract each adoption carries. Footer-only work on the driver: schema gate,
         row counts, and — when ``compute_stats`` — min/max stats and
         registered blooms for the adopted dir. ``compute_stats=False``
         declares stats absent: :meth:`files` surfaces NULLs and pruning
@@ -572,9 +580,22 @@ class SnapCatalog:
         os.makedirs(adopt_root, exist_ok=True)
         for fn in os.listdir(adopt_root):
             with open(os.path.join(adopt_root, fn)) as f:
-                prior = json.load(f)["src"]
+                rec = json.load(f)
+            prior = rec["src"]
             common = os.path.commonpath([src_dir, prior])
             if common in (src_dir, prior):
+                if rec.get("committed") is False:
+                    # marker-before-publish leftover of a hard crash:
+                    # whether the commit landed is unknown — refuse
+                    # loudly with the recovery step instead of risking
+                    # silently doubled rows
+                    raise ValueError(
+                        "add_files found a PENDING adoption marker for "
+                        f"{prior} (a prior attempt crashed between marker "
+                        "and commit); check list_snapshots for an "
+                        "'add_files' commit, then delete "
+                        f"{os.path.join(adopt_root, fn)} to retry"
+                    )
                 raise ValueError(
                     f"add_files source overlaps an already-adopted path: "
                     f"{src_dir} vs {prior}"
@@ -594,6 +615,8 @@ class SnapCatalog:
         )
         nd = f"adopted-{uuid.uuid4().hex[:12]}"
         dst_root = os.path.join(self._tbl(namespace, table, "data"), nd)
+        marker = os.path.join(adopt_root, f"{nd}.json")
+        link_mode = "hardlink"
         try:
             for src in parquet_files:
                 rel = os.path.relpath(src, src_dir)
@@ -601,8 +624,18 @@ class SnapCatalog:
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 try:
                     os.link(src, dst)  # adopt-in-place: zero bytes copied
-                except OSError:  # cross-device: reference, still no copy
+                except OSError:
+                    if not allow_symlink:
+                        raise ValueError(
+                            f"add_files cannot hard-link {src!r} into the "
+                            "table (cross-device?); pass "
+                            "allow_symlink=True to adopt by symlink — "
+                            "NOTE the source then keeps sole ownership "
+                            "of the bytes, so deleting or rewriting it "
+                            "corrupts table reads"
+                        ) from None
                     os.symlink(src, dst)
+                    link_mode = "symlink"
             extra_rows = {nd: dir_row_count(dst_root)}
             extra_stats: dict[str, dict] = {}
             extra_blooms: dict[str, dict] = {}
@@ -615,6 +648,17 @@ class SnapCatalog:
                     bl = dir_column_blooms(dst_root, bloom_cols)
                     if bl:
                         extra_blooms[nd] = bl
+            # marker BEFORE publish: a crash after the commit can no
+            # longer leave the adoption unrecorded (the silent-double
+            # failure a retry would hit); a crash between the marker
+            # and the commit instead leaves a committed=false marker
+            # that refuses the retry LOUDLY — the strictly safer side.
+            with open(marker, "w") as f:
+                json.dump(
+                    {"src": src_dir, "dir": nd, "link_mode": link_mode,
+                     "committed": False},
+                    f,
+                )
             sid = self._commit(
                 namespace, table, None, operation="add_files",
                 carry=False, base_sid=base, inherit_spec=True,
@@ -624,10 +668,15 @@ class SnapCatalog:
             )
         except Exception:
             shutil.rmtree(dst_root, ignore_errors=True)
+            if os.path.exists(marker):
+                os.remove(marker)  # in-band failure: retry stays legal
             raise
-        marker = os.path.join(adopt_root, f"{nd}.json")
         with open(marker, "w") as f:
-            json.dump({"src": src_dir, "dir": nd, "snapshot_id": sid}, f)
+            json.dump(
+                {"src": src_dir, "dir": nd, "link_mode": link_mode,
+                 "committed": True, "snapshot_id": sid},
+                f,
+            )
         return sid
 
     def upsert(
@@ -2285,6 +2334,19 @@ class SnapCatalog:
 
     def resolve_ref(self, namespace: str, table: str, name: str) -> int:
         if name == "main":  # implicit current branch, same as refs() lists
+            # a PHYSICAL ref literally named 'main' (creatable only by a
+            # warehouse that predates the reserved-name rule) must not be
+            # silently shadowed — its reader would move from the pinned
+            # snapshot to head. Refuse with the migration step instead.
+            stale = self._tbl(namespace, table, "refs", "main.json")
+            if os.path.isfile(stale):
+                raise ValueError(
+                    f"{namespace}.{table} has a persisted ref named "
+                    "'main' from before the name was reserved for the "
+                    "implicit current branch; rename it (create a ref "
+                    "at the same snapshot under another name, then "
+                    f"delete {stale}) before resolving 'main'"
+                )
             return self._current_sid(namespace, table)
         return self._read_ref(namespace, table, name)["snapshot_id"]
 
@@ -3061,14 +3123,65 @@ class SnapCatalog:
         every branch/tag with the snapshot it pins, plus the implicit
         ``main`` branch at the current snapshot (Iceberg lists main the
         same way). Manifest/ref files only — no data scan."""
+        persisted = self.list_refs(namespace, table)
+        if any(r["name"] == "main" for r in persisted):
+            # same guard as resolve_ref: a pre-reserved-name physical
+            # 'main' must not produce two conflicting rows
+            raise ValueError(
+                f"{namespace}.{table} has a persisted ref named 'main' "
+                "from before the name was reserved for the implicit "
+                "current branch; rename it before listing refs"
+            )
         rows = [
             ("main", "branch", self._current_sid(namespace, table))
         ] + [
-            (r["name"], r["type"], r["snapshot_id"])
-            for r in self.list_refs(namespace, table)
+            (r["name"], r["type"], r["snapshot_id"]) for r in persisted
         ]
         return spark.createDataFrame(
             rows, schema="name string, type string, snapshot_id long"
+        )
+
+    def all_manifests(
+        self, spark: SparkSession, namespace: str, table: str
+    ) -> DataFrame:
+        """Cross-snapshot manifest metadata table — the Iceberg
+        ``t.all_manifests`` / pyiceberg ``inspect.all_manifests``
+        analogue (pyiceberg 0.9.1, the library the reference embeds via
+        ``components/common/pyproject.toml:7-18``), completing the
+        inspect surface after snapshots/history/refs/files/partitions/
+        entries: one row per manifest entry per snapshot that references
+        it — the view that answers "which snapshots still pin this data
+        (or delete) dir", i.e. what snapshot expiry and orphan GC will
+        actually free. Answered from the snapshot manifests ALONE — no
+        file listing, no data I/O, no Spark job to build.
+
+        Columns mirror Iceberg's: ``reference_snapshot_id`` (the
+        snapshot whose manifest lists the entry), ``content``
+        (``data`` | ``deletes``, Iceberg's manifest content split),
+        ``path`` (the dir name — this catalog's manifest grain),
+        ``added_snapshot_id`` (the earliest snapshot listing it — the
+        commit that created it), ``is_added`` (added by the referencing
+        snapshot vs carried forward — Iceberg's added/existing status),
+        and ``n_rows`` (manifest row count; NULL for delete manifests
+        and pre-stats dirs, the ``files()`` degradation contract)."""
+        first_seen: dict[tuple[str, str], int] = {}
+        rows = []
+        for s in self._snapshots(namespace, table):
+            sid = s["snapshot_id"]
+            dir_rows = s.get("dir_rows") or {}
+            entries = [("data", d, dir_rows.get(d)) for d in s["files"]]
+            entries += [
+                ("deletes", e["dir"], None) for e in s.get("deletes", [])
+            ]
+            for content, d, n in entries:
+                added = first_seen.setdefault((content, d), sid)
+                rows.append((sid, content, d, added, added == sid, n))
+        return spark.createDataFrame(
+            rows,
+            schema=(
+                "reference_snapshot_id long, content string, path string, "
+                "added_snapshot_id long, is_added boolean, n_rows long"
+            ),
         )
 
     def files(

@@ -314,6 +314,7 @@ def pattern_funnel_negation(
     ts_col: str,
     type_col: str,
     steps: list[tuple[str, str | None]],
+    id_col: str = "event_id",
 ) -> DataFrame:
     """k-step ordered pattern match with PER-STEP negation — the general
     MATCH_RECOGNIZE shape ``A ⇒ B (no X between) ⇒ C (no Y between)``
@@ -339,8 +340,8 @@ def pattern_funnel_negation(
     per-pattern state machine, no extra shuffle per step. Plan-pinned in
     tests/test_plans.py.
 
-    Output: one row per qualified FINAL-step event with its event id,
-    timestamp, and the anchor timestamp of the previous step."""
+    Output: one row per qualified FINAL-step event with its ``id_col``
+    value, timestamp, and the anchor timestamp of the previous step."""
     if len(steps) < 2:
         raise ValueError("pattern_funnel_negation needs at least 2 steps")
     w = Window.partitionBy(user_col).orderBy(ts_col)
@@ -348,7 +349,7 @@ def pattern_funnel_negation(
     neg_types = sorted({n for _m, n in steps[1:] if n is not None})
     cur = df.select(
         user_col,
-        "event_id",
+        id_col,
         type_col,
         ts_col,
         *[
@@ -371,7 +372,7 @@ def pattern_funnel_negation(
         if i == len(steps) - 1:
             return cur.filter(qualified).select(
                 F.col(user_col),
-                F.col("event_id").alias("match_id"),
+                F.col(id_col).alias("match_id"),
                 F.col(ts_col).alias("match_ts"),
                 prev.alias("anchor_ts"),
             )

@@ -971,6 +971,66 @@ def snap_entries_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "snap_all_manifests_meta",
+    oracle="""
+    SELECT CAST(0 AS INT) AS ordinal, 'data' AS content,
+           CAST(1 AS BIGINT) AS n_entries, CAST(1 AS BIGINT) AS n_added,
+           (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_rows
+    UNION ALL
+    SELECT 1, 'data', 2, 1, (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 2, 'data', 2, 0, (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 2, 'deletes', 1, 1, NULL
+    """,
+    tags=("parity", "snapshot", "meta"),
+)
+def snap_all_manifests_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot manifest metadata table (Iceberg
+    ``t.all_manifests`` / pyiceberg ``inspect.all_manifests`` — the one
+    inspect view left after r11–r12 added history/refs/partitions/
+    entries): one row per manifest entry per snapshot REFERENCING it,
+    from manifests alone. The scenario pins the whole lifecycle the
+    cheap way: replace (one data dir, added) → append (prior dir
+    carried as existing, new dir added) → equality delete (both data
+    dirs carried, one ``deletes``-content manifest added). Rolled up
+    per (snapshot ordinal, content): entry count, how many the
+    snapshot itself ADDED vs carried (Iceberg's added/existing manifest
+    status), and the manifest row-count sum a full-scan oracle must
+    reproduce (NULL for delete manifests — the metrics degradation
+    contract). This is the view GC planning reads: which snapshots
+    still pin a dir = what expiry will actually free. Snapshot-count-
+    sized, so the global ordinal window is metadata-sized by
+    construction."""
+    from component_iceberg_spark.plans.queries_mutation import _warehouse
+
+    cat = _warehouse(sf_dir, "all_manifests")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "orders", o.filter("o_orderkey % 2 = 0"))
+    cat.append("ns", "orders", o.filter("o_orderkey % 2 = 1"))
+    cat.delete_keys(
+        spark, "ns", "orders",
+        o.filter("o_orderkey % 1000 = 7").select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    from pyspark.sql import Window
+
+    am = cat.all_manifests(spark, "ns", "orders")
+    w = Window.orderBy("reference_snapshot_id")
+    return (
+        am.withColumn("ordinal", F.dense_rank().over(w) - 1)
+        .groupBy("ordinal", "content")
+        .agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            F.sum(F.col("is_added").cast("int")).alias("n_added"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text normalization / redaction / repetition quality
 # ---------------------------------------------------------------------------

@@ -4,6 +4,7 @@ isolation, drop semantics."""
 from __future__ import annotations
 
 import glob
+import json
 import os
 
 from pyspark.sql import functions as F
@@ -2451,6 +2452,150 @@ def test_add_files_refusal_modes(spark, sf_dir, tmp_path):
     full.limit(10).write.parquet(src_c)
     with pytest.raises(ValueError, match="hive-partitioned"):
         cat2.add_files(spark, "ns", "p", src_c)
+
+
+def test_add_files_crash_and_link_contracts(spark, sf_dir, tmp_path,
+                                            monkeypatch):
+    """The r12 ADVICE hardening, pinned: (a) the adoption marker is
+    written BEFORE the commit publishes and swept on in-band failure —
+    a failed attempt leaves no marker and the retry succeeds; (b) a
+    hard-crash leftover (committed=false marker) refuses the retry
+    LOUDLY instead of risking silently doubled rows; (c) the symlink
+    fallback is opt-in — a cross-device link failure refuses by
+    default, and allow_symlink=True records the weaker link_mode in
+    the marker."""
+    import pytest
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ext = str(tmp_path / "src_a")
+    o.filter("o_orderkey % 3 = 1").write.parquet(ext)
+    cat.create_or_replace("ns", "t", o.filter("o_orderkey % 3 = 0"))
+    adopt_root = os.path.join(cat.warehouse, "ns", "t", "adopted")
+    # (a) in-band commit failure sweeps marker AND linked dir: retry OK
+    real_commit = cat._commit
+    monkeypatch.setattr(
+        cat, "_commit",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        cat.add_files(spark, "ns", "t", ext)
+    monkeypatch.setattr(cat, "_commit", real_commit)
+    assert os.listdir(adopt_root) == [], "failed attempt must sweep marker"
+    sid = cat.add_files(spark, "ns", "t", ext)
+    (fn,) = os.listdir(adopt_root)
+    with open(os.path.join(adopt_root, fn)) as f:
+        rec = json.load(f)
+    assert rec["committed"] is True and rec["snapshot_id"] == sid
+    assert rec["link_mode"] == "hardlink"
+    # (b) hard-crash leftover: committed=false marker refuses loudly
+    ext_b = str(tmp_path / "src_b")
+    o.filter("o_orderkey % 3 = 2").write.parquet(ext_b)
+    pend = os.path.join(adopt_root, "adopted-deadbeef.json")
+    with open(pend, "w") as f:
+        json.dump({"src": os.path.realpath(ext_b),
+                   "dir": "adopted-deadbeef", "committed": False}, f)
+    with pytest.raises(ValueError, match="PENDING adoption marker"):
+        cat.add_files(spark, "ns", "t", ext_b)
+    os.remove(pend)
+    # (c) symlink fallback is opt-in
+    monkeypatch.setattr(
+        os, "link",
+        lambda *a, **k: (_ for _ in ()).throw(OSError(18, "EXDEV")),
+    )
+    with pytest.raises(ValueError, match="allow_symlink"):
+        cat.add_files(spark, "ns", "t", ext_b)
+    assert not [
+        f for f in os.listdir(adopt_root) if "deadbeef" in f
+    ], "refused adoption leaves no marker"
+    sid_b = cat.add_files(spark, "ns", "t", ext_b, allow_symlink=True)
+    recs = []
+    for f_name in os.listdir(adopt_root):
+        with open(os.path.join(adopt_root, f_name)) as f:
+            recs.append(json.load(f))
+    by_src = {r["src"]: r for r in recs}
+    assert by_src[os.path.realpath(ext_b)]["link_mode"] == "symlink"
+    assert by_src[os.path.realpath(ext_b)]["snapshot_id"] == sid_b
+    assert cat.read(spark, "ns", "t").count() == o.count()
+
+
+def test_all_manifests_lifecycle(spark, sf_dir, tmp_path):
+    """all_manifests (Iceberg ``t.all_manifests`` analogue): one row per
+    manifest entry per REFERENCING snapshot, added_snapshot_id = the
+    earliest referencing snapshot and stable under carries; a CoW
+    rewrite's new dir is added by the rewrite snapshot while old
+    snapshots keep referencing the old dirs (time travel); expiry drops
+    exactly the expired snapshots' rows and the GC question 'which
+    snapshots pin dir X' is answerable from the view."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "t", o.filter("o_orderkey % 2 = 0"))
+    sid1 = cat._current_sid("ns", "t")
+    cat.append("ns", "t", o.filter("o_orderkey % 2 = 1"))
+    sid2 = cat._current_sid("ns", "t")
+    sid3 = cat.compact(spark, "ns", "t")  # CoW rewrite: new dir
+    am = {
+        (r.reference_snapshot_id, r.path): r
+        for r in cat.all_manifests(spark, "ns", "t").collect()
+    }
+    d1 = cat._manifest("ns", "t", sid1)["files"]
+    d2 = [d for d in cat._manifest("ns", "t", sid2)["files"] if d not in d1]
+    d3 = cat._manifest("ns", "t", sid3)["files"]
+    (a,), (b,), (c,) = d1, d2, d3
+    assert c not in (a, b), "compact rewrote into a new dir"
+    # carried entries keep their added_snapshot_id; is_added only once
+    assert am[(sid1, a)].is_added and am[(sid1, a)].added_snapshot_id == sid1
+    assert not am[(sid2, a)].is_added
+    assert am[(sid2, a)].added_snapshot_id == sid1
+    assert am[(sid2, b)].is_added
+    # rewrite snapshot references ONLY the new dir; old snapshots still
+    # reference the old dirs (time travel intact)
+    assert am[(sid3, c)].is_added and (sid3, a) not in am
+    assert am[(sid1, a)] is not None and am[(sid2, b)] is not None
+    # n_rows from the manifest agrees with the read at each snapshot
+    assert am[(sid3, c)].n_rows == o.count()
+    # 'which snapshots pin dir a' = the GC question
+    pin_a = sorted(
+        sid for (sid, p) in am if p == a
+    )
+    assert pin_a == [sid1, sid2]
+    # expiry drops exactly the expired snapshots' rows
+    cat.expire_snapshots("ns", "t", keep_last=1)
+    left = cat.all_manifests(spark, "ns", "t").collect()
+    assert {r.reference_snapshot_id for r in left} == {sid3}
+    assert {r.path for r in left} == {c}
+
+
+def test_main_ref_shadowing_refused(spark, sf_dir, tmp_path):
+    """A physical ref file literally named 'main' (pre-dating the
+    reserved-name rule) is never silently shadowed: resolve_ref('main')
+    and refs() both refuse with the migration step (r12 ADVICE) —
+    otherwise a reader pinned to that ref would silently move to head."""
+    import pytest
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey").limit(10)
+    cat.create_or_replace("ns", "t", o)
+    sid0 = cat._current_sid("ns", "t")
+    # fabricate the legacy state: a persisted main ref (create_ref
+    # itself refuses the name, so write the file the old format wrote)
+    ref_dir = os.path.join(cat.warehouse, "ns", "t", "refs")
+    os.makedirs(ref_dir, exist_ok=True)
+    with open(os.path.join(ref_dir, "main.json"), "w") as f:
+        json.dump({"name": "main", "type": "branch", "snapshot_id": sid0}, f)
+    with pytest.raises(ValueError, match="persisted ref named 'main'"):
+        cat.resolve_ref("ns", "t", "main")
+    with pytest.raises(ValueError, match="persisted ref named 'main'"):
+        cat.refs(spark, "ns", "t")
+    # migration path: remove the legacy file, both work again
+    os.remove(os.path.join(ref_dir, "main.json"))
+    assert cat.resolve_ref("ns", "t", "main") == sid0
+    names = [r["name"] for r in cat.refs(spark, "ns", "t").collect()]
+    assert names == ["main"]
 
 
 def test_add_files_without_stats_degrades_not_breaks(
