@@ -413,6 +413,117 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SE.stream_to_memory(joined, spark, mode="append")
 
 
+@register(
+    "stream_stream_outer_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id, p.ts AS purchase_ts, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL '1 hour' AND v.ts <= p.ts
+    """,
+    tags=("ext", "streaming", "join"),
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join — the state-store shape
+    Spark is famously subtle on: an unmatched purchase may only emit its
+    NULL-padded row once the watermark PROVES no matching view can still
+    arrive, which happens during a LATER micro-batch's state cleanup,
+    never in the row's own batch (a bounded single-batch run would
+    silently drop every outer row — the classic missing-NULLs bug).
+    The run therefore stages the real events as one delivery followed by
+    two far-future sentinel deliveries (one purchase + one view each, so
+    BOTH sides' watermarks ratchet — the global watermark is their min)
+    under ``maxFilesPerTrigger=1``: batch 2's watermark flushes most of
+    the unmatched backlog, batch 3's flushes the tail inside the final
+    watermark band. Sentinels carry negative user ids and are dropped
+    from the MATERIALIZED result, never inside the stream — a pre-sink
+    filter on a left-side column gets pushed below the outer join into
+    the purchase scan, starving the purchase-side watermark and
+    silently losing the final band's NULL rows (found by measurement;
+    see the inline note). EXACT against the batch LEFT JOIN — pinning
+    inner matches, NULL emission completeness, and the
+    no-premature-NULL rule in one oracle. State stays watermark-band
+    bounded (tests/test_state_volume.py)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.io.tables import load_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(SCRATCH_ROOT, tag, "ss_outer_join")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+    )
+    _stage_single_file(base, src, ev, "00-events")
+    hi = ev.agg(F.max("ts")).collect()[0][0]
+    for i, days in enumerate((10, 20)):
+        sent = spark.createDataFrame(
+            [
+                (-(2 * i + 1), hi + dt.timedelta(days=days), -1, "purchase"),
+                (-(2 * i + 2), hi + dt.timedelta(days=days), -2, "view"),
+            ],
+            schema="event_id long, ts timestamp, user_id long, "
+                   "event_type string",
+        )
+        _stage_single_file(base, src, sent, f"0{i + 1}-flush")
+    # deterministic delivery order: the file source orders by mtime
+    for i, fn in enumerate(sorted(os.listdir(src))):
+        t = 1_600_000_000 + i
+        os.utime(os.path.join(src, fn), (t, t))
+    schema = spark.read.parquet(src).schema
+    st = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    p = (
+        st.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    v = (
+        st.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+        )
+        & (F.col("view_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    ).select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")
+    out = SE.stream_to_memory(joined, spark, mode="append")
+    # the sentinel filter must run on the MATERIALIZED batch result, not
+    # inside the stream: a left-column filter before the sink gets
+    # pushed by Catalyst below the left-outer join into the purchase
+    # scan, which silently removes the sentinel purchases at the SOURCE
+    # — the purchase-side watermark then never passes the real data and
+    # the last watermark-band of unmatched purchases never emits its
+    # NULL rows (measured: exactly the final-10-minute purchases went
+    # missing). Filtering after the sink keeps the stream seeing the
+    # sentinels while the result never does.
+    return out.filter(F.col("user_id") >= 0)
+
+
 def _incr_dedup_oracle() -> str:
     """Batch twin of the streaming drop rule: reuse the verified MinHash
     pair CTE (same hash family, bands, 0.8 threshold) and anti-join on

@@ -59,19 +59,16 @@ _QUERY_MODULES = (
 #
 # ROTATION SCHEDULE (so every query is re-checked within ~3 rounds, and a
 # regression anywhere is externally caught, not just by local pytest).
-# Rotated for r12 (VERDICT r11 "Next round" #1): sentinels lead
+# Rotated for r13 (VERDICT r12 "Next round" #1): sentinels lead
 # unconditionally; tier 2 is this round's new registrations plus the
-# changed-code re-earns (the ADVICE closures touched
-# _clustered_rewrite's commit spec, bloom_maybe_contains' float probe,
-# refs()/resolve_ref's main handling, and the assert→ValueError sweep
-# through the expire/rollback/orphan/bloom scenario bodies — every
-# registered query whose body or load-bearing helper changed re-earns);
-# the backlog then runs strictly oldest gate row first: the 6-name r4
-# TAIL the r11 window cut (stream_session_window … upsert_by_key — the
-# stalest greens in the table), then the 47-name r6 cohort — the ~50
-# window takes the tail plus the r6 head; the r6 remainder leads the
-# r13 backlog. Everything gated in r11 sits at the very end as the
-# freshest evidence.
+# changed-code re-earns (DV density gate, add_files hardening,
+# main-ref refusal, funnel id_col); the backlog then runs strictly
+# oldest gate row first: the 25-name r6-cohort REMAINDER the r12
+# window cut (ext_split_train_test … text_tfidf_topterms — the stalest
+# greens in the table), then the r7 cohort — the ~50 window takes the
+# remainder plus the r7 head; the r7 tail leads the r14 backlog.
+# Everything gated in r12 sits at the very end as the freshest
+# evidence.
 #   1. PINNED SENTINELS -- eight flagships, one per family, EVERY round.
 #   2. Queries with NO gate row ever, plus queries whose implementation
 #      or oracle CHANGED this round -- they (re)earn a green row first.
@@ -90,61 +87,30 @@ _GATE_PRIORITY = (
     "mm_feature_extract",
     "ext_sessionize",
     "sim_ann_ivf",
-    # --- 2. r12 tier 2: new registrations land here as they are added;
-    #     changed-code re-earns: snap_cluster_rewrite + snap_zorder_rewrite
-    #     (shared _clustered_rewrite now inherits spec/blooms),
-    #     snap_bloom_pruned_scan + snap_stats_pruned_scan
-    #     (bloom_maybe_contains float-probe guard), snap_refs_meta +
-    #     snap_expire_branches + snap_wap_publish (main-ref reservation in
-    #     _write_ref / resolve_ref), and the assert→ValueError bodies
-    #     (snap_rollback, snap_history_meta, snap_drop_column, snap_expire,
-    #     snap_orphan_cleanup, stream_incremental_dedup + the staged-file
-    #     streaming drills via the shared _stage helper).
-    "snap_add_files",
-    "ext_funnel_negation",
+    # --- 2. r13 tier 2: this round's new registrations
+    #     (snap_delete_auto, snap_all_manifests_meta,
+    #     stream_stream_outer_join) plus changed-code re-earns: the DV
+    #     density gate rewrote _read_with_deletes' dv branch and the
+    #     DV writers (snap_delete_dv, snap_rewrite_to_dv); add_files
+    #     grew marker-before-publish + the symlink gate (snap_add_files,
+    #     snap_cherry_pick adopts through it); resolve_ref/refs grew the
+    #     physical-'main' refusal (snap_refs_meta, snap_wap_publish,
+    #     snap_expire_branches); pattern_funnel_negation gained id_col
+    #     (ext_funnel_negation).
+    "snap_delete_auto",
+    "snap_all_manifests_meta",
+    "stream_stream_outer_join",
     "snap_delete_dv",
     "snap_rewrite_to_dv",
-    "snap_entries_meta",
+    "snap_add_files",
     "snap_cherry_pick",
-    "dedup_semantic_ivf",
-    "snap_cluster_rewrite",
-    "snap_zorder_rewrite",
-    "snap_bloom_pruned_scan",
-    "snap_stats_pruned_scan",
     "snap_refs_meta",
-    "snap_expire_branches",
     "snap_wap_publish",
-    "snap_rollback",
-    "snap_history_meta",
-    "snap_drop_column",
-    "snap_expire",
-    "snap_orphan_cleanup",
-    "stream_incremental_dedup",
-    # --- backlog: last gate row r4 (the 6-name TAIL the r11 window cut,
-    #     oldest-first tier — the stalest greens in the registry)
-    "stream_session_window",
-    "stream_stateful_totals",
-    "text_bm25_topk",
-    "text_chunk_windows",
-    "text_quality_classifier",
-    "upsert_by_key",
-    # --- backlog: last gate row r6 (47 names, oldest-first tier)
-    "dedup_incremental_minhash",
-    "ext_agg_grouping_sets",
-    "ext_anomaly_zscore",
-    "ext_cohort_retention",
-    "ext_entity_merge",
-    "ext_event_transitions",
-    "ext_funnel",
-    "ext_fuzzy_join",
-    "ext_gap_fill",
-    "ext_hierarchy_flatten",
-    "ext_integrity_check",
-    "ext_join_bucketed",
-    "ext_join_salted",
-    "ext_pagerank",
-    "ext_percentile_scalable",
-    "ext_session_paths",
+    "snap_expire_branches",
+    "ext_funnel_negation",
+    # --- backlog, oldest gate row first: the r6-cohort REMAINDER the
+    #     r12 window cut (25 names), then the r7 cohort (39), r8, r9,
+    #     r10- and r11-gated tiers in prior rotation order.
     "ext_split_train_test",
     "ext_timeseries_features",
     "ext_window_time_range",
@@ -170,7 +136,6 @@ _GATE_PRIORITY = (
     "text_collocations",
     "text_hybrid_topk",
     "text_tfidf_topterms",
-    # --- backlog: last gate row r7 (39 names, oldest-first tier)
     "ext_abtest_lift",
     "ext_corr_matrix",
     "ext_dbscan_grid",
@@ -207,7 +172,6 @@ _GATE_PRIORITY = (
     "text_bpe_pair_stats",
     "text_rerank_topk",
     "text_url_canonicalize",
-    # --- backlog: last gate row r8 (41 names, oldest-first tier)
     "dedup_clusters",
     "dedup_containment",
     "dedup_exact",
@@ -245,9 +209,6 @@ _GATE_PRIORITY = (
     "snap_upsert_evolve",
     "stream_rocksdb_state",
     "text_quality",
-    # --- backlog: last gate row r9 (41 names — the r9 tier-2 re-earns
-    #     minus ext_active_users_trailing, which moved to the r10 tier 2,
-    #     the full r2 cohort, and the r3 head; freshest evidence, tail)
     "ext_rollup_rank",
     "ext_window_rolling_outlier",
     "pipeline_token_budget_scalable",
@@ -288,9 +249,6 @@ _GATE_PRIORITY = (
     "q15_top_supplier",
     "q16_part_supplier_cnt",
     "q19_discounted_revenue",
-    # --- backlog: last gate row r10 (freshest evidence, tail): the r3
-    #     tail + r4 head the r10 window drove, and the r10 tier-2 idioms
-    #     (minus the binaryFile twins, which re-earn in r11 tier 2).
     "q20_excess_suppliers",
     "q21_waiting_supplier",
     "q22_dormant_customers",
@@ -329,10 +287,6 @@ _GATE_PRIORITY = (
     "ext_spatial_grid_join",
     "ext_spatial_grid_join_salted",
     "ext_active_users_trailing",
-    # --- backlog: last gate row r11 (freshest evidence, tail): the r11
-    #     tier-2 registrations/re-earns that are NOT re-earning again in
-    #     the r12 tier 2, plus the 23-name r4-remainder head the r11
-    #     window drove.
     "snap_delete_mor_positional",
     "snap_rewrite_pos_deletes",
     "snap_partitions_meta",
@@ -371,6 +325,43 @@ _GATE_PRIORITY = (
     "source_csv_all_varchar",
     "source_csv_typed",
     "source_json",
+    # --- freshest evidence, tail: everything the r12 window gated
+    #     green (CORRECTNESS_r12: 50/50 pass) that is not re-earning
+    #     above.
+    "snap_entries_meta",
+    "dedup_semantic_ivf",
+    "snap_cluster_rewrite",
+    "snap_zorder_rewrite",
+    "snap_bloom_pruned_scan",
+    "snap_stats_pruned_scan",
+    "snap_rollback",
+    "snap_history_meta",
+    "snap_drop_column",
+    "snap_expire",
+    "snap_orphan_cleanup",
+    "stream_incremental_dedup",
+    "stream_session_window",
+    "stream_stateful_totals",
+    "text_bm25_topk",
+    "text_chunk_windows",
+    "text_quality_classifier",
+    "upsert_by_key",
+    "dedup_incremental_minhash",
+    "ext_agg_grouping_sets",
+    "ext_anomaly_zscore",
+    "ext_cohort_retention",
+    "ext_entity_merge",
+    "ext_event_transitions",
+    "ext_funnel",
+    "ext_fuzzy_join",
+    "ext_gap_fill",
+    "ext_hierarchy_flatten",
+    "ext_integrity_check",
+    "ext_join_bucketed",
+    "ext_join_salted",
+    "ext_pagerank",
+    "ext_percentile_scalable",
+    "ext_session_paths",
 )
 
 

@@ -332,3 +332,149 @@ def test_stream_stream_join_state_is_band_bounded(spark, sf_dir):
     assert sv2.peak_rows <= 1.3 * sv1.peak_rows + 64, (
         sv1.as_dict(), sv2.as_dict(),
     )
+
+
+def test_stream_stream_outer_join_state_band_bounded(spark, sf_dir):
+    """LEFT-OUTER stream-stream interval join (r13): the outer variant
+    holds left rows until the watermark proves no match can arrive, so
+    it is the shape whose state famously leaks when the cleanup is
+    wrong. Same discipline as the inner pin: time-ordered micro-batches
+    + two far-future sentinel deliveries (both sides' watermarks must
+    ratchet — the global watermark is their min) so every pending NULL
+    row flushes; doubling the stream's time span (2× input, same
+    per-window density) must leave peak state rows ~flat; result
+    equality vs the batch LEFT JOIN pins that NULL emission is complete
+    AND never premature (a dropped or duplicated outer row breaks the
+    multiset compare)."""
+    import datetime as dt
+    import glob as _g
+
+    from pyspark.sql import functions as F
+
+    def run(name: str, doubled: bool):
+        base_dir = os.path.join(SCRATCH, name)
+        shutil.rmtree(base_dir, ignore_errors=True)
+        src = os.path.join(base_dir, "src")
+        os.makedirs(src)
+        ev = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")
+        ).select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "user_id", "event_type",
+        )
+        if doubled:
+            lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+            shift = (hi - lo) + dt.timedelta(hours=2)
+            ev = ev.unionByName(
+                ev.select(
+                    (F.col("event_id") + 10**9).alias("event_id"),
+                    (F.col("ts") + F.lit(shift)).alias("ts"),
+                    "user_id", "event_type",
+                )
+            )
+        n_files = 8 if doubled else 4
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+        span = (hi - lo) / n_files
+        parts = []
+        for i in range(n_files):
+            a = lo + span * i
+            cond = (F.col("ts") >= F.lit(a)) if i else F.lit(True)
+            if i < n_files - 1:
+                cond = cond & (F.col("ts") < F.lit(lo + span * (i + 1)))
+            parts.append(ev.filter(cond))
+        # two sentinel deliveries so the final band's NULL rows flush
+        for j, days in enumerate((10, 20)):
+            parts.append(
+                spark.createDataFrame(
+                    [
+                        (-(2 * j + 1), hi + dt.timedelta(days=days),
+                         -1, "purchase"),
+                        (-(2 * j + 2), hi + dt.timedelta(days=days),
+                         -2, "view"),
+                    ],
+                    schema="event_id long, ts timestamp, user_id long, "
+                           "event_type string",
+                )
+            )
+        for i, pdf in enumerate(parts):
+            part_dir = os.path.join(base_dir, f"_t_{i}")
+            pdf.coalesce(1).write.mode("overwrite").parquet(part_dir)
+            (part,) = _g.glob(os.path.join(part_dir, "part-*.parquet"))
+            dst = os.path.join(src, f"b{i:02d}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(part_dir)
+            t = 1_600_000_000 + i
+            os.utime(dst, (t, t))
+        schema = spark.read.parquet(src).schema
+        st = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        p = (
+            st.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"), "user_id",
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "10 minutes")
+        )
+        v = (
+            st.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "10 minutes")
+        )
+        joined = p.join(
+            v,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts")
+               >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("view_ts") <= F.col("purchase_ts")),
+            "left_outer",
+        ).select("purchase_id", "view_id")
+        df, prog = SE.stream_to_memory_progress(joined, spark, "append")
+        # sentinel drop AFTER the sink: a pre-sink left-column filter
+        # would push below the join into the purchase scan and starve
+        # the purchase-side watermark (see stream_stream_outer_join)
+        df = df.filter(F.col("purchase_id") >= 0)
+        bp = ev.filter("event_type = 'purchase'").select(
+            F.col("event_id").alias("purchase_id"), "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        bv = ev.filter("event_type = 'view'").select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        batch = bp.join(
+            bv,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts")
+               >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("view_ts") <= F.col("purchase_ts")),
+            "left_outer",
+        ).select("purchase_id", "view_id")
+        got = sorted(
+            tuple(r) for r in df.collect()
+        )
+        want = sorted(tuple(r) for r in batch.collect())
+        assert got == want, (len(got), len(want))
+        n_null = sum(1 for r in got if r[1] is None)
+        assert n_null > 0, "scenario must exercise NULL emission"
+        return state_volume_from_progress(prog)
+
+    sv1 = run("ssoj_base", doubled=False)
+    sv2 = run("ssoj_dbl", doubled=True)
+    assert 0 < sv1.peak_rows < sv1.input_rows, sv1.as_dict()
+    # each run stages 2 sentinel files x 2 rows, counted once per plan
+    # leaf (the self-joined source has two): net out 8 sentinel rows
+    assert sv2.input_rows - 8 == 2 * (sv1.input_rows - 8), (
+        sv1.as_dict(), sv2.as_dict(),
+    )
+    assert sv2.peak_rows <= 1.3 * sv1.peak_rows + 64, (
+        sv1.as_dict(), sv2.as_dict(),
+    )
