@@ -683,6 +683,7 @@ def main() -> None:
         "snap_delete_auto",
         "snap_all_manifests_meta",
         "stream_stream_outer_join",
+        "stream_stream_full_outer_join",
     )
     # best-of-3 (was 2 through r11): measured on the PQ family, rep 1
     # pays Arrow/BLAS worker warm-up (10.9 s) and rep 2 is still not

@@ -413,39 +413,16 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SE.stream_to_memory(joined, spark, mode="append")
 
 
-@register(
-    "stream_stream_outer_join",
-    oracle="""
-    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
-           p.user_id, p.ts AS purchase_ts, v.ts AS view_ts
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-      ON p.user_id = v.user_id
-     AND v.ts >= p.ts - INTERVAL '1 hour' AND v.ts <= p.ts
-    """,
-    tags=("ext", "streaming", "join"),
-)
-def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT-OUTER stream-stream interval join — the state-store shape
-    Spark is famously subtle on: an unmatched purchase may only emit its
-    NULL-padded row once the watermark PROVES no matching view can still
-    arrive, which happens during a LATER micro-batch's state cleanup,
-    never in the row's own batch (a bounded single-batch run would
-    silently drop every outer row — the classic missing-NULLs bug).
-    The run therefore stages the real events as one delivery followed by
-    two far-future sentinel deliveries (one purchase + one view each, so
-    BOTH sides' watermarks ratchet — the global watermark is their min)
-    under ``maxFilesPerTrigger=1``: batch 2's watermark flushes most of
-    the unmatched backlog, batch 3's flushes the tail inside the final
-    watermark band. Sentinels carry negative user ids and are dropped
-    from the MATERIALIZED result, never inside the stream — a pre-sink
-    filter on a left-side column gets pushed below the outer join into
-    the purchase scan, starving the purchase-side watermark and
-    silently losing the final band's NULL rows (found by measurement;
-    see the inline note). EXACT against the batch LEFT JOIN — pinning
-    inner matches, NULL emission completeness, and the
-    no-premature-NULL rule in one oracle. State stays watermark-band
-    bounded (tests/test_state_volume.py)."""
+def _ss_outer_sources(spark: SparkSession, sf_dir: str, name: str):
+    """Shared staging for the OUTER stream-stream joins: the real events
+    as one delivery plus two far-future sentinel deliveries (one
+    purchase + one view each, negative user ids) under
+    ``maxFilesPerTrigger=1``, so the watermark — the MIN of both sides'
+    — ratchets past every real timestamp and all pending NULL-padded
+    rows flush before the bounded run ends. Returns the watermarked
+    (purchases, views) sides. Sentinel rows must be dropped from the
+    MATERIALIZED result, never pre-sink (filter pushdown would starve
+    the watermark — see stream_stream_outer_join)."""
     import datetime as dt
 
     from pyspark.sql import functions as F
@@ -453,7 +430,7 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from component_iceberg_spark.io.tables import load_table
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(SCRATCH_ROOT, tag, "ss_outer_join")
+    base = os.path.join(SCRATCH_ROOT, tag, name)
     shutil.rmtree(base, ignore_errors=True)
     src = os.path.join(base, "src")
     os.makedirs(src)
@@ -501,6 +478,45 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("view_ts", "10 minutes")
     )
+    return p, v
+
+
+@register(
+    "stream_stream_outer_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id, p.ts AS purchase_ts, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL '1 hour' AND v.ts <= p.ts
+    """,
+    tags=("ext", "streaming", "join"),
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join — the state-store shape
+    Spark is famously subtle on: an unmatched purchase may only emit its
+    NULL-padded row once the watermark PROVES no matching view can still
+    arrive, which happens during a LATER micro-batch's state cleanup,
+    never in the row's own batch (a bounded single-batch run would
+    silently drop every outer row — the classic missing-NULLs bug).
+    The run therefore stages the real events as one delivery followed by
+    two far-future sentinel deliveries (one purchase + one view each, so
+    BOTH sides' watermarks ratchet — the global watermark is their min)
+    under ``maxFilesPerTrigger=1``: batch 2's watermark flushes most of
+    the unmatched backlog, batch 3's flushes the tail inside the final
+    watermark band. Sentinels carry negative user ids and are dropped
+    from the MATERIALIZED result, never inside the stream — a pre-sink
+    filter on a left-side column gets pushed below the outer join into
+    the purchase scan, starving the purchase-side watermark and
+    silently losing the final band's NULL rows (found by measurement;
+    see the inline note). EXACT against the batch LEFT JOIN — pinning
+    inner matches, NULL emission completeness, and the
+    no-premature-NULL rule in one oracle. State stays watermark-band
+    bounded (tests/test_state_volume.py)."""
+    from pyspark.sql import functions as F
+
+    p, v = _ss_outer_sources(spark, sf_dir, "ss_outer_join")
     joined = p.join(
         v,
         (F.col("user_id") == F.col("v_user_id"))
@@ -522,6 +538,62 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # missing). Filtering after the sink keeps the stream seeing the
     # sentinels while the result never does.
     return out.filter(F.col("user_id") >= 0)
+
+
+@register(
+    "stream_stream_full_outer_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id AS p_user, v.user_id AS v_user,
+           p.ts AS purchase_ts, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL '1 hour' AND v.ts <= p.ts
+    """,
+    tags=("ext", "streaming", "join"),
+)
+def stream_stream_full_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL-OUTER stream-stream interval join — both sides' unmatched
+    rows emit NULL-padded on watermark timeout, the most state-subtle
+    join Spark's stream engine supports: a purchase holds until the
+    view-side watermark passes its own timestamp, a view holds until the
+    purchase-side watermark passes ``view_ts + 1h`` (the latest purchase
+    it could still match), and each eviction must emit exactly one NULL
+    row iff the row never matched. Same sentinel-flush staging as the
+    left-outer twin (``_ss_outer_sources``), sentinels dropped from the
+    materialized result (both sides' user columns are needed — an
+    unmatched view has a NULL left user). EXACT against the batch FULL
+    JOIN: one oracle pins inner matches plus BOTH NULL-emission
+    directions, complete and never premature."""
+    from pyspark.sql import functions as F
+
+    p, v = _ss_outer_sources(spark, sf_dir, "ss_full_outer_join")
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+        )
+        & (F.col("view_ts") <= F.col("purchase_ts")),
+        "full_outer",
+    ).select(
+        "purchase_id", "view_id",
+        F.col("user_id").alias("p_user"),
+        F.col("v_user_id").alias("v_user"),
+        "purchase_ts", "view_ts",
+    )
+    out = SE.stream_to_memory(joined, spark, mode="append")
+    # sentinel drop on the MATERIALIZED result (see the left-outer twin:
+    # a pre-sink filter pushes below the join and starves a watermark);
+    # NULL-safe because an unmatched real row is NULL on one side
+    return out.filter(
+        (F.coalesce(F.col("p_user"), F.lit(0)) >= 0)
+        & (F.coalesce(F.col("v_user"), F.lit(0)) >= 0)
+    )
 
 
 def _incr_dedup_oracle() -> str:

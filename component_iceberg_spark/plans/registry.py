@@ -100,6 +100,7 @@ _GATE_PRIORITY = (
     "snap_delete_auto",
     "snap_all_manifests_meta",
     "stream_stream_outer_join",
+    "stream_stream_full_outer_join",
     "snap_delete_dv",
     "snap_rewrite_to_dv",
     "snap_add_files",
