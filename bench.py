@@ -682,6 +682,8 @@ def main() -> None:
         # r13 additions
         "snap_delete_auto",
         "snap_all_manifests_meta",
+        "snap_all_data_files_meta",
+        "snap_metadata_log",
         "stream_stream_outer_join",
         "stream_stream_full_outer_join",
     )
@@ -690,16 +692,21 @@ def main() -> None:
     # steady (3.1 s vs 2.0 s at rep 3) — the r11 artifact's sim_ann_pq
     # "3x regression" was exactly this undersampling on a slower
     # machine, with operators/similarity.py untouched.
+    # SPARK_GRAFT_HEADLINE_ONLY=1 skips NEW_OPS (and, combined with
+    # SPARK_GRAFT_SKIP_SF1, the scale sections): the fast probe for
+    # normalized round-over-round readouts of the HEADLINE set — the
+    # full run takes ~10 min, the headline probe ~3. Never canonical.
     new_ops: dict[str, float] = {}
-    for name in NEW_OPS:
-        if name not in registry:
-            continue
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            force(registry[name].fn(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        new_ops[name] = round(best, 3)
+    if not os.environ.get("SPARK_GRAFT_HEADLINE_ONLY"):
+        for name in NEW_OPS:
+            if name not in registry:
+                continue
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                force(registry[name].fn(spark, SF_DIR))
+                best = min(best, time.perf_counter() - t0)
+            new_ops[name] = round(best, 3)
     result["new_ops"] = new_ops  # r5+ additions (key renamed from new_ops_r5 in r7)
 
     if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
@@ -1110,8 +1117,10 @@ def main() -> None:
     # truncation) — written ONLY for the canonical full run, so a smoke
     # run at another SF or with the scale sections skipped can never
     # clobber the real numbers.
-    canonical = SF_DIR.rstrip("/").endswith("sf0.1") and not os.environ.get(
-        "SPARK_GRAFT_SKIP_SF1"
+    canonical = (
+        SF_DIR.rstrip("/").endswith("sf0.1")
+        and not os.environ.get("SPARK_GRAFT_SKIP_SF1")
+        and not os.environ.get("SPARK_GRAFT_HEADLINE_ONLY")
     )
     if canonical:
         local = os.path.join(

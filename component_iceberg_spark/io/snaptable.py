@@ -3236,6 +3236,93 @@ class SnapCatalog:
             rows.append(tuple(rec))
         return spark.createDataFrame(rows, schema=", ".join(fields))
 
+    def all_data_files(
+        self, spark: SparkSession, namespace: str, table: str
+    ) -> DataFrame:
+        """Cross-snapshot per-FILE metadata table — the Iceberg
+        ``t.all_data_files`` / pyiceberg ``inspect.all_data_files``
+        analogue: every data file of every snapshot, one row per
+        (referencing snapshot, file). Complements :meth:`all_manifests`
+        (manifest grain) and :meth:`entries` (file grain, ONE snapshot):
+        this is the view that answers "how many physical bytes does the
+        whole snapshot LOG pin" — i.e. what ``expire_snapshots`` plus
+        orphan GC would actually reclaim, at file granularity.
+
+        Footer/stat-only driver work, amortized: each distinct data dir
+        is walked ONCE (parquet footers read once per file), then fanned
+        out to every snapshot that references it — cost is
+        O(distinct files + manifest entries), never O(snapshots ×
+        files). Columns: ``reference_snapshot_id``, ``data_dir``,
+        ``file_ordinal`` (sorted-name position within the dir — the
+        stable handle, Spark part names are uuids), ``n_rows``,
+        ``n_row_groups``, ``size_bytes``."""
+        import pyarrow.parquet as pq
+
+        per_dir: dict[str, list[tuple]] = {}
+        rows = []
+        for s in self._snapshots(namespace, table):
+            for d in s["files"]:
+                if d not in per_dir:
+                    root = self._tbl(namespace, table, "data", d)
+                    paths = []
+                    for rdir, _sub, fns in os.walk(root):
+                        for fn in fns:
+                            if fn.endswith(".parquet") and not fn.startswith(
+                                (".", "_")
+                            ):
+                                paths.append(os.path.join(rdir, fn))
+                    per_dir[d] = [
+                        (j, pq.ParquetFile(p).metadata, os.path.getsize(p))
+                        for j, p in enumerate(sorted(paths))
+                    ]
+                for j, md, size in per_dir[d]:
+                    rows.append(
+                        (s["snapshot_id"], d, j, md.num_rows,
+                         md.num_row_groups, size)
+                    )
+        return spark.createDataFrame(
+            rows,
+            schema=(
+                "reference_snapshot_id long, data_dir string, "
+                "file_ordinal int, n_rows long, n_row_groups int, "
+                "size_bytes long"
+            ),
+        )
+
+    def metadata_log_entries(
+        self, spark: SparkSession, namespace: str, table: str
+    ) -> DataFrame:
+        """Metadata-log metadata table — the Iceberg
+        ``t.metadata_log_entries`` / pyiceberg
+        ``inspect.metadata_log_entries`` analogue: one row per metadata
+        file the table has ever published (here: per snapshot manifest
+        JSON), with its commit timestamp, path, size, and the snapshot
+        it made current. Expired snapshots drop out (their manifests are
+        deleted — same lifecycle as Iceberg's metadata log under
+        ``write.metadata.delete-after-commit``). Pure driver-side
+        manifest-dir listing — no data I/O, no Spark job."""
+        rows = []
+        for s in self._snapshots(namespace, table):
+            path = self._tbl(
+                namespace, table, "snapshots", f"{s['snapshot_id']}.json"
+            )
+            rows.append(
+                (
+                    s["timestamp_ms"],
+                    path,
+                    os.path.getsize(path),
+                    s["snapshot_id"],
+                    s["operation"],
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            schema=(
+                "timestamp_ms long, file string, size_bytes long, "
+                "latest_snapshot_id long, operation string"
+            ),
+        )
+
     def entries(
         self,
         spark: SparkSession,

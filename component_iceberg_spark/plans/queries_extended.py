@@ -1031,6 +1031,98 @@ def snap_all_manifests_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "snap_all_data_files_meta",
+    oracle="""
+    SELECT CAST(0 AS INT) AS ordinal, CAST(3 AS BIGINT) AS n_files,
+           (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_rows
+    UNION ALL
+    SELECT 1, 5, (SELECT count(*) FROM orders)
+    """,
+    tags=("parity", "snapshot", "meta"),
+)
+def snap_all_data_files_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot per-FILE metadata table (Iceberg
+    ``t.all_data_files`` / pyiceberg ``inspect.all_data_files``): every
+    data file of every snapshot with footer row counts — the view that
+    prices what the snapshot LOG pins, i.e. what expiry + orphan GC
+    would reclaim at file grain. Distinct dirs are walked ONCE and
+    fanned out to referencing snapshots (cost O(distinct files), never
+    O(snapshots × files)). The scenario: a 3-file replace then a 2-file
+    append roll up per referencing snapshot to (n_files, n_rows) —
+    snapshot 0 pins 3 files / the even half, snapshot 1 pins all 5
+    files / every row — which a full-scan oracle must reproduce (footer
+    counts trusted, the ``snap_entries_meta`` contract, here across the
+    whole log)."""
+    from pyspark.sql import Window
+
+    from component_iceberg_spark.plans.queries_mutation import _warehouse
+
+    cat = _warehouse(sf_dir, "all_data_files")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace(
+        "ns", "orders", o.filter("o_orderkey % 2 = 0").repartition(3)
+    )
+    cat.append(
+        "ns", "orders", o.filter("o_orderkey % 2 = 1").repartition(2)
+    )
+    adf = cat.all_data_files(spark, "ns", "orders")
+    w = Window.orderBy("reference_snapshot_id")
+    return (
+        adf.withColumn("ordinal", F.dense_rank().over(w) - 1)
+        .groupBy("ordinal")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "snap_metadata_log",
+    oracle="""
+    SELECT CAST(0 AS INT) AS ordinal, 'replace' AS operation
+    UNION ALL SELECT 1, 'append'
+    UNION ALL SELECT 2, 'delete'
+    """,
+    tags=("parity", "snapshot", "meta"),
+)
+def snap_metadata_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-log metadata table (Iceberg ``t.metadata_log_entries``
+    / pyiceberg ``inspect.metadata_log_entries`` — with
+    ``all_data_files`` this completes the inspect surface the reference
+    embeds via pyiceberg 0.9.1): one row per published metadata file
+    with commit timestamp, path, size, and the snapshot it made
+    current. The scenario publishes replace → append → equality-delete
+    and reads back the log's operation sequence in commit order (sids
+    are monotonic; timestamps can tie at ms grain, so the ordinal
+    windows over the snapshot id). Size/path/timestamp lanes and the
+    expiry lifecycle (expired manifests leave the log) are unit-pinned
+    in tests/test_snaptable.py."""
+    from pyspark.sql import Window
+
+    from component_iceberg_spark.plans.queries_mutation import _warehouse
+
+    cat = _warehouse(sf_dir, "metadata_log")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "orders", o.filter("o_orderkey % 2 = 0"))
+    cat.append("ns", "orders", o.filter("o_orderkey % 2 = 1"))
+    cat.delete_keys(
+        spark, "ns", "orders",
+        o.filter("o_orderkey % 500 = 3").select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    log = cat.metadata_log_entries(spark, "ns", "orders")
+    w = Window.orderBy("latest_snapshot_id")
+    return log.select(
+        (F.dense_rank().over(w) - 1).alias("ordinal"), "operation"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text normalization / redaction / repetition quality
 # ---------------------------------------------------------------------------

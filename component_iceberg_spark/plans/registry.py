@@ -99,6 +99,8 @@ _GATE_PRIORITY = (
     #     (ext_funnel_negation).
     "snap_delete_auto",
     "snap_all_manifests_meta",
+    "snap_all_data_files_meta",
+    "snap_metadata_log",
     "stream_stream_outer_join",
     "stream_stream_full_outer_join",
     "snap_delete_dv",

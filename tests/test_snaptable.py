@@ -2570,6 +2570,50 @@ def test_all_manifests_lifecycle(spark, sf_dir, tmp_path):
     assert {r.path for r in left} == {c}
 
 
+def test_all_data_files_and_metadata_log(spark, sf_dir, tmp_path):
+    """all_data_files: one row per (referencing snapshot, file), footer
+    n_rows trusted, carried files keep identity across snapshots;
+    metadata_log_entries: one row per published manifest with real path
+    + size, in commit order; expiry removes expired snapshots' rows
+    from BOTH views (what the log pins = what GC frees)."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    cat.create_or_replace(
+        "ns", "t", o.filter("o_orderkey % 2 = 0").repartition(2)
+    )
+    sid1 = cat._current_sid("ns", "t")
+    cat.append("ns", "t", o.filter("o_orderkey % 2 = 1").repartition(3))
+    sid2 = cat._current_sid("ns", "t")
+    adf = cat.all_data_files(spark, "ns", "t").collect()
+    by_sid: dict[int, list] = {}
+    for r in adf:
+        by_sid.setdefault(r.reference_snapshot_id, []).append(r)
+    assert len(by_sid[sid1]) == 2 and len(by_sid[sid2]) == 5
+    even_n = o.filter("o_orderkey % 2 = 0").count()
+    assert sum(r.n_rows for r in by_sid[sid1]) == even_n
+    assert sum(r.n_rows for r in by_sid[sid2]) == o.count()
+    # carried files keep (dir, ordinal, size) identity across snapshots
+    key1 = {(r.data_dir, r.file_ordinal, r.size_bytes) for r in by_sid[sid1]}
+    key2 = {(r.data_dir, r.file_ordinal, r.size_bytes) for r in by_sid[sid2]}
+    assert key1 < key2
+    log = cat.metadata_log_entries(spark, "ns", "t").collect()
+    assert [r.operation for r in sorted(
+        log, key=lambda r: r.latest_snapshot_id
+    )] == ["replace", "append"]
+    for r in log:
+        assert os.path.isfile(r.file) and r.size_bytes == os.path.getsize(
+            r.file
+        )
+    # expiry: both views forget the expired snapshot
+    cat.expire_snapshots("ns", "t", keep_last=1)
+    adf2 = cat.all_data_files(spark, "ns", "t").collect()
+    assert {r.reference_snapshot_id for r in adf2} == {sid2}
+    log2 = cat.metadata_log_entries(spark, "ns", "t").collect()
+    assert [r.latest_snapshot_id for r in log2] == [sid2]
+
+
 def test_main_ref_shadowing_refused(spark, sf_dir, tmp_path):
     """A physical ref file literally named 'main' (pre-dating the
     reserved-name rule) is never silently shadowed: resolve_ref('main')
