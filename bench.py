@@ -681,6 +681,7 @@ def main() -> None:
         "dedup_semantic_ivf",
         # r13 additions
         "snap_delete_auto",
+        "snap_delete_dv_ranges",
         "snap_all_manifests_meta",
         "snap_all_data_files_meta",
         "snap_metadata_log",

@@ -393,6 +393,13 @@ class SnapCatalog:
     DV_PROBE_MAX_DENSITY = 0.05          # doomed fraction of scoped rows
     DV_PROBE_MAX_FILE_POSITIONS = 8192   # per-file probe work bound
     DV_PROBE_MAX_TOTAL_POSITIONS = 2_000_000  # broadcast bytes bound (~16 MB)
+    # a DENSE delete whose ordinals form few contiguous RUNS (the
+    # realistic dense shapes: time-range deletes, partition drops,
+    # compaction-era tombstones) can still broadcast — as (start, end)
+    # ranges, whose bytes and per-row probe work are RUN-count-bounded
+    # at any density. Above this many runs in one file, ranges stop
+    # compressing and the dense apply falls back to the anti-join.
+    DV_RANGE_PROBE_MAX_PER_FILE = 128
 
     def __init__(self, warehouse: str):
         self.warehouse = warehouse
@@ -1872,33 +1879,17 @@ class SnapCatalog:
             .coalesce(1)
             .write.parquet(out)
         )
-        # one metadata-sized pass over the written (file-count-sized)
-        # relation yields the touched dirs AND the position stats the
-        # read-side density gate consumes without a job of its own
-        stat = (
-            spark.read.parquet(out)
-            .select(
-                F.regexp_extract(
-                    F.col("file_path"), r"/data/([^/]+)/", 1
-                ).alias("d"),
-                F.size("positions").alias("n"),
-            )
-            .agg(
-                F.collect_set("d").alias("dirs"),
-                F.sum("n").alias("n"),
-                F.max("n").alias("mx"),
-            )
-            .first()
-        )
-        touched = set(stat["dirs"] or [])
+        # one distributed pass over the written relation yields the
+        # touched dirs AND the position/run stats the read-side
+        # representation choice consumes without a job of its own
+        touched, stats = self._dv_stats(spark, out)
         entry = {
             "dir": del_dir_name,
             "mode": "dv",
             "applies_to": sorted(
                 d for d in manifest["files"] if d in touched
             ),
-            "n_positions": int(stat["n"] or 0),
-            "max_file_positions": int(stat["mx"] or 0),
+            **stats,
         }
         if not entry["applies_to"]:
             shutil.rmtree(out, ignore_errors=True)
@@ -1976,16 +1967,15 @@ class SnapCatalog:
             .coalesce(1)
             .write.parquet(out)
         )
-        # stamp the position stats the read-side density gate consumes
-        # (_dv_apply_is_dense) — the fold must not launder a dense DV
-        # into an unstamped entry that reads then probe blindly
-        n_pos, mx_pos = self._dv_position_stats(spark.read.parquet(out))
+        # stamp the position/run stats the read-side representation
+        # choice consumes (_dv_apply_mode) — the fold must not launder a
+        # dense DV into an unstamped entry that reads then probe blindly
+        _touched, stats = self._dv_stats(spark, out)
         entry = {
             "dir": del_dir_name,
             "mode": "dv",
             "applies_to": live_scope,
-            "n_positions": n_pos,
-            "max_file_positions": mx_pos,
+            **stats,
         }
         try:
             return self._commit(
@@ -2006,46 +1996,123 @@ class SnapCatalog:
             if set(e["applies_to"]) & set(dir_names)
         ]
 
-    def _dv_position_stats(self, keys_df: DataFrame) -> tuple[int, int]:
-        """(total positions, max positions per file) of a DV relation —
-        one aggregate over the file-count-sized delete file. Writers
-        stamp these on the entry (``n_positions``/``max_file_positions``)
-        so reads normally never run this; it exists for entries written
-        before the stamp."""
-        row = keys_df.select(
-            F.sum(F.size("positions")).alias("n"),
-            F.max(F.size("positions")).alias("mx"),
+    def _dv_stats(self, spark: SparkSession, path: str) -> tuple[set, dict]:
+        """(touched dirs, entry stats) of a written DV relation, in one
+        distributed pass: per-file position counts plus the number of
+        contiguous RUNS the ordinals form (gaps-and-islands: sorted
+        positions grouped by ``pos − row_number``). Writers stamp the
+        stats on the entry so the read-side representation choice costs
+        no job; run counts are what decide whether a DENSE delete is
+        still broadcastable as ranges."""
+        expl = spark.read.parquet(path).select(
+            "file_path", F.explode("positions").alias("pos")
+        )
+        w = Window.partitionBy("file_path").orderBy("pos")
+        per_file = (
+            expl.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+            .groupBy("file_path")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("_grp").alias("nr"),
+                F.first(
+                    F.regexp_extract(
+                        F.col("file_path"), r"/data/([^/]+)/", 1
+                    )
+                ).alias("d"),
+            )
+        )
+        row = per_file.agg(
+            F.collect_set("d").alias("dirs"),
+            F.sum("n").alias("n"),
+            F.max("n").alias("mx"),
+            F.sum("nr").alias("nrt"),
+            F.max("nr").alias("nrm"),
         ).first()
-        return int(row["n"] or 0), int(row["mx"] or 0)
+        stats = {
+            "n_positions": int(row["n"] or 0),
+            "max_file_positions": int(row["mx"] or 0),
+            "n_ranges": int(row["nrt"] or 0),
+            "max_file_ranges": int(row["nrm"] or 0),
+        }
+        return set(row["dirs"] or []), stats
 
-    def _dv_apply_is_dense(
+    def _dv_apply_mode(
         self, manifest: dict, entry: dict, keys_df: DataFrame
-    ) -> bool:
-        """Representation choice for the DV read apply: False → the
-        file-count-sized relation broadcasts and rows probe their file's
-        sorted ordinal array (shuffle-free; right at sparse density);
-        True → the DV explodes into a (file, pos) anti-join (one hash
-        exchange; right when the probe's O(rows × positions-per-file)
-        work or the broadcast's total-positions payload would blow up).
+    ) -> str:
+        """Representation choice for the DV read apply — three plans by
+        measured shape, all decided from entry-stamped stats (no job):
+
+        - ``probe`` (sparse): the file-count-sized relation broadcasts,
+          rows probe their file's sorted ordinal array. Shuffle-free;
+          per-row work O(positions-per-file), payload positions-sized —
+          both fine below the density/size gates.
+        - ``ranges`` (dense but contiguous): positions collapse to few
+          (start, end) runs — time-range deletes, partition drops — so
+          the broadcast payload and the per-row ``exists`` probe are
+          RUN-count-bounded at ANY density. Still shuffle-free.
+        - ``anti`` (dense and scattered): the only shape where nothing
+          small exists to broadcast; explode into a (file, pos)
+          anti-join — one hash exchange, linear work, bounded memory.
+
         Dense means ANY of: doomed fraction of the scoped dirs' rows
         above ``DV_PROBE_MAX_DENSITY``, a single file carrying more than
         ``DV_PROBE_MAX_FILE_POSITIONS`` ordinals, or total positions
         above ``DV_PROBE_MAX_TOTAL_POSITIONS``."""
         n = entry.get("n_positions")
         mx = entry.get("max_file_positions")
-        if n is None or mx is None:
-            n, mx = self._dv_position_stats(keys_df)
-        if mx > self.DV_PROBE_MAX_FILE_POSITIONS:
-            return True
-        if n > self.DV_PROBE_MAX_TOTAL_POSITIONS:
-            return True
-        dir_rows = manifest.get("dir_rows") or {}
-        scoped = [dir_rows.get(d) for d in entry["applies_to"]]
-        if scoped and all(s is not None for s in scoped):
-            total = sum(scoped)
-            if total and n / total > self.DV_PROBE_MAX_DENSITY:
-                return True
-        return False
+        if n is None or mx is None:  # legacy unstamped entry: one pass
+            row = keys_df.select(
+                F.sum(F.size("positions")).alias("n"),
+                F.max(F.size("positions")).alias("mx"),
+            ).first()
+            n, mx = int(row["n"] or 0), int(row["mx"] or 0)
+        dense = (
+            mx > self.DV_PROBE_MAX_FILE_POSITIONS
+            or n > self.DV_PROBE_MAX_TOTAL_POSITIONS
+        )
+        if not dense:
+            dir_rows = manifest.get("dir_rows") or {}
+            scoped = [dir_rows.get(d) for d in entry["applies_to"]]
+            if scoped and all(s is not None for s in scoped):
+                total = sum(scoped)
+                dense = bool(total) and n / total > self.DV_PROBE_MAX_DENSITY
+        if not dense:
+            return "probe"
+        mfr = entry.get("max_file_ranges")
+        if mfr is not None and mfr <= self.DV_RANGE_PROBE_MAX_PER_FILE:
+            return "ranges"
+        return "anti"
+
+    @staticmethod
+    def _dv_ranges_relation(keys_df: DataFrame) -> DataFrame:
+        """Collapse a DV relation's per-file sorted ordinal arrays into
+        (starts, ends) run arrays — executed over the FILE-count-sized
+        delete relation (Arrow-batched numpy diff per file row, never
+        per data row), so deriving ranges costs one tiny pass however
+        many rows they delete."""
+        import numpy as np
+        import pandas as pd
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for fp, arr in zip(pdf["file_path"], pdf["positions"]):
+                    a = np.asarray(arr, dtype=np.int64)
+                    if a.size == 0:
+                        rows.append((fp, [], []))
+                        continue
+                    brk = np.where(np.diff(a) != 1)[0]
+                    starts = np.concatenate(([a[0]], a[brk + 1]))
+                    ends = np.concatenate((a[brk], [a[-1]]))
+                    rows.append((fp, starts.tolist(), ends.tolist()))
+                yield pd.DataFrame(
+                    rows, columns=["file_path", "starts", "ends"]
+                )
+
+        return keys_df.select("file_path", "positions").mapInPandas(
+            gen,
+            schema="file_path string, starts array<long>, ends array<long>",
+        )
 
     def _read_with_deletes(
         self,
@@ -2122,16 +2189,15 @@ class SnapCatalog:
                         )
                     elif e.get("mode") == "dv":
                         # deletion vector: one (file, sorted positions)
-                        # row per touched file. DENSITY-GATED apply
-                        # (_dv_apply_is_dense): sparse → the file-count-
-                        # sized relation broadcasts and rows probe their
-                        # file's ordinal array, no shuffle at all; dense
-                        # → the probe's O(rows × positions-per-file)
-                        # work and the positions-sized broadcast payload
-                        # both blow up, so the DV explodes back into a
-                        # (file, pos) anti-join: one hash exchange,
-                        # linear work, bounded memory.
-                        if self._dv_apply_is_dense(manifest, e, keys_df):
+                        # row per touched file. SHAPE-GATED apply
+                        # (_dv_apply_mode): sparse → broadcast ordinal
+                        # probe (shuffle-free); dense-but-contiguous →
+                        # broadcast RANGE probe (run-count-bounded bytes
+                        # and work at any density, still shuffle-free);
+                        # dense-and-scattered → exploded (file, pos)
+                        # anti-join (one hash exchange, linear work).
+                        mode = self._dv_apply_mode(manifest, e, keys_df)
+                        if mode == "anti":
                             doomed = keys_df.select(
                                 F.col("file_path").alias(self.POS_FILE_COL),
                                 F.explode("positions").alias(
@@ -2142,6 +2208,36 @@ class SnapCatalog:
                                 doomed,
                                 [self.POS_FILE_COL, self.POS_IDX_COL],
                                 "left_anti",
+                            )
+                        elif mode == "ranges":
+                            rng = self._dv_ranges_relation(keys_df).select(
+                                F.col("file_path").alias(
+                                    self.POS_FILE_COL
+                                ),
+                                F.col("starts").alias("_dv_starts"),
+                                F.col("ends").alias("_dv_ends"),
+                            )
+                            pos_col = F.col(self.POS_IDX_COL)
+                            part = (
+                                part.join(
+                                    F.broadcast(rng),
+                                    [self.POS_FILE_COL],
+                                    "left",
+                                )
+                                .filter(
+                                    F.col("_dv_starts").isNull()
+                                    | ~F.exists(
+                                        F.arrays_zip(
+                                            F.col("_dv_starts"),
+                                            F.col("_dv_ends"),
+                                        ),
+                                        lambda x: (
+                                            pos_col >= x["_dv_starts"]
+                                        )
+                                        & (pos_col <= x["_dv_ends"]),
+                                    )
+                                )
+                                .drop("_dv_starts", "_dv_ends")
                             )
                         else:
                             dv = keys_df.select(

@@ -778,6 +778,55 @@ def snap_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snap_delete_dv_ranges",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey > (SELECT CAST(floor(max(o_orderkey) * 0.4) AS BIGINT)
+                        FROM orders)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey <= (SELECT CAST(floor(max(o_orderkey) * 0.4) AS BIGINT)
+                         FROM orders)
+      AND o_orderkey < 30
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_delete_dv_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vector at DENSE-CONTIGUOUS density — the realistic dense
+    shape (a time-range / key-band delete: 40% of the table in one
+    contiguous band). Ordinals collapse to a handful of (start, end)
+    RUNS per file, so the r13 shape gate (``_dv_apply_mode``) keeps the
+    apply a shuffle-free broadcast probe — run-count-bounded payload and
+    per-row work at ANY delete density — where the scattered-dense twin
+    (``snap_delete_dv``, every 3rd key) must fall back to the anti-join.
+    Same physical scoping: a later re-append of deleted keys is not
+    masked. Plan choice pinned in tests/test_shuffle_volume.py; rows
+    oracle-exact regardless of the representation (physical, not
+    semantic)."""
+    from component_iceberg_spark.plans.queries_mutation import _warehouse
+
+    cat = _warehouse(sf_dir, "mor_dv_ranges")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).orderBy("o_orderkey")  # files carry contiguous key bands
+    cat.create_or_replace("ns", "orders", o)
+    hi = o.agg(F.max("o_orderkey")).collect()[0][0]
+    band = int(hi * 0.4)
+    addressed = cat.read_with_positions(spark, "ns", "orders")
+    cat.delete_positions_dv(
+        spark, "ns", "orders",
+        addressed.filter(F.col("o_orderkey") <= band).select(
+            cat.POS_FILE_COL, cat.POS_IDX_COL
+        ),
+    )
+    reborn = o.filter(
+        (F.col("o_orderkey") <= band) & (F.col("o_orderkey") < 30)
+    )
+    cat.append("ns", "orders", reborn)
+    return cat.read(spark, "ns", "orders")
+
+
+@register(
     "snap_rewrite_to_dv",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -98,6 +98,7 @@ _GATE_PRIORITY = (
     #     snap_expire_branches); pattern_funnel_negation gained id_col
     #     (ext_funnel_negation).
     "snap_delete_auto",
+    "snap_delete_dv_ranges",
     "snap_all_manifests_meta",
     "snap_all_data_files_meta",
     "snap_metadata_log",

@@ -287,52 +287,66 @@ def test_dv_read_shuffle_free_vs_positional(spark, sf_dir):
 
 
 def test_dv_read_density_gate_flips_apply(spark, sf_dir):
-    """The r13 density gate, pinned at both densities on the SAME table
-    shape (VERDICT r12 #2): a sparse DV (~1% doomed) applies as the
-    broadcast membership probe — BroadcastExchange + array_contains in
-    the plan, no exchange of the scan; a dense DV (a third doomed, the
-    exact regime the r12 gate scenario used) flips to the exploded
-    (file, pos) LeftAnti join — no array_contains probe, no broadcast
-    of the positions-sized payload (the ADVICE r12 OOM vector), probe
-    work linear instead of O(rows × positions-per-file)."""
+    """The r13 shape gate, pinned on all THREE apply plans over the SAME
+    table (VERDICT r12 #2): a sparse DV (~1% doomed) applies as the
+    broadcast ordinal probe (BroadcastExchange + array_contains, no
+    exchange of the scan); a dense SCATTERED DV (a third doomed, every
+    3rd ordinal — runs don't compress) flips to the exploded (file, pos)
+    LeftAnti join — no probe, no positions-sized broadcast (the ADVICE
+    r12 OOM vector), linear work; a dense CONTIGUOUS DV (a prefix band —
+    the realistic dense shape: time-range delete) collapses to
+    run-count-bounded ranges and stays a shuffle-free broadcast probe at
+    ANY density (BroadcastExchange + the _dv_starts range probe, no
+    LeftAnti, no array_contains)."""
     from pyspark.sql import functions as F
 
     from component_iceberg_spark.io.snaptable import SnapCatalog
 
     wh_root = "/tmp/cis_scratch/vol_pin_dv_gate"
     shutil.rmtree(wh_root, ignore_errors=True)
-    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
-        "o_orderkey", "o_custkey", "o_totalprice"
+    o = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")  # files carry contiguous key bands
     )
+    n = o.count()
+    band_hi = o.approxQuantile("o_orderkey", [0.4], 0.0)[0]
+    cases = {
+        "sparse": "o_orderkey % 97 = 0",
+        "dense_scattered": "o_orderkey % 3 = 0",
+        "dense_contiguous": f"o_orderkey <= {int(band_hi)}",
+    }
     plans = {}
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         # no auto-broadcast: any BroadcastExchange in the plan is OURS
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        for label, mod in (("sparse", 97), ("dense", 3)):
+        for label, pred in cases.items():
             cat = SnapCatalog(os.path.join(wh_root, label))
             cat.create_or_replace("ns", "t", o)
             addressed = cat.read_with_positions(spark, "ns", "t")
             cat.delete_positions_dv(
                 spark, "ns", "t",
-                addressed.filter(F.col("o_orderkey") % mod == 0).select(
+                addressed.filter(pred).select(
                     cat.POS_FILE_COL, cat.POS_IDX_COL
                 ),
             )
             df = cat.read(spark, "ns", "t")
-            assert df.count() == o.filter(
-                f"o_orderkey % {mod} <> 0"
-            ).count(), label
+            assert df.count() == n - o.filter(pred).count(), label
             plans[label] = df._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    sparse, dense = plans["sparse"], plans["dense"]
+    sparse = plans["sparse"]
     assert "array_contains" in sparse and "BroadcastExchange" in sparse, (
         sparse
     )
     assert "LeftAnti" not in sparse, sparse
-    assert "array_contains" not in dense and "BroadcastExchange" not in dense, (
-        dense
+    scat = plans["dense_scattered"]
+    assert "array_contains" not in scat and "BroadcastExchange" not in scat, (
+        scat
     )
-    assert "LeftAnti" in dense, dense
+    assert "LeftAnti" in scat, scat
+    cont = plans["dense_contiguous"]
+    assert "_dv_starts" in cont and "BroadcastExchange" in cont, cont
+    assert "LeftAnti" not in cont and "array_contains" not in cont, cont
     shutil.rmtree(wh_root, ignore_errors=True)
