@@ -1606,6 +1606,87 @@ class SnapCatalog:
             base_sid=base, inherit_spec=True, carry_dirs=untouched,
         )
 
+    def update_where_mor(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        table: str,
+        predicate: str,
+        assignments: dict[str, str],
+    ) -> int:
+        """Row-level UPDATE, merge-on-read — the MoR twin of
+        :meth:`update_where` (Iceberg ``UPDATE … SET`` with
+        ``write.update.mode=merge-on-read``): ONE atomic commit that
+        (a) masks the matched rows' physical addresses with a deletion
+        vector and (b) appends their updated images as one new small
+        data dir. No candidate dir is rewritten — update cost is one
+        stats/bloom-pruned scan plus a matched-rows-sized write, with
+        the rewrite deferred to compaction, exactly the delete-file +
+        re-insert pair Iceberg's MoR UPDATE emits. The DV scopes only
+        the dirs the addresses touch, so the appended images (a new
+        dir) are never masked. Readers see old rows masked and new rows
+        visible atomically because both land in the same manifest
+        publish. Refused while other deletes are pending (positional
+        addressing over masked rows is ambiguous — the
+        ``read_with_positions`` contract)."""
+        base = self._current_sid(namespace, table)
+        manifest = self._manifest(namespace, table, base)
+        if self._pending_deletes(manifest, manifest["files"]):
+            raise ValueError(
+                f"{namespace}.{table}: update_where_mor with pending "
+                "merge-on-read deletes is ambiguous — compact() first"
+            )
+        candidates, _untouched = self._prune_dirs(manifest, predicate)
+        if not candidates:
+            return base  # no dir can match: nothing to update
+        scan = self._read_dirs(
+            spark, namespace, table, candidates,
+            bool(manifest.get("partition_by")), with_positions=True,
+            read_schema=self._scan_schema(manifest),
+        )
+        doomed = self._resolve_schema(scan, manifest).filter(predicate)
+        updated = doomed
+        for col_name, expr in assignments.items():
+            updated = updated.withColumn(col_name, F.expr(expr))
+        drop = [self.POS_FILE_COL, self.POS_IDX_COL] + [
+            c for c in updated.columns if c.startswith("_pt_")
+        ]
+        updated = updated.drop(*drop)
+        del_dir_name = f"dvdelete-{uuid.uuid4().hex[:12]}"
+        out = self._tbl(namespace, table, "deletes", del_dir_name)
+        (
+            doomed.select(
+                F.col(self.POS_FILE_COL).alias("file_path"),
+                F.col(self.POS_IDX_COL).cast("long").alias("pos"),
+            )
+            .groupBy("file_path")
+            .agg(F.sort_array(F.collect_set("pos")).alias("positions"))
+            .coalesce(1)
+            .write.parquet(out)
+        )
+        touched, stats = self._dv_stats(spark, out)
+        entry = {
+            "dir": del_dir_name,
+            "mode": "dv",
+            "applies_to": sorted(
+                d for d in manifest["files"] if d in touched
+            ),
+            **stats,
+        }
+        if not entry["applies_to"]:
+            # predicate matched zero rows: nothing to mask or append
+            shutil.rmtree(out, ignore_errors=True)
+            return base
+        try:
+            return self._commit(
+                namespace, table, updated, operation="update",
+                carry=False, base_sid=base, inherit_spec=True,
+                carry_dirs=list(manifest["files"]), extra_deletes=[entry],
+            )
+        except Exception:
+            shutil.rmtree(out, ignore_errors=True)  # no manifest refs it
+            raise
+
     def delete_keys(
         self,
         spark: SparkSession,

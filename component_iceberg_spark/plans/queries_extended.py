@@ -827,6 +827,47 @@ def snap_delete_dv_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snap_update_mor",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 100 = 7
+                THEN o_totalprice + 100000 ELSE o_totalprice
+           END AS o_totalprice,
+           CASE WHEN o_orderkey % 100 = 7
+                THEN 'P' ELSE o_orderstatus
+           END AS o_orderstatus
+    FROM orders
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE (Iceberg ``UPDATE … SET`` with
+    ``write.update.mode=merge-on-read`` — the MoR twin of
+    ``snap_update_where``): ONE atomic commit masks the matched rows
+    with a deletion vector AND appends their updated images as one
+    small data dir — no candidate dir rewritten, the delete-file +
+    re-insert pair Iceberg's MoR UPDATE emits. Update cost is a pruned
+    scan plus a matched-rows-sized write (~1% here); the rewrite defers
+    to compaction. The oracle replays the SET as a CASE over the full
+    table — exact, pinning that old images are masked, new images
+    visible, and untouched rows byte-identical. No-rewrite +
+    compact-materializes pinned in tests/test_snaptable.py."""
+    from component_iceberg_spark.plans.queries_mutation import _warehouse
+
+    cat = _warehouse(sf_dir, "mor_update")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    cat.create_or_replace("ns", "orders", o)
+    cat.update_where_mor(
+        spark, "ns", "orders", "o_orderkey % 100 = 7",
+        {"o_totalprice": "o_totalprice + 100000",
+         "o_orderstatus": "'P'"},
+    )
+    return cat.read(spark, "ns", "orders")
+
+
+@register(
     "snap_rewrite_to_dv",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -2570,6 +2570,71 @@ def test_all_manifests_lifecycle(spark, sf_dir, tmp_path):
     assert {r.path for r in left} == {c}
 
 
+def test_update_where_mor(spark, sf_dir, tmp_path):
+    """update_where_mor: one atomic commit = DV mask + updated-image
+    append; no candidate dir rewritten; untouched rows byte-identical;
+    stats-excluded and zero-match predicates are commit-free no-ops;
+    pending-delete refusal; compact materializes the update and clears
+    the entry."""
+    import pytest
+
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "t", o.filter("o_orderkey < 800"))
+    cat.append("ns", "t", o.filter("o_orderkey >= 800"))
+    data_root = os.path.join(wh, "ns", "t", "data")
+    dirs_before = set(os.listdir(data_root))
+    base_sid = cat._current_sid("ns", "t")
+    # stats exclude every dir / zero rows match → no-op, no commit
+    assert cat.update_where_mor(
+        spark, "ns", "t", "o_orderkey < 0", {"o_totalprice": "0"}
+    ) == base_sid
+    assert cat.update_where_mor(
+        spark, "ns", "t", "o_orderkey % 2 = 0 AND o_orderkey % 2 = 1",
+        {"o_totalprice": "0"},
+    ) == base_sid
+    sid = cat.update_where_mor(
+        spark, "ns", "t", "o_orderkey % 50 = 3",
+        {"o_totalprice": "o_totalprice + 1000"},
+    )
+    m = cat._manifest("ns", "t", sid)
+    # old dirs untouched; exactly one NEW dir (the updated images)
+    assert dirs_before < set(os.listdir(data_root))
+    assert len(set(m["files"]) - dirs_before) == 1
+    (entry,) = m["deletes"]
+    assert entry["mode"] == "dv"
+    new_dir = (set(m["files"]) - dirs_before).pop()
+    assert new_dir not in entry["applies_to"], "images must not be masked"
+    want = o.withColumn(
+        "o_totalprice",
+        F.expr(
+            "CASE WHEN o_orderkey % 50 = 3 THEN o_totalprice + 1000 "
+            "ELSE o_totalprice END"
+        ),
+    )
+    got = cat.read(spark, "ns", "t")
+    assert got.count() == o.count()
+    assert (
+        got.exceptAll(want).count() == 0
+        and want.exceptAll(got).count() == 0
+    )
+    with pytest.raises(ValueError, match="pending"):
+        cat.update_where_mor(
+            spark, "ns", "t", "o_orderkey % 7 = 0", {"o_totalprice": "0"}
+        )
+    cat.compact(spark, "ns", "t")
+    m2 = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    assert m2["deletes"] == []
+    got2 = cat.read(spark, "ns", "t")
+    assert (
+        got2.exceptAll(want).count() == 0
+        and want.exceptAll(got2).count() == 0
+    )
+
+
 def test_all_data_files_and_metadata_log(spark, sf_dir, tmp_path):
     """all_data_files: one row per (referencing snapshot, file), footer
     n_rows trusted, carried files keep identity across snapshots;
