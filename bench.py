@@ -222,6 +222,13 @@ SCALE_QUERIES = (
     # checkpointed metadata-sized discovery relation — its 10x wall
     # should track the two fact scans
     "ext_frequent_best_readout",
+    # r13: the range-compressed DV apply claims a shuffle-free,
+    # run-count-bounded broadcast probe at ANY delete density — at 10x
+    # the dense band deletes 10x the rows but the broadcast payload
+    # stays a handful of (start, end) runs per file, so the wall should
+    # track the table scans (write + addressing + read), never the
+    # deleted-row count
+    "snap_delete_dv_ranges",
 )
 
 

@@ -380,7 +380,7 @@ class SnapCatalog:
     (``ex-iceberg/src/component.py:148-157``), time-travel reads (``:38``).
     """
 
-    # -- deletion-vector apply gate (see _dv_apply_is_dense) -----------------
+    # -- deletion-vector apply gate (see _dv_apply_mode) -----------------
     #
     # The broadcast membership probe (`array_contains`) costs O(rows ×
     # positions-per-file) comparisons per data file and broadcasts one
@@ -398,12 +398,19 @@ class SnapCatalog:
     # compaction-era tombstones) can still broadcast — as (start, end)
     # ranges, whose bytes and per-row probe work are RUN-count-bounded
     # at any density. Above this many runs in one file, ranges stop
-    # compressing and the dense apply falls back to the anti-join.
+    # compressing and the dense apply falls back to the anti-join; the
+    # TOTAL bound caps the broadcast payload across files (a band delete
+    # touching 100k files would otherwise broadcast 100k × per-file
+    # arrays — the same OOM vector the positions cap closes).
     DV_RANGE_PROBE_MAX_PER_FILE = 128
+    DV_RANGE_PROBE_MAX_TOTAL_RANGES = 1_000_000  # ~16 MB of (start, end)
 
     def __init__(self, warehouse: str):
         self.warehouse = warehouse
         os.makedirs(warehouse, exist_ok=True)
+        # per-delete-file stat memo for pre-stamp DV entries (immutable
+        # files, so the cache can never go stale) — see _dv_apply_mode
+        self._legacy_dv_stats: dict[str, tuple[int, int]] = {}
 
     # -- namespaces ---------------------------------------------------------
 
@@ -1645,6 +1652,26 @@ class SnapCatalog:
             read_schema=self._scan_schema(manifest),
         )
         doomed = self._resolve_schema(scan, manifest).filter(predicate)
+        # SET targets must exist — the CoW twin fails on an unknown
+        # column (unresolvable in its otherwise() branch); silently
+        # accepting one here would fork the schema on a typo
+        user_cols = {
+            c for c in doomed.columns
+            if c not in (self.POS_FILE_COL, self.POS_IDX_COL)
+            and not c.startswith("_pt_")
+        }
+        unknown = sorted(set(assignments) - user_cols)
+        if unknown:
+            raise ValueError(
+                f"update_where_mor SET targets not in the table schema: "
+                f"{unknown}"
+            )
+        # ONE evaluation of the predicate feeds BOTH jobs (the DV write
+        # and the image append): without the checkpoint, a
+        # nondeterministic predicate would mask one row set and append
+        # images of another — silent loss/duplication (the same
+        # double-execution hazard _commit's `check` closes for writes)
+        doomed = doomed.localCheckpoint()
         updated = doomed
         for col_name, expr in assignments.items():
             updated = updated.withColumn(col_name, F.expr(expr))
@@ -1652,31 +1679,11 @@ class SnapCatalog:
             c for c in updated.columns if c.startswith("_pt_")
         ]
         updated = updated.drop(*drop)
-        del_dir_name = f"dvdelete-{uuid.uuid4().hex[:12]}"
-        out = self._tbl(namespace, table, "deletes", del_dir_name)
-        (
-            doomed.select(
-                F.col(self.POS_FILE_COL).alias("file_path"),
-                F.col(self.POS_IDX_COL).cast("long").alias("pos"),
-            )
-            .groupBy("file_path")
-            .agg(F.sort_array(F.collect_set("pos")).alias("positions"))
-            .coalesce(1)
-            .write.parquet(out)
+        out, entry = self._dv_write_entry(
+            spark, namespace, table, manifest, doomed
         )
-        touched, stats = self._dv_stats(spark, out)
-        entry = {
-            "dir": del_dir_name,
-            "mode": "dv",
-            "applies_to": sorted(
-                d for d in manifest["files"] if d in touched
-            ),
-            **stats,
-        }
-        if not entry["applies_to"]:
-            # predicate matched zero rows: nothing to mask or append
-            shutil.rmtree(out, ignore_errors=True)
-            return base
+        if entry is None:
+            return base  # predicate matched zero rows
         try:
             return self._commit(
                 namespace, table, updated, operation="update",
@@ -1684,7 +1691,10 @@ class SnapCatalog:
                 carry_dirs=list(manifest["files"]), extra_deletes=[entry],
             )
         except Exception:
-            shutil.rmtree(out, ignore_errors=True)  # no manifest refs it
+            # safe to sweep on ANY failure: _commit can no longer raise
+            # after publish (the _current hint write is best-effort), so
+            # an exception here means no manifest references the file
+            shutil.rmtree(out, ignore_errors=True)
             raise
 
     def delete_keys(
@@ -1912,6 +1922,47 @@ class SnapCatalog:
             shutil.rmtree(out, ignore_errors=True)
             raise
 
+    def _dv_write_entry(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        table: str,
+        manifest: dict,
+        pos_df: DataFrame,
+    ) -> tuple[str, dict | None]:
+        """Write a DV delete file from (``POS_FILE_COL``,
+        ``POS_IDX_COL``) rows and build its STAMPED manifest entry —
+        the one authoring path ``delete_positions_dv`` and
+        ``update_where_mor`` share, so the position/run stats the read
+        gate consumes can never drift between writers. Returns
+        ``(delete file path, entry)``; entry is None (and the file
+        already swept) when no live dir is addressed."""
+        del_dir_name = f"dvdelete-{uuid.uuid4().hex[:12]}"
+        out = self._tbl(namespace, table, "deletes", del_dir_name)
+        (
+            pos_df.select(
+                F.col(self.POS_FILE_COL).alias("file_path"),
+                F.col(self.POS_IDX_COL).cast("long").alias("pos"),
+            )
+            .groupBy("file_path")
+            .agg(F.sort_array(F.collect_set("pos")).alias("positions"))
+            .coalesce(1)
+            .write.parquet(out)
+        )
+        touched, stats = self._dv_stats(spark, out)
+        entry = {
+            "dir": del_dir_name,
+            "mode": "dv",
+            "applies_to": sorted(
+                d for d in manifest["files"] if d in touched
+            ),
+            **stats,
+        }
+        if not entry["applies_to"]:
+            shutil.rmtree(out, ignore_errors=True)
+            return out, None
+        return out, entry
+
     def delete_positions_dv(
         self,
         spark: SparkSession,
@@ -1933,7 +1984,7 @@ class SnapCatalog:
         row-count-sized. The DV entry for the same delete is ONE row
         whose array is run-length-friendly parquet. The relation is
         file-count-sized in ROWS but positions-sized in BYTES, so the
-        read-side apply is DENSITY-GATED (``_dv_apply_is_dense``): at
+        read-side apply is DENSITY-GATED (``_dv_apply_mode``): at
         sparse density it broadcasts and rows probe their file's sorted
         ordinal array with NO shuffle; at dense density (where the
         probe's O(rows × positions-per-file) work and the broadcast
@@ -1948,32 +1999,10 @@ class SnapCatalog:
         rewritten by ``rewrite_deletes_to_dv``."""
         base = self._current_sid(namespace, table)
         manifest = self._manifest(namespace, table, base)
-        del_dir_name = f"dvdelete-{uuid.uuid4().hex[:12]}"
-        out = self._tbl(namespace, table, "deletes", del_dir_name)
-        (
-            pos_df.select(
-                F.col(self.POS_FILE_COL).alias("file_path"),
-                F.col(self.POS_IDX_COL).cast("long").alias("pos"),
-            )
-            .groupBy("file_path")
-            .agg(F.sort_array(F.collect_set("pos")).alias("positions"))
-            .coalesce(1)
-            .write.parquet(out)
+        out, entry = self._dv_write_entry(
+            spark, namespace, table, manifest, pos_df
         )
-        # one distributed pass over the written relation yields the
-        # touched dirs AND the position/run stats the read-side
-        # representation choice consumes without a job of its own
-        touched, stats = self._dv_stats(spark, out)
-        entry = {
-            "dir": del_dir_name,
-            "mode": "dv",
-            "applies_to": sorted(
-                d for d in manifest["files"] if d in touched
-            ),
-            **stats,
-        }
-        if not entry["applies_to"]:
-            shutil.rmtree(out, ignore_errors=True)
+        if entry is None:
             return base
         try:
             return self._commit(
@@ -1997,7 +2026,7 @@ class SnapCatalog:
         ONE entry and the read side goes from k apply passes to one —
         a shuffle-free broadcast probe at sparse density, a single
         anti-join at dense density; the folded entry carries the
-        position stats the gate reads, see ``_dv_apply_is_dense``).
+        position stats the gate reads, see ``_dv_apply_mode``).
 
         Address-level safety is identical to the positional fold: a
         (file, ordinal) can only mask its exact row, so unioning scopes
@@ -2141,12 +2170,19 @@ class SnapCatalog:
         above ``DV_PROBE_MAX_TOTAL_POSITIONS``."""
         n = entry.get("n_positions")
         mx = entry.get("max_file_positions")
-        if n is None or mx is None:  # legacy unstamped entry: one pass
-            row = keys_df.select(
-                F.sum(F.size("positions")).alias("n"),
-                F.max(F.size("positions")).alias("mx"),
-            ).first()
-            n, mx = int(row["n"] or 0), int(row["mx"] or 0)
+        if n is None or mx is None:
+            # legacy unstamped entry: one tiny aggregate, memoized per
+            # delete file (they are immutable) so repeat reads of an
+            # old warehouse don't pay a Spark job per scan forever
+            cached = self._legacy_dv_stats.get(entry["dir"])
+            if cached is None:
+                row = keys_df.select(
+                    F.sum(F.size("positions")).alias("n"),
+                    F.max(F.size("positions")).alias("mx"),
+                ).first()
+                cached = (int(row["n"] or 0), int(row["mx"] or 0))
+                self._legacy_dv_stats[entry["dir"]] = cached
+            n, mx = cached
         dense = (
             mx > self.DV_PROBE_MAX_FILE_POSITIONS
             or n > self.DV_PROBE_MAX_TOTAL_POSITIONS
@@ -2160,7 +2196,13 @@ class SnapCatalog:
         if not dense:
             return "probe"
         mfr = entry.get("max_file_ranges")
-        if mfr is not None and mfr <= self.DV_RANGE_PROBE_MAX_PER_FILE:
+        nrt = entry.get("n_ranges")
+        if (
+            mfr is not None
+            and mfr <= self.DV_RANGE_PROBE_MAX_PER_FILE
+            and nrt is not None
+            and nrt <= self.DV_RANGE_PROBE_MAX_TOTAL_RANGES
+        ):
             return "ranges"
         return "anti"
 
@@ -4043,9 +4085,20 @@ class SnapCatalog:
                     "concurrently; re-run this operation on the new state"
                 ) from None
         # _current is a convenience hint only; reads derive the current id
-        # from the manifest set.
-        cur_tmp = self._tbl(namespace, table, f"_current.tmp-{uuid.uuid4().hex}")
-        with open(cur_tmp, "w") as f:
-            f.write(str(sid))
-        os.replace(cur_tmp, self._tbl(namespace, table, "_current"))
+        # from the manifest set (_current_sid) — so a failed hint write
+        # must NOT raise: the commit is already PUBLISHED (the manifest
+        # was exclusively created above), and an exception escaping here
+        # would reach callers' cleanup handlers, which sweep data/delete
+        # dirs on the assumption nothing was published — turning a
+        # cosmetic I/O error into a published snapshot referencing
+        # deleted files.
+        try:
+            cur_tmp = self._tbl(
+                namespace, table, f"_current.tmp-{uuid.uuid4().hex}"
+            )
+            with open(cur_tmp, "w") as f:
+                f.write(str(sid))
+            os.replace(cur_tmp, self._tbl(namespace, table, "_current"))
+        except OSError:
+            pass
         return sid

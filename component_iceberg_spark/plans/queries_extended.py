@@ -749,7 +749,7 @@ def snap_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     economic. The DV entry stores ONE row per touched data file with
     the sorted array of deleted ordinals — storage stays one
     run-length-friendly row per file whatever the density. The read
-    APPLY is density-gated (r13, ``_dv_apply_is_dense``): this dense
+    APPLY is density-gated (r13, ``_dv_apply_mode``): this dense
     third exceeds the probe gate, so the read explodes the DV into one
     (file, pos) anti-join — bounded probe work and no positions-sized
     broadcast — while a sparse DV applies as the shuffle-free broadcast

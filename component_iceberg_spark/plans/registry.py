@@ -87,12 +87,13 @@ _GATE_PRIORITY = (
     "mm_feature_extract",
     "ext_sessionize",
     "sim_ann_ivf",
-    # --- 2. r13 tier 2: this round's new registrations
-    #     (snap_delete_auto, snap_all_manifests_meta,
-    #     stream_stream_outer_join) plus changed-code re-earns: the DV
-    #     density gate rewrote _read_with_deletes' dv branch and the
-    #     DV writers (snap_delete_dv, snap_rewrite_to_dv); add_files
-    #     grew marker-before-publish + the symlink gate (snap_add_files,
+    # --- 2. r13 tier 2: this round's eight new registrations (the
+    #     density-dispatched DELETE, range-band DV, MoR UPDATE, the
+    #     three inspect views, and both outer stream-stream joins) plus
+    #     changed-code re-earns: the DV shape gate rewrote
+    #     _read_with_deletes' dv branch and the DV writers
+    #     (snap_delete_dv, snap_rewrite_to_dv); add_files grew
+    #     marker-before-publish + the symlink gate (snap_add_files,
     #     snap_cherry_pick adopts through it); resolve_ref/refs grew the
     #     physical-'main' refusal (snap_refs_meta, snap_wap_publish,
     #     snap_expire_branches); pattern_funnel_negation gained id_col
