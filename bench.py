@@ -690,6 +690,7 @@ def main() -> None:
         "snap_delete_auto",
         "snap_delete_dv_ranges",
         "snap_update_mor",
+        "snap_update_auto",
         "snap_all_manifests_meta",
         "snap_all_data_files_meta",
         "snap_metadata_log",

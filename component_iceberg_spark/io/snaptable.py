@@ -1697,6 +1697,61 @@ class SnapCatalog:
             shutil.rmtree(out, ignore_errors=True)
             raise
 
+    def update_where_auto(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        table: str,
+        predicate: str,
+        assignments: dict[str, str],
+        cow_density: float = 0.2,
+    ) -> int:
+        """Row-level UPDATE with the physical strategy chosen by MEASURED
+        match density — the UPDATE twin of :meth:`delete_where_auto`,
+        completing the auto-dispatch matrix (Iceberg pins the choice
+        statically via ``write.update.mode``; here one predicate-pushed
+        count picks per statement): at or below ``cow_density`` the
+        update is merge-on-read (:meth:`update_where_mor` — DV mask +
+        image append, no dir rewritten); above it, copy-on-write
+        (:meth:`update_where` — updating most of a dir means MoR would
+        nearly double its bytes AND tax every read with a dense apply
+        until compaction). Pending merge-on-read deletes force the CoW
+        path (MoR authoring is refused over masked rows)."""
+        if not 0.0 < cow_density <= 1.0:
+            raise ValueError(f"cow_density must be in (0, 1]: {cow_density}")
+        base = self._current_sid(namespace, table)
+        manifest = self._manifest(namespace, table, base)
+        if self._pending_deletes(manifest, manifest["files"]):
+            return self.update_where(
+                spark, namespace, table, predicate, assignments
+            )
+        candidates, _untouched = self._prune_dirs(manifest, predicate)
+        if not candidates:
+            return base  # no dir can match: nothing to update
+        scan = self._resolve_schema(
+            self._read_dirs(
+                spark, namespace, table, candidates,
+                bool(manifest.get("partition_by")),
+                read_schema=self._scan_schema(manifest),
+            ),
+            manifest,
+        )
+        matched_n = scan.filter(predicate).count()
+        if matched_n == 0:
+            return base
+        dir_rows = manifest.get("dir_rows") or {}
+        if all(d in dir_rows for d in candidates):
+            cand_rows = sum(dir_rows[d] for d in candidates)
+        else:  # stats-free adopted dirs: count once (column-free scan)
+            cand_rows = scan.count()
+        if cand_rows and matched_n / cand_rows > cow_density:
+            return self.update_where(
+                spark, namespace, table, predicate, assignments
+            )
+        return self.update_where_mor(
+            spark, namespace, table, predicate, assignments
+        )
+
     def delete_keys(
         self,
         spark: SparkSession,
@@ -2207,27 +2262,39 @@ class SnapCatalog:
         return "anti"
 
     @staticmethod
+    def _runs_of(positions) -> tuple[list[int], list[int]]:
+        """Collapse a SORTED, duplicate-free ordinal array into maximal
+        contiguous runs: returns (starts, ends), inclusive on both ends.
+        The pure kernel under the ranges apply — property-pinned in
+        tests/test_snaptable.py (every ordinal covered by exactly one
+        run, no run covers a non-member, runs are maximal)."""
+        import numpy as np
+
+        a = np.asarray(positions, dtype=np.int64)
+        if a.size == 0:
+            return [], []
+        brk = np.where(np.diff(a) != 1)[0]
+        starts = np.concatenate(([a[0]], a[brk + 1]))
+        ends = np.concatenate((a[brk], [a[-1]]))
+        return starts.tolist(), ends.tolist()
+
+    @staticmethod
     def _dv_ranges_relation(keys_df: DataFrame) -> DataFrame:
         """Collapse a DV relation's per-file sorted ordinal arrays into
         (starts, ends) run arrays — executed over the FILE-count-sized
         delete relation (Arrow-batched numpy diff per file row, never
         per data row), so deriving ranges costs one tiny pass however
         many rows they delete."""
-        import numpy as np
         import pandas as pd
+
+        runs_of = SnapCatalog._runs_of
 
         def gen(batches):
             for pdf in batches:
                 rows = []
                 for fp, arr in zip(pdf["file_path"], pdf["positions"]):
-                    a = np.asarray(arr, dtype=np.int64)
-                    if a.size == 0:
-                        rows.append((fp, [], []))
-                        continue
-                    brk = np.where(np.diff(a) != 1)[0]
-                    starts = np.concatenate(([a[0]], a[brk + 1]))
-                    ends = np.concatenate((a[brk], [a[-1]]))
-                    rows.append((fp, starts.tolist(), ends.tolist()))
+                    starts, ends = runs_of(arr)
+                    rows.append((fp, starts, ends))
                 yield pd.DataFrame(
                     rows, columns=["file_path", "starts", "ends"]
                 )

@@ -868,6 +868,70 @@ def snap_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snap_update_auto",
+    oracle="""
+    SELECT 'sparse' AS lane, o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 100 = 7
+                THEN o_totalprice + 100000 ELSE o_totalprice
+           END AS o_totalprice
+    FROM orders
+    UNION ALL
+    SELECT 'dense', o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 3 = 0
+                THEN o_totalprice + 100000 ELSE o_totalprice
+           END AS o_totalprice
+    FROM orders
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_update_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE with the physical strategy chosen by MEASURED match
+    density (``update_where_auto``, the UPDATE twin of
+    ``snap_delete_auto`` — together they complete the auto-dispatch
+    matrix over both mutation verbs): a ~1% predicate must go
+    merge-on-read (DV mask + image append, zero candidate dirs
+    rewritten), a ~33% predicate must go copy-on-write (MoR would
+    nearly double the dirs' bytes and tax every read until
+    compaction). The query verifies WHICH representation each lane
+    produced by manifest inspection — a wrong dispatch fails the gate;
+    rows are oracle-exact either way because the strategy is physical,
+    not semantic."""
+    from component_iceberg_spark.plans.queries_mutation import _warehouse
+
+    cat = _warehouse(sf_dir, "update_auto")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lanes = []
+    for lane, mod in (("sparse", 100), ("dense", 3)):
+        cat.create_or_replace("ns", lane, o)
+        pred = (
+            "o_orderkey % 100 = 7" if lane == "sparse"
+            else "o_orderkey % 3 = 0"
+        )
+        sid = cat.update_where_auto(
+            spark, "ns", lane, pred,
+            {"o_totalprice": "o_totalprice + 100000"},
+        )
+        deletes = cat._manifest("ns", lane, sid)["deletes"]
+        if lane == "sparse" and [e.get("mode") for e in deletes] != ["dv"]:
+            raise AssertionError(
+                f"sparse lane must dispatch to MoR (DV entry): {deletes}"
+            )
+        if lane == "dense" and deletes:
+            raise AssertionError(
+                f"dense lane must dispatch to copy-on-write: {deletes}"
+            )
+        lanes.append(
+            cat.read(spark, "ns", lane).select(
+                F.lit(lane).alias("lane"),
+                "o_orderkey", "o_custkey", "o_totalprice",
+            )
+        )
+    return lanes[0].unionByName(lanes[1])
+
+
+@register(
     "snap_rewrite_to_dv",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -101,6 +101,7 @@ _GATE_PRIORITY = (
     "snap_delete_auto",
     "snap_delete_dv_ranges",
     "snap_update_mor",
+    "snap_update_auto",
     "snap_all_manifests_meta",
     "snap_all_data_files_meta",
     "snap_metadata_log",

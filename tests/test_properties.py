@@ -1941,3 +1941,38 @@ def test_intersect_join_presence_semantics(spark, tmp_path):
          r.rev_machinery)
         for r in rows
     ] == [(1, 1, 1, 100.0, 100.0)]
+
+
+# ---------------------------------------------------------------------------
+# DV run (range) encoding — the pure kernel under the r13 ranges apply
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=10_000), max_size=400)
+)
+def test_dv_runs_encoding_is_exact_cover(positions):
+    """_runs_of (the kernel the broadcast range probe applies): the runs
+    must cover exactly the input set — every ordinal inside exactly one
+    [start, end], no run covering a non-member, runs sorted, disjoint,
+    maximal (adjacent runs never touch), and total run length equals the
+    input size. Whatever hypothesis draws — empty, singletons, long
+    bands, scattered — a violation here is a wrong DELETE at read time."""
+    from component_iceberg_spark.io.snaptable import SnapCatalog
+
+    sorted_pos = sorted(positions)
+    starts, ends = SnapCatalog._runs_of(sorted_pos)
+    assert len(starts) == len(ends)
+    covered = set()
+    prev_end = None
+    for s, e in zip(starts, ends):
+        assert s <= e
+        if prev_end is not None:
+            # maximality: a gap of exactly 1 would mean two runs that
+            # should have been merged
+            assert s > prev_end + 1
+        covered.update(range(s, e + 1))
+        prev_end = e
+    assert covered == set(positions)
+    assert sum(e - s + 1 for s, e in zip(starts, ends)) == len(positions)

@@ -2635,6 +2635,66 @@ def test_update_where_mor(spark, sf_dir, tmp_path):
     )
 
 
+def test_update_where_auto_density_dispatch(spark, sf_dir, tmp_path):
+    """update_where_auto (the UPDATE twin of delete_where_auto):
+    sparse predicate → MoR (DV entry + image dir, old dirs kept);
+    dense → CoW (no delete entry); no-candidate and zero-match are
+    commit-free no-ops; pending MoR deletes force CoW; results exact
+    either way."""
+    import pytest
+
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "t", o)
+    data_root = os.path.join(wh, "ns", "t", "data")
+    dirs0 = set(os.listdir(data_root))
+    base = cat._current_sid("ns", "t")
+    set_ = {"o_totalprice": "o_totalprice + 1000"}
+    assert cat.update_where_auto(
+        spark, "ns", "t", "o_orderkey < 0", set_
+    ) == base
+    assert cat.update_where_auto(
+        spark, "ns", "t", "o_orderkey % 2 = 0 AND o_orderkey % 2 = 1", set_
+    ) == base
+    # ~1% matched: MoR — DV entry, old dirs untouched, one image dir
+    sid = cat.update_where_auto(spark, "ns", "t", "o_orderkey % 97 = 0",
+                                set_)
+    m = cat._manifest("ns", "t", sid)
+    assert [e.get("mode") for e in m["deletes"]] == ["dv"]
+    assert dirs0 < set(os.listdir(data_root))
+    # pending MoR delete entry forces CoW even for a sparse predicate
+    sid2 = cat.update_where_auto(spark, "ns", "t", "o_orderkey % 101 = 0",
+                                 set_)
+    assert cat._manifest("ns", "t", sid2)["deletes"] == []
+    # 50% matched on a clean table: CoW — still no delete entry
+    sid3 = cat.update_where_auto(spark, "ns", "t", "o_orderkey % 2 = 0",
+                                 set_)
+    assert cat._manifest("ns", "t", sid3)["deletes"] == []
+    want = o.withColumn(
+        "o_totalprice",
+        F.expr(
+            "o_totalprice"
+            " + CASE WHEN o_orderkey % 97 = 0 THEN 1000 ELSE 0 END"
+            " + CASE WHEN o_orderkey % 101 = 0 THEN 1000 ELSE 0 END"
+            " + CASE WHEN o_orderkey % 2 = 0 THEN 1000 ELSE 0 END"
+        ),
+    )
+    got = cat.read(spark, "ns", "t")
+    assert (
+        got.exceptAll(want).count() == 0
+        and want.exceptAll(got).count() == 0
+    )
+    with pytest.raises(ValueError, match="cow_density"):
+        cat.update_where_auto(spark, "ns", "t", "o_orderkey = 1", set_,
+                              cow_density=2.0)
+    with pytest.raises(ValueError, match="SET targets"):
+        cat.update_where_mor(spark, "ns", "t", "o_orderkey = 1",
+                             {"not_a_column": "1"})
+
+
 def test_all_data_files_and_metadata_log(spark, sf_dir, tmp_path):
     """all_data_files: one row per (referencing snapshot, file), footer
     n_rows trusted, carried files keep identity across snapshots;
