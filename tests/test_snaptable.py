@@ -2695,6 +2695,37 @@ def test_update_where_auto_density_dispatch(spark, sf_dir, tmp_path):
                              {"not_a_column": "1"})
 
 
+def test_dv_apply_mode_threshold_matrix(tmp_path):
+    """_dv_apply_mode decided purely from stamped entry stats (keys_df
+    untouched — None proves no job runs): probe below every gate;
+    density/per-file/total-positions each flip dense; dense+contiguous →
+    ranges; per-file runs over cap OR total runs over cap (the broadcast
+    payload bound no small fixture can reach) → anti."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    manifest = {"files": ["d"], "dir_rows": {"d": 100_000}}
+
+    def mode(**stats):
+        return cat._dv_apply_mode(manifest, {"applies_to": ["d"], **stats},
+                                  None)
+
+    base = dict(n_positions=100, max_file_positions=100,
+                n_ranges=50, max_file_ranges=50)
+    assert mode(**base) == "probe"
+    # density over 5% of scoped rows → dense; few runs → ranges
+    assert mode(**{**base, "n_positions": 40_000}) == "ranges"
+    # dense via the per-file positions bound
+    assert mode(**{**base, "max_file_positions": 9_000,
+                   "n_positions": 9_000}) == "ranges"
+    # dense + per-file runs over cap → anti
+    assert mode(n_positions=40_000, max_file_positions=4_000,
+                n_ranges=500, max_file_ranges=500) == "anti"
+    # dense + TOTAL runs over cap → anti (payload bound across files)
+    assert mode(n_positions=3_000_000, max_file_positions=100,
+                n_ranges=1_500_000, max_file_ranges=100) == "anti"
+    # dense + missing run stamps (legacy fold) → anti, never a blind probe
+    assert mode(n_positions=40_000, max_file_positions=4_000) == "anti"
+
+
 def test_all_data_files_and_metadata_log(spark, sf_dir, tmp_path):
     """all_data_files: one row per (referencing snapshot, file), footer
     n_rows trusted, carried files keep identity across snapshots;
