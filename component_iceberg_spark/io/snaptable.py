@@ -2408,6 +2408,21 @@ class SnapCatalog:
                                 F.col("ends").alias("_dv_ends"),
                             )
                             pos_col = F.col(self.POS_IDX_COL)
+                            # zip_with, not arrays_zip: arrays_zip names
+                            # its struct fields after the input columns,
+                            # which is version-sensitive Spark behavior —
+                            # a rename to '0'/'1' would silently break
+                            # the lambda's field access. zip_with carries
+                            # no field names to depend on.
+                            in_a_run = F.exists(
+                                F.zip_with(
+                                    F.col("_dv_starts"),
+                                    F.col("_dv_ends"),
+                                    lambda s, e: (pos_col >= s)
+                                    & (pos_col <= e),
+                                ),
+                                lambda hit: hit,
+                            )
                             part = (
                                 part.join(
                                     F.broadcast(rng),
@@ -2416,16 +2431,7 @@ class SnapCatalog:
                                 )
                                 .filter(
                                     F.col("_dv_starts").isNull()
-                                    | ~F.exists(
-                                        F.arrays_zip(
-                                            F.col("_dv_starts"),
-                                            F.col("_dv_ends"),
-                                        ),
-                                        lambda x: (
-                                            pos_col >= x["_dv_starts"]
-                                        )
-                                        & (pos_col <= x["_dv_ends"]),
-                                    )
+                                    | ~in_a_run
                                 )
                                 .drop("_dv_starts", "_dv_ends")
                             )
@@ -3557,14 +3563,26 @@ class SnapCatalog:
                                 (".", "_")
                             ):
                                 paths.append(os.path.join(rdir, fn))
-                    per_dir[d] = [
-                        (j, pq.ParquetFile(p).metadata, os.path.getsize(p))
-                        for j, p in enumerate(sorted(paths))
-                    ]
-                for j, md, size in per_dir[d]:
+                    entries = []
+                    for j, p in enumerate(sorted(paths)):
+                        # a broken link (the documented allow_symlink
+                        # adoption risk: source deleted after adoption)
+                        # degrades to NULL metrics, same contract as
+                        # files() for absent stats — the inspect surface
+                        # must stay usable for auditing exactly the
+                        # warehouses that need it
+                        try:
+                            md = pq.ParquetFile(p).metadata
+                            entries.append(
+                                (j, md.num_rows, md.num_row_groups,
+                                 os.path.getsize(p))
+                            )
+                        except OSError:
+                            entries.append((j, None, None, None))
+                    per_dir[d] = entries
+                for j, n_rows, n_rg, size in per_dir[d]:
                     rows.append(
-                        (s["snapshot_id"], d, j, md.num_rows,
-                         md.num_row_groups, size)
+                        (s["snapshot_id"], d, j, n_rows, n_rg, size)
                     )
         return spark.createDataFrame(
             rows,

@@ -903,12 +903,11 @@ def snap_update_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     lanes = []
-    for lane, mod in (("sparse", 100), ("dense", 3)):
+    # one source of truth: the lane tuple builds the predicate the engine
+    # runs (the oracle necessarily restates it as SQL text)
+    for lane, mod, rem in (("sparse", 100, 7), ("dense", 3, 0)):
         cat.create_or_replace("ns", lane, o)
-        pred = (
-            "o_orderkey % 100 = 7" if lane == "sparse"
-            else "o_orderkey % 3 = 0"
-        )
+        pred = f"o_orderkey % {mod} = {rem}"
         sid = cat.update_where_auto(
             spark, "ns", lane, pred,
             {"o_totalprice": "o_totalprice + 100000"},
