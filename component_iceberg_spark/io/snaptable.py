@@ -363,6 +363,30 @@ def _range_may_match(mn, mx, op: str, lit) -> bool:
     return True
 
 
+def _range_must_match(mn, mx, op: str, lit) -> bool:
+    """Does EVERY value in [mn, mx] satisfy ``value <op> lit``? The dual
+    of :func:`_range_may_match`, used for count-free LOWER bounds on
+    predicate selectivity (``_dispatch_bounds``). NULL rows never satisfy
+    a comparison, so callers must separately require a zero null count.
+    Conservative: False on any type mismatch or unknown operator."""
+    try:
+        if op == "=":
+            return mn == lit == mx
+        if op in ("!=", "<>"):
+            return mx < lit or mn > lit
+        if op == "<":
+            return mx < lit
+        if op == "<=":
+            return mx <= lit
+        if op == ">":
+            return mn > lit
+        if op == ">=":
+            return mn >= lit
+    except TypeError:
+        return False
+    return False
+
+
 class CommitConflict(Exception):
     """A concurrent commit won the race and this operation's inputs are
     stale. Appends retry transparently (their data is independent of the
@@ -1522,6 +1546,121 @@ class SnapCatalog:
         ).select(self.POS_FILE_COL, self.POS_IDX_COL)
         return self.delete_positions_dv(spark, namespace, table, doomed)
 
+    def _dispatch_bounds(
+        self,
+        namespace: str,
+        table: str,
+        manifest: dict,
+        candidates: list[str],
+        predicate: str,
+    ) -> tuple[int, int, int] | None:
+        """Count-free ``(lower, upper, total)`` bounds on the rows the
+        predicate matches inside the candidate dirs, from parquet FOOTER
+        row-group stats — min/max plus null_count, metadata-only, no
+        Spark job. This is what feeds the auto-dispatch verbs on their
+        stats-served path: a row group whose range can't satisfy some
+        conjunct contributes zero matches (NULLs fail comparisons too);
+        one where every conjunct is satisfied by the WHOLE range and the
+        column has zero nulls contributes all its rows; anything else is
+        indeterminate (counts toward ``upper`` only).
+
+        Cost is O(files under the candidate dirs) footer reads,
+        driver-side — the same class of work ``dir_column_stats`` does
+        at commit time, and always cheaper than the predicate-pushed
+        count job it replaces (which scans those same dirs' pages). A
+        real deployment stamps these per-file metrics into the manifest
+        at write time (Iceberg's manifest ``lower_bounds`` /
+        ``upper_bounds`` / ``null_value_counts``) and evaluates the same
+        bounds there; reading footers here keeps the layout unchanged.
+
+        Returns None when the bounds machinery can't run at all: a
+        non-simple predicate, or an unreadable file (broken
+        symlink-adopted source). Columns renamed since a dir was written
+        resolve through the manifest rename chain — the name-reuse guard
+        in ``_commit`` makes old physical names unambiguous."""
+        import pyarrow.parquet as pq
+
+        conjuncts = simple_conjuncts(predicate)
+        if not conjuncts:
+            return None
+        types = {
+            f["name"]: str(f.get("type", ""))
+            for f in manifest.get("schema", {}).get("fields", [])
+        }
+        normed = []
+        for col, op, lit in conjuncts:
+            if "timestamp" in types.get(col, "") and isinstance(lit, str):
+                try:
+                    lit = _dt.datetime.fromisoformat(lit).strftime(_TS_FMT)
+                except ValueError:
+                    return None
+            normed.append((col, op, lit))
+        # logical → acceptable physical footer names: a dir written
+        # before a rename keeps the old name; retired names can never be
+        # reintroduced, so every ancestor along the chain is the same
+        # column
+        phys: dict[str, set] = {c: {c} for c, _o, _l in normed}
+        for old, new in reversed(manifest.get("renames") or []):
+            for names in phys.values():
+                if new in names:
+                    names.add(old)
+        lower = upper = total = 0
+        for d in candidates:
+            root = self._tbl(namespace, table, "data", d)
+            for rdir, _sub, fns in os.walk(root):
+                for fn in fns:
+                    if not fn.endswith(".parquet") or fn.startswith(
+                        (".", "_")
+                    ):
+                        continue
+                    try:
+                        md = pq.ParquetFile(
+                            os.path.join(rdir, fn)
+                        ).metadata
+                    except OSError:
+                        return None  # unreadable file: no bounds at all
+                    for rg in range(md.num_row_groups):
+                        row_group = md.row_group(rg)
+                        n = row_group.num_rows
+                        total += n
+                        stats = {}
+                        for ci in range(row_group.num_columns):
+                            col = row_group.column(ci)
+                            st = col.statistics
+                            if st is not None and st.has_min_max:
+                                mn = _stat_jsonable(st.min)
+                                mx = _stat_jsonable(st.max)
+                                if mn is not None and mx is not None:
+                                    stats[col.path_in_schema] = (
+                                        mn,
+                                        mx,
+                                        st.null_count
+                                        if st.has_null_count
+                                        else None,
+                                    )
+                        trips = [
+                            next(
+                                (stats[p] for p in phys[c] if p in stats),
+                                None,
+                            )
+                            for c, _op, _lit in normed
+                        ]
+                        if any(
+                            t is not None
+                            and not _range_may_match(t[0], t[1], op, lit)
+                            for t, (_c, op, lit) in zip(trips, normed)
+                        ):
+                            continue  # no row of this group can match
+                        upper += n
+                        if all(
+                            t is not None
+                            and t[2] == 0
+                            and _range_must_match(t[0], t[1], op, lit)
+                            for t, (_c, op, lit) in zip(trips, normed)
+                        ):
+                            lower += n  # every row of this group matches
+        return lower, upper, total
+
     def delete_where_auto(
         self,
         spark: SparkSession,
@@ -1546,10 +1685,15 @@ class SnapCatalog:
         merge-on-read deletes force the CoW path (DV authoring over
         masked rows is refused; CoW is always legal).
 
-        The decision scan is the cheap kind: the predicate reaches the
-        parquet reader as a pushed filter and COUNT reads no other
-        columns, so at 100 TB this costs one pruned metadata-heavy pass
-        — small next to either delete's own work."""
+        The decision is served COUNT-FREE whenever footer row-group
+        stats bound the doomed fraction decisively on one side of
+        ``cow_density`` (:meth:`_dispatch_bounds` — metadata reads, no
+        job), so the common equality/range statement pays exactly ONE
+        candidate-dir scan: the chosen verb's own. Only when the bounds
+        straddle the threshold does one combined aggregate measure the
+        real density (matched and total in the SAME job — the predicate
+        reaches the parquet reader as a pushed filter), still small next
+        to either delete's own work."""
         if not 0.0 < cow_density <= 1.0:
             raise ValueError(f"cow_density must be in (0, 1]: {cow_density}")
         base = self._current_sid(namespace, table)
@@ -1559,6 +1703,21 @@ class SnapCatalog:
         candidates, _untouched = self._prune_dirs(manifest, predicate)
         if not candidates:
             return base  # no dir can match: nothing to delete
+        bounds = self._dispatch_bounds(
+            namespace, table, manifest, candidates, predicate
+        )
+        if bounds is not None:
+            lower, upper, total = bounds
+            if upper == 0:
+                return base  # footer proof: no row can match
+            if total and lower / total > cow_density:
+                return self.delete_where(spark, namespace, table, predicate)
+            if total and upper / total <= cow_density:
+                return self.delete_where_mor(
+                    spark, namespace, table, predicate
+                )
+        # bounds straddle the threshold (or can't run): measure — one
+        # combined aggregate yields matched AND total in a single job
         scan = self._resolve_schema(
             self._read_dirs(
                 spark, namespace, table, candidates,
@@ -1567,14 +1726,13 @@ class SnapCatalog:
             ),
             manifest,
         )
-        doomed_n = scan.filter(predicate).count()
+        row = scan.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.expr(predicate)).alias("m"),
+        ).first()
+        cand_rows, doomed_n = int(row["n"]), int(row["m"] or 0)
         if doomed_n == 0:
             return base
-        dir_rows = manifest.get("dir_rows") or {}
-        if all(d in dir_rows for d in candidates):
-            cand_rows = sum(dir_rows[d] for d in candidates)
-        else:  # stats-free adopted dirs: count once (column-free scan)
-            cand_rows = scan.count()
         if cand_rows and doomed_n / cand_rows > cow_density:
             return self.delete_where(spark, namespace, table, predicate)
         return self.delete_where_mor(spark, namespace, table, predicate)
@@ -1716,7 +1874,12 @@ class SnapCatalog:
         (:meth:`update_where` — updating most of a dir means MoR would
         nearly double its bytes AND tax every read with a dense apply
         until compaction). Pending merge-on-read deletes force the CoW
-        path (MoR authoring is refused over masked rows)."""
+        path (MoR authoring is refused over masked rows).
+
+        Dispatch cost matches :meth:`delete_where_auto`: COUNT-FREE from
+        footer row-group bounds when they land decisively on one side of
+        ``cow_density`` (one candidate-dir scan total — the chosen
+        verb's own), one combined matched+total aggregate otherwise."""
         if not 0.0 < cow_density <= 1.0:
             raise ValueError(f"cow_density must be in (0, 1]: {cow_density}")
         base = self._current_sid(namespace, table)
@@ -1728,6 +1891,23 @@ class SnapCatalog:
         candidates, _untouched = self._prune_dirs(manifest, predicate)
         if not candidates:
             return base  # no dir can match: nothing to update
+        bounds = self._dispatch_bounds(
+            namespace, table, manifest, candidates, predicate
+        )
+        if bounds is not None:
+            lower, upper, total = bounds
+            if upper == 0:
+                return base  # footer proof: no row can match
+            if total and lower / total > cow_density:
+                return self.update_where(
+                    spark, namespace, table, predicate, assignments
+                )
+            if total and upper / total <= cow_density:
+                return self.update_where_mor(
+                    spark, namespace, table, predicate, assignments
+                )
+        # bounds straddle the threshold (or can't run): measure — one
+        # combined aggregate yields matched AND total in a single job
         scan = self._resolve_schema(
             self._read_dirs(
                 spark, namespace, table, candidates,
@@ -1736,14 +1916,13 @@ class SnapCatalog:
             ),
             manifest,
         )
-        matched_n = scan.filter(predicate).count()
+        row = scan.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.expr(predicate)).alias("m"),
+        ).first()
+        cand_rows, matched_n = int(row["n"]), int(row["m"] or 0)
         if matched_n == 0:
             return base
-        dir_rows = manifest.get("dir_rows") or {}
-        if all(d in dir_rows for d in candidates):
-            cand_rows = sum(dir_rows[d] for d in candidates)
-        else:  # stats-free adopted dirs: count once (column-free scan)
-            cand_rows = scan.count()
         if cand_rows and matched_n / cand_rows > cow_density:
             return self.update_where(
                 spark, namespace, table, predicate, assignments

@@ -881,18 +881,34 @@ def snap_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN o_totalprice + 100000 ELSE o_totalprice
            END AS o_totalprice
     FROM orders
+    UNION ALL
+    SELECT 'range', o_orderkey, o_custkey,
+           CASE WHEN o_orderkey > (
+               SELECT max(o_orderkey) FROM (
+                   SELECT o_orderkey FROM orders
+                   ORDER BY o_orderkey
+                   LIMIT (SELECT count(*) // 25 FROM orders)
+               )
+           )
+                THEN o_totalprice + 100000 ELSE o_totalprice
+           END AS o_totalprice
+    FROM orders
     """,
     tags=("parity", "snapshot"),
 )
 def snap_update_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UPDATE with the physical strategy chosen by MEASURED match
-    density (``update_where_auto``, the UPDATE twin of
-    ``snap_delete_auto`` — together they complete the auto-dispatch
-    matrix over both mutation verbs): a ~1% predicate must go
-    merge-on-read (DV mask + image append, zero candidate dirs
-    rewritten), a ~33% predicate must go copy-on-write (MoR would
-    nearly double the dirs' bytes and tax every read until
-    compaction). The query verifies WHICH representation each lane
+    """UPDATE with the physical strategy chosen per statement
+    (``update_where_auto``, the UPDATE twin of ``snap_delete_auto`` —
+    together they complete the auto-dispatch matrix over both mutation
+    verbs): a ~1% predicate must go merge-on-read (DV mask + image
+    append, zero candidate dirs rewritten), a ~33% predicate must go
+    copy-on-write (MoR would nearly double the dirs' bytes and tax
+    every read until compaction), and a ~96% RANGE predicate over a
+    range-organized table exercises the r14 STATS-SERVED path in the
+    CoW direction: footer row-group bounds prove at least the 7
+    non-straddling files (~87.5%) match, so copy-on-write dispatches
+    count-free — the delete twin's range lane covers the MoR
+    direction. The query verifies WHICH representation each lane
     produced by manifest inspection — a wrong dispatch fails the gate;
     rows are oracle-exact either way because the strategy is physical,
     not semantic."""
@@ -927,7 +943,32 @@ def snap_update_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_orderkey", "o_custkey", "o_totalprice",
             )
         )
-    return lanes[0].unionByName(lanes[1])
+    # stats-served CoW lane: footer lower bound (7 of 8 range-disjoint
+    # files certainly match, zero nulls) clears cow_density with no
+    # dispatch job
+    k = (
+        o.orderBy("o_orderkey").limit(o.count() // 25)
+        .agg(F.max("o_orderkey")).first()[0]
+    )
+    cat.create_or_replace(
+        "ns", "range", o.repartitionByRange(8, "o_orderkey")
+    )
+    sid = cat.update_where_auto(
+        spark, "ns", "range", f"o_orderkey > {k}",
+        {"o_totalprice": "o_totalprice + 100000"},
+    )
+    deletes = cat._manifest("ns", "range", sid)["deletes"]
+    if deletes:
+        raise AssertionError(
+            f"range lane must dispatch to copy-on-write: {deletes}"
+        )
+    lanes.append(
+        cat.read(spark, "ns", "range").select(
+            F.lit("range").alias("lane"),
+            "o_orderkey", "o_custkey", "o_totalprice",
+        )
+    )
+    return lanes[0].unionByName(lanes[1]).unionByName(lanes[2])
 
 
 @register(
@@ -985,24 +1026,39 @@ def snap_rewrite_to_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'dense', o_orderkey, o_custkey, o_totalprice
     FROM orders WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT 'range', o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey > (
+        SELECT max(o_orderkey) FROM (
+            SELECT o_orderkey FROM orders
+            ORDER BY o_orderkey LIMIT (SELECT count(*) // 25 FROM orders)
+        )
+    )
     """,
     tags=("parity", "snapshot"),
 )
 def snap_delete_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DELETE with the physical strategy chosen by MEASURED doom density
-    (``delete_where_auto``, r13): Iceberg pins merge-on-read vs
+    """DELETE with the physical strategy chosen per statement
+    (``delete_where_auto``): Iceberg pins merge-on-read vs
     copy-on-write statically per table (``write.delete.mode``); here
-    the engine measures the doomed fraction with one predicate-pushed
-    count and picks per statement — AQE-style runtime physical
-    selection for mutations. Two lanes over the same source: a ~1%
-    predicate must author a deletion vector (metadata-sized commit,
-    zero data files rewritten — the 100 TB-cheap path), a ~33%
-    predicate must rewrite copy-on-write (a dense DV would tax every
-    read until compaction, and the deferred rewrite dominates anyway).
-    The query itself verifies WHICH representation each lane produced
-    (manifest inspection — a wrong dispatch fails the gate, not just a
-    unit test); row results are oracle-exact either way because the
-    strategy is physical, not semantic."""
+    the engine picks per statement — AQE-style runtime physical
+    selection for mutations. Three lanes over the same source: a ~1%
+    modulo predicate must author a deletion vector (metadata-sized
+    commit, zero data files rewritten — the 100 TB-cheap path), a ~33%
+    modulo predicate must rewrite copy-on-write (a dense DV would tax
+    every read until compaction, and the deferred rewrite dominates
+    anyway), and a ~4% RANGE predicate over a range-organized table
+    exercises the r14 STATS-SERVED path: footer row-group bounds
+    decide MoR count-free, so the statement pays exactly one
+    candidate-dir scan — the verb's own (scan count pinned in
+    tests/test_snaptable.py::test_auto_dispatch_stats_served_single_scan;
+    modulo predicates are not simple conjuncts, so the first two lanes
+    take the measured fallback — one combined matched+total
+    aggregate). The query itself verifies WHICH representation each
+    lane produced (manifest inspection — a wrong dispatch fails the
+    gate, not just a unit test); row results are oracle-exact either
+    way because the strategy is physical, not semantic."""
     from component_iceberg_spark.plans.queries_mutation import _warehouse
 
     cat = _warehouse(sf_dir, "delete_auto")
@@ -1030,7 +1086,30 @@ def snap_delete_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_orderkey", "o_custkey", "o_totalprice",
             )
         )
-    return lanes[0].unionByName(lanes[1])
+    # stats-served lane: 8 range-disjoint files, a ≤4th-percentile
+    # range predicate — footer bounds prove the doomed fraction ≤ one
+    # straddling file (~12.5%) < cow_density, so MoR dispatches with no
+    # dispatch job at all
+    k = (
+        o.orderBy("o_orderkey").limit(o.count() // 25)
+        .agg(F.max("o_orderkey")).first()[0]
+    )
+    cat.create_or_replace(
+        "ns", "range", o.repartitionByRange(8, "o_orderkey")
+    )
+    sid = cat.delete_where_auto(spark, "ns", "range", f"o_orderkey <= {k}")
+    deletes = cat._manifest("ns", "range", sid)["deletes"]
+    if [e.get("mode") for e in deletes] != ["dv"]:
+        raise AssertionError(
+            f"range lane must dispatch to a DV entry: {deletes}"
+        )
+    lanes.append(
+        cat.read(spark, "ns", "range").select(
+            F.lit("range").alias("lane"),
+            "o_orderkey", "o_custkey", "o_totalprice",
+        )
+    )
+    return lanes[0].unionByName(lanes[1]).unionByName(lanes[2])
 
 
 @register(

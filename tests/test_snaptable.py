@@ -3243,3 +3243,105 @@ def test_cherry_pick_recovers_rolled_back_adoption(spark, sf_dir, tmp_path):
     cat.append("ns", "t", o.filter("o_orderkey % 3 = 2"))        # sid 4
     cat.cherry_pick("ns", "t", adopted)                          # sid 5
     assert cat.read(spark, "ns", "t").count() == o.count()
+
+
+def test_dispatch_bounds_math(spark, tmp_path):
+    """_dispatch_bounds (VERDICT r13 #2): count-free (lower, upper,
+    total) selectivity bounds from parquet footer row-group stats.
+    Bounds must bracket the true matched count, total must be exact,
+    non-simple predicates must decline (None), and an impossible range
+    must be PROVEN empty (upper == 0)."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    # 4 range-disjoint files in one commit dir → row-group stats see
+    # boundary-straddling vs clear files
+    cat.create_or_replace("ns", "t", df.repartitionByRange(4, "id"))
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    dirs = list(m["files"])
+
+    lo, up, tot = cat._dispatch_bounds("ns", "t", m, dirs, "id < 10")
+    assert tot == 1000
+    assert lo <= 10 <= up
+    assert up < 500, "only the straddling file may be indeterminate"
+
+    # full-range predicate with zero nulls: certainty on both sides
+    lo2, up2, tot2 = cat._dispatch_bounds("ns", "t", m, dirs, "id >= 0")
+    assert (lo2, up2, tot2) == (1000, 1000, 1000)
+
+    # footer proof of emptiness
+    _lo3, up3, _tot3 = cat._dispatch_bounds("ns", "t", m, dirs, "id > 5000")
+    assert up3 == 0
+
+    # modulo / OR / expressions: not simple conjuncts → no bounds
+    assert cat._dispatch_bounds("ns", "t", m, dirs, "id % 2 = 0") is None
+    assert (
+        cat._dispatch_bounds("ns", "t", m, dirs, "id < 5 OR id > 900")
+        is None
+    )
+
+
+def test_auto_dispatch_stats_served_single_scan(spark, tmp_path):
+    """VERDICT r13 #2 done-criterion: on the stats-served path an auto
+    mutation statement pays exactly ONE candidate-dir scan — the chosen
+    verb's own — because the dispatch itself is decided from footer
+    bounds without a job. Pinned by counting _read_dirs calls for all
+    three lanes: decisive MoR delete, decisive CoW delete, decisive MoR
+    update."""
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    real = SnapCatalog._read_dirs
+
+    def tracked(path):
+        cat = SnapCatalog(path)
+        calls = {"n": 0}
+
+        def counting(self, *a, **kw):
+            calls["n"] += 1
+            return real(self, *a, **kw)
+
+        cat._read_dirs = counting.__get__(cat)
+        cat.create_or_replace("ns", "t", df.repartitionByRange(4, "id"))
+        calls["n"] = 0
+        return cat, calls
+
+    # decisive MoR: upper ≈ 250/1000 ≤ 0.5 → DV, no dispatch count
+    cat, calls = tracked(str(tmp_path / "wh1"))
+    sid = cat.delete_where_auto(spark, "ns", "t", "id < 10",
+                                cow_density=0.5)
+    assert calls["n"] == 1, "stats-served dispatch must not scan to count"
+    (entry,) = cat._manifest("ns", "t", sid)["deletes"]
+    assert entry["mode"] == "dv"
+    assert cat.read(spark, "ns", "t").count() == 990
+
+    # decisive CoW: lower ≈ 750/1000 > 0.5 → rewrite, no dispatch count
+    cat, calls = tracked(str(tmp_path / "wh2"))
+    sid = cat.delete_where_auto(spark, "ns", "t", "id >= 10",
+                                cow_density=0.5)
+    assert calls["n"] == 1
+    assert cat._manifest("ns", "t", sid)["deletes"] == []
+    assert cat.read(spark, "ns", "t").count() == 10
+
+    # decisive MoR update: DV mask + image append, still one scan
+    cat, calls = tracked(str(tmp_path / "wh3"))
+    sid = cat.update_where_auto(spark, "ns", "t", "id < 10",
+                                {"v": "v + 100000"}, cow_density=0.5)
+    assert calls["n"] == 1
+    assert [e["mode"] for e in cat._manifest("ns", "t", sid)["deletes"]] \
+        == ["dv"]
+    got = cat.read(spark, "ns", "t")
+    assert got.filter("v >= 100000").count() == 10
+    assert got.count() == 1000
+
+    # indeterminate band (bounds straddle the threshold): the fallback
+    # measures matched AND total in ONE combined aggregate, then the
+    # verb scans — exactly two candidate-dir scans, never three (the
+    # old stats-free path paid a second full count for the denominator)
+    cat, calls = tracked(str(tmp_path / "wh4"))
+    sid = cat.delete_where_auto(spark, "ns", "t", "id % 97 = 0")
+    assert calls["n"] == 2, "measured dispatch = one agg scan + the verb"
+    (entry,) = cat._manifest("ns", "t", sid)["deletes"]
+    assert entry["mode"] == "dv"
+    assert cat.read(spark, "ns", "t").count() == 1000 - 11
