@@ -417,6 +417,10 @@ class SnapCatalog:
     DV_PROBE_MAX_DENSITY = 0.05          # doomed fraction of scoped rows
     DV_PROBE_MAX_FILE_POSITIONS = 8192   # per-file probe work bound
     DV_PROBE_MAX_TOTAL_POSITIONS = 2_000_000  # broadcast bytes bound (~16 MB)
+    # rewrite_deletes_to_dv write parallelism: one output task per this
+    # many folded positions (~32 MB of longs) — sparse folds keep the
+    # single-file layout, a large accreted backlog fans out
+    DV_FOLD_POSITIONS_PER_TASK = 4_000_000
     # a DENSE delete whose ordinals form few contiguous RUNS (the
     # realistic dense shapes: time-range deletes, partition drops,
     # compaction-era tombstones) can still broadcast — as (start, end)
@@ -2304,13 +2308,43 @@ class SnapCatalog:
             alive = alive | F.col("file_path").contains(f"/data/{d}/")
         del_dir_name = f"dvdelete-{uuid.uuid4().hex[:12]}"
         out = self._tbl(namespace, table, "deletes", del_dir_name)
-        (
-            merged.filter(alive)
-            .groupBy("file_path")
-            .agg(F.sort_array(F.collect_set("pos")).alias("positions"))
-            .coalesce(1)
-            .write.parquet(out)
+        # Size-aware output parallelism (VERDICT r13 #2 efficiency item):
+        # the folded relation is file-count-sized in ROWS but
+        # positions-sized in BYTES, and a fold over a large accreted
+        # backlog through one task serializes the whole write. Estimate
+        # the folded position volume WITHOUT a job — stamped
+        # ``n_positions`` for DV entries, footer row counts for
+        # positional files (one delete ROW per position, so
+        # ``dir_row_count`` is exact; driver-side metadata read). Legacy
+        # unstamped DVs undercount (footer rows = touched files), which
+        # only keeps the write at one task — today's behavior. Sparse
+        # folds (the common case the auto verbs author) stay below the
+        # threshold and keep the single-file layout.
+        est_positions = sum(
+            e["n_positions"]
+            if e.get("n_positions") is not None
+            else dir_row_count(
+                self._tbl(namespace, table, "deletes", e["dir"])
+            )
+            for e in pos
         )
+        tasks = max(
+            1, -(-est_positions // self.DV_FOLD_POSITIONS_PER_TASK)
+        )
+        folded = merged.filter(alive)
+        if tasks > 1:
+            # explicit keyed repartition, not coalesce: AQE collapses
+            # the agg's tiny shuffle partitions to one, and coalesce can
+            # only shrink — the user-specified repartition both sets the
+            # write parallelism and satisfies the groupBy's clustering
+            # (no second exchange)
+            folded = folded.repartition(tasks, "file_path")
+        agg = folded.groupBy("file_path").agg(
+            F.sort_array(F.collect_set("pos")).alias("positions")
+        )
+        if tasks == 1:
+            agg = agg.coalesce(1)
+        agg.write.parquet(out)
         # stamp the position/run stats the read-side representation
         # choice consumes (_dv_apply_mode) — the fold must not launder a
         # dense DV into an unstamped entry that reads then probe blindly

@@ -3382,3 +3382,65 @@ def test_concurrent_commit_registered_path_hygiene(spark, sf_dir):
         + o.filter("o_orderkey % 10 = 3").count()
     )
     assert n_out == want
+
+
+def test_rewrite_to_dv_fold_write_parallelism(spark, sf_dir, tmp_path,
+                                              monkeypatch):
+    """VERDICT r13 #4: rewrite_deletes_to_dv's output write is
+    size-aware — a fold whose estimated position volume exceeds
+    DV_FOLD_POSITIONS_PER_TASK writes with >1 task (multiple part
+    files) instead of serializing through coalesce(1); a sparse fold
+    keeps the single-file layout. Reads stay exact and the folded
+    entry still carries its gate stats either way."""
+    import glob
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def build(path):
+        cat = SnapCatalog(path)
+        cat.create_or_replace("ns", "t", o.repartition(4))
+        addressed = cat.read_with_positions(spark, "ns", "t")
+        cat.delete_positions(
+            spark, "ns", "t",
+            addressed.filter("o_orderkey % 5 = 0").select(
+                cat.POS_FILE_COL, cat.POS_IDX_COL
+            ),
+        )
+        cat.delete_positions_dv(
+            spark, "ns", "t",
+            addressed.filter("o_orderkey % 7 = 0").select(
+                cat.POS_FILE_COL, cat.POS_IDX_COL
+            ),
+        )
+        return cat
+
+    def dv_files(cat):
+        (entry,) = cat._manifest(
+            "ns", "t", cat._current_sid("ns", "t")
+        )["deletes"]
+        assert entry["mode"] == "dv"
+        assert entry["n_positions"] > 0  # gate stats still stamped
+        return glob.glob(
+            os.path.join(cat.warehouse, "ns", "t", "deletes",
+                         entry["dir"], "*.parquet")
+        )
+
+    want = o.filter(
+        "o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0"
+    ).count()
+
+    # sparse fold (default threshold): single-file layout preserved
+    cat = build(str(tmp_path / "wh_sparse"))
+    cat.rewrite_deletes_to_dv(spark, "ns", "t")
+    assert len(dv_files(cat)) == 1
+    assert cat.read(spark, "ns", "t").count() == want
+
+    # large backlog (threshold forced under the fixture's volume):
+    # the fold fans out to multiple write tasks
+    monkeypatch.setattr(SnapCatalog, "DV_FOLD_POSITIONS_PER_TASK", 50)
+    cat = build(str(tmp_path / "wh_dense"))
+    cat.rewrite_deletes_to_dv(spark, "ns", "t")
+    assert len(dv_files(cat)) > 1, "large fold must not serialize"
+    assert cat.read(spark, "ns", "t").count() == want
