@@ -696,6 +696,8 @@ def main() -> None:
         "snap_metadata_log",
         "stream_stream_outer_join",
         "stream_stream_full_outer_join",
+        # r14 additions
+        "snap_concurrent_commit",
     )
     # best-of-3 (was 2 through r11): measured on the PQ family, rep 1
     # pays Arrow/BLAS worker warm-up (10.9 s) and rep 2 is still not
@@ -1132,16 +1134,56 @@ def main() -> None:
         and not os.environ.get("SPARK_GRAFT_SKIP_SF1")
         and not os.environ.get("SPARK_GRAFT_HEADLINE_ONLY")
     )
+    local = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    prior = None
+    try:  # prior canonical, read BEFORE overwriting: feeds the compact
+        with open(local) as fh:  # tail line's worst-regression readout
+            prior = json.load(fh)
+    except (OSError, ValueError):
+        prior = None
     if canonical:
-        local = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-        )
         try:
             with open(local, "w") as fh:
                 fh.write(blob + "\n")
         except OSError:
             pass
     print(blob)
+    # Compact summary as the LAST line (VERDICT r13 #5 — the driver's
+    # per-round artifact has carried "parsed": null since r4 because its
+    # stdout capture truncates the full blob). The verdict asked for the
+    # summary FIRST, but the r4 evidence says the capture keeps the END
+    # of stdout (BENCH_r04.json's tail terminates exactly at the blob's
+    # final brace), so only a trailing line survives; the driver's
+    # JSON-line scan then finds this complete, schema-compliant record
+    # (metric/value/unit/queries/sf) even when the full blob is cut.
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": result["queries"],
+        "sf": result["sf"],
+        "calibration": result.get("calibration"),
+        "detail": "compact tail record; full artifact in the preceding "
+                  "JSON line (and BENCH_LOCAL.json for canonical runs)",
+    }
+    if (
+        prior
+        and isinstance(prior.get("queries"), dict)
+        and prior.get("sf") == result["sf"]  # probes at another SF would
+    ):                                       # compare apples to oranges
+        ratios = [
+            (name, round(t / prior["queries"][name], 2))
+            for name, t in result["queries"].items()
+            if prior["queries"].get(name)
+        ]
+        if ratios:
+            name, ratio = max(ratios, key=lambda nr: nr[1])
+            compact["worst_vs_prior_canonical"] = {
+                "query": name, "ratio": ratio,
+            }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -59,16 +59,24 @@ _QUERY_MODULES = (
 #
 # ROTATION SCHEDULE (so every query is re-checked within ~3 rounds, and a
 # regression anywhere is externally caught, not just by local pytest).
-# Rotated for r13 (VERDICT r12 "Next round" #1): sentinels lead
-# unconditionally; tier 2 is this round's new registrations plus the
-# changed-code re-earns (DV density gate, add_files hardening,
-# main-ref refusal, funnel id_col); the backlog then runs strictly
-# oldest gate row first: the 25-name r6-cohort REMAINDER the r12
-# window cut (ext_split_train_test … text_tfidf_topterms — the stalest
-# greens in the table), then the r7 cohort — the ~50 window takes the
-# remainder plus the r7 head; the r7 tail leads the r14 backlog.
-# Everything gated in r12 sits at the very end as the freshest
-# evidence.
+# Rotated for r14 (VERDICT r13 "Next round" #1): sentinels lead
+# unconditionally; tier 2 is this round's one new registration
+# (snap_concurrent_commit — the staged optimistic-commit race) plus the
+# changed-code re-earns: the stats-served auto-dispatch rewrote both
+# *_where_auto verbs and added range lanes to their registered queries
+# (snap_delete_auto, snap_update_auto); the DV ranges apply moved to
+# zip_with (snap_delete_dv_ranges); rewrite_deletes_to_dv gained the
+# size-aware fold write (snap_rewrite_to_dv); all_data_files gained
+# per-file OSError degradation (snap_all_data_files_meta). The backlog
+# then runs strictly oldest gate row first: the full 36-name r7 cohort
+# (the stalest greens) fits the window EXACTLY — 8 + 6 + 36 = 50.
+# Immediately after the window cut, snap_update_mor and snap_delete_dv
+# lead the tail: VERDICT r13 #8 asked both to re-green on the r13
+# review-pass hardening, but the r13 gate already ran ON that hardened
+# code (both green in CORRECTNESS_r13) and both re-verified exact
+# locally this round, so the two slots the cut costs go to draining the
+# r7 cohort — the item with the explicit done-criterion. They gate first
+# in r15. Then r8..r13 cohorts by gate age, alphabetical within cohort.
 #   1. PINNED SENTINELS -- eight flagships, one per family, EVERY round.
 #   2. Queries with NO gate row ever, plus queries whose implementation
 #      or oracle CHANGED this round -- they (re)earn a green row first.
@@ -76,9 +84,6 @@ _QUERY_MODULES = (
 #      last gate row, OLDEST FIRST.
 # Names here that don't exist are ignored (safe across refactors).
 _GATE_PRIORITY = (
-    # --- 1. PINNED SENTINELS (every round, always first): TPC-H agg,
-    #     TPC-H join, streaming, semantic dedup, LSH dedup, multimodal,
-    #     sessionize, ANN.
     "q1_pricing_summary",
     "q5_local_supplier_volume",
     "dedup_minhash_lsh",
@@ -87,62 +92,12 @@ _GATE_PRIORITY = (
     "mm_feature_extract",
     "ext_sessionize",
     "sim_ann_ivf",
-    # --- 2. r13 tier 2: this round's eight new registrations (the
-    #     density-dispatched DELETE, range-band DV, MoR UPDATE, the
-    #     three inspect views, and both outer stream-stream joins) plus
-    #     changed-code re-earns: the DV shape gate rewrote
-    #     _read_with_deletes' dv branch and the DV writers
-    #     (snap_delete_dv, snap_rewrite_to_dv); add_files grew
-    #     marker-before-publish + the symlink gate (snap_add_files,
-    #     snap_cherry_pick adopts through it); resolve_ref/refs grew the
-    #     physical-'main' refusal (snap_refs_meta, snap_wap_publish,
-    #     snap_expire_branches); pattern_funnel_negation gained id_col
-    #     (ext_funnel_negation).
+    "snap_concurrent_commit",
     "snap_delete_auto",
-    "snap_delete_dv_ranges",
-    "snap_update_mor",
     "snap_update_auto",
-    "snap_all_manifests_meta",
-    "snap_all_data_files_meta",
-    "snap_metadata_log",
-    "stream_stream_outer_join",
-    "stream_stream_full_outer_join",
-    "snap_delete_dv",
+    "snap_delete_dv_ranges",
     "snap_rewrite_to_dv",
-    "snap_add_files",
-    "snap_cherry_pick",
-    "snap_refs_meta",
-    "snap_wap_publish",
-    "snap_expire_branches",
-    "ext_funnel_negation",
-    # --- backlog, oldest gate row first: the r6-cohort REMAINDER the
-    #     r12 window cut (25 names), then the r7 cohort (39), r8, r9,
-    #     r10- and r11-gated tiers in prior rotation order.
-    "ext_split_train_test",
-    "ext_timeseries_features",
-    "ext_window_time_range",
-    "func_bitwise",
-    "func_stats",
-    "pipeline_domain_mix",
-    "pipeline_pretrain_prep",
-    "pipeline_quality_buckets",
-    "sim_ann_hyperplane",
-    "sim_ann_pq",
-    "sim_ann_pq_kmeans",
-    "sim_ann_pq_stored",
-    "sim_neardup_embedding",
-    "sim_quantized_topk",
-    "sim_topk_bruteforce",
-    "snap_changelog_cdc",
-    "snap_compact_manifests",
-    "snap_incremental_agg",
-    "snap_upsert",
-    "stream_dedup_watermark",
-    "stream_stream_join",
-    "stream_upsert_snaptable",
-    "text_collocations",
-    "text_hybrid_topk",
-    "text_tfidf_topterms",
+    "snap_all_data_files_meta",
     "ext_abtest_lift",
     "ext_corr_matrix",
     "ext_dbscan_grid",
@@ -179,6 +134,8 @@ _GATE_PRIORITY = (
     "text_bpe_pair_stats",
     "text_rerank_topk",
     "text_url_canonicalize",
+    "snap_update_mor",
+    "snap_delete_dv",
     "dedup_clusters",
     "dedup_containment",
     "dedup_exact",
@@ -216,14 +173,29 @@ _GATE_PRIORITY = (
     "snap_upsert_evolve",
     "stream_rocksdb_state",
     "text_quality",
+    "dedup_simhash",
+    "ext_contamination_screen",
+    "ext_nested_ops",
+    "ext_percentile_exact",
     "ext_rollup_rank",
+    "ext_sample_deterministic",
+    "ext_sample_group_cap",
+    "ext_sample_stratified",
     "ext_window_rolling_outlier",
-    "pipeline_token_budget_scalable",
-    "text_bpe_encode",
-    "text_winnow_fingerprint",
+    "mm_audio_segments",
     "mm_dedup_content",
+    "mm_frame_features",
+    "mm_frame_hash",
     "mm_frame_sample",
     "mm_ingest_hash",
+    "mm_probe_audio",
+    "mm_probe_video",
+    "pipeline_token_budget_scalable",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_part_supplier_cnt",
+    "q19_discounted_revenue",
     "snap_append_current",
     "snap_append_timetravel",
     "snap_catalog_meta",
@@ -234,28 +206,32 @@ _GATE_PRIORITY = (
     "snap_schema_evolution",
     "snap_snapshots_list",
     "snap_update_where",
+    "text_bpe_encode",
     "text_fingerprint",
     "text_langid",
     "text_span_dedup",
     "text_tokens",
     "text_top_ngrams",
-    "dedup_simhash",
-    "ext_contamination_screen",
-    "ext_nested_ops",
-    "ext_percentile_exact",
-    "ext_sample_deterministic",
-    "ext_sample_group_cap",
-    "ext_sample_stratified",
-    "mm_audio_segments",
-    "mm_frame_features",
-    "mm_frame_hash",
-    "mm_probe_audio",
-    "mm_probe_video",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_part_supplier_cnt",
-    "q19_discounted_revenue",
+    "text_winnow_fingerprint",
+    "cast_coerce",
+    "ext_active_users_trailing",
+    "ext_agg_cube",
+    "ext_agg_groupby",
+    "ext_agg_rollup",
+    "ext_asof_join",
+    "ext_cardinality_hll",
+    "ext_embedding_mean_pool",
+    "ext_intersect_join",
+    "ext_join_multipass",
+    "ext_join_multipass_fused",
+    "ext_multiband_counts",
+    "ext_overlap_theta",
+    "ext_pivot",
+    "ext_quantile_kll",
+    "ext_setop_except",
+    "ext_setop_intersect",
+    "ext_spatial_grid_join",
+    "ext_spatial_grid_join_salted",
     "q20_excess_suppliers",
     "q21_waiting_supplier",
     "q22_dormant_customers",
@@ -269,46 +245,16 @@ _GATE_PRIORITY = (
     "snap_incremental_read",
     "snap_partition_evolution",
     "snap_tag_read",
+    "stream_active_users_trailing",
     "text_lm_score",
     "text_normalize",
     "text_pack_offsets",
     "text_redact_pii",
     "text_repetition",
-    "cast_coerce",
-    "ext_agg_cube",
-    "ext_agg_groupby",
-    "ext_agg_rollup",
-    "ext_asof_join",
-    "ext_cardinality_hll",
-    "ext_embedding_mean_pool",
-    "ext_overlap_theta",
-    "ext_pivot",
-    "ext_quantile_kll",
-    "ext_setop_except",
-    "ext_setop_intersect",
-    "ext_join_multipass",
-    "ext_join_multipass_fused",
-    "ext_multiband_counts",
-    "ext_intersect_join",
-    "stream_active_users_trailing",
-    "ext_spatial_grid_join",
-    "ext_spatial_grid_join_salted",
-    "ext_active_users_trailing",
-    "snap_delete_mor_positional",
-    "snap_rewrite_pos_deletes",
-    "snap_partitions_meta",
-    "source_text_lines",
     "ext_frequent_best_readout",
-    "snap_rename_column",
-    "snap_widen_column",
-    "ext_interpolate_linear",
-    "stream_static_enrich",
-    "ext_pattern_negation",
-    "snap_maintenance_report",
-    "source_binaryfile",
-    "stream_binaryfile_ingest",
-    "snap_delete_mor",
     "ext_heavy_hitters",
+    "ext_interpolate_linear",
+    "ext_pattern_negation",
     "ext_topk",
     "ext_unpivot",
     "ext_window_analytic",
@@ -329,31 +275,22 @@ _GATE_PRIORITY = (
     "sink_csv",
     "sink_parquet",
     "sink_parquet_partitioned",
+    "snap_delete_mor",
+    "snap_delete_mor_positional",
+    "snap_maintenance_report",
+    "snap_partitions_meta",
+    "snap_rename_column",
+    "snap_rewrite_pos_deletes",
+    "snap_widen_column",
+    "source_binaryfile",
     "source_csv_all_varchar",
     "source_csv_typed",
     "source_json",
-    # --- freshest evidence, tail: everything the r12 window gated
-    #     green (CORRECTNESS_r12: 50/50 pass) that is not re-earning
-    #     above.
-    "snap_entries_meta",
-    "dedup_semantic_ivf",
-    "snap_cluster_rewrite",
-    "snap_zorder_rewrite",
-    "snap_bloom_pruned_scan",
-    "snap_stats_pruned_scan",
-    "snap_rollback",
-    "snap_history_meta",
-    "snap_drop_column",
-    "snap_expire",
-    "snap_orphan_cleanup",
-    "stream_incremental_dedup",
-    "stream_session_window",
-    "stream_stateful_totals",
-    "text_bm25_topk",
-    "text_chunk_windows",
-    "text_quality_classifier",
-    "upsert_by_key",
+    "source_text_lines",
+    "stream_binaryfile_ingest",
+    "stream_static_enrich",
     "dedup_incremental_minhash",
+    "dedup_semantic_ivf",
     "ext_agg_grouping_sets",
     "ext_anomaly_zscore",
     "ext_cohort_retention",
@@ -369,6 +306,58 @@ _GATE_PRIORITY = (
     "ext_pagerank",
     "ext_percentile_scalable",
     "ext_session_paths",
+    "snap_bloom_pruned_scan",
+    "snap_cluster_rewrite",
+    "snap_drop_column",
+    "snap_entries_meta",
+    "snap_expire",
+    "snap_history_meta",
+    "snap_orphan_cleanup",
+    "snap_rollback",
+    "snap_stats_pruned_scan",
+    "snap_zorder_rewrite",
+    "stream_incremental_dedup",
+    "stream_session_window",
+    "stream_stateful_totals",
+    "text_bm25_topk",
+    "text_chunk_windows",
+    "text_quality_classifier",
+    "upsert_by_key",
+    "ext_funnel_negation",
+    "ext_split_train_test",
+    "ext_timeseries_features",
+    "ext_window_time_range",
+    "func_bitwise",
+    "func_stats",
+    "pipeline_domain_mix",
+    "pipeline_pretrain_prep",
+    "pipeline_quality_buckets",
+    "sim_ann_hyperplane",
+    "sim_ann_pq",
+    "sim_ann_pq_kmeans",
+    "sim_ann_pq_stored",
+    "sim_neardup_embedding",
+    "sim_quantized_topk",
+    "sim_topk_bruteforce",
+    "snap_add_files",
+    "snap_all_manifests_meta",
+    "snap_changelog_cdc",
+    "snap_cherry_pick",
+    "snap_compact_manifests",
+    "snap_expire_branches",
+    "snap_incremental_agg",
+    "snap_metadata_log",
+    "snap_refs_meta",
+    "snap_upsert",
+    "snap_wap_publish",
+    "stream_dedup_watermark",
+    "stream_stream_full_outer_join",
+    "stream_stream_join",
+    "stream_stream_outer_join",
+    "stream_upsert_snaptable",
+    "text_collocations",
+    "text_hybrid_topk",
+    "text_tfidf_topterms",
 )
 
 
