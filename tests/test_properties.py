@@ -1976,3 +1976,62 @@ def test_dv_runs_encoding_is_exact_cover(positions):
         prev_end = e
     assert covered == set(positions)
     assert sum(e - s + 1 for s, e in zip(starts, ends)) == len(positions)
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    mn=st.integers(min_value=-1000, max_value=1000),
+    span=st.integers(min_value=0, max_value=50),
+    op=st.sampled_from(["=", "!=", "<>", "<", "<=", ">", ">="]),
+    lit=st.integers(min_value=-1060, max_value=1060),
+)
+def test_range_bound_predicates_are_exact_duals(mn, span, op, lit):
+    """_range_may_match / _range_must_match (the pair under the
+    count-free dispatch bounds): against the GROUND TRUTH of evaluating
+    the operator over every integer in [mn, mx] — may_match must be
+    True iff ANY value matches, must_match True iff ALL match, and
+    must ⇒ may. A false 'must' is a wrong copy-on-write dispatch (cost
+    bug); a false 'not may' is rows silently surviving a DELETE
+    (correctness bug) — the same contract stats pruning relies on."""
+    from component_iceberg_spark.io.snaptable import (
+        _range_may_match,
+        _range_must_match,
+    )
+
+    mx = mn + span
+    ops = {
+        "=": lambda v: v == lit,
+        "!=": lambda v: v != lit,
+        "<>": lambda v: v != lit,
+        "<": lambda v: v < lit,
+        "<=": lambda v: v <= lit,
+        ">": lambda v: v > lit,
+        ">=": lambda v: v >= lit,
+    }
+    domain = range(mn, mx + 1)
+    truth_any = any(ops[op](v) for v in domain)
+    truth_all = all(ops[op](v) for v in domain)
+    assert _range_may_match(mn, mx, op, lit) == truth_any
+    assert _range_must_match(mn, mx, op, lit) == truth_all
+    if _range_must_match(mn, mx, op, lit):
+        assert _range_may_match(mn, mx, op, lit)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    mn=st.integers(min_value=0, max_value=100),
+    span=st.integers(min_value=0, max_value=100),
+    op=st.sampled_from(["=", "<", "<=", ">", ">="]),
+)
+def test_range_bound_predicates_type_mismatch_is_conservative(mn, span, op):
+    """A literal the stats' type cannot compare against (string vs int)
+    must degrade each side to its SAFE answer: may_match True (never
+    skip), must_match False (never claim certainty)."""
+    from component_iceberg_spark.io.snaptable import (
+        _range_may_match,
+        _range_must_match,
+    )
+
+    mx = mn + span
+    assert _range_may_match(mn, mx, op, "not-a-number") is True
+    assert _range_must_match(mn, mx, op, "not-a-number") is False
