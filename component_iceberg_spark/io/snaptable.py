@@ -432,6 +432,10 @@ class SnapCatalog:
     # arrays — the same OOM vector the positions cap closes).
     DV_RANGE_PROBE_MAX_PER_FILE = 128
     DV_RANGE_PROBE_MAX_TOTAL_RANGES = 1_000_000  # ~16 MB of (start, end)
+    # prefer the range probe over the ordinal probe at ANY density once
+    # positions outnumber runs by this factor (contiguity beats density
+    # — the range probe's payload and per-row work are both run-bounded)
+    DV_RANGES_PREFER_FACTOR = 64
 
     def __init__(self, warehouse: str):
         self.warehouse = warehouse
@@ -2435,7 +2439,15 @@ class SnapCatalog:
         Dense means ANY of: doomed fraction of the scoped dirs' rows
         above ``DV_PROBE_MAX_DENSITY``, a single file carrying more than
         ``DV_PROBE_MAX_FILE_POSITIONS`` ordinals, or total positions
-        above ``DV_PROBE_MAX_TOTAL_POSITIONS``."""
+        above ``DV_PROBE_MAX_TOTAL_POSITIONS``.
+
+        Contiguity beats density (r14): whenever positions outnumber
+        runs by ``DV_RANGES_PREFER_FACTOR`` and the run counts fit the
+        probe bounds, ``ranges`` wins outright — even at sparse density
+        the ordinal probe pays O(positions-per-file) per row while the
+        range probe pays O(runs-per-file), so a sparse-but-contiguous
+        band (a range delete over a range-organized file) must not fall
+        into the sparse ordinal plan."""
         n = entry.get("n_positions")
         mx = entry.get("max_file_positions")
         if n is None or mx is None:
@@ -2451,6 +2463,25 @@ class SnapCatalog:
                 cached = (int(row["n"] or 0), int(row["mx"] or 0))
                 self._legacy_dv_stats[entry["dir"]] = cached
             n, mx = cached
+        mfr = entry.get("max_file_ranges")
+        nrt = entry.get("n_ranges")
+        ranges_fit = (
+            mfr is not None
+            and mfr <= self.DV_RANGE_PROBE_MAX_PER_FILE
+            and nrt is not None
+            and nrt <= self.DV_RANGE_PROBE_MAX_TOTAL_RANGES
+        )
+        # CONTIGUITY BEATS DENSITY (r14): when the ordinals collapse to
+        # far fewer runs than positions, the range probe strictly
+        # dominates the ordinal probe — payload AND per-row work drop
+        # from O(positions-per-file) to O(runs-per-file) — so prefer it
+        # even at sparse density. The motivating shape is a range
+        # predicate's MoR delete over a range-organized file: ~6k
+        # contiguous ordinals are ONE run, and probing a 6k-long array
+        # per row is ~6000× the work of one between() check (measured:
+        # snap_delete_auto's range lane, bench r14).
+        if ranges_fit and nrt and n >= self.DV_RANGES_PREFER_FACTOR * nrt:
+            return "ranges"
         dense = (
             mx > self.DV_PROBE_MAX_FILE_POSITIONS
             or n > self.DV_PROBE_MAX_TOTAL_POSITIONS
@@ -2463,14 +2494,7 @@ class SnapCatalog:
                 dense = bool(total) and n / total > self.DV_PROBE_MAX_DENSITY
         if not dense:
             return "probe"
-        mfr = entry.get("max_file_ranges")
-        nrt = entry.get("n_ranges")
-        if (
-            mfr is not None
-            and mfr <= self.DV_RANGE_PROBE_MAX_PER_FILE
-            and nrt is not None
-            and nrt <= self.DV_RANGE_PROBE_MAX_TOTAL_RANGES
-        ):
+        if ranges_fit:
             return "ranges"
         return "anti"
 

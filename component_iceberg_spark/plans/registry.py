@@ -76,7 +76,13 @@ _QUERY_MODULES = (
 # code (both green in CORRECTNESS_r13) and both re-verified exact
 # locally this round, so the two slots the cut costs go to draining the
 # r7 cohort — the item with the explicit done-criterion. They gate first
-# in r15. Then r8..r13 cohorts by gate age, alphabetical within cohort.
+# in r15. Honest accounting: both also read DVs through the r14
+# contiguity-preferring _dv_apply_mode (their scattered entries take
+# the same probe/anti branch as before — decision pinned in
+# test_dv_apply_mode_threshold_matrix — and both were driven
+# oracle-exact at sf0.01 AFTER that change; ASSURANCE_LOCAL covers the
+# full registry). Then r8..r13 cohorts by gate age, alphabetical
+# within cohort.
 #   1. PINNED SENTINELS -- eight flagships, one per family, EVERY round.
 #   2. Queries with NO gate row ever, plus queries whose implementation
 #      or oracle CHANGED this round -- they (re)earn a green row first.

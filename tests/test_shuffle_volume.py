@@ -334,6 +334,31 @@ def test_dv_read_density_gate_flips_apply(spark, sf_dir):
             df = cat.read(spark, "ns", "t")
             assert df.count() == n - o.filter(pred).count(), label
             plans[label] = df._jdf.queryExecution().executedPlan().toString()
+        # r14 contiguity preference, its own deterministic fixture (the
+        # orders fixture's rows-per-file sits below the 64x prefer
+        # factor at test SF): 20k rows in 4 range-disjoint files, a 4%
+        # prefix band = 800 positions in ONE run — sparse by every
+        # density gate, yet the ordinal probe would pay 800 comparisons
+        # per row where the range probe pays one between()
+        cat = SnapCatalog(os.path.join(wh_root, "sparse_contiguous"))
+        ids = spark.range(20_000).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        )
+        cat.create_or_replace(
+            "ns", "t", ids.repartitionByRange(4, "id")
+        )
+        addressed = cat.read_with_positions(spark, "ns", "t")
+        cat.delete_positions_dv(
+            spark, "ns", "t",
+            addressed.filter("id < 800").select(
+                cat.POS_FILE_COL, cat.POS_IDX_COL
+            ),
+        )
+        df = cat.read(spark, "ns", "t")
+        assert df.count() == 19_200
+        plans["sparse_contiguous"] = (
+            df._jdf.queryExecution().executedPlan().toString()
+        )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     sparse = plans["sparse"]
@@ -349,4 +374,7 @@ def test_dv_read_density_gate_flips_apply(spark, sf_dir):
     cont = plans["dense_contiguous"]
     assert "_dv_starts" in cont and "BroadcastExchange" in cont, cont
     assert "LeftAnti" not in cont and "array_contains" not in cont, cont
+    spco = plans["sparse_contiguous"]
+    assert "_dv_starts" in spco and "BroadcastExchange" in spco, spco
+    assert "LeftAnti" not in spco and "array_contains" not in spco, spco
     shutil.rmtree(wh_root, ignore_errors=True)

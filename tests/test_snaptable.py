@@ -2724,6 +2724,20 @@ def test_dv_apply_mode_threshold_matrix(tmp_path):
                 n_ranges=1_500_000, max_file_ranges=100) == "anti"
     # dense + missing run stamps (legacy fold) → anti, never a blind probe
     assert mode(n_positions=40_000, max_file_positions=4_000) == "anti"
+    # r14 contiguity preference: SPARSE by every density gate, but
+    # positions outnumber runs 64x+ → ranges wins outright (the ordinal
+    # probe would pay O(positions-per-file) per row for no reason)
+    assert mode(n_positions=800, max_file_positions=800,
+                n_ranges=1, max_file_ranges=1) == "ranges"
+    # just under the prefer factor → stays the sparse ordinal probe
+    assert mode(n_positions=63, max_file_positions=63,
+                n_ranges=1, max_file_ranges=1) == "probe"
+    # contiguity cannot override the run-probe payload bounds: sparse,
+    # compressible, but per-file runs over cap → probe (not ranges)
+    assert mode(n_positions=100_000 * 64, max_file_positions=4_000,
+                n_ranges=200, max_file_ranges=200) != "ranges"
+    # legacy entry without run stamps: preference silently unavailable
+    assert mode(n_positions=800, max_file_positions=800) == "probe"
 
 
 def test_all_data_files_and_metadata_log(spark, sf_dir, tmp_path):
