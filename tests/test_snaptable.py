@@ -3458,3 +3458,101 @@ def test_rewrite_to_dv_fold_write_parallelism(spark, sf_dir, tmp_path,
     cat.rewrite_deletes_to_dv(spark, "ns", "t")
     assert len(dv_files(cat)) > 1, "large fold must not serialize"
     assert cat.read(spark, "ns", "t").count() == want
+
+
+def test_all_data_files_degrades_on_broken_adopted_link(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r13 ADVICE: a symlink-adopted file whose SOURCE was deleted must
+    surface in all_data_files as NULL metrics (the files() absent-stats
+    contract), not crash the inspect view — it exists to audit exactly
+    such warehouses. Healthy files in the same table keep real
+    metrics."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "t", o.filter("o_orderkey % 3 = 0"))
+    ext = str(tmp_path / "src")
+    o.filter("o_orderkey % 3 = 1").coalesce(1).write.parquet(ext)
+    # force the symlink fallback, then break the links
+    monkeypatch.setattr(
+        os, "link",
+        lambda *a, **k: (_ for _ in ()).throw(OSError(18, "EXDEV")),
+    )
+    cat.add_files(spark, "ns", "t", ext, compute_stats=False,
+                  allow_symlink=True)
+    monkeypatch.undo()
+    import shutil
+
+    shutil.rmtree(ext)  # the documented risk: source deleted post-adopt
+
+    rows = cat.all_data_files(spark, "ns", "t").collect()
+    latest = max(r.reference_snapshot_id for r in rows)
+    cur = [r for r in rows if r.reference_snapshot_id == latest]
+    broken = [r for r in cur if r.n_rows is None]
+    healthy = [r for r in cur if r.n_rows is not None]
+    assert broken, "broken links must surface as NULL-metric rows"
+    assert all(
+        r.n_row_groups is None and r.size_bytes is None for r in broken
+    )
+    assert healthy and all(r.size_bytes > 0 for r in healthy)
+
+
+def test_dispatch_bounds_rename_partition_and_timestamp(
+    spark, sf_dir, tmp_path
+):
+    """_dispatch_bounds edge lanes: (a) a column renamed AFTER the data
+    was written still yields real bounds — the old physical footer name
+    resolves through the manifest rename chain (the _commit name-reuse
+    guard makes it unambiguous); (b) a conjunct on a hive PARTITION
+    column (absent from footers) degrades to indeterminate — never a
+    crash, never a wrong bound; (c) timestamp literals normalize to the
+    stats' fixed-width comparison domain."""
+    # (a) rename chain
+    cat = SnapCatalog(str(tmp_path / "wh_a"))
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    cat.create_or_replace("ns", "t", df.repartitionByRange(4, "id"))
+    cat.rename_column("ns", "t", "id", "ident")
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    lo, up, tot = cat._dispatch_bounds(
+        "ns", "t", m, list(m["files"]), "ident >= 0"
+    )
+    assert (lo, up, tot) == (1000, 1000, 1000), (
+        "renamed column must resolve to the old footer name"
+    )
+
+    # (b) hive partition column: value lives in the dir name, not the
+    # footer — bounds stay conservative (lower 0, upper total)
+    cat = SnapCatalog(str(tmp_path / "wh_b"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    cat.create_or_replace(
+        "ns", "t", o, partition_by=["o_orderpriority"]
+    )
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    res = cat._dispatch_bounds(
+        "ns", "t", m, list(m["files"]),
+        "o_orderpriority = '1-URGENT'",
+    )
+    assert res is not None
+    lo, up, tot = res
+    assert lo == 0 and up == tot and tot == o.count()
+
+    # (c) timestamp literal normalization against footer stats
+    cat = SnapCatalog(str(tmp_path / "wh_c"))
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    cat.create_or_replace("ns", "t", ev)
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    hi = ev.agg(F.max("ts")).first()[0]
+    res = cat._dispatch_bounds(
+        "ns", "t", m, list(m["files"]),
+        f"ts <= '{hi.isoformat()}'",
+    )
+    assert res is not None
+    lo, up, tot = res
+    assert tot == ev.count()
+    assert up == tot, "max-inclusive bound must admit every row group"
