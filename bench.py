@@ -229,6 +229,15 @@ SCALE_QUERIES = (
     # track the table scans (write + addressing + read), never the
     # deleted-row count
     "snap_delete_dv_ranges",
+    # r14: the auto-dispatch matrix at 10x. Each lane is a full
+    # create + mutate + read cycle, so the wall should track the table
+    # scans ~linearly; the dispatch itself must contribute nothing that
+    # scales worse — the stats-served range lane decides from footer
+    # metadata (file-count-sized driver reads), the modulo lanes pay
+    # one combined aggregate, and the range lane's 10x-bigger
+    # contiguous DV still broadcasts as ONE run per file (the r14
+    # contiguity preference), never a positions-sized payload
+    "snap_delete_auto",
 )
 
 
