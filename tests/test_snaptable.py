@@ -3556,3 +3556,38 @@ def test_dispatch_bounds_rename_partition_and_timestamp(
     lo, up, tot = res
     assert tot == ev.count()
     assert up == tot, "max-inclusive bound must admit every row group"
+
+
+def test_auto_dispatch_footer_proof_noop_zero_scans(spark, sf_dir, tmp_path):
+    """A predicate footer-PROVEN empty (upper bound 0) is a commit-free
+    no-op with ZERO candidate-dir scans — even on a stats-free adopted
+    table where manifest pruning can't help (no dir_stats: _prune_dirs
+    keeps every dir a candidate, so only the footer bounds stand
+    between the statement and a pointless scan)."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    ext = str(tmp_path / "src")
+    df.write.parquet(ext)
+    cat.create_or_replace("ns", "t", df.limit(0))  # schema anchor
+    cat.add_files(spark, "ns", "t", ext, compute_stats=False)
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    adopted = [d for d in m["files"] if d not in (m.get("dir_stats") or {})]
+    assert adopted, "fixture must contain a stats-free dir"
+
+    calls = {"n": 0}
+    real = SnapCatalog._read_dirs
+
+    def counting(self, *a, **kw):
+        calls["n"] += 1
+        return real(self, *a, **kw)
+
+    cat._read_dirs = counting.__get__(cat)
+    base = cat._current_sid("ns", "t")
+    assert cat.delete_where_auto(spark, "ns", "t", "id > 5000") == base
+    assert cat.update_where_auto(
+        spark, "ns", "t", "id > 5000", {"v": "v + 1"}
+    ) == base
+    assert calls["n"] == 0, "footer-proven-empty must scan nothing"
+    assert cat._current_sid("ns", "t") == base  # commit-free
