@@ -436,6 +436,22 @@ class SnapCatalog:
     # positions outnumber runs by this factor (contiguity beats density
     # — the range probe's payload and per-row work are both run-bounded)
     DV_RANGES_PREFER_FACTOR = 64
+    # STORAGE layout choice (r15, the Iceberg-v3 roaring-bitmap
+    # analogue): once positions outnumber runs by this factor AND the
+    # run counts fit the range-probe bounds, the DV file stores
+    # (file_path, starts, ends) directly — entry ``layout: "ranges"`` —
+    # instead of explicit ordinal arrays. Storage bytes drop from
+    # positions-sized to runs-sized, and the read applies the stored
+    # ranges with NO derivation pass. The factor is lower than the
+    # read-side prefer factor (8 vs 64) because storage pays the
+    # compression once at write time while the probe pays its shape on
+    # every read: at 8x the stored bytes already shrink 4x (two longs
+    # per run vs one per position), and any stored-ranges entry is
+    # forced through the ranges apply, which at >=8x is never worse
+    # than the ordinal probe. Requiring the probe bounds at WRITE time
+    # keeps the invariant that a ranges-layout entry is always
+    # broadcastable as-is.
+    DV_STORE_RANGES_FACTOR = 8
 
     def __init__(self, warehouse: str):
         self.warehouse = warehouse
@@ -2164,6 +2180,156 @@ class SnapCatalog:
             shutil.rmtree(out, ignore_errors=True)
             raise
 
+    def _dv_write_relation(
+        self,
+        spark: SparkSession,
+        out: str,
+        pos_rel: DataFrame,
+        live_dirs: list[str],
+    ) -> tuple[list[str], dict, str | None]:
+        """Runs-first DV writer shared by every DV-authoring path
+        (``_dv_write_entry`` per-statement, ``rewrite_deletes_to_dv``
+        fold): ONE gaps-and-islands pass over the (file_path, pos)
+        relation yields per-file run arrays plus the position/run stats
+        the read gate consumes — computed BEFORE any bytes land, so the
+        storage layout is chosen from the same numbers the apply gate
+        reads and nothing is ever written twice.
+
+        Layout choice (r15): positions >= ``DV_STORE_RANGES_FACTOR`` x
+        runs AND runs inside the range-probe bounds stores
+        ``(file_path, starts, ends)`` directly (``layout "ranges"`` —
+        runs-sized bytes, the Iceberg-v3 roaring-bitmap analogue; the
+        read applies it with no derivation pass). Otherwise the
+        explicit sorted ordinal form (``layout "positions"``), expanded
+        from the run arrays with vectorized ``sequence``/``flatten``
+        (positions < factor x runs bounds the per-row expansion).
+
+        Write parallelism: the positions form fans out one task per
+        ``DV_FOLD_POSITIONS_PER_TASK`` positions — the exact volume is
+        already known from the stats pass, so per-statement writes get
+        the same protection the fold got in r14 (a huge scattered DV no
+        longer serializes through one task). The ranges form is
+        run-bounded (<= ~16 MB by the probe caps) and keeps one file.
+
+        Plan cost: one shuffle total — the window's hash exchange on
+        file_path also satisfies both downstream groupBys (subset
+        clustering), where the r14 flow paid the write shuffle AND a
+        second full pass for ``_dv_stats``. The file-count-sized runs
+        relation is localCheckpoint'ed so the stats aggregate and the
+        write both read it without recomputing the source scan (the
+        ``update_where_mor`` one-evaluation discipline).
+
+        Returns ``(applies_to, stats, layout)``; layout None (nothing
+        written) when no position addresses a live dir."""
+        # duplicates would both split runs (the row_number offset jumps)
+        # and inflate counts — dedup here so every caller is covered
+        pos_rel = pos_rel.dropDuplicates(["file_path", "pos"])
+        runs = (
+            pos_rel.withColumn(
+                "_grp",
+                F.col("pos")
+                - F.row_number().over(
+                    Window.partitionBy("file_path").orderBy("pos")
+                ),
+            )
+            .groupBy("file_path", "_grp")
+            .agg(
+                F.min("pos").alias("s"),
+                F.max("pos").alias("e"),
+                F.count(F.lit(1)).alias("c"),
+            )
+        )
+        per_file = (
+            runs.groupBy("file_path")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("s"), F.col("e")))
+                ).alias("_runs"),
+                F.sum("c").alias("_n"),
+                F.count(F.lit(1)).alias("_nr"),
+            )
+            .select(
+                "file_path",
+                F.col("_runs.s").alias("starts"),
+                F.col("_runs.e").alias("ends"),
+                "_n",
+                "_nr",
+            )
+            .localCheckpoint()
+        )
+        row = per_file.select(
+            F.regexp_extract("file_path", r"/data/([^/]+)/", 1).alias("d"),
+            "_n",
+            "_nr",
+        ).agg(
+            F.collect_set("d").alias("dirs"),
+            F.sum("_n").alias("n"),
+            F.max("_n").alias("mx"),
+            F.sum("_nr").alias("nrt"),
+            F.max("_nr").alias("nrm"),
+        ).first()
+        stats = {
+            "n_positions": int(row["n"] or 0),
+            "max_file_positions": int(row["mx"] or 0),
+            "n_ranges": int(row["nrt"] or 0),
+            "max_file_ranges": int(row["nrm"] or 0),
+        }
+        touched = set(row["dirs"] or [])
+        applies_to = sorted(d for d in live_dirs if d in touched)
+        if not applies_to or stats["n_positions"] == 0:
+            return [], stats, None
+        if (
+            stats["n_ranges"] > 0
+            and stats["n_positions"]
+            >= self.DV_STORE_RANGES_FACTOR * stats["n_ranges"]
+            and stats["max_file_ranges"] <= self.DV_RANGE_PROBE_MAX_PER_FILE
+            and stats["n_ranges"] <= self.DV_RANGE_PROBE_MAX_TOTAL_RANGES
+        ):
+            per_file.select("file_path", "starts", "ends").coalesce(
+                1
+            ).write.parquet(out)
+            return applies_to, stats, "ranges"
+        tasks = max(
+            1,
+            -(-stats["n_positions"] // self.DV_FOLD_POSITIONS_PER_TASK),
+        )
+        pos_out = per_file.select(
+            "file_path",
+            F.flatten(
+                F.zip_with("starts", "ends", lambda s, e: F.sequence(s, e))
+            ).alias("positions"),
+        )
+        # explicit keyed repartition, not coalesce, when fanning out:
+        # AQE collapses tiny partitions and coalesce can only shrink —
+        # the user repartition pins the write parallelism (r14 fold
+        # contract, now shared by per-statement writes)
+        pos_out = (
+            pos_out.repartition(tasks, "file_path")
+            if tasks > 1
+            else pos_out.coalesce(1)
+        )
+        pos_out.write.parquet(out)
+        return applies_to, stats, "positions"
+
+    @staticmethod
+    def _dv_positions_relation(keys_df: DataFrame, layout: str) -> DataFrame:
+        """Expand a stored DV relation of either layout back to
+        (file_path, pos) rows — the fold/merge path's layout bridge.
+        Ranges expand with vectorized ``sequence`` (two explodes, no
+        struct field names to depend on)."""
+        if layout == "ranges":
+            return keys_df.select(
+                "file_path",
+                F.explode(
+                    F.zip_with(
+                        "starts", "ends", lambda s, e: F.sequence(s, e)
+                    )
+                ).alias("_run"),
+            ).select("file_path", F.explode("_run").alias("pos"))
+        return keys_df.select(
+            "file_path", F.explode("positions").alias("pos")
+        )
+
     def _dv_write_entry(
         self,
         spark: SparkSession,
@@ -2177,33 +2343,28 @@ class SnapCatalog:
         the one authoring path ``delete_positions_dv`` and
         ``update_where_mor`` share, so the position/run stats the read
         gate consumes can never drift between writers. Returns
-        ``(delete file path, entry)``; entry is None (and the file
-        already swept) when no live dir is addressed."""
+        ``(delete file path, entry)``; entry is None (and nothing
+        written) when no live dir is addressed. The entry records the
+        storage ``layout`` (``_dv_write_relation``'s choice) so the
+        read side dispatches without inspecting file schemas."""
         del_dir_name = f"dvdelete-{uuid.uuid4().hex[:12]}"
         out = self._tbl(namespace, table, "deletes", del_dir_name)
-        (
-            pos_df.select(
-                F.col(self.POS_FILE_COL).alias("file_path"),
-                F.col(self.POS_IDX_COL).cast("long").alias("pos"),
-            )
-            .groupBy("file_path")
-            .agg(F.sort_array(F.collect_set("pos")).alias("positions"))
-            .coalesce(1)
-            .write.parquet(out)
+        pos_rel = pos_df.select(
+            F.col(self.POS_FILE_COL).alias("file_path"),
+            F.col(self.POS_IDX_COL).cast("long").alias("pos"),
         )
-        touched, stats = self._dv_stats(spark, out)
-        entry = {
+        applies_to, stats, layout = self._dv_write_relation(
+            spark, out, pos_rel, list(manifest["files"])
+        )
+        if layout is None:
+            return out, None
+        return out, {
             "dir": del_dir_name,
             "mode": "dv",
-            "applies_to": sorted(
-                d for d in manifest["files"] if d in touched
-            ),
+            "layout": layout,
+            "applies_to": applies_to,
             **stats,
         }
-        if not entry["applies_to"]:
-            shutil.rmtree(out, ignore_errors=True)
-            return out, None
-        return out, entry
 
     def delete_positions_dv(
         self,
@@ -2290,8 +2451,8 @@ class SnapCatalog:
                 self._tbl(namespace, table, "deletes", e["dir"])
             )
             if e["mode"] == "dv":
-                df = df.select(
-                    "file_path", F.explode("positions").alias("pos")
+                df = self._dv_positions_relation(
+                    df, e.get("layout", "positions")
                 )
             merged = df if merged is None else merged.unionByName(df)
         # dead-address drop: same representation-safe /data/<dir>/
@@ -2312,51 +2473,29 @@ class SnapCatalog:
             alive = alive | F.col("file_path").contains(f"/data/{d}/")
         del_dir_name = f"dvdelete-{uuid.uuid4().hex[:12]}"
         out = self._tbl(namespace, table, "deletes", del_dir_name)
-        # Size-aware output parallelism (VERDICT r13 #2 efficiency item):
-        # the folded relation is file-count-sized in ROWS but
-        # positions-sized in BYTES, and a fold over a large accreted
-        # backlog through one task serializes the whole write. Estimate
-        # the folded position volume WITHOUT a job — stamped
-        # ``n_positions`` for DV entries, footer row counts for
-        # positional files (one delete ROW per position, so
-        # ``dir_row_count`` is exact; driver-side metadata read). Legacy
-        # unstamped DVs undercount (footer rows = touched files), which
-        # only keeps the write at one task — today's behavior. Sparse
-        # folds (the common case the auto verbs author) stay below the
-        # threshold and keep the single-file layout.
-        est_positions = sum(
-            e["n_positions"]
-            if e.get("n_positions") is not None
-            else dir_row_count(
-                self._tbl(namespace, table, "deletes", e["dir"])
+        # the shared runs-first writer (r15) handles everything the r14
+        # fold special-cased: layout choice (an accreted backlog of
+        # band deletes folds into a runs-sized ``ranges`` entry),
+        # size-aware write fan-out for the scattered form (from the
+        # EXACT folded volume — the stats pass runs before the write —
+        # not the r14 footer estimate), and the gate stats stamp (the
+        # fold must not launder a dense DV into an unstamped entry)
+        applies_to, stats, layout = self._dv_write_relation(
+            spark, out, merged.filter(alive), live_scope
+        )
+        if layout is None:
+            # every address was dead after all: equality entries only
+            return self._commit(
+                namespace, table, None, operation="rewrite_to_dv",
+                carry=False, base_sid=base, inherit_spec=True,
+                carry_dirs=list(manifest["files"]), clear_deletes=True,
+                extra_deletes=keep,
             )
-            for e in pos
-        )
-        tasks = max(
-            1, -(-est_positions // self.DV_FOLD_POSITIONS_PER_TASK)
-        )
-        folded = merged.filter(alive)
-        if tasks > 1:
-            # explicit keyed repartition, not coalesce: AQE collapses
-            # the agg's tiny shuffle partitions to one, and coalesce can
-            # only shrink — the user-specified repartition both sets the
-            # write parallelism and satisfies the groupBy's clustering
-            # (no second exchange)
-            folded = folded.repartition(tasks, "file_path")
-        agg = folded.groupBy("file_path").agg(
-            F.sort_array(F.collect_set("pos")).alias("positions")
-        )
-        if tasks == 1:
-            agg = agg.coalesce(1)
-        agg.write.parquet(out)
-        # stamp the position/run stats the read-side representation
-        # choice consumes (_dv_apply_mode) — the fold must not launder a
-        # dense DV into an unstamped entry that reads then probe blindly
-        _touched, stats = self._dv_stats(spark, out)
         entry = {
             "dir": del_dir_name,
             "mode": "dv",
-            "applies_to": live_scope,
+            "layout": layout,
+            "applies_to": applies_to,
             **stats,
         }
         try:
@@ -2377,46 +2516,6 @@ class SnapCatalog:
             e for e in manifest.get("deletes", [])
             if set(e["applies_to"]) & set(dir_names)
         ]
-
-    def _dv_stats(self, spark: SparkSession, path: str) -> tuple[set, dict]:
-        """(touched dirs, entry stats) of a written DV relation, in one
-        distributed pass: per-file position counts plus the number of
-        contiguous RUNS the ordinals form (gaps-and-islands: sorted
-        positions grouped by ``pos − row_number``). Writers stamp the
-        stats on the entry so the read-side representation choice costs
-        no job; run counts are what decide whether a DENSE delete is
-        still broadcastable as ranges."""
-        expl = spark.read.parquet(path).select(
-            "file_path", F.explode("positions").alias("pos")
-        )
-        w = Window.partitionBy("file_path").orderBy("pos")
-        per_file = (
-            expl.withColumn("_grp", F.col("pos") - F.row_number().over(w))
-            .groupBy("file_path")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.countDistinct("_grp").alias("nr"),
-                F.first(
-                    F.regexp_extract(
-                        F.col("file_path"), r"/data/([^/]+)/", 1
-                    )
-                ).alias("d"),
-            )
-        )
-        row = per_file.agg(
-            F.collect_set("d").alias("dirs"),
-            F.sum("n").alias("n"),
-            F.max("n").alias("mx"),
-            F.sum("nr").alias("nrt"),
-            F.max("nr").alias("nrm"),
-        ).first()
-        stats = {
-            "n_positions": int(row["n"] or 0),
-            "max_file_positions": int(row["mx"] or 0),
-            "n_ranges": int(row["nrt"] or 0),
-            "max_file_ranges": int(row["nrm"] or 0),
-        }
-        return set(row["dirs"] or []), stats
 
     def _dv_apply_mode(
         self, manifest: dict, entry: dict, keys_df: DataFrame
@@ -2615,15 +2714,27 @@ class SnapCatalog:
                             "left_anti",
                         )
                     elif e.get("mode") == "dv":
-                        # deletion vector: one (file, sorted positions)
-                        # row per touched file. SHAPE-GATED apply
-                        # (_dv_apply_mode): sparse → broadcast ordinal
-                        # probe (shuffle-free); dense-but-contiguous →
-                        # broadcast RANGE probe (run-count-bounded bytes
-                        # and work at any density, still shuffle-free);
+                        # deletion vector: one row per touched file.
+                        # SHAPE-GATED apply (_dv_apply_mode): sparse →
+                        # broadcast ordinal probe (shuffle-free);
+                        # dense-but-contiguous → broadcast RANGE probe
+                        # (run-count-bounded bytes and work at any
+                        # density, still shuffle-free);
                         # dense-and-scattered → exploded (file, pos)
                         # anti-join (one hash exchange, linear work).
-                        mode = self._dv_apply_mode(manifest, e, keys_df)
+                        # A ``layout: "ranges"`` entry (r15 storage)
+                        # holds (starts, ends) run arrays, guaranteed
+                        # inside the probe bounds by its writer — the
+                        # ranges apply is forced (the other plans would
+                        # read a ``positions`` column that does not
+                        # exist, and at the stored >= 8x compression
+                        # the range probe dominates them anyway).
+                        layout = e.get("layout", "positions")
+                        mode = (
+                            "ranges"
+                            if layout == "ranges"
+                            else self._dv_apply_mode(manifest, e, keys_df)
+                        )
                         if mode == "anti":
                             doomed = keys_df.select(
                                 F.col("file_path").alias(self.POS_FILE_COL),
@@ -2637,7 +2748,17 @@ class SnapCatalog:
                                 "left_anti",
                             )
                         elif mode == "ranges":
-                            rng = self._dv_ranges_relation(keys_df).select(
+                            # stored-ranges entries broadcast the file
+                            # AS IS — zero derivation; positions-layout
+                            # entries that the contiguity gate routed
+                            # here derive runs once over the
+                            # file-count-sized relation
+                            rng_src = (
+                                keys_df
+                                if layout == "ranges"
+                                else self._dv_ranges_relation(keys_df)
+                            )
+                            rng = rng_src.select(
                                 F.col("file_path").alias(
                                     self.POS_FILE_COL
                                 ),

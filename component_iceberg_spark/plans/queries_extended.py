@@ -1019,6 +1019,87 @@ def snap_rewrite_to_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snap_dv_ranges_stored",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(max(o_orderkey) * 0.3) AS BIGINT) AS b1,
+             CAST(floor(max(o_orderkey) * 0.5) AS BIGINT) AS b2,
+             CAST(floor(max(o_orderkey) * 0.6) AS BIGINT) AS b3
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+    WHERE NOT (o_orderkey <= b1 OR (o_orderkey >= b2 AND o_orderkey <= b3))
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+    WHERE o_orderkey <= b1 AND o_orderkey < 30
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_dv_ranges_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-compressed DV STORAGE (r15 — the Iceberg-v3 roaring-bitmap
+    analogue on this container's plain-parquet layout): a contiguous
+    band delete persists ``(file_path, starts, ends)`` run arrays
+    directly — entry ``layout: "ranges"``, runs-sized bytes instead of
+    one long per doomed row — and the read broadcasts the stored file
+    with ZERO derivation (the r13/r14 path derived runs from ordinal
+    arrays at read time; storage was still positions-sized). The
+    scenario drives the full layout lifecycle and VERIFIES each step
+    in-query (manifest inspection — a wrong layout fails the gate):
+    a ~30% prefix-band DV stores as ranges; a second band arrives as a
+    POSITIONAL file (the v2 format); ``rewrite_deletes_to_dv`` folds
+    ranges + positional into ONE ranges-layout DV (the ranges entry
+    round-trips through position expansion and re-compresses); a
+    re-append of deleted keys is not masked (physical file scoping).
+    Layout choice, no-derivation plan, and write fan-out pinned in
+    tests/test_snaptable.py::test_dv_ranges_storage_layout and
+    ::test_dv_write_entry_fans_out_large_scattered."""
+    from component_iceberg_spark.plans.queries_mutation import _warehouse
+
+    cat = _warehouse(sf_dir, "dv_ranges_stored")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).orderBy("o_orderkey")  # files carry contiguous key bands
+    cat.create_or_replace("ns", "orders", o)
+    hi = o.agg(F.max("o_orderkey")).collect()[0][0]
+    b1, b2, b3 = int(hi * 0.3), int(hi * 0.5), int(hi * 0.6)
+    addressed = cat.read_with_positions(spark, "ns", "orders")
+    # both doomed sets from the SAME pre-delete addressing (authoring
+    # over pending deletes is refused; files are immutable)
+    cat.delete_positions_dv(
+        spark, "ns", "orders",
+        addressed.filter(F.col("o_orderkey") <= b1).select(
+            cat.POS_FILE_COL, cat.POS_IDX_COL
+        ),
+    )
+    (entry,) = cat._manifest(
+        "ns", "orders", cat._current_sid("ns", "orders")
+    )["deletes"]
+    if entry.get("layout") != "ranges":
+        raise AssertionError(
+            f"band delete must store the ranges layout: {entry}"
+        )
+    cat.delete_positions(
+        spark, "ns", "orders",
+        addressed.filter(
+            (F.col("o_orderkey") >= b2) & (F.col("o_orderkey") <= b3)
+        ).select(cat.POS_FILE_COL, cat.POS_IDX_COL),
+    )
+    cat.rewrite_deletes_to_dv(spark, "ns", "orders")
+    (folded,) = cat._manifest(
+        "ns", "orders", cat._current_sid("ns", "orders")
+    )["deletes"]
+    if folded.get("layout") != "ranges" or folded.get("mode") != "dv":
+        raise AssertionError(
+            f"band fold must re-compress to a ranges DV: {folded}"
+        )
+    reborn = o.filter(
+        (F.col("o_orderkey") <= b1) & (F.col("o_orderkey") < 30)
+    )
+    cat.append("ns", "orders", reborn)
+    return cat.read(spark, "ns", "orders")
+
+
+@register(
     "snap_delete_auto",
     oracle="""
     SELECT 'sparse' AS lane, o_orderkey, o_custkey, o_totalprice

@@ -59,30 +59,28 @@ _QUERY_MODULES = (
 #
 # ROTATION SCHEDULE (so every query is re-checked within ~3 rounds, and a
 # regression anywhere is externally caught, not just by local pytest).
-# Rotated for r14 (VERDICT r13 "Next round" #1): sentinels lead
-# unconditionally; tier 2 is this round's one new registration
-# (snap_concurrent_commit — the staged optimistic-commit race) plus the
-# changed-code re-earns: the stats-served auto-dispatch rewrote both
-# *_where_auto verbs and added range lanes to their registered queries
-# (snap_delete_auto, snap_update_auto); the DV ranges apply moved to
-# zip_with (snap_delete_dv_ranges); rewrite_deletes_to_dv gained the
-# size-aware fold write (snap_rewrite_to_dv); all_data_files gained
-# per-file OSError degradation (snap_all_data_files_meta). The backlog
-# then runs strictly oldest gate row first: the full 36-name r7 cohort
-# (the stalest greens) fits the window EXACTLY — 8 + 6 + 36 = 50.
-# Immediately after the window cut, snap_update_mor and snap_delete_dv
-# lead the tail: VERDICT r13 #8 asked both to re-green on the r13
-# review-pass hardening, but the r13 gate already ran ON that hardened
-# code (both green in CORRECTNESS_r13) and both re-verified exact
-# locally this round, so the two slots the cut costs go to draining the
-# r7 cohort — the item with the explicit done-criterion. They gate first
-# in r15. Honest accounting: both also read DVs through the r14
-# contiguity-preferring _dv_apply_mode (their scattered entries take
-# the same probe/anti branch as before — decision pinned in
-# test_dv_apply_mode_threshold_matrix — and both were driven
-# oracle-exact at sf0.01 AFTER that change; ASSURANCE_LOCAL covers the
-# full registry). Then r8..r13 cohorts by gate age, alphabetical
-# within cohort.
+# Rotated for r15 (VERDICT r14 "Next round" #1/#2): sentinels lead
+# unconditionally; tier 2 opens with the two names the r14 window cut
+# (snap_update_mor, snap_delete_dv -- VERDICT r14 #2 ordered them to
+# gate FIRST; both are also genuine re-earns now, since the r15
+# range-compressed DV storage rewrote the writer they share), then the
+# round's one new registration (snap_dv_ranges_stored -- the stored
+# ranges-layout lifecycle with in-query layout asserts), then the
+# changed-code re-earns: every DV author/reader query re-earns on the
+# runs-first _dv_write_relation + layout-dispatched apply
+# (snap_delete_dv_ranges, snap_rewrite_to_dv, snap_delete_mor), the
+# auto verbs re-earn on the manifest-served/NaN-safe/tz-guarded
+# _dispatch_bounds (snap_delete_auto, snap_update_auto), and the
+# pruned-scan pair re-earns on the same guards landing in _prune_dirs
+# (snap_stats_pruned_scan, snap_bloom_pruned_scan). The backlog then
+# runs strictly oldest gate row first: 32 of the 37-name r8 cohort fit
+# -- 8 + 10 + 32 = 50 exactly. Honest accounting for the cut: the five
+# alphabetically-last r8 names (q6_forecast_revenue, sim_mmr_diversify,
+# snap_upsert_evolve, stream_rocksdb_state, text_quality) sit at
+# positions 51-55 and lead the r16 backlog; all five are green in
+# CORRECTNESS_r08 and in every ASSURANCE_LOCAL full-registry sweep
+# since, and none touches code this round changed. Then r9..r14
+# cohorts by gate age, alphabetical within cohort.
 #   1. PINNED SENTINELS -- eight flagships, one per family, EVERY round.
 #   2. Queries with NO gate row ever, plus queries whose implementation
 #      or oracle CHANGED this round -- they (re)earn a green row first.
@@ -98,50 +96,16 @@ _GATE_PRIORITY = (
     "mm_feature_extract",
     "ext_sessionize",
     "sim_ann_ivf",
-    "snap_concurrent_commit",
-    "snap_delete_auto",
-    "snap_update_auto",
-    "snap_delete_dv_ranges",
-    "snap_rewrite_to_dv",
-    "snap_all_data_files_meta",
-    "ext_abtest_lift",
-    "ext_corr_matrix",
-    "ext_dbscan_grid",
-    "ext_dq_expectations",
-    "ext_graph_triangles",
-    "ext_histogram_equidepth",
-    "ext_interval_join",
-    "ext_ndcg_eval",
-    "ext_pca_project",
-    "ext_regression_ols",
-    "ext_sample_weighted",
-    "ext_shard_shuffle",
-    "ext_skyline",
-    "ext_window_yoy",
-    "func_array",
-    "func_map",
-    "mm_neardup_features",
-    "mm_train_record",
-    "sim_ann_ivf_stored",
-    "sim_knn_graph_clusters",
-    "snap_append_ordered",
-    "snap_checked_append",
-    "snap_dpp_join",
-    "snap_files_meta",
-    "snap_merge_multi",
-    "snap_scd2_apply",
-    "snap_timetravel_asof",
-    "stream_anomaly_alerts",
-    "stream_late_data_drop",
-    "stream_replay_idempotent",
-    "stream_state_eviction",
-    "stream_topk_trending",
-    "text_bpe_merges",
-    "text_bpe_pair_stats",
-    "text_rerank_topk",
-    "text_url_canonicalize",
     "snap_update_mor",
     "snap_delete_dv",
+    "snap_dv_ranges_stored",
+    "snap_delete_dv_ranges",
+    "snap_rewrite_to_dv",
+    "snap_delete_auto",
+    "snap_update_auto",
+    "snap_delete_mor",
+    "snap_stats_pruned_scan",
+    "snap_bloom_pruned_scan",
     "dedup_clusters",
     "dedup_containment",
     "dedup_exact",
@@ -281,7 +245,6 @@ _GATE_PRIORITY = (
     "sink_csv",
     "sink_parquet",
     "sink_parquet_partitioned",
-    "snap_delete_mor",
     "snap_delete_mor_positional",
     "snap_maintenance_report",
     "snap_partitions_meta",
@@ -312,7 +275,6 @@ _GATE_PRIORITY = (
     "ext_pagerank",
     "ext_percentile_scalable",
     "ext_session_paths",
-    "snap_bloom_pruned_scan",
     "snap_cluster_rewrite",
     "snap_drop_column",
     "snap_entries_meta",
@@ -320,7 +282,6 @@ _GATE_PRIORITY = (
     "snap_history_meta",
     "snap_orphan_cleanup",
     "snap_rollback",
-    "snap_stats_pruned_scan",
     "snap_zorder_rewrite",
     "stream_incremental_dedup",
     "stream_session_window",
@@ -364,6 +325,44 @@ _GATE_PRIORITY = (
     "text_collocations",
     "text_hybrid_topk",
     "text_tfidf_topterms",
+    "ext_abtest_lift",
+    "ext_corr_matrix",
+    "ext_dbscan_grid",
+    "ext_dq_expectations",
+    "ext_graph_triangles",
+    "ext_histogram_equidepth",
+    "ext_interval_join",
+    "ext_ndcg_eval",
+    "ext_pca_project",
+    "ext_regression_ols",
+    "ext_sample_weighted",
+    "ext_shard_shuffle",
+    "ext_skyline",
+    "ext_window_yoy",
+    "func_array",
+    "func_map",
+    "mm_neardup_features",
+    "mm_train_record",
+    "sim_ann_ivf_stored",
+    "sim_knn_graph_clusters",
+    "snap_all_data_files_meta",
+    "snap_append_ordered",
+    "snap_checked_append",
+    "snap_concurrent_commit",
+    "snap_dpp_join",
+    "snap_files_meta",
+    "snap_merge_multi",
+    "snap_scd2_apply",
+    "snap_timetravel_asof",
+    "stream_anomaly_alerts",
+    "stream_late_data_drop",
+    "stream_replay_idempotent",
+    "stream_state_eviction",
+    "stream_topk_trending",
+    "text_bpe_merges",
+    "text_bpe_pair_stats",
+    "text_rerank_topk",
+    "text_url_canonicalize",
 )
 
 

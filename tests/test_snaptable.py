@@ -2962,8 +2962,11 @@ def test_rewrite_deletes_to_dv_mixed_formats(spark, sf_dir, tmp_path):
     assert after == before
     # a lone DV is already the target shape: no-op
     assert cat.rewrite_deletes_to_dv(spark, "ns", "t") == sid
-    # merged DV masks exactly the live doomed addresses
-    import pyspark.sql.functions as SF
+    # merged DV masks exactly the live doomed addresses — this
+    # fixture's doomed sets are contiguous key bands, so the fold
+    # stores the r15 ranges layout (runs-sized bytes) and the check
+    # expands it layout-agnostically
+    assert dv_entries[0].get("layout") == "ranges"
     merged = spark.read.parquet(
         os.path.join(wh, "ns", "t", "deletes", dv_entries[0]["dir"])
     )
@@ -2972,7 +2975,9 @@ def test_rewrite_deletes_to_dv_mixed_formats(spark, sf_dir, tmp_path):
          if r["o_orderkey"] < 100 or 1000 <= r["o_orderkey"] < 1100]
     )
     assert (
-        merged.select(SF.sum(SF.size("positions")).alias("s")).collect()[0].s
+        SnapCatalog._dv_positions_relation(
+            merged, dv_entries[0]["layout"]
+        ).count()
         == n_live
     )
 
@@ -3015,13 +3020,14 @@ def test_rewrite_deletes_to_dv_drops_dead_addresses(
     sid = cat.rewrite_deletes_to_dv(spark, "ns", "t")
     m = cat._manifest("ns", "t", sid)
     (entry,) = [e for e in m["deletes"] if e.get("mode") == "dv"]
-    import pyspark.sql.functions as SF
     merged = spark.read.parquet(
         os.path.join(wh, "ns", "t", "deletes", entry["dir"])
     )
     live_keys = {r["o_orderkey"] for r in addr if r["o_orderkey"] < 80}
     assert (
-        merged.select(SF.sum(SF.size("positions")).alias("s")).collect()[0].s
+        SnapCatalog._dv_positions_relation(
+            merged, entry.get("layout", "positions")
+        ).count()
         == len(live_keys)
     ), "dead second-dir addresses dropped"
     after = sorted(tuple(r) for r in cat.read(spark, "ns", "t").collect())
@@ -3591,3 +3597,122 @@ def test_auto_dispatch_footer_proof_noop_zero_scans(spark, sf_dir, tmp_path):
     ) == base
     assert calls["n"] == 0, "footer-proven-empty must scan nothing"
     assert cat._current_sid("ns", "t") == base  # commit-free
+
+
+def test_dv_ranges_storage_layout(spark, tmp_path):
+    """r15 range-compressed DV STORAGE (the Iceberg-v3 roaring-bitmap
+    analogue): a contiguous band delete stores (file_path, starts,
+    ends) directly — entry ``layout: "ranges"``, runs-sized bytes, no
+    ``positions`` column on disk — and the read broadcasts the stored
+    file with NO derivation pass (no MapInPandas node in the plan,
+    where a positions-layout entry routed to the ranges apply pays
+    one). A scattered delete on the same code path keeps the explicit
+    ordinal layout. Compaction materializes the ranges entry exactly."""
+    import pyarrow.parquet as pq
+
+    ids = spark.range(20_000).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # -- contiguous band: stored as ranges ---------------------------
+        cat = SnapCatalog(str(tmp_path / "wh_band"))
+        cat.create_or_replace("ns", "t", ids.repartitionByRange(4, "id"))
+        addressed = cat.read_with_positions(spark, "ns", "t")
+        cat.delete_positions_dv(
+            spark, "ns", "t",
+            addressed.filter("id >= 3000 AND id < 9000").select(
+                cat.POS_FILE_COL, cat.POS_IDX_COL
+            ),
+        )
+        (entry,) = cat._manifest(
+            "ns", "t", cat._current_sid("ns", "t")
+        )["deletes"]
+        assert entry["layout"] == "ranges"
+        assert entry["n_positions"] == 6000
+        assert entry["n_ranges"] <= 4  # one run per touched file
+        dv_dir = os.path.join(
+            str(tmp_path / "wh_band"), "ns", "t", "deletes", entry["dir"]
+        )
+        files = [
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(dv_dir)
+            for f in fs if f.endswith(".parquet")
+        ]
+        assert len(files) == 1
+        names = pq.ParquetFile(files[0]).schema_arrow.names
+        assert "positions" not in names
+        assert {"file_path", "starts", "ends"} <= set(names)
+        # runs-sized storage: the whole delete file is tiny next to the
+        # 6000 longs the ordinal layout would persist (~48 KB raw)
+        assert os.path.getsize(files[0]) < 8_192
+
+        df = cat.read(spark, "ns", "t")
+        assert df.count() == 14_000
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "_dv_starts" in plan and "BroadcastExchange" in plan, plan
+        assert "MapInPandas" not in plan, "stored ranges must not derive"
+        assert "array_contains" not in plan and "LeftAnti" not in plan
+
+        # compaction materializes the stored ranges exactly
+        cat.compact(spark, "ns", "t")
+        assert cat.read(spark, "ns", "t").count() == 14_000
+        assert cat.read(spark, "ns", "t").agg(
+            F.min("id"), F.max("id")
+        ).collect()[0][:] == (0, 19_999)
+
+        # -- scattered twin: explicit ordinals kept ----------------------
+        cat2 = SnapCatalog(str(tmp_path / "wh_scat"))
+        cat2.create_or_replace("ns", "t", ids.repartitionByRange(4, "id"))
+        addressed = cat2.read_with_positions(spark, "ns", "t")
+        cat2.delete_positions_dv(
+            spark, "ns", "t",
+            addressed.filter("id % 97 = 0").select(
+                cat2.POS_FILE_COL, cat2.POS_IDX_COL
+            ),
+        )
+        (entry2,) = cat2._manifest(
+            "ns", "t", cat2._current_sid("ns", "t")
+        )["deletes"]
+        assert entry2["layout"] == "positions"
+        assert cat2.read(spark, "ns", "t").count() == 20_000 - (
+            20_000 // 97 + 1
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_dv_write_entry_fans_out_large_scattered(spark, tmp_path,
+                                                 monkeypatch):
+    """r15: per-statement DV writes share the fold's size-aware
+    fan-out (the r14 'residual single-task by design' concession is
+    gone) — a scattered DV whose position volume exceeds
+    DV_FOLD_POSITIONS_PER_TASK writes with >1 task, and the exact
+    volume is known before the write because the stats pass runs
+    first. Reads stay exact."""
+    monkeypatch.setattr(SnapCatalog, "DV_FOLD_POSITIONS_PER_TASK", 500)
+    ids = spark.range(20_000).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    # 8 files so the >1-part assertion can't flake on a hash collision
+    # of every file_path into one of the ~14 write buckets
+    cat.create_or_replace("ns", "t", ids.repartitionByRange(8, "id"))
+    addressed = cat.read_with_positions(spark, "ns", "t")
+    cat.delete_positions_dv(
+        spark, "ns", "t",
+        addressed.filter("id % 3 = 0").select(
+            cat.POS_FILE_COL, cat.POS_IDX_COL
+        ),
+    )
+    (entry,) = cat._manifest(
+        "ns", "t", cat._current_sid("ns", "t")
+    )["deletes"]
+    assert entry["layout"] == "positions"  # scattered: no compression
+    dv_dir = os.path.join(
+        str(tmp_path / "wh"), "ns", "t", "deletes", entry["dir"]
+    )
+    parts = glob.glob(os.path.join(dv_dir, "*.parquet"))
+    assert len(parts) > 1, "large scattered DV must not serialize"
+    assert cat.read(spark, "ns", "t").count() == 20_000 - 6_667
