@@ -135,6 +135,94 @@ def dir_column_stats(path: str) -> dict[str, list]:
     return stats
 
 
+def dir_file_bounds(
+    path: str, max_groups: int = 512, max_stat_len: int = 64
+) -> list[dict] | None:
+    """Per-ROW-GROUP bounds records for a freshly written data dir —
+    the manifest metrics Iceberg stamps at commit time
+    (``lower_bounds`` / ``upper_bounds`` / ``null_value_counts``), at
+    the granularity ``_dispatch_bounds`` evaluates. Each record is
+    ``{"n": rows, "c": {col: [min, max, null_count]}}`` (null_count
+    None when the footer omits it). Computed once per commit from the
+    same footers ``dir_column_stats`` already walks; serving dispatch
+    from the manifest afterwards costs zero I/O (VERDICT r14 finding
+    #1 — the per-statement driver-side footer walk).
+
+    Bloat guards: a dir with more than ``max_groups`` row groups
+    returns None (no stamp; dispatch falls back to memoized footer
+    reads) — at the default parquet row-group size that is ~64 GB in
+    one commit dir, where a few hundred manifest records are noise but
+    unbounded growth is not. String stats longer than ``max_stat_len``
+    are dropped per-column (Iceberg truncates with carry-up instead;
+    skipping is sound — absent stats only disable the shortcut)."""
+    import pyarrow.parquet as pq
+
+    records: list[dict] = []
+    for root, _dirs, files in os.walk(path):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet") or fn.startswith((".", "_")):
+                continue
+            md = pq.ParquetFile(os.path.join(root, fn)).metadata
+            for rg in range(md.num_row_groups):
+                if len(records) >= max_groups:
+                    return None
+                row_group = md.row_group(rg)
+                cols: dict[str, list] = {}
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    mn = _stat_jsonable(st.min)
+                    mx = _stat_jsonable(st.max)
+                    if mn is None or mx is None:
+                        continue
+                    if isinstance(mn, str) and (
+                        len(mn) > max_stat_len or len(str(mx)) > max_stat_len
+                    ):
+                        continue
+                    cols[col.path_in_schema] = [
+                        mn,
+                        mx,
+                        st.null_count if st.has_null_count else None,
+                    ]
+                records.append({"n": row_group.num_rows, "c": cols})
+    return records
+
+
+# Floating-point footer stats ignore NaN, and Spark orders NaN GREATER
+# than every other value (and NaN = NaN) — so a row group [1.0, 2.0,
+# NaN] is out of range for ``v > 5`` by its stats while its NaN row
+# matches (ADVICE r14 #2). Per-operator soundness with a possible
+# unrecorded NaN in the group:
+#   may-match  (skip when False): '='  (NaN never equals a real
+#     literal), '<', '<=' (NaN sorts high, never satisfies) — sound;
+#     '!=', '>', '>=' — a NaN row satisfies them, never skip.
+#   must-match (count toward the lower bound when True): '!=', '>',
+#     '>=' — the NaN row satisfies them too, sound; '=', '<', '<=' —
+#     a NaN row would fail, never certain.
+_FLOAT_TYPES = frozenset({"float", "double"})
+_FLOAT_MAY_SOUND = frozenset({"=", "<", "<="})
+_FLOAT_MUST_SOUND = frozenset({"!=", "<>", ">", ">="})
+
+
+def _session_tz_is_utc() -> bool:
+    """True when the active Spark session evaluates timestamp literals
+    in UTC — the only zone where the engine's naive footer-stat domain
+    (``_stat_jsonable`` strftime of UTC instants) and the predicate
+    literal's session-zone parse coincide for tz-adjusted TIMESTAMP
+    columns (ADVICE r14 #1). Conservative: no active session counts
+    as non-UTC (timestamp conjuncts then prune/bound nothing)."""
+    s = SparkSession.getActiveSession()
+    if s is None:
+        return False
+    try:
+        tz = s.conf.get("spark.sql.session.timeZone") or "UTC"
+    except Exception:
+        return False
+    return tz.upper() in ("UTC", "ETC/UTC", "GMT", "ETC/GMT", "Z", "+00:00")
+
+
 def _bloom_key(v) -> bytes | None:
     """Canonical hash input for a bloom-filter value. Ints and strings
     only — float/timestamp equality lookups are not a pruning use case
@@ -459,6 +547,12 @@ class SnapCatalog:
         # per-delete-file stat memo for pre-stamp DV entries (immutable
         # files, so the cache can never go stale) — see _dv_apply_mode
         self._legacy_dv_stats: dict[str, tuple[int, int]] = {}
+        # per-data-dir footer bounds memo for pre-stamp (legacy/adopted)
+        # dirs — data dirs are immutable once published, same staleness
+        # argument as _legacy_dv_stats; dirs with an unreadable file are
+        # NOT cached (a repaired adopted link changes content without
+        # changing the dir name) — see _dispatch_bounds / ADVICE r14 #3
+        self._footer_bounds_cache: dict[tuple[str, str, str], list] = {}
 
     # -- namespaces ---------------------------------------------------------
 
@@ -701,10 +795,14 @@ class SnapCatalog:
             extra_rows = {nd: dir_row_count(dst_root)}
             extra_stats: dict[str, dict] = {}
             extra_blooms: dict[str, dict] = {}
+            extra_bounds: dict[str, list] = {}
             if compute_stats:
                 stats = dir_column_stats(dst_root)
                 if stats:
                     extra_stats[nd] = stats
+                bounds = dir_file_bounds(dst_root)
+                if bounds is not None:
+                    extra_bounds[nd] = bounds
                 bloom_cols = manifest.get("bloom_cols") or []
                 if bloom_cols:
                     bl = dir_column_blooms(dst_root, bloom_cols)
@@ -727,6 +825,7 @@ class SnapCatalog:
                 carry_dirs=manifest["files"] + [nd],
                 extra_dir_stats=extra_stats, extra_dir_rows=extra_rows,
                 extra_dir_blooms=extra_blooms,
+                extra_dir_bounds=extra_bounds,
             )
         except Exception:
             shutil.rmtree(dst_root, ignore_errors=True)
@@ -1129,11 +1228,13 @@ class SnapCatalog:
         parent_stats = manifest.get("dir_stats", {})
         parent_rows = manifest.get("dir_rows", {})
         parent_blooms = manifest.get("dir_blooms", {})
+        parent_bounds = manifest.get("dir_bounds", {})
         new_files: list[str] = []
         sig_to_dir: dict[frozenset, str] = {}
         extra_stats: dict[str, dict] = {}
         extra_rows: dict[str, int] = {}
         extra_blooms: dict[str, dict] = {}
+        extra_bounds: dict[str, list] = {}
         linked_dirs: list[str] = []
         for sig, dirs in sorted(groups.items(), key=lambda kv: sorted(kv[1])):
             if len(dirs) == 1:
@@ -1172,6 +1273,15 @@ class SnapCatalog:
             mb = _merge_dir_blooms([parent_blooms.get(d) for d in dirs])
             if mb:
                 extra_blooms[nd] = mb
+            # a fold hard-links the SAME physical files under the new
+            # dir, so per-row-group bounds records concatenate exactly
+            # (records carry no file names); any dir without a stamp
+            # leaves the folded dir unstamped — absent bounds only
+            # disable the dispatch shortcut
+            if all(d in parent_bounds for d in dirs):
+                extra_bounds[nd] = [
+                    r for d in dirs for r in parent_bounds[d]
+                ]
         remapped = []
         for i, e in enumerate(deletes):
             if e.get("mode") in ("positional", "dv"):
@@ -1190,6 +1300,7 @@ class SnapCatalog:
                 carry_dirs=new_files, clear_deletes=True,
                 extra_deletes=remapped, extra_dir_stats=extra_stats,
                 extra_dir_rows=extra_rows, extra_dir_blooms=extra_blooms,
+                extra_dir_bounds=extra_bounds,
             )
         except CommitConflict:
             for d in linked_dirs:  # don't leave link dirs for orphan GC
@@ -1342,6 +1453,7 @@ class SnapCatalog:
         extra_stats: dict[str, dict] = {}
         extra_rows: dict[str, int] = {}
         extra_blooms: dict[str, dict] = {}
+        extra_bounds: dict[str, list] = {}
         try:
             for sub in sorted(os.listdir(tmp_root)):
                 if not sub.startswith("_cluster_bucket="):
@@ -1354,6 +1466,9 @@ class SnapCatalog:
                 if stats is not None:
                     extra_stats[nd] = stats
                 extra_rows[nd] = dir_row_count(dst)
+                bounds = dir_file_bounds(dst)
+                if bounds is not None:
+                    extra_bounds[nd] = bounds
                 if bloom_cols:
                     bl = dir_column_blooms(dst, bloom_cols)
                     if bl:
@@ -1497,6 +1612,7 @@ class SnapCatalog:
         src_stats = src.get("dir_stats") or {}
         src_rows = src.get("dir_rows") or {}
         src_blooms = src.get("dir_blooms") or {}
+        src_bounds = src.get("dir_bounds") or {}
         return self._commit(
             namespace, table, None, operation="cherry_pick",
             carry=False, base_sid=base, inherit_spec=True,
@@ -1505,6 +1621,9 @@ class SnapCatalog:
             extra_dir_rows={d: src_rows[d] for d in delta if d in src_rows},
             extra_dir_blooms={
                 d: src_blooms[d] for d in delta if d in src_blooms
+            },
+            extra_dir_bounds={
+                d: src_bounds[d] for d in delta if d in src_bounds
             },
         )
 
@@ -1597,13 +1716,33 @@ class SnapCatalog:
         ``upper_bounds`` / ``null_value_counts``) and evaluates the same
         bounds there; reading footers here keeps the layout unchanged.
 
-        Returns None when the bounds machinery can't run at all: a
-        non-simple predicate, or an unreadable file (broken
-        symlink-adopted source). Columns renamed since a dir was written
-        resolve through the manifest rename chain — the name-reuse guard
-        in ``_commit`` makes old physical names unambiguous."""
-        import pyarrow.parquet as pq
+        Served from the MANIFEST when the statement's dirs carry
+        ``dir_bounds`` records (stamped by ``_commit`` /
+        ``add_files`` / rewrites — the Iceberg manifest-metrics
+        pattern: zero per-statement I/O); pre-stamp dirs fall back to a
+        footer walk MEMOIZED per (namespace, table, dir) — data dirs
+        are immutable once published, so the cache can never go stale,
+        and repeated statements against a legacy snapshot pay the walk
+        once (ADVICE r14 #3). A dir with an unreadable file (broken
+        symlink-adopted source) is not cached and yields no bounds —
+        but only after the remaining candidate dirs have warmed the
+        memo, so the work is degraded per-file, not discarded.
 
+        Soundness guards (ADVICE r14 #1/#2): conjuncts on
+        FLOAT/DOUBLE columns use only the NaN-sound operator subset
+        (footer stats ignore NaN while Spark orders NaN above
+        everything — see ``_FLOAT_MAY_SOUND`` / ``_FLOAT_MUST_SOUND``);
+        conjuncts on tz-adjusted TIMESTAMP columns are usable only
+        when the session timezone is UTC (the literal parses in the
+        session zone, the stats are naive UTC instants) — an unusable
+        conjunct contributes no skips and no certainty, it never
+        disables the other conjuncts.
+
+        Returns None when the bounds machinery can't run at all: a
+        non-simple predicate, an unparseable timestamp literal, or an
+        unreadable file. Columns renamed since a dir was written
+        resolve through the manifest rename chain — the name-reuse
+        guard in ``_commit`` makes old physical names unambiguous."""
         conjuncts = simple_conjuncts(predicate)
         if not conjuncts:
             return None
@@ -1611,79 +1750,119 @@ class SnapCatalog:
             f["name"]: str(f.get("type", ""))
             for f in manifest.get("schema", {}).get("fields", [])
         }
-        normed = []
+        tz_utc = None  # resolved lazily: only timestamp conjuncts care
+        normed = []  # (col, op, lit, usable, is_float)
         for col, op, lit in conjuncts:
-            if "timestamp" in types.get(col, "") and isinstance(lit, str):
+            t = types.get(col, "")
+            usable = True
+            if "timestamp" in t and isinstance(lit, str):
                 try:
                     lit = _dt.datetime.fromisoformat(lit).strftime(_TS_FMT)
                 except ValueError:
                     return None
-            normed.append((col, op, lit))
+                if t == "timestamp":  # tz-adjusted (timestamp_ntz is not)
+                    if tz_utc is None:
+                        tz_utc = _session_tz_is_utc()
+                    usable = tz_utc
+            normed.append((col, op, lit, usable, t in _FLOAT_TYPES))
         # logical → acceptable physical footer names: a dir written
         # before a rename keeps the old name; retired names can never be
         # reintroduced, so every ancestor along the chain is the same
         # column
-        phys: dict[str, set] = {c: {c} for c, _o, _l in normed}
+        phys: dict[str, set] = {c: {c} for c, _o, _l, _u, _f in normed}
         for old, new in reversed(manifest.get("renames") or []):
             for names in phys.values():
                 if new in names:
                     names.add(old)
+        dir_bounds = manifest.get("dir_bounds") or {}
         lower = upper = total = 0
+        broken = False
         for d in candidates:
-            root = self._tbl(namespace, table, "data", d)
-            for rdir, _sub, fns in os.walk(root):
-                for fn in fns:
-                    if not fn.endswith(".parquet") or fn.startswith(
-                        (".", "_")
-                    ):
-                        continue
-                    try:
-                        md = pq.ParquetFile(
-                            os.path.join(rdir, fn)
-                        ).metadata
-                    except OSError:
-                        return None  # unreadable file: no bounds at all
-                    for rg in range(md.num_row_groups):
-                        row_group = md.row_group(rg)
-                        n = row_group.num_rows
-                        total += n
-                        stats = {}
-                        for ci in range(row_group.num_columns):
-                            col = row_group.column(ci)
-                            st = col.statistics
-                            if st is not None and st.has_min_max:
-                                mn = _stat_jsonable(st.min)
-                                mx = _stat_jsonable(st.max)
-                                if mn is not None and mx is not None:
-                                    stats[col.path_in_schema] = (
-                                        mn,
-                                        mx,
-                                        st.null_count
-                                        if st.has_null_count
-                                        else None,
-                                    )
-                        trips = [
-                            next(
-                                (stats[p] for p in phys[c] if p in stats),
-                                None,
-                            )
-                            for c, _op, _lit in normed
-                        ]
-                        if any(
-                            t is not None
-                            and not _range_may_match(t[0], t[1], op, lit)
-                            for t, (_c, op, lit) in zip(trips, normed)
-                        ):
-                            continue  # no row of this group can match
-                        upper += n
-                        if all(
-                            t is not None
-                            and t[2] == 0
-                            and _range_must_match(t[0], t[1], op, lit)
-                            for t, (_c, op, lit) in zip(trips, normed)
-                        ):
-                            lower += n  # every row of this group matches
+            records = dir_bounds.get(d)
+            if records is None:
+                records = self._footer_bounds_records(namespace, table, d)
+            if records is None:
+                broken = True  # keep walking: warm the memo for the rest
+                continue
+            for rec in records:
+                n = rec["n"]
+                total += n
+                stats = rec["c"]
+                trips = [
+                    next((stats[p] for p in phys[c] if p in stats), None)
+                    if usable
+                    else None
+                    for c, _op, _lit, usable, _f in normed
+                ]
+                if any(
+                    t is not None
+                    and not (is_f and op not in _FLOAT_MAY_SOUND)
+                    and not _range_may_match(t[0], t[1], op, lit)
+                    for t, (_c, op, lit, _u, is_f) in zip(trips, normed)
+                ):
+                    continue  # no row of this group can match
+                upper += n
+                if all(
+                    t is not None
+                    and t[2] == 0
+                    and not (is_f and op not in _FLOAT_MUST_SOUND)
+                    and _range_must_match(t[0], t[1], op, lit)
+                    for t, (_c, op, lit, _u, is_f) in zip(trips, normed)
+                ):
+                    lower += n  # every row of this group matches
+        if broken:
+            return None
         return lower, upper, total
+
+    def _footer_bounds_records(
+        self, namespace: str, table: str, d: str
+    ) -> list[dict] | None:
+        """Row-group bounds records for a pre-stamp data dir, from
+        parquet footers — the legacy path ``_dispatch_bounds`` takes
+        when the manifest carries no ``dir_bounds`` for ``d``.
+        Memoized per (namespace, table, dir): data dirs are immutable
+        once published. A dir with an unreadable file returns None and
+        is NOT cached — repairing a broken adopted link changes the
+        dir's content without changing its name, so caching the
+        failure (or a partial read) could serve stale bounds forever.
+        No record cap here, unlike ``dir_file_bounds`` — nothing is
+        persisted, so the only cost is this process's memory."""
+        key = (namespace, table, d)
+        cached = self._footer_bounds_cache.get(key)
+        if cached is not None:
+            return cached
+        import pyarrow.parquet as pq
+
+        records: list[dict] = []
+        root = self._tbl(namespace, table, "data", d)
+        for rdir, _sub, fns in os.walk(root):
+            for fn in sorted(fns):
+                if not fn.endswith(".parquet") or fn.startswith((".", "_")):
+                    continue
+                try:
+                    md = pq.ParquetFile(os.path.join(rdir, fn)).metadata
+                except OSError:
+                    return None  # degrade this dir only; do not cache
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    cols = {}
+                    for ci in range(row_group.num_columns):
+                        col = row_group.column(ci)
+                        st = col.statistics
+                        if st is not None and st.has_min_max:
+                            mn = _stat_jsonable(st.min)
+                            mx = _stat_jsonable(st.max)
+                            if mn is not None and mx is not None:
+                                cols[col.path_in_schema] = (
+                                    mn,
+                                    mx,
+                                    st.null_count
+                                    if st.has_null_count
+                                    else None,
+                                )
+                    records.append({"n": row_group.num_rows, "c": cols})
+        self._footer_bounds_cache[key] = records
+        return records
 
     def delete_where_auto(
         self,
@@ -3204,7 +3383,34 @@ class SnapCatalog:
         self, manifest: dict, conjuncts: list[tuple[str, str, object]]
     ) -> tuple[list[str], list[str]]:
         """Dir-level interval check: (candidates, skipped). Literals must
-        already be normalized to the stats' comparison domain."""
+        already be normalized to the stats' comparison domain.
+
+        Soundness guards (ADVICE r14 #1/#2, shared with
+        ``_dispatch_bounds`` — a wrong skip HERE loses rows from
+        reads): conjuncts on FLOAT/DOUBLE columns only skip via the
+        NaN-sound operators ('=', '<', '<=' — footer/dir stats ignore
+        NaN while Spark orders NaN above everything, so a max-based
+        skip for 'v > 5' would drop a matching NaN row); conjuncts on
+        tz-adjusted TIMESTAMP columns skip nothing unless the session
+        timezone is UTC (dir stats are naive UTC instants, the
+        predicate literal parses in the session zone)."""
+        types = {
+            f["name"]: str(f.get("type", ""))
+            for f in manifest.get("schema", {}).get("fields", [])
+        }
+        tz_utc = None  # lazily resolved: only timestamp conjuncts care
+        usable: list[tuple[str, str, object]] = []
+        for col, op, lit in conjuncts:
+            t = types.get(col, "")
+            if t == "timestamp":  # tz-adjusted (timestamp_ntz is naive)
+                if tz_utc is None:
+                    tz_utc = _session_tz_is_utc()
+                if not tz_utc:
+                    continue
+            if t in _FLOAT_TYPES and op not in _FLOAT_MAY_SOUND:
+                continue
+            usable.append((col, op, lit))
+        conjuncts = usable
         dir_stats = manifest.get("dir_stats", {})
         dir_blooms = manifest.get("dir_blooms", {})
         candidates, skipped = [], []
@@ -4242,6 +4448,7 @@ class SnapCatalog:
         extra_dir_stats: dict | None = None,
         extra_dir_rows: dict | None = None,
         extra_dir_blooms: dict | None = None,
+        extra_dir_bounds: dict | None = None,
         bloom_cols: list[str] | None = None,
         reset_schema_lineage: bool = False,
         sort_by: list[str] | None = None,
@@ -4342,9 +4549,15 @@ class SnapCatalog:
             new_blooms = (
                 dir_column_blooms(out_dir, bloom_cols) if bloom_cols else {}
             )
+            # per-row-group manifest metrics (the Iceberg
+            # lower/upper_bounds pattern): stamped once here from the
+            # footers dir_column_stats already opened, so auto-dispatch
+            # is served from the manifest with zero per-statement I/O
+            new_bounds = dir_file_bounds(out_dir)
         else:
             data_dir_name, out_dir, new_stats, new_rows = None, None, None, 0
             new_blooms = {}
+            new_bounds = None
             schema_json = snaps[-1]["schema"] if snaps else None
 
         # Optimistic publish: claim snapshot id N+1 via exclusive create of
@@ -4393,6 +4606,15 @@ class SnapCatalog:
             for d, bl in (extra_dir_blooms or {}).items():
                 if d in files and bl:
                     dir_blooms[d] = bl
+            parent_bounds = snaps[-1].get("dir_bounds", {}) if snaps else {}
+            dir_bounds = {
+                d: parent_bounds[d] for d in files if d in parent_bounds
+            }
+            if data_dir_name and new_bounds is not None:
+                dir_bounds[data_dir_name] = new_bounds
+            for d, b in (extra_dir_bounds or {}).items():
+                if d in files and b is not None:
+                    dir_bounds[d] = b
             # caller-computed metadata for dirs it assembled WITHOUT a data
             # write (compact_manifests merges stats from the parent
             # manifest — the dirs are new names, so parent lookup misses)
@@ -4511,6 +4733,7 @@ class SnapCatalog:
                 "widened": widened,
                 "bloom_cols": bloom_cols or [],
                 "dir_blooms": dir_blooms,
+                "dir_bounds": dir_bounds,
             }
             snap_path = self._tbl(namespace, table, "snapshots", f"{sid}.json")
             try:

@@ -3308,23 +3308,33 @@ def test_auto_dispatch_stats_served_single_scan(spark, tmp_path):
     verb's own — because the dispatch itself is decided from footer
     bounds without a job. Pinned by counting _read_dirs calls for all
     three lanes: decisive MoR delete, decisive CoW delete, decisive MoR
-    update."""
+    update. r15 (VERDICT r14 #3 done-criterion): the bounds are served
+    from the MANIFEST on these freshly committed (stamped) tables —
+    the footer-walk fallback must never fire, pinned by counting
+    _footer_bounds_records calls (zero footer reads per dispatch)."""
     df = spark.range(1000).select(
         F.col("id"), (F.col("id") * 2).alias("v")
     )
     real = SnapCatalog._read_dirs
+    real_fb = SnapCatalog._footer_bounds_records
 
     def tracked(path):
         cat = SnapCatalog(path)
-        calls = {"n": 0}
+        calls = {"n": 0, "fb": 0}
 
         def counting(self, *a, **kw):
             calls["n"] += 1
             return real(self, *a, **kw)
 
+        def counting_fb(self, *a, **kw):
+            calls["fb"] += 1
+            return real_fb(self, *a, **kw)
+
         cat._read_dirs = counting.__get__(cat)
+        cat._footer_bounds_records = counting_fb.__get__(cat)
         cat.create_or_replace("ns", "t", df.repartitionByRange(4, "id"))
         calls["n"] = 0
+        calls["fb"] = 0
         return cat, calls
 
     # decisive MoR: upper ≈ 250/1000 ≤ 0.5 → DV, no dispatch count
@@ -3332,6 +3342,7 @@ def test_auto_dispatch_stats_served_single_scan(spark, tmp_path):
     sid = cat.delete_where_auto(spark, "ns", "t", "id < 10",
                                 cow_density=0.5)
     assert calls["n"] == 1, "stats-served dispatch must not scan to count"
+    assert calls["fb"] == 0, "stamped: no footer walk for dispatch"
     (entry,) = cat._manifest("ns", "t", sid)["deletes"]
     assert entry["mode"] == "dv"
     assert cat.read(spark, "ns", "t").count() == 990
@@ -3341,6 +3352,7 @@ def test_auto_dispatch_stats_served_single_scan(spark, tmp_path):
     sid = cat.delete_where_auto(spark, "ns", "t", "id >= 10",
                                 cow_density=0.5)
     assert calls["n"] == 1
+    assert calls["fb"] == 0
     assert cat._manifest("ns", "t", sid)["deletes"] == []
     assert cat.read(spark, "ns", "t").count() == 10
 
@@ -3349,6 +3361,7 @@ def test_auto_dispatch_stats_served_single_scan(spark, tmp_path):
     sid = cat.update_where_auto(spark, "ns", "t", "id < 10",
                                 {"v": "v + 100000"}, cow_density=0.5)
     assert calls["n"] == 1
+    assert calls["fb"] == 0
     assert [e["mode"] for e in cat._manifest("ns", "t", sid)["deletes"]] \
         == ["dv"]
     got = cat.read(spark, "ns", "t")
@@ -3365,6 +3378,10 @@ def test_auto_dispatch_stats_served_single_scan(spark, tmp_path):
     (entry,) = cat._manifest("ns", "t", sid)["deletes"]
     assert entry["mode"] == "dv"
     assert cat.read(spark, "ns", "t").count() == 1000 - 11
+    assert calls["fb"] == 0, (
+        "stamped tables must serve dispatch bounds from the manifest — "
+        "zero footer walks across all four lanes"
+    )
 
 
 def test_concurrent_commit_registered_path_hygiene(spark, sf_dir):
@@ -3716,3 +3733,131 @@ def test_dv_write_entry_fans_out_large_scattered(spark, tmp_path,
     parts = glob.glob(os.path.join(dv_dir, "*.parquet"))
     assert len(parts) > 1, "large scattered DV must not serialize"
     assert cat.read(spark, "ns", "t").count() == 20_000 - 6_667
+
+
+def test_dispatch_bounds_manifest_served_and_memoized(spark, tmp_path):
+    """VERDICT r14 #3 done-criterion: _commit stamps per-row-group
+    bounds into the manifest (dir_bounds) and _dispatch_bounds serves
+    from them with ZERO footer reads; a pre-stamp (legacy) manifest
+    falls back to a footer walk that is memoized per dir, so repeated
+    statements against the same snapshot pay the walk once (ADVICE r14
+    #3). Decisions are identical between the two paths."""
+    import pyarrow.parquet as _pq
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    cat.create_or_replace("ns", "t", df.repartitionByRange(4, "id"))
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    (d,) = m["files"]
+    assert d in m.get("dir_bounds", {}), "commit must stamp bounds"
+    assert sum(r["n"] for r in m["dir_bounds"][d]) == 1000
+
+    calls = {"n": 0}
+    real_pf = _pq.ParquetFile
+
+    def counting_pf(*a, **kw):
+        calls["n"] += 1
+        return real_pf(*a, **kw)
+
+    _pq.ParquetFile = counting_pf
+    try:
+        served = cat._dispatch_bounds("ns", "t", m, [d], "id < 250")
+        assert calls["n"] == 0, "stamped table must read no footers"
+        # legacy manifest (no dir_bounds): footer walk, then memo
+        legacy = {k: v for k, v in m.items() if k != "dir_bounds"}
+        walked = cat._dispatch_bounds("ns", "t", legacy, [d], "id < 250")
+        assert calls["n"] > 0, "legacy path must walk footers once"
+        first = calls["n"]
+        again = cat._dispatch_bounds("ns", "t", legacy, [d], "id < 777")
+        assert calls["n"] == first, "second statement must hit the memo"
+    finally:
+        _pq.ParquetFile = real_pf
+    assert served == walked, "manifest-served == footer-walked bounds"
+    lower, upper, total = served
+    assert total == 1000 and 0 < lower <= 250 <= upper < 1000
+    # third statement on a DIFFERENT predicate against the stamped
+    # manifest still reads nothing and still decides (sanity that the
+    # serve path is the default, not a one-off)
+    assert cat._dispatch_bounds("ns", "t", m, [d], "id > 5000")[1] == 0
+
+
+def test_dispatch_bounds_nan_float_guard(spark, tmp_path):
+    """ADVICE r14 #2: parquet footer stats ignore NaN while Spark
+    orders NaN above every value, so float bounds are only trusted for
+    the NaN-sound operator subset. A [1.0, 2.0, NaN] file under
+    'v > 5' must NOT footer-no-op (the NaN row matches) and must not
+    be pruned from the read/delete path; the sound direction
+    ('v <= 0': NaN fails <=) still prunes."""
+    import math
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, float("nan"))], "id long, v double"
+    )
+    cat.create_or_replace("ns", "t", df)
+    # ground truth for the semantics the guard protects
+    assert cat.read(spark, "ns", "t").filter("v > 5").count() == 1
+
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    bounds = cat._dispatch_bounds(
+        "ns", "t", m, list(m["files"]), "v > 5"
+    )
+    assert bounds is not None and bounds[1] > 0, (
+        "float '>' must stay indeterminate — a footer no-op would "
+        "silently skip the matching NaN row"
+    )
+    cand, _skipped = cat._prune_dirs(m, "v > 5")
+    assert cand == list(m["files"]), "read pruning must keep the dir"
+    # the delete actually removes the NaN row end-to-end
+    cat.delete_where_auto(spark, "ns", "t", "v > 5")
+    got = [r["v"] for r in cat.read(spark, "ns", "t").collect()]
+    assert sorted(got) == [1.0, 2.0] and not any(
+        math.isnan(x) for x in got
+    )
+    # sound direction: NaN cannot satisfy '<=', min-based skip is legal
+    m2 = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    cand2, skipped2 = cat._prune_dirs(m2, "v <= 0")
+    assert cand2 == [] and skipped2 == list(m2["files"])
+
+
+def test_dispatch_bounds_timezone_guard(spark, tmp_path):
+    """ADVICE r14 #1: footer stats live in a naive-UTC string domain
+    while timestamp literals parse in the SESSION timezone — under a
+    non-UTC session a tz-adjusted timestamp conjunct must not serve
+    bounds or prune dirs (it would no-op a delete whose rows the
+    engine filter matches). timestamp conjuncts simply stop
+    contributing; the statement falls back to the measured path and
+    stays correct."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    df = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, timestamp'2024-01-01 05:00:00'), "
+        "(2, timestamp'2024-06-01 05:00:00') AS t(id, ts)"
+    )
+    cat.create_or_replace("ns", "t", df)  # written under UTC session
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        # literal 01:00 NY = 06:00 UTC: the Jan row (05:00 UTC) matches
+        # Spark's filter, but the naive footer compare (05:00 < 01:00 =
+        # false) would prove emptiness and wrongly no-op
+        pred = "ts < '2024-01-01 01:00:00'"
+        assert cat.read(spark, "ns", "t").filter(pred).count() == 1
+        m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+        cand, _ = cat._prune_dirs(m, pred)
+        assert cand == list(m["files"]), "non-UTC: ts must not prune"
+        b = cat._dispatch_bounds("ns", "t", m, list(m["files"]), pred)
+        assert b is not None and b[1] > 0, "non-UTC: no footer no-op"
+        sid = cat.delete_where_auto(spark, "ns", "t", pred)
+        assert cat.read(spark, "ns", "t").count() == 1
+        assert sid != 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # back in UTC the same machinery IS decisive again
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    b = cat._dispatch_bounds(
+        "ns", "t", m, list(m["files"]), "ts < '2020-01-01 00:00:00'"
+    )
+    assert b is not None and b[1] == 0, "UTC session: footer proof works"
