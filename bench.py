@@ -707,6 +707,8 @@ def main() -> None:
         "stream_stream_full_outer_join",
         # r14 additions
         "snap_concurrent_commit",
+        # r15 additions
+        "snap_dv_ranges_stored",
     )
     # best-of-3 (was 2 through r11): measured on the PQ family, rep 1
     # pays Arrow/BLAS worker warm-up (10.9 s) and rep 2 is still not
@@ -718,17 +720,27 @@ def main() -> None:
     # normalized round-over-round readouts of the HEADLINE set — the
     # full run takes ~10 min, the headline probe ~3. Never canonical.
     new_ops: dict[str, float] = {}
+    # rep CURVES (r15, VERDICT r14 #5): best-of-3 samples a 3-4-rep
+    # Arrow/BLAS warm-up convergence for some queries (r13's
+    # dedup_incremental_minhash, r14's sim_ann_pq both read as false
+    # regressions until a fresh-process probe produced the curve), so
+    # the artifact now carries every query's raw rep vector — an
+    # outlier self-explains as "rep 1 warm-up" vs "all reps slow"
+    # without a post-hoc normalization probe.
+    new_ops_reps: dict[str, list] = {}
     if not os.environ.get("SPARK_GRAFT_HEADLINE_ONLY"):
         for name in NEW_OPS:
             if name not in registry:
                 continue
-            best = float("inf")
+            reps = []
             for _ in range(3):
                 t0 = time.perf_counter()
                 force(registry[name].fn(spark, SF_DIR))
-                best = min(best, time.perf_counter() - t0)
-            new_ops[name] = round(best, 3)
+                reps.append(round(time.perf_counter() - t0, 3))
+            new_ops[name] = min(reps)
+            new_ops_reps[name] = reps
     result["new_ops"] = new_ops  # r5+ additions (key renamed from new_ops_r5 in r7)
+    result["new_ops_reps"] = new_ops_reps
 
     if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         t0 = time.perf_counter()
@@ -753,16 +765,18 @@ def main() -> None:
         # still carries JVM codegen + python-worker spin-up for the big
         # BLAS plan (24.5 s cold, 10.7 s run 2, 3.2 s steady state) — the
         # third run is what the plan actually costs
+        sf1_reps: dict[str, list] = {}  # raw rep curves (VERDICT r14 #5)
         for name in SCALE_QUERIES:
-            best = float("inf")
+            reps = []
             for i in range(3):
                 t0 = time.perf_counter()
                 force(registry[name].fn(spark, SF1_DIR))
                 took = time.perf_counter() - t0
                 if i == 0:
                     sf1_cold[name] = round(took, 3)
-                best = min(best, took)
-            sf1_timings[name] = round(best, 3)
+                reps.append(round(took, 3))
+            sf1_timings[name] = min(reps)
+            sf1_reps[name] = reps
         # Second salted-grid row at a PRODUCTION-shaped threshold
         # (ADVICE/VERDICT r8 #5): the registered query ships with
         # _SPATIAL_HOT=1 so the oracle exercises the salt lanes on the
@@ -958,6 +972,7 @@ def main() -> None:
         result["sf1"] = {
             "queries": sf1_timings,
             "first_run": sf1_cold,
+            "reps": sf1_reps,
             "gen_sec": gen_sec,
             "replicas": SF1_REPLICAS,
             "shuffle_volume": volume,

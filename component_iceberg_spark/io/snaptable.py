@@ -1748,7 +1748,7 @@ class SnapCatalog:
             return None
         types = {
             f["name"]: str(f.get("type", ""))
-            for f in manifest.get("schema", {}).get("fields", [])
+            for f in (manifest.get("schema") or {}).get("fields", [])
         }
         tz_utc = None  # resolved lazily: only timestamp conjuncts care
         normed = []  # (col, op, lit, usable, is_float)
@@ -3367,7 +3367,7 @@ class SnapCatalog:
         # string comparison is chronological (schema tells us the type)
         types = {
             f["name"]: str(f.get("type", ""))
-            for f in manifest.get("schema", {}).get("fields", [])
+            for f in (manifest.get("schema") or {}).get("fields", [])
         }
         normed = []
         for col, op, lit in conjuncts:
@@ -3396,7 +3396,7 @@ class SnapCatalog:
         predicate literal parses in the session zone)."""
         types = {
             f["name"]: str(f.get("type", ""))
-            for f in manifest.get("schema", {}).get("fields", [])
+            for f in (manifest.get("schema") or {}).get("fields", [])
         }
         tz_utc = None  # lazily resolved: only timestamp conjuncts care
         usable: list[tuple[str, str, object]] = []
