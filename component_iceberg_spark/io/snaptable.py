@@ -135,8 +135,15 @@ def dir_column_stats(path: str) -> dict[str, list]:
     return stats
 
 
+# manifest bounds-records bloat cap, shared by the fresh-stamp walk
+# (dir_file_bounds) and the compact_manifests fold concatenation — the
+# cap must hold whichever path produced the records
+DIR_BOUNDS_MAX_GROUPS = 512
+
+
 def dir_file_bounds(
-    path: str, max_groups: int = 512, max_stat_len: int = 64
+    path: str, max_groups: int = DIR_BOUNDS_MAX_GROUPS,
+    max_stat_len: int = 64
 ) -> list[dict] | None:
     """Per-ROW-GROUP bounds records for a freshly written data dir —
     the manifest metrics Iceberg stamps at commit time
@@ -170,6 +177,13 @@ def dir_file_bounds(
                 cols: dict[str, list] = {}
                 for ci in range(row_group.num_columns):
                     col = row_group.column(ci)
+                    name = col.path_in_schema
+                    if "." in name:
+                        # nested leaves: simple_conjuncts can never
+                        # reference them (\\w+ column names only), so
+                        # stamping them is pure manifest weight — same
+                        # exclusion dir_column_stats makes
+                        continue
                     st = col.statistics
                     if st is None or not st.has_min_max:
                         continue
@@ -181,7 +195,7 @@ def dir_file_bounds(
                         len(mn) > max_stat_len or len(str(mx)) > max_stat_len
                     ):
                         continue
-                    cols[col.path_in_schema] = [
+                    cols[name] = [
                         mn,
                         mx,
                         st.null_count if st.has_null_count else None,
@@ -992,9 +1006,28 @@ class SnapCatalog:
             F.max(k).alias(f"_mx_{k}") for k in keys
         ]
         bounds = delta.agg(*aggs).collect()[0]
+        # collect() renders tz-adjusted TimestampType in the SYSTEM
+        # timezone (datetime.fromtimestamp), while dir_stats live in
+        # naive UTC — on a non-UTC host the raw strftime would shift
+        # the key range by the host offset and the prune could skip a
+        # dir holding matched keys (lost updates; review r15). Anchor
+        # the naive local value to the system zone, convert to UTC,
+        # drop tzinfo. NTZ timestamps collect as the literal naive
+        # value and need no conversion.
+        ntz_keys = {
+            f.name
+            for f in delta.schema.fields
+            if f.dataType.typeName() == "timestamp_ntz"
+        }
+
+        def to_stats_domain(v, k):
+            if isinstance(v, _dt.datetime) and k not in ntz_keys:
+                return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v
+
         for k in keys:
-            mn = _stat_jsonable(bounds[f"_mn_{k}"])
-            mx = _stat_jsonable(bounds[f"_mx_{k}"])
+            mn = _stat_jsonable(to_stats_domain(bounds[f"_mn_{k}"], k))
+            mx = _stat_jsonable(to_stats_domain(bounds[f"_mx_{k}"], k))
             if mn is None or mx is None:
                 conjuncts = []
                 break
@@ -1275,13 +1308,16 @@ class SnapCatalog:
                 extra_blooms[nd] = mb
             # a fold hard-links the SAME physical files under the new
             # dir, so per-row-group bounds records concatenate exactly
-            # (records carry no file names); any dir without a stamp
-            # leaves the folded dir unstamped — absent bounds only
-            # disable the dispatch shortcut
+            # (records carry no file names); any dir without a stamp —
+            # or a concatenation exceeding the same bloat cap fresh
+            # stamps honor — leaves the folded dir unstamped: absent
+            # bounds only disable the dispatch shortcut
             if all(d in parent_bounds for d in dirs):
-                extra_bounds[nd] = [
+                cat_records = [
                     r for d in dirs for r in parent_bounds[d]
                 ]
+                if len(cat_records) <= DIR_BOUNDS_MAX_GROUPS:
+                    extra_bounds[nd] = cat_records
         remapped = []
         for i, e in enumerate(deletes):
             if e.get("mode") in ("positional", "dv"):
@@ -1480,6 +1516,7 @@ class SnapCatalog:
                 carry_dirs=new_files,
                 clear_deletes=True, extra_dir_stats=extra_stats,
                 extra_dir_rows=extra_rows, extra_dir_blooms=extra_blooms,
+                extra_dir_bounds=extra_bounds,
                 # every dir above is freshly written from a RESOLVED
                 # read — logical names/types are materialized, so the
                 # rename chain resets (compact()'s semantics); only
@@ -1757,13 +1794,30 @@ class SnapCatalog:
             usable = True
             if "timestamp" in t and isinstance(lit, str):
                 try:
-                    lit = _dt.datetime.fromisoformat(lit).strftime(_TS_FMT)
+                    dt = _dt.datetime.fromisoformat(lit)
                 except ValueError:
                     return None
-                if t == "timestamp":  # tz-adjusted (timestamp_ntz is not)
+                if dt.tzinfo is not None:
+                    # the literal carries its OWN zone: on a
+                    # tz-adjusted column the instant is unambiguous
+                    # whatever the session zone — convert to the naive
+                    # UTC stats domain (strftime alone would silently
+                    # DROP the offset and shift the compare, review
+                    # r15); on an NTZ column an explicit offset has no
+                    # engine-defined meaning — decline the conjunct
+                    if t == "timestamp":
+                        dt = dt.astimezone(_dt.timezone.utc).replace(
+                            tzinfo=None
+                        )
+                    else:
+                        usable = False
+                elif t == "timestamp":  # naive literal, tz-adjusted col:
+                    # parses in the session zone — only UTC matches the
+                    # stats domain
                     if tz_utc is None:
                         tz_utc = _session_tz_is_utc()
                     usable = tz_utc
+                lit = dt.strftime(_TS_FMT)
             normed.append((col, op, lit, usable, t in _FLOAT_TYPES))
         # logical → acceptable physical footer names: a dir written
         # before a rename keeps the old name; retired names can never be
@@ -2365,6 +2419,8 @@ class SnapCatalog:
         out: str,
         pos_rel: DataFrame,
         live_dirs: list[str],
+        namespace: str,
+        table: str,
     ) -> tuple[list[str], dict, str | None]:
         """Runs-first DV writer shared by every DV-authoring path
         (``_dv_write_entry`` per-statement, ``rewrite_deletes_to_dv``
@@ -2436,8 +2492,15 @@ class SnapCatalog:
             )
             .localCheckpoint()
         )
+        # dir extraction is anchored to THIS table's data root, not a
+        # bare /data/ match — a warehouse path that itself contains a
+        # /data/ segment would capture the wrong component, empty the
+        # applies_to scope, and silently drop the delete (review r15)
+        dir_re = (
+            re.escape(f"/{namespace}/{table}/data/") + r"([^/]+)/"
+        )
         row = per_file.select(
-            F.regexp_extract("file_path", r"/data/([^/]+)/", 1).alias("d"),
+            F.regexp_extract("file_path", dir_re, 1).alias("d"),
             "_n",
             "_nr",
         ).agg(
@@ -2455,40 +2518,52 @@ class SnapCatalog:
         }
         touched = set(row["dirs"] or [])
         applies_to = sorted(d for d in live_dirs if d in touched)
-        if not applies_to or stats["n_positions"] == 0:
-            return [], stats, None
-        if (
-            stats["n_ranges"] > 0
-            and stats["n_positions"]
-            >= self.DV_STORE_RANGES_FACTOR * stats["n_ranges"]
-            and stats["max_file_ranges"] <= self.DV_RANGE_PROBE_MAX_PER_FILE
-            and stats["n_ranges"] <= self.DV_RANGE_PROBE_MAX_TOTAL_RANGES
-        ):
-            per_file.select("file_path", "starts", "ends").coalesce(
-                1
-            ).write.parquet(out)
-            return applies_to, stats, "ranges"
-        tasks = max(
-            1,
-            -(-stats["n_positions"] // self.DV_FOLD_POSITIONS_PER_TASK),
-        )
-        pos_out = per_file.select(
-            "file_path",
-            F.flatten(
-                F.zip_with("starts", "ends", lambda s, e: F.sequence(s, e))
-            ).alias("positions"),
-        )
-        # explicit keyed repartition, not coalesce, when fanning out:
-        # AQE collapses tiny partitions and coalesce can only shrink —
-        # the user repartition pins the write parallelism (r14 fold
-        # contract, now shared by per-statement writes)
-        pos_out = (
-            pos_out.repartition(tasks, "file_path")
-            if tasks > 1
-            else pos_out.coalesce(1)
-        )
-        pos_out.write.parquet(out)
-        return applies_to, stats, "positions"
+        try:
+            if not applies_to or stats["n_positions"] == 0:
+                return [], stats, None
+            if (
+                stats["n_ranges"] > 0
+                and stats["n_positions"]
+                >= self.DV_STORE_RANGES_FACTOR * stats["n_ranges"]
+                and stats["max_file_ranges"]
+                <= self.DV_RANGE_PROBE_MAX_PER_FILE
+                and stats["n_ranges"]
+                <= self.DV_RANGE_PROBE_MAX_TOTAL_RANGES
+            ):
+                per_file.select("file_path", "starts", "ends").coalesce(
+                    1
+                ).write.parquet(out)
+                return applies_to, stats, "ranges"
+            tasks = max(
+                1,
+                -(-stats["n_positions"] // self.DV_FOLD_POSITIONS_PER_TASK),
+            )
+            pos_out = per_file.select(
+                "file_path",
+                F.flatten(
+                    F.zip_with(
+                        "starts", "ends", lambda s, e: F.sequence(s, e)
+                    )
+                ).alias("positions"),
+            )
+            # explicit keyed repartition, not coalesce, when fanning
+            # out: AQE collapses tiny partitions and coalesce can only
+            # shrink — the user repartition pins the write parallelism
+            # (r14 fold contract, now shared by per-statement writes)
+            pos_out = (
+                pos_out.repartition(tasks, "file_path")
+                if tasks > 1
+                else pos_out.coalesce(1)
+            )
+            pos_out.write.parquet(out)
+            return applies_to, stats, "positions"
+        finally:
+            # release the checkpointed blocks eagerly: for a scattered
+            # DV the starts/ends arrays are effectively positions-sized
+            # and a long-lived session authoring many DVs would
+            # otherwise hold every statement's blocks until the JVM-side
+            # ContextCleaner gets to them (review r15)
+            per_file.unpersist()
 
     @staticmethod
     def _dv_positions_relation(keys_df: DataFrame, layout: str) -> DataFrame:
@@ -2533,7 +2608,7 @@ class SnapCatalog:
             F.col(self.POS_IDX_COL).cast("long").alias("pos"),
         )
         applies_to, stats, layout = self._dv_write_relation(
-            spark, out, pos_rel, list(manifest["files"])
+            spark, out, pos_rel, list(manifest["files"]), namespace, table
         )
         if layout is None:
             return out, None
@@ -2660,7 +2735,7 @@ class SnapCatalog:
         # not the r14 footer estimate), and the gate stats stamp (the
         # fold must not launder a dense DV into an unstamped entry)
         applies_to, stats, layout = self._dv_write_relation(
-            spark, out, merged.filter(alive), live_scope
+            spark, out, merged.filter(alive), live_scope, namespace, table
         )
         if layout is None:
             # every address was dead after all: equality entries only
@@ -3371,11 +3446,25 @@ class SnapCatalog:
         }
         normed = []
         for col, op, lit in conjuncts:
-            if "timestamp" in types.get(col, "") and isinstance(lit, str):
+            t = types.get(col, "")
+            if "timestamp" in t and isinstance(lit, str):
                 try:
-                    lit = _dt.datetime.fromisoformat(lit).strftime(_TS_FMT)
+                    dt = _dt.datetime.fromisoformat(lit)
                 except ValueError:
                     return list(dirs), []
+                if dt.tzinfo is not None:
+                    # explicit offset: unambiguous instant on a
+                    # tz-adjusted column → convert to the naive-UTC
+                    # stats domain (never strftime the offset away —
+                    # review r15); meaningless on NTZ → conjunct prunes
+                    # nothing
+                    if t == "timestamp":
+                        dt = dt.astimezone(_dt.timezone.utc).replace(
+                            tzinfo=None
+                        )
+                    else:
+                        continue
+                lit = dt.strftime(_TS_FMT)
             normed.append((col, op, lit))
         return self._split_by_stats(manifest, normed)
 

@@ -3861,3 +3861,163 @@ def test_dispatch_bounds_timezone_guard(spark, tmp_path):
         "ns", "t", m, list(m["files"]), "ts < '2020-01-01 00:00:00'"
     )
     assert b is not None and b[1] == 0, "UTC session: footer proof works"
+
+
+def test_dispatch_bounds_offset_literal(spark, tmp_path):
+    """Review r15: a timestamp literal carrying an explicit UTC offset
+    is an unambiguous instant — strftime alone would silently DROP the
+    offset and shift the naive footer compare by it, wrongly proving
+    emptiness under the standard UTC session. Post-fix the literal
+    converts to the naive-UTC stats domain, and because the instant is
+    session-independent it stays usable even under a non-UTC session."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    df = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, timestamp'2024-01-01 05:00:00'), "
+        "(2, timestamp'2024-06-01 05:00:00') AS t(id, ts)"
+    )
+    cat.create_or_replace("ns", "t", df)
+    # offset literal = 05:30 UTC: the Jan row (05:00) matches; the
+    # offset-dropped naive compare ('05:00' < '00:30' false) would
+    # have skipped the only row group
+    pred = "ts < '2024-01-01 00:30:00-05:00'"
+    assert cat.read(spark, "ns", "t").filter(pred).count() == 1
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    cand, _ = cat._prune_dirs(m, pred)
+    assert cand == list(m["files"]), "offset literal must not mis-prune"
+    b = cat._dispatch_bounds("ns", "t", m, list(m["files"]), pred)
+    assert b is not None and b[1] > 0
+    cat.delete_where_auto(spark, "ns", "t", pred)
+    assert cat.read(spark, "ns", "t").count() == 1
+    # zone-explicit literals are session-independent: the footer PROOF
+    # works even under a non-UTC session (where naive literals decline)
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+        b = cat._dispatch_bounds(
+            "ns", "t", m, list(m["files"]),
+            "ts < '2000-01-01 00:00:00+00:00'",
+        )
+        assert b is not None and b[1] == 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_delta_key_pruning_system_timezone(spark, tmp_path):
+    """Review r15: collect() renders tz-adjusted timestamps in the
+    SYSTEM timezone while dir_stats are naive UTC — on a non-UTC host
+    the merge-key range shifted by the host offset and the prune could
+    carry a dir that holds matched keys as 'untouched' (lost updates).
+    Simulated by flipping Python's process timezone (which is exactly
+    the domain collect() uses; the JVM/session stay put): the dir
+    holding the delta's key must stay a candidate, the disjoint dir
+    must still be skipped."""
+    import time as _time
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    mk = lambda lo, hi: spark.sql(  # noqa: E731
+        f"SELECT ts, 1 AS v FROM ("
+        f"SELECT explode(sequence(timestamp'{lo}', timestamp'{hi}', "
+        f"interval 30 minutes)) AS ts)"
+    )
+    cat.create_or_replace("ns", "t", mk("2024-01-01 00:00:00",
+                                        "2024-01-01 02:00:00"))
+    cat.append("ns", "t", mk("2024-01-01 08:00:00",
+                             "2024-01-01 10:00:00"))
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    assert len(m["files"]) == 2
+    delta = spark.sql(
+        "SELECT timestamp'2024-01-01 09:00:00' AS ts, 2 AS v"
+    )
+    prev_tz = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "America/New_York"
+        _time.tzset()
+        cand, untouched = cat._delta_key_pruning(m, delta, ["ts"])
+    finally:
+        if prev_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = prev_tz
+        _time.tzset()
+    by_rows = {d: m["dir_rows"][d] for d in m["files"]}
+    dir1, dir2 = m["files"]  # commit order: [00:00-02:00], [08:00-10:00]
+    assert dir2 in cand, (
+        "the dir holding the delta's key must stay a candidate under a "
+        f"non-UTC host tz (got candidates={cand}, rows={by_rows})"
+    )
+    assert dir1 in untouched, "disjoint dir must still be skipped"
+
+
+def test_dv_write_scoping_with_data_in_warehouse_path(spark, tmp_path):
+    """Review r15: the touched-dir extraction is anchored to the
+    table's own /ns/table/data/ root — a warehouse path that itself
+    contains a /data/ segment must not capture the wrong component,
+    empty the applies_to scope, and silently drop the delete."""
+    wh = str(tmp_path / "data" / "wh")  # adversarial warehouse path
+    cat = SnapCatalog(wh)
+    ids = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    cat.create_or_replace("ns", "t", ids)
+    addressed = cat.read_with_positions(spark, "ns", "t")
+    sid = cat.delete_positions_dv(
+        spark, "ns", "t",
+        addressed.filter("id < 100").select(
+            cat.POS_FILE_COL, cat.POS_IDX_COL
+        ),
+    )
+    (entry,) = cat._manifest("ns", "t", sid)["deletes"]
+    assert entry["applies_to"], "scope must survive /data/ in the path"
+    assert cat.read(spark, "ns", "t").count() == 900
+
+
+def test_cluster_rewrite_stamps_dir_bounds(spark, sf_dir, tmp_path):
+    """Review r15: cluster/zorder-rewritten dirs carry manifest bounds
+    records like any fresh commit, so auto-dispatch on a rewritten
+    table never falls back to the footer walk."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_or_replace("ns", "t", o)
+    cat.cluster_rewrite(spark, "ns", "t", "o_orderkey", n_buckets=4)
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    assert set(m["files"]) <= set(m.get("dir_bounds", {})), (
+        "every rewritten bucket dir must be stamped"
+    )
+    calls = {"fb": 0}
+    real_fb = SnapCatalog._footer_bounds_records
+
+    def counting(self, *a, **kw):
+        calls["fb"] += 1
+        return real_fb(self, *a, **kw)
+
+    cat._footer_bounds_records = counting.__get__(cat)
+    cat.delete_where_auto(spark, "ns", "t", "o_orderkey < 0")
+    assert calls["fb"] == 0, "rewritten table must serve from manifest"
+
+
+def test_compact_manifests_bounds_concat_cap(spark, tmp_path,
+                                             monkeypatch):
+    """Review r15: the fold's bounds concatenation honors the same
+    bloat cap as fresh stamps — an over-cap concatenation leaves the
+    folded dir unstamped instead of growing the manifest unboundedly."""
+    from component_iceberg_spark.io import snaptable as st
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    ids = spark.range(100).select(F.col("id"))
+    cat.create_or_replace("ns", "t", ids.coalesce(1))
+    cat.append("ns", "t", ids.coalesce(1))
+    monkeypatch.setattr(st, "DIR_BOUNDS_MAX_GROUPS", 1)
+    cat.compact_manifests("ns", "t")
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    (folded,) = m["files"]
+    assert folded.startswith("manifest-")
+    assert folded not in (m.get("dir_bounds") or {}), (
+        "over-cap concatenation must not stamp"
+    )
+    # and the un-stamped fold still answers dispatch via the fallback
+    b = cat._dispatch_bounds("ns", "t", m, m["files"], "id < 0")
+    assert b is not None and b[1] == 0
