@@ -709,6 +709,7 @@ def main() -> None:
         "snap_concurrent_commit",
         # r15 additions
         "snap_dv_ranges_stored",
+        "snap_time_pruned_scan",
     )
     # best-of-3 (was 2 through r11): measured on the PQ family, rep 1
     # pays Arrow/BLAS worker warm-up (10.9 s) and rep 2 is still not

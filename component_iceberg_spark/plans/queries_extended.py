@@ -1100,6 +1100,56 @@ def snap_dv_ranges_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snap_time_pruned_scan",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type FROM events
+    WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    """,
+    tags=("parity", "snapshot"),
+)
+def snap_time_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME directory pruning — the most common pruning dimension
+    of a log-structured lake, exercised end-to-end on ENGINE-WRITTEN
+    dirs (r15): three time-banded commits land as three data dirs whose
+    manifest stats carry the ts ranges, and a time-range read opens
+    only the one dir that can match — the other two are skipped from
+    the manifest alone, verified in-query (a scan that stops pruning on
+    time fails the gate, not just a unit test). Made reliable by the
+    r15 INT96 → TIMESTAMP_MICROS write-path fix: Spark's default INT96
+    encoding carries NO footer statistics, so tz-adjusted timestamp
+    columns written by the engine had no stats to prune with (the
+    events fixture loads as TIMESTAMP_NTZ, which always wrote INT64 —
+    both paths now prune; the micros fix is pinned separately in
+    tests/test_snaptable.py::test_dispatch_bounds_timezone_guard).
+    Fixed calendar boundaries keep the oracle deterministic across
+    SFs (the events generator spans 2024-01-01..30 at every SF)."""
+    from component_iceberg_spark.plans.queries_mutation import _warehouse
+
+    cat = _warehouse(sf_dir, "time_pruned")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    w1, w2 = "2024-01-08 00:00:00", "2024-01-15 00:00:00"
+    cat.create_or_replace("ns", "events", ev.filter(F.col("ts") < w1))
+    cat.append(
+        "ns", "events",
+        ev.filter((F.col("ts") >= w1) & (F.col("ts") < w2)),
+    )
+    cat.append("ns", "events", ev.filter(F.col("ts") >= w2))
+    pred = f"ts < '{w1}'"
+    manifest = cat._manifest(
+        "ns", "events", cat._current_sid("ns", "events")
+    )
+    cand, skipped = cat._prune_dirs(manifest, pred)
+    if len(cand) != 1 or len(skipped) != 2:
+        raise ValueError(
+            "time-range predicate must open exactly the one banded dir "
+            f"(candidates={cand}, skipped={skipped})"
+        )
+    return cat.read(spark, "ns", "events", where=pred)
+
+
+@register(
     "snap_delete_auto",
     oracle="""
     SELECT 'sparse' AS lane, o_orderkey, o_custkey, o_totalprice

@@ -73,11 +73,13 @@ _QUERY_MODULES = (
 # _dispatch_bounds (snap_delete_auto, snap_update_auto), and the
 # pruned-scan pair re-earns on the same guards landing in _prune_dirs
 # (snap_stats_pruned_scan, snap_bloom_pruned_scan). The backlog then
-# runs strictly oldest gate row first: 32 of the 37-name r8 cohort fit
-# -- 8 + 10 + 32 = 50 exactly. Honest accounting for the cut: the five
-# alphabetically-last r8 names (q6_forecast_revenue, sim_mmr_diversify,
-# snap_upsert_evolve, stream_rocksdb_state, text_quality) sit at
-# positions 51-55 and lead the r16 backlog; all five are green in
+# runs strictly oldest gate row first: 31 of the 37-name r8 cohort fit
+# -- 8 + 11 + 31 = 50 exactly (tier 2 grew by the late-round
+# snap_time_pruned_scan registration). Honest accounting for the cut:
+# the six alphabetically-last r8 names (q18_large_volume_orders,
+# q6_forecast_revenue, sim_mmr_diversify, snap_upsert_evolve,
+# stream_rocksdb_state, text_quality) sit at positions 51-56 and lead
+# the r16 backlog; all six are green in
 # CORRECTNESS_r08 and in every ASSURANCE_LOCAL full-registry sweep
 # since, and none touches code this round changed. Then r9..r14
 # cohorts by gate age, alphabetical within cohort.
@@ -106,6 +108,7 @@ _GATE_PRIORITY = (
     "snap_delete_mor",
     "snap_stats_pruned_scan",
     "snap_bloom_pruned_scan",
+    "snap_time_pruned_scan",
     "dedup_clusters",
     "dedup_containment",
     "dedup_exact",
