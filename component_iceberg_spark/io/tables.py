@@ -56,6 +56,35 @@ def ensure_session_conf(spark: SparkSession) -> None:
         )
 
 
+# Schema memo for fixture reads: a bare ``spark.read.parquet(path)``
+# performs driver-side file listing + a footer parse on EVERY call to
+# infer the schema (~110 ms measured at sf0.1); supplying the schema
+# explicitly skips both (~24 ms). Queries rebuild their plans from
+# scratch each invocation (no result caching), so the schema probe was
+# pure repeated driver I/O — guide §5's "the driver should do almost no
+# data work". Keyed by (session, path, size, mtime_ns): a driver rewrite
+# of the fixture at the same path invalidates the entry, and entries of
+# dead sessions are evicted on access (same lifecycle contract as
+# streaming/events._SCHEMA_CACHE, which pioneered this memo shape).
+_SCHEMA_MEMO: dict[tuple[str, str, int, int], T.StructType] = {}
+
+
+def _memoized_schema(spark: SparkSession, path: str) -> T.StructType:
+    st = os.stat(path)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, path, st.st_size, st.st_mtime_ns)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        for k in [
+            k for k in _SCHEMA_MEMO
+            if k[0] != app_id or (k[1] == path and k != key)
+        ]:
+            del _SCHEMA_MEMO[k]
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[key] = schema
+    return schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Column pruning / predicate pushdown are
     Catalyst-native on the Parquet scan — callers just select/filter.
@@ -67,8 +96,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     This matches DuckDB's ns→µs truncation bit-for-bit.
     """
     ensure_session_conf(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+    path = table_path(sf_dir, name)
+    schema = _memoized_schema(spark, path)
+    df = spark.read.schema(schema).parquet(path)
+    if name == "events" and isinstance(schema["ts"].dataType, T.LongType):
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
