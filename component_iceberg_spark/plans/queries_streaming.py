@@ -55,11 +55,18 @@ def _stage_single_file(base: str, src_dir: str, df: DataFrame, name: str) -> Non
     shutil.rmtree(tmp)
 
 
+def _src_dir(sf_dir: str, name: str = "events_stream_src") -> str:
+    """Path of a staged stream-source dir (the ``state_src`` handle the
+    stateful queries pass to the scale-adaptive state sizing — guide
+    §2.2 applied to state stores; see streaming.events.state_scope)."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(SCRATCH_ROOT, tag, name)
+
+
 def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage the single-file fixture into a directory: the file stream
     # source expects a directory basePath (stateful queries enforce it).
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(SCRATCH_ROOT, tag, "events_stream_src")
+    d = _src_dir(sf_dir)
     src = table_path(sf_dir, "events")
     if not _fresh_stage(d, src):
         shutil.rmtree(d, ignore_errors=True)
@@ -85,7 +92,9 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windowed aggregation with watermark, complete mode:
     the streaming result must equal the batch GROUP BY date_trunc."""
     agg = SE.windowed_counts(_stream(spark, sf_dir))
-    return SE.stream_to_memory(agg, spark, mode="complete")
+    return SE.stream_to_memory(
+        agg, spark, mode="complete", state_src=_src_dir(sf_dir)
+    )
 
 
 @register(
@@ -129,7 +138,9 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     agg = SE.sliding_window_counts(_stream(spark, sf_dir))
-    done = SE.stream_to_memory(agg, spark, mode="complete")
+    done = SE.stream_to_memory(
+        agg, spark, mode="complete", state_src=_src_dir(sf_dir)
+    )
     w = Window.partitionBy("window_start").orderBy(
         F.col("n_events").desc(), "event_type"
     )
@@ -183,7 +194,9 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     totals = SE.running_user_totals(_stream(spark, sf_dir))
-    emitted = SE.stream_to_memory(totals, spark, mode="append")
+    emitted = SE.stream_to_memory(
+        totals, spark, mode="append", state_src=_src_dir(sf_dir)
+    )
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         emitted.withColumn("_rn", F.row_number().over(w))
@@ -277,7 +290,10 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    out = SE.stream_to_memory(agg, spark, mode="append")
+    out = SE.stream_to_memory(
+        agg, spark, mode="append",
+        state_src=_src_dir(sf_dir, "events_stream_flush"),
+    )
     return out.filter(F.col("user_id") != _SENTINEL_USER)
 
 
@@ -309,7 +325,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", "value")
     )
-    return SE.stream_to_memory(deduped, spark, mode="append")
+    return SE.stream_to_memory(deduped, spark, mode="append", state_src=d)
 
 
 @register(
@@ -363,7 +379,9 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 3).alias("total_value"),
     )
-    return SE.stream_to_memory(agg, spark, mode="complete")
+    return SE.stream_to_memory(
+        agg, spark, mode="complete", state_src=_src_dir(sf_dir)
+    )
 
 
 @register(
@@ -410,7 +428,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("view_ts") <= F.col("purchase_ts")),
     ).select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")
-    return SE.stream_to_memory(joined, spark, mode="append")
+    return SE.stream_to_memory(
+        joined, spark, mode="append", state_src=_src_dir(sf_dir)
+    )
 
 
 def _ss_outer_sources(spark: SparkSession, sf_dir: str, name: str):
@@ -527,7 +547,10 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("view_ts") <= F.col("purchase_ts")),
         "left_outer",
     ).select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")
-    out = SE.stream_to_memory(joined, spark, mode="append")
+    out = SE.stream_to_memory(
+        joined, spark, mode="append",
+        state_src=os.path.join(_src_dir(sf_dir, "ss_outer_join"), "src"),
+    )
     # the sentinel filter must run on the MATERIALIZED batch result, not
     # inside the stream: a left-column filter before the sink gets
     # pushed by Catalyst below the left-outer join into the purchase
@@ -586,7 +609,10 @@ def stream_stream_full_outer_join(
         F.col("v_user_id").alias("v_user"),
         "purchase_ts", "view_ts",
     )
-    out = SE.stream_to_memory(joined, spark, mode="append")
+    out = SE.stream_to_memory(
+        joined, spark, mode="append",
+        state_src=os.path.join(_src_dir(sf_dir, "ss_full_outer_join"), "src"),
+    )
     # sentinel drop on the MATERIALIZED result (see the left-outer twin:
     # a pre-sink filter pushes below the join and starves a watermark);
     # NULL-safe because an unmatched real row is NULL on one side
@@ -707,7 +733,9 @@ def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the gate SF) is orders of magnitude above cross-engine float
     drift, so the inequality can never flip between engines."""
     alerts = SE.running_zscore_alerts(_stream(spark, sf_dir))
-    return SE.stream_to_memory(alerts, spark, mode="append")
+    return SE.stream_to_memory(
+        alerts, spark, mode="append", state_src=_src_dir(sf_dir)
+    )
 
 
 @register(
@@ -778,15 +806,19 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n",
             )
         )
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # state_scope: the scale-adaptive state-partition count is read
+        # at stream start; the checkpoint then pins it, so the restarted
+        # run 2 reuses run 1's count regardless of staged bytes.
+        with SE.state_scope(spark, src):
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     _stage_single_file(base, src, ev.filter(F.col("event_id") % 4 != 0), "00-ontime")
     run()
@@ -920,15 +952,16 @@ def _state_eviction_run(spark: SparkSession, sf_dir: str):
             "n",
         )
     )
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with SE.state_scope(spark, src):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     progress = [
         json.loads(p if isinstance(p, str) else p.json)
         for p in (q.recentProgress or [])
@@ -999,7 +1032,9 @@ def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     ):
         agg = SE.windowed_counts(_stream(spark, sf_dir))
-        return SE.stream_to_memory(agg, spark, mode="complete")
+        return SE.stream_to_memory(
+            agg, spark, mode="complete", state_src=_src_dir(sf_dir)
+        )
 
 
 @register(

@@ -96,6 +96,65 @@ def run_to_completion(writer, spark: SparkSession) -> None:
     q.awaitTermination()
 
 
+def dir_bytes(path: str) -> int:
+    """Total bytes of the staged stream-source files (top-level only —
+    staged dirs are flat), the input-volume signal state sizing keys on."""
+    import os as _os
+
+    total = 0
+    try:
+        for entry in _os.scandir(path):
+            if entry.is_file() and not entry.name.startswith(("_", ".")):
+                total += entry.stat().st_size
+    except OSError:
+        return 0
+    return total
+
+
+def scaled_state_partitions(
+    spark: SparkSession,
+    input_bytes: int,
+    per_partition_bytes: int = 16 << 20,
+    floor: int = 8,
+) -> int:
+    """Scale-adaptive state-partition count for a stateful streaming run.
+
+    A stateful operator's partition count is pinned at query start from
+    ``spark.sql.shuffle.partitions`` and is NOT AQE-coalescible (the
+    state layout is part of the checkpoint), so a fixed session constant
+    is wrong at one end of the scale: each state partition costs a fixed
+    per-micro-batch overhead (store open + commit + coordinator RPC —
+    measured ~15 ms/partition/batch on the bounded fixture, addBatch
+    1.3 s @ 32 partitions vs 0.65 s @ 8 for the same data), while large
+    inputs need the cluster-tuned width. Derive the count from the
+    source's input volume: one partition per ~16 MB, floored at ``floor``
+    (keeps small runs parallel enough for the agg CPU), capped at the
+    session default — the production ceiling stays whatever the cluster
+    operator tuned, so at 100 TB this returns the session value
+    unchanged and only right-sizes the small end (guide §2.2's
+    "fewer, larger partitions", applied to state stores)."""
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if input_bytes <= 0:
+        return default
+    return max(min(floor, default), min(default, input_bytes // per_partition_bytes + 1))
+
+
+def state_scope(spark: SparkSession, src: str | int):
+    """Context manager scoping ``spark.sql.shuffle.partitions`` to the
+    scale-adaptive state-partition count for a bounded stateful run whose
+    source is the staged dir ``src`` (or an explicit byte count). The
+    conf is read once at stream start; restoring it on exit keeps the
+    session default for everything else. Results are partition-count
+    independent (hash aggregation / join semantics), only the state
+    store fan-out changes."""
+    from component_iceberg_spark.session import scoped_conf
+
+    n = scaled_state_partitions(
+        spark, src if isinstance(src, int) else dir_bytes(src)
+    )
+    return scoped_conf(spark, **{"spark.sql.shuffle.partitions": str(n)})
+
+
 def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
     """Tumbling-window counts per event type with a watermark. At scale
     the state store holds one row per (window, type); the watermark bounds
@@ -137,31 +196,45 @@ def sliding_window_counts(
     )
 
 
-def stream_to_memory(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+def stream_to_memory(
+    df: DataFrame, spark: SparkSession, mode: str, state_src: str | int | None = None
+) -> DataFrame:
     """Drive a bounded stream to completion into an in-memory sink and
-    return the materialized result (test/demo harness)."""
-    return stream_to_memory_progress(df, spark, mode)[0]
+    return the materialized result (test/demo harness). ``state_src``
+    (a staged source dir or byte count) opts the run into scale-adaptive
+    state partitioning — see :func:`state_scope`."""
+    return stream_to_memory_progress(df, spark, mode, state_src=state_src)[0]
 
 
 def stream_to_memory_progress(
-    df: DataFrame, spark: SparkSession, mode: str
+    df: DataFrame,
+    spark: SparkSession,
+    mode: str,
+    state_src: str | int | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Like :func:`stream_to_memory`, but also return the run's
     StreamingQueryProgress records as plain dicts — the raw material for
     state-VOLUME pins (``metrics.state_volume_from_progress``): peak
     stateOperators rows/bytes are how the "state is bounded by the key
     space, not the event volume" claims get measured instead of argued."""
+    import contextlib
     import json
 
     name = f"stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    scope = (
+        state_scope(spark, state_src)
+        if state_src is not None
+        else contextlib.nullcontext()
     )
-    q.awaitTermination()
+    with scope:
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     prog = [
         json.loads(p if isinstance(p, str) else p.json)
         for p in (q.recentProgress or [])

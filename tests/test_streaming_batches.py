@@ -601,3 +601,76 @@ def test_static_dim_caching_semantics(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(got2) == [(10, "NEW"), (20, "NEW"), (30, "NEWER")], got2
+
+
+def test_scaled_state_partitions_floor_cap_and_scaling(spark):
+    """Scale-adaptive state sizing (r15): small sources floor at 8 state
+    partitions, volume scales one partition per 16 MB, and the session
+    default is the production ceiling — at cluster scale the operator-
+    tuned width wins unchanged."""
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert SE.scaled_state_partitions(spark, 0) == default  # unknown volume
+    assert SE.scaled_state_partitions(spark, 1) == min(8, default)
+    assert SE.scaled_state_partitions(spark, 2 << 20) == min(8, default)
+    # 10 partitions' worth of bytes → 10 (if the session cap allows)
+    ten = SE.scaled_state_partitions(spark, (16 << 20) * 10 - 1)
+    assert ten == min(10, default)
+    # volume beyond the ceiling: the session default is returned unchanged
+    assert SE.scaled_state_partitions(spark, 1 << 40) == default
+
+
+def test_state_scope_sets_and_restores_shuffle_conf(spark, tmp_path):
+    """state_scope pins spark.sql.shuffle.partitions to the scaled count
+    only inside the scope and restores the session value on exit (also
+    under an exception)."""
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with SE.state_scope(spark, 1 << 20):
+        assert spark.conf.get(key) == str(
+            SE.scaled_state_partitions(spark, 1 << 20)
+        )
+    assert spark.conf.get(key) == before
+    try:
+        with SE.state_scope(spark, 1 << 20):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == before
+
+
+def test_stateful_stream_runs_with_scaled_state_partitions(spark, sf_dir):
+    """End-to-end: a stateful run through stream_to_memory_progress with
+    state_src reports the scaled partition count in its stateOperators
+    progress (the count the checkpoint pins), and the result matches the
+    batch aggregate."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from component_iceberg_spark.io.tables import table_path
+    from component_iceberg_spark.plans.queries_streaming import _src_dir, _stream
+
+    agg = SE.windowed_counts(_stream(spark, sf_dir))
+    src = _src_dir(sf_dir)
+    df, prog = SE.stream_to_memory_progress(
+        agg, spark, mode="complete", state_src=src
+    )
+    expected = SE.scaled_state_partitions(spark, SE.dir_bytes(src))
+    state_parts = {
+        op.get("numShufflePartitions")
+        for p in prog
+        for op in p.get("stateOperators", [])
+    } - {None}
+    assert state_parts == {expected}, (prog, expected)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+    )
+    assert df.exceptAll(batch).count() == 0 and batch.exceptAll(df).count() == 0
