@@ -204,6 +204,71 @@ def dir_file_bounds(
     return records
 
 
+def dir_footer_metrics(
+    path: str, max_groups: int = DIR_BOUNDS_MAX_GROUPS,
+    max_stat_len: int = 64,
+) -> tuple[dict[str, list], int, list[dict] | None]:
+    """One-pass fusion of :func:`dir_column_stats`, :func:`dir_row_count`
+    and :func:`dir_file_bounds`: every data commit needs all three, and
+    running them separately opened every footer three times on the
+    driver inside the statement's wall (guide §1.2 "per-task work" at
+    the driver: same metadata, one open). Returns
+    ``(stats, rows, bounds)`` with each output exactly what its
+    standalone function computes — the standalones remain as the
+    single-metric entry points and as the semantics spec this fusion is
+    pinned against (``test_dir_footer_metrics_matches_standalones``)."""
+    import pyarrow.parquet as pq
+
+    stats: dict[str, list] = {}
+    dropped: set[str] = set()
+    rows = 0
+    records: list[dict] | None = []
+    for root, _dirs, files in os.walk(path):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, fn)).metadata
+            rows += md.num_rows
+            bounds_file = records is not None and not fn.startswith((".", "_"))
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                if bounds_file and len(records) >= max_groups:
+                    records, bounds_file = None, False
+                cols: dict[str, list] = {}
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    name = col.path_in_schema
+                    if "." in name:
+                        continue  # nested leaves: not prunable by top name
+                    st = col.statistics
+                    ok = st is not None and st.has_min_max
+                    mn = _stat_jsonable(st.min) if ok else None
+                    mx = _stat_jsonable(st.max) if ok else None
+                    if mn is None or mx is None:
+                        if name not in dropped:
+                            dropped.add(name)
+                            stats.pop(name, None)
+                        continue
+                    if name not in dropped:
+                        if name in stats:
+                            stats[name][0] = min(stats[name][0], mn)
+                            stats[name][1] = max(stats[name][1], mx)
+                        else:
+                            stats[name] = [mn, mx]
+                    if bounds_file and not (
+                        isinstance(mn, str)
+                        and (len(mn) > max_stat_len or len(str(mx)) > max_stat_len)
+                    ):
+                        cols[name] = [
+                            mn,
+                            mx,
+                            st.null_count if st.has_null_count else None,
+                        ]
+                if bounds_file:
+                    records.append({"n": row_group.num_rows, "c": cols})
+    return stats, rows, records
+
+
 # Floating-point footer stats ignore NaN, and Spark orders NaN GREATER
 # than every other value (and NaN = NaN) — so a row group [1.0, 2.0,
 # NaN] is out of range for ``v > 5`` by its stats while its NaN row
@@ -806,15 +871,14 @@ class SnapCatalog:
                         ) from None
                     os.symlink(src, dst)
                     link_mode = "symlink"
-            extra_rows = {nd: dir_row_count(dst_root)}
             extra_stats: dict[str, dict] = {}
             extra_blooms: dict[str, dict] = {}
             extra_bounds: dict[str, list] = {}
             if compute_stats:
-                stats = dir_column_stats(dst_root)
+                stats, n_rows, bounds = dir_footer_metrics(dst_root)
+                extra_rows = {nd: n_rows}
                 if stats:
                     extra_stats[nd] = stats
-                bounds = dir_file_bounds(dst_root)
                 if bounds is not None:
                     extra_bounds[nd] = bounds
                 bloom_cols = manifest.get("bloom_cols") or []
@@ -822,6 +886,8 @@ class SnapCatalog:
                     bl = dir_column_blooms(dst_root, bloom_cols)
                     if bl:
                         extra_blooms[nd] = bl
+            else:
+                extra_rows = {nd: dir_row_count(dst_root)}
             # marker BEFORE publish: a crash after the commit can no
             # longer leave the adoption unrecorded (the silent-double
             # failure a retry would hit); a crash between the marker
@@ -1498,11 +1564,9 @@ class SnapCatalog:
                 dst = os.path.join(data_root, nd)
                 os.rename(os.path.join(tmp_root, sub), dst)
                 new_files.append(nd)
-                stats = dir_column_stats(dst)
+                stats, extra_rows[nd], bounds = dir_footer_metrics(dst)
                 if stats is not None:
                     extra_stats[nd] = stats
-                extra_rows[nd] = dir_row_count(dst)
-                bounds = dir_file_bounds(dst)
                 if bounds is not None:
                     extra_bounds[nd] = bounds
                 if bloom_cols:
@@ -4633,16 +4697,14 @@ class SnapCatalog:
                         f"CHECK constraint violated: ({check}); "
                         f"sample offending row: {bad[0].asDict()}"
                     )
-            new_stats = dir_column_stats(out_dir)
-            new_rows = dir_row_count(out_dir)
+            # one footer walk serves stats + rows + per-row-group bounds
+            # (the Iceberg lower/upper_bounds pattern): stamped once at
+            # commit time so auto-dispatch is served from the manifest
+            # with zero per-statement I/O
+            new_stats, new_rows, new_bounds = dir_footer_metrics(out_dir)
             new_blooms = (
                 dir_column_blooms(out_dir, bloom_cols) if bloom_cols else {}
             )
-            # per-row-group manifest metrics (the Iceberg
-            # lower/upper_bounds pattern): stamped once here from the
-            # footers dir_column_stats already opened, so auto-dispatch
-            # is served from the manifest with zero per-statement I/O
-            new_bounds = dir_file_bounds(out_dir)
         else:
             data_dir_name, out_dir, new_stats, new_rows = None, None, None, 0
             new_blooms = {}

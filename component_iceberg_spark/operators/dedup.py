@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from component_iceberg_spark.operators.text import text_shingles, tokens
+from component_iceberg_spark.session import release_local_checkpoint
 
 NUM_HASHES = 12
 BANDS = 4
@@ -528,6 +529,42 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
 # loop. Larger graphs take the O(log d) distributed path below.
 SMALL_GRAPH_EDGES = 1_000_000
 
+# Below this edge count the graph is METADATA-sized (≤ ~1 MB collected)
+# and union-find runs on the driver: one bounded collect replaces the
+# count job + the one-task shuffle job + the checkpoint materialization
+# (measured: 0.97 s → 0.45 s for a 240-edge graph — the three jobs were
+# pure scheduling floor, guide §1.2 "don't compute things you throw
+# away" applied to Spark jobs themselves). The result is a local
+# relation, so downstream joins broadcast it with zero extra jobs.
+DRIVER_GRAPH_EDGES = 32_768
+
+
+def _union_find(edge_iter) -> list[tuple]:
+    """Path-compressed, union-by-min union-find over (src, dst) tuples →
+    sorted ``(node, min-member-root)`` rows. The same labeling
+    :func:`_cc_single_task` computes inside its Arrow task; extracted so
+    the driver fast path and the one-task path share one implementation."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edge_iter:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return sorted((n, find(n)) for n in parent)
+
 
 def _cc_single_task(edges: DataFrame) -> DataFrame:
     """Union-find over the full edge list inside one Arrow task.
@@ -547,31 +584,12 @@ def _cc_single_task(edges: DataFrame) -> DataFrame:
     )
 
     def uf(pdf: pd.DataFrame) -> pd.DataFrame:
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:
-                parent[x], x = r, parent[x]
-            return r
-
-        for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
-            if a not in parent:
-                parent[a] = a
-            if b not in parent:
-                parent[b] = b
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union by min: the smaller id becomes the root, so the
-                # root IS the component's minimum member (find() path-
-                # compresses, keeping chains flat enough at this scale)
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        nodes = list(parent)
+        # union by min: the smaller id becomes the root, so the root IS
+        # the component's minimum member (find() path-compresses,
+        # keeping chains flat enough at this scale)
+        rows = _union_find(zip(pdf["src"].tolist(), pdf["dst"].tolist()))
         return pd.DataFrame(
-            {"doc": nodes, "cluster_id": [find(n) for n in nodes]}
+            {"doc": [r[0] for r in rows], "cluster_id": [r[1] for r in rows]}
         )
 
     return edges.groupBy(F.lit(1).alias("_g")).applyInPandas(uf, schema=out_schema)
@@ -636,6 +654,25 @@ def connected_components(
     # materializes the persisted edge set once, before the loop. (It may
     # overcount vs unique edges when callers emit duplicate pairs —
     # a conservative error: it only lowers the single-task cutoff.)
+    # Driver fast path: probe for up to DRIVER_GRAPH_EDGES+1 edges with a
+    # bounded collect — when the whole graph fits (the common case: the
+    # verified pair graph of a dedup pass is orders of magnitude smaller
+    # than the corpus), union-find runs here and the labels return as a
+    # LOCAL relation: one Spark job total, and downstream joins broadcast
+    # the result without another. An over-limit probe falls through with
+    # the edge cache warm (the limit scan populated it), so nothing is
+    # wasted on big graphs.
+    head = edges.limit(DRIVER_GRAPH_EDGES + 1).collect()
+    if len(head) <= DRIVER_GRAPH_EDGES:
+        from pyspark.sql import types as T
+
+        edges.unpersist()
+        rows = _union_find((r[0], r[1]) for r in head)
+        node_t = edges.schema["src"].dataType
+        out_schema = T.StructType(
+            [T.StructField("doc", node_t), T.StructField("cluster_id", node_t)]
+        )
+        return pairs.sparkSession.createDataFrame(rows, out_schema)
     n_edges = edges.count()
     if n_edges <= SMALL_GRAPH_EDGES:
         # one-task union-find (see _cc_single_task); checkpoint flattens
@@ -674,6 +711,7 @@ def connected_components(
     # larger endpoint drops), so the first sum comparison is a no-op:
     # seed with None and skip the pre-loop sum job
     prev_sum = None
+    prev_ckpt = labels
     sum_expr = F.sum(F.col("label").cast("decimal(38,0)"))
     for _ in range(max_iter):
         stepped = (
@@ -683,6 +721,13 @@ def connected_components(
             .select(F.col("dst").alias("node"), "label")
             .localCheckpoint(eager=True)
         )
+        # stepped is materialized, so the previous round's checkpoint
+        # has no reader left — release it (the docstring's "previous
+        # round unpersisted" contract; without this every round leaks a
+        # cached RDD for the session's lifetime). The LAST checkpoint
+        # stays: the returned plan reads it.
+        release_local_checkpoint(prev_ckpt)
+        prev_ckpt = stepped
         # Pointer-jumping shortcut: follow each node's label to ITS label
         # (labels are node ids, and every node has a label row). One extra
         # tiny self-join halves the remaining component diameter per

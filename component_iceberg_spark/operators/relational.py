@@ -232,6 +232,8 @@ def pagerank_undirected(
     iteration count."""
     from pyspark import StorageLevel
 
+    from component_iceberg_spark.session import release_local_checkpoint
+
     und = edges.select(
         F.explode(
             F.array(
@@ -250,6 +252,7 @@ def pagerank_undirected(
         F.col("src").alias("node"), F.lit(1.0).alias("r")
     ).localCheckpoint(eager=True)
     for _ in range(iterations):
+        prev = r
         r = (
             ed.join(r, ed.src == r.node)
             .groupBy("dst")
@@ -262,6 +265,10 @@ def pagerank_undirected(
             .select(F.col("dst").alias("node"), "r")
             .localCheckpoint(eager=True)
         )
+        # the new checkpoint is materialized (eager): the prior round's
+        # cached copy has no remaining reader — release it, or each run
+        # leaks `iterations` RDD caches for the life of the session
+        release_local_checkpoint(prev)
     ed.unpersist()
     return r.select("node", F.round("r", 6).alias("rank"))
 

@@ -88,6 +88,23 @@ def get_spark(
     return spark
 
 
+def release_local_checkpoint(df, blocking: bool = False) -> None:
+    """Free the block-store copy behind a ``localCheckpoint``-ed
+    DataFrame. ``DataFrame.unpersist()`` is a no-op for checkpoints —
+    they live as a raw RDD cache, not in the SQL cache manager — so an
+    iterative algorithm that checkpoints per round (guide §5: unpersist
+    when done) leaks one cached RDD per round for the life of the
+    session unless it reaches through to the ``LogicalRDD``'s RDD
+    handle, which is what this does. Safe no-op on plans that are not
+    checkpoint-backed."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(blocking)
+    except Exception:
+        pass  # best-effort release; a leak is preferable to a query error
+
+
 @contextmanager
 def scoped_conf(spark: SparkSession, **confs: str):
     """Temporarily set runtime SQL confs, restoring prior values on exit

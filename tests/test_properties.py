@@ -168,14 +168,20 @@ def test_connected_components_chain_and_empty(spark):
 
 
 def test_connected_components_paths_agree(spark, monkeypatch):
-    """The one-task union-find fast path and the distributed label-
-    propagation path must produce identical clusters — same chain +
-    isolated-pair graph through both."""
+    """The driver union-find fast path (r15), the one-task union-find
+    path and the distributed label-propagation path must produce
+    identical clusters — same chain + isolated-pair graph through all
+    three."""
     from component_iceberg_spark.operators import dedup
 
     chain = [(i, i + 1) for i in range(10, 16)]
     pairs = spark.createDataFrame(chain + [(100, 99)], "doc_a long, doc_b long")
-    fast = {
+    driver = {
+        (r.doc, r.cluster_id)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    monkeypatch.setattr(dedup, "DRIVER_GRAPH_EDGES", -1)  # force one-task
+    one_task = {
         (r.doc, r.cluster_id)
         for r in dedup.connected_components(pairs).collect()
     }
@@ -184,7 +190,8 @@ def test_connected_components_paths_agree(spark, monkeypatch):
         (r.doc, r.cluster_id)
         for r in dedup.connected_components(pairs).collect()
     }
-    assert fast == slow == {(i, 10) for i in range(10, 17)} | {(99, 99), (100, 99)}
+    expect = {(i, 10) for i in range(10, 17)} | {(99, 99), (100, 99)}
+    assert driver == one_task == slow == expect
 
 
 # ---------------------------------------------------------------------------

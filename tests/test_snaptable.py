@@ -4021,3 +4021,33 @@ def test_compact_manifests_bounds_concat_cap(spark, tmp_path,
     # and the un-stamped fold still answers dispatch via the fallback
     b = cat._dispatch_bounds("ns", "t", m, m["files"], "id < 0")
     assert b is not None and b[1] == 0
+
+
+def test_dir_footer_metrics_matches_standalones(spark, sf_dir, tmp_path):
+    """r15 optimization: the fused one-open-per-footer commit walk must
+    return byte-identical results to the three standalone helpers it
+    replaces (stats / rows / bounds), including the drop-on-missing-stat
+    and bounds-cap semantics, on a multi-file dir with nulls and strings."""
+    from component_iceberg_spark.io.snaptable import (
+        dir_column_stats,
+        dir_file_bounds,
+        dir_footer_metrics,
+        dir_row_count,
+    )
+
+    out = str(tmp_path / "d")
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .limit(500)
+        .withColumn("maybe_null", F.when(F.col("o_orderkey") % 2 == 0, F.col("o_orderstatus")))
+        .withColumn("long_str", F.rpad(F.col("o_orderpriority"), 80, "x"))
+    )
+    df.repartition(3).write.parquet(out)
+    stats, rows, bounds = dir_footer_metrics(out)
+    assert stats == dir_column_stats(out)
+    assert rows == dir_row_count(out)
+    assert bounds == dir_file_bounds(out)
+    # over-cap: both paths decline to stamp, stats/rows unaffected
+    s2, r2, b2 = dir_footer_metrics(out, max_groups=1)
+    assert b2 is None and dir_file_bounds(out, max_groups=1) is None
+    assert (s2, r2) == (stats, rows)
