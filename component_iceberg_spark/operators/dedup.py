@@ -124,25 +124,56 @@ def _minhash_col(k: int):
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """K min-hashes per doc (hash family: :func:`_minhash_col`)."""
-    aggs = [F.min(_minhash_col(k)).alias(f"h{k}") for k in range(NUM_HASHES)]
-    return sh.groupBy("doc").agg(*aggs)
+    """K min-hashes per doc (hash family: :func:`_minhash_col`).
+
+    The min runs over the hash slice CONVERTED TO A 64-BIT INT, not the
+    hex string: a string min has no fixed-width aggregation buffer, so
+    Spark planned every signing pass as a SortAggregate — a full sort of
+    the exploded shingle table per signature build (r15 profiling: the
+    dominant stage of every minhash consumer). Numeric buffers plan as
+    HashAggregate with map-side partial aggregation — no sort, and the
+    shuffle carries 12 longs instead of 12 strings (guide §2.3). For
+    fixed-width lowercase hex, lexicographic order equals numeric order,
+    so ``to_hex(min(int(h)))`` is bit-identical to ``min(h)`` — the
+    output schema (8-hex-char strings) is unchanged and the SQL oracles
+    replay it exactly (pinned by
+    ``test_minhash_signatures_hash_agg_matches_string_min``)."""
+    aggs = [
+        F.min(F.conv(_minhash_col(k), 16, 10).cast("long")).alias(f"h{k}")
+        for k in range(NUM_HASHES)
+    ]
+    back = [
+        F.lpad(F.lower(F.conv(F.col(f"h{k}"), 10, 16)), 8, "0").alias(f"h{k}")
+        for k in range(NUM_HASHES)
+    ]
+    return sh.groupBy("doc").agg(*aggs).select("doc", *back)
 
 
 def signature_bands(sig: DataFrame) -> DataFrame:
     """Band a signature table into (doc, band, key) rows: B bands of R
     hashes each, the band key an md5 over its R hash columns. This is the
-    LSH bucketing key — equal (band, key) ⇒ candidate pair."""
-    bands = None
-    for b in range(BANDS):
-        cols = [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        part = sig.select(
-            "doc",
+    LSH bucketing key — equal (band, key) ⇒ candidate pair.
+
+    One explode over an inline (band, key) array instead of a B-way
+    union of selects: the union form re-read (or re-computed) the
+    signature relation B times per consumer — the reason callers had to
+    persist it — while the explode emits the same rows in a single pass
+    (guide §2.4: same result, B−1 fewer traversals of the input)."""
+    entries = [
+        F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *cols)).alias("key"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)],
+                )
+            ).alias("key"),
         )
-        bands = part if bands is None else bands.unionByName(part)
-    return bands
+        for b in range(BANDS)
+    ]
+    return sig.select(
+        "doc", F.explode(F.array(*entries)).alias("bk")
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
 def lsh_candidates(sig: DataFrame) -> DataFrame:

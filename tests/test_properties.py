@@ -2042,3 +2042,48 @@ def test_range_bound_predicates_type_mismatch_is_conservative(mn, span, op):
     mx = mn + span
     assert _range_may_match(mn, mx, op, "not-a-number") is True
     assert _range_must_match(mn, mx, op, "not-a-number") is False
+
+
+def test_minhash_signatures_hash_agg_matches_string_min(spark):
+    """r15: the numeric-buffer signature aggregate (HashAggregate, no
+    sort) must be bit-identical to the direct string min it replaced,
+    and must actually plan as a HashAggregate."""
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta theta doc{i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    sh = D.doc_shingles(docs, "doc_id", "text")
+    new = D.minhash_signatures(sh)
+    aggs = [F.min(D._minhash_col(k)).alias(f"h{k}") for k in range(D.NUM_HASHES)]
+    old = sh.groupBy("doc").agg(*aggs)
+    assert new.orderBy("doc").collect() == old.orderBy("doc").collect()
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan and "SortAggregate" not in plan
+
+
+def test_signature_bands_explode_matches_union(spark):
+    """r15: the single-pass exploded banding must emit exactly the rows
+    of the B-way union form it replaced."""
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta theta doc{i % 5}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    sig = D.minhash_signatures(D.doc_shingles(docs, "doc_id", "text"))
+    got = {tuple(r) for r in D.signature_bands(sig).collect()}
+    expect = set()
+    for b in range(D.BANDS):
+        cols = [f"h{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)]
+        part = sig.select(
+            "doc", F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("key"),
+        )
+        expect |= {tuple(r) for r in part.collect()}
+    assert got == expect
