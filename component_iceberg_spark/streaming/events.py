@@ -139,18 +139,26 @@ def scaled_state_partitions(
     return max(min(floor, default), min(default, input_bytes // per_partition_bytes + 1))
 
 
-def state_scope(spark: SparkSession, src: str | int):
+def state_scope(spark: SparkSession, src: str | int, floor: int = 8):
     """Context manager scoping ``spark.sql.shuffle.partitions`` to the
     scale-adaptive state-partition count for a bounded stateful run whose
     source is the staged dir ``src`` (or an explicit byte count). The
     conf is read once at stream start; restoring it on exit keeps the
     session default for everything else. Results are partition-count
     independent (hash aggregation / join semantics), only the state
-    store fan-out changes."""
+    store fan-out changes.
+
+    ``floor`` is the operator-shape knob: a streaming aggregation runs
+    ONE state store per partition, a stream-stream join runs FOUR per
+    partition per side (keyToNumValues + keyWithIndexToValue × 2 sides),
+    so a join's fixed per-micro-batch commit cost is ~4× an
+    aggregation's at the same partition count — join callers pass a
+    lower floor (progress-record evidence: ~1 s addBatch per 4-row
+    sentinel batch at 8 partitions, halved at 4, same results)."""
     from component_iceberg_spark.session import scoped_conf
 
     n = scaled_state_partitions(
-        spark, src if isinstance(src, int) else dir_bytes(src)
+        spark, src if isinstance(src, int) else dir_bytes(src), floor=floor
     )
     return scoped_conf(spark, **{"spark.sql.shuffle.partitions": str(n)})
 
@@ -197,13 +205,20 @@ def sliding_window_counts(
 
 
 def stream_to_memory(
-    df: DataFrame, spark: SparkSession, mode: str, state_src: str | int | None = None
+    df: DataFrame,
+    spark: SparkSession,
+    mode: str,
+    state_src: str | int | None = None,
+    state_floor: int = 8,
 ) -> DataFrame:
     """Drive a bounded stream to completion into an in-memory sink and
     return the materialized result (test/demo harness). ``state_src``
     (a staged source dir or byte count) opts the run into scale-adaptive
-    state partitioning — see :func:`state_scope`."""
-    return stream_to_memory_progress(df, spark, mode, state_src=state_src)[0]
+    state partitioning; ``state_floor`` is the per-operator-shape floor
+    (stream-stream joins pass 4) — see :func:`state_scope`."""
+    return stream_to_memory_progress(
+        df, spark, mode, state_src=state_src, state_floor=state_floor
+    )[0]
 
 
 def stream_to_memory_progress(
@@ -211,6 +226,7 @@ def stream_to_memory_progress(
     spark: SparkSession,
     mode: str,
     state_src: str | int | None = None,
+    state_floor: int = 8,
 ) -> tuple[DataFrame, list[dict]]:
     """Like :func:`stream_to_memory`, but also return the run's
     StreamingQueryProgress records as plain dicts — the raw material for
@@ -222,7 +238,7 @@ def stream_to_memory_progress(
 
     name = f"stream_{uuid.uuid4().hex[:12]}"
     scope = (
-        state_scope(spark, state_src)
+        state_scope(spark, state_src, floor=state_floor)
         if state_src is not None
         else contextlib.nullcontext()
     )
