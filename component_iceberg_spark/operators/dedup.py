@@ -703,7 +703,13 @@ def connected_components(
         out_schema = T.StructType(
             [T.StructField("doc", node_t), T.StructField("cluster_id", node_t)]
         )
-        return pairs.sparkSession.createDataFrame(rows, out_schema)
+        # broadcast hint: the Python-local relation is RDD-backed with
+        # unknown size stats, so without the hint a downstream join
+        # plans sort-merge and shuffles BOTH sides; the labels are
+        # metadata-sized by construction (≤ DRIVER_GRAPH_EDGES rows)
+        return F.broadcast(
+            pairs.sparkSession.createDataFrame(rows, out_schema)
+        )
     n_edges = edges.count()
     if n_edges <= SMALL_GRAPH_EDGES:
         # one-task union-find (see _cc_single_task); checkpoint flattens
