@@ -512,9 +512,39 @@ def calibration_probe(spark) -> dict:
     }
 
 
+def _gc_point() -> None:
+    """Inter-query hygiene, run strictly OUTSIDE timed regions: a full
+    Python gc pass releases py4j wrappers for the previous queries'
+    DataFrames/broadcasts (CPython frees reference CYCLES only on gc
+    passes, and a wrapper held in a cycle keeps its JVM twin — and
+    whatever broadcast/RDD state the ContextCleaner would otherwise
+    reclaim — alive indefinitely). Session-aging forensics (r15): rows
+    measured ~700 query-invocations into the bench session read 1.5-2×
+    their fresh-session isolated walls, and the drift class tracks
+    accumulated session state, not any specific query. This point
+    bounds that accumulation without touching what any timed rep
+    computes — cross-query plan/data reuse lives in Spark's cache
+    manager and scratch staging, neither of which gc touches."""
+    import gc
+
+    gc.collect()
+
+
 def main() -> None:
     registry = load_all()
-    spark = get_spark("bench")
+    # Bounded status-store retention, bench session only: the driver
+    # otherwise retains metadata for the LAST 1000 executions/jobs/stages
+    # (SQLAppStatusListener's in-memory KVStore — alive even with the UI
+    # disabled), and a ~2000-invocation bench session both churns and
+    # walks ever-larger listener state. Measurement-infrastructure
+    # config, not engine tuning — the engine's session defaults are
+    # unchanged for real workloads.
+    spark = get_spark("bench", extra_conf={
+        "spark.sql.ui.retainedExecutions": "50",
+        "spark.ui.retainedJobs": "100",
+        "spark.ui.retainedStages": "100",
+        "spark.ui.retainedTasks": "1000",
+    })
     # warm the JVM/codegen paths so timings measure the plans, not startup
     force(registry["scan_full"].fn(spark, SF_DIR))
 
@@ -537,6 +567,7 @@ def main() -> None:
     # keeping intentional cross-query reuse (shared LSH pair cache) alive.
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        _gc_point()  # between queries, never inside a timed rep
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -733,6 +764,7 @@ def main() -> None:
         for name in NEW_OPS:
             if name not in registry:
                 continue
+            _gc_point()  # between queries, never inside a timed rep
             reps = []
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -768,6 +800,7 @@ def main() -> None:
         # third run is what the plan actually costs
         sf1_reps: dict[str, list] = {}  # raw rep curves (VERDICT r14 #5)
         for name in SCALE_QUERIES:
+            _gc_point()  # between queries, never inside a timed rep
             reps = []
             for i in range(3):
                 t0 = time.perf_counter()
@@ -1028,6 +1061,7 @@ def main() -> None:
         sf3_timings: dict[str, float] = {}
         sf3_cold: dict[str, float] = {}
         for name in SF3_QUERIES:
+            _gc_point()  # between queries, never inside a timed rep
             best = float("inf")
             for i in range(3):
                 t0 = time.perf_counter()

@@ -41,11 +41,15 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Repartitions first: the CPU cost is in the per-doc regex/array work,
     and a small input (one parquet file → one partition) would otherwise
-    pin the whole corpus to a single core. At 100 TB the scan already
-    yields thousands of partitions and this repartition is a no-op knob.
+    pin the whole corpus to a single core. The spread width is the
+    SESSION's shuffle-partition conf, not the hard core count: callers
+    that scope shuffles to their input volume (streaming micro-batches
+    via ``state_scope``) then right-size this exchange too, while at
+    100 TB the cluster-tuned conf keeps the full spread.
     """
     spread = df.select(F.col(id_col), F.col(text_col)).repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        F.col(id_col),
     )
     return (
         spread.select(

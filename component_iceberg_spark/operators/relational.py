@@ -245,7 +245,13 @@ def pagerank_undirected(
                 ),
             )
         ).alias("e")
-    ).select("e.src", "e.dst")
+    ).select("e.src", "e.dst").persist(StorageLevel.MEMORY_AND_DISK)
+    # und is persisted because TWO separate jobs otherwise recompute the
+    # upstream edge derivation (often a join+distinct over fact tables):
+    # the eager rank-init checkpoint below and iteration 1's
+    # materialization of `ed` (r15 profile: the edge pipeline was the
+    # dominant per-run cost, paid twice). Two narrow longs per edge, so
+    # the cache is edge-sized — the same budget as `ed` itself.
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ed = und.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     r = deg.select(
@@ -270,6 +276,7 @@ def pagerank_undirected(
         # leaks `iterations` RDD caches for the life of the session
         release_local_checkpoint(prev)
     ed.unpersist()
+    und.unpersist()
     return r.select("node", F.round("r", 6).alias("rank"))
 
 

@@ -19,6 +19,7 @@ from component_iceberg_spark.plans.queries_text import (
     _minhash_cte_body,
 )
 from component_iceberg_spark.plans.registry import register
+from component_iceberg_spark.session import run_concurrently
 
 
 # ---------------------------------------------------------------------------
@@ -918,10 +919,9 @@ def snap_update_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    lanes = []
     # one source of truth: the lane tuple builds the predicate the engine
     # runs (the oracle necessarily restates it as SQL text)
-    for lane, mod, rem in (("sparse", 100, 7), ("dense", 3, 0)):
+    def _mod_lane(lane: str, mod: int, rem: int) -> DataFrame:
         cat.create_or_replace("ns", lane, o)
         pred = f"o_orderkey % {mod} = {rem}"
         sid = cat.update_where_auto(
@@ -937,36 +937,42 @@ def snap_update_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 f"dense lane must dispatch to copy-on-write: {deletes}"
             )
-        lanes.append(
-            cat.read(spark, "ns", lane).select(
-                F.lit(lane).alias("lane"),
-                "o_orderkey", "o_custkey", "o_totalprice",
+        return cat.read(spark, "ns", lane).select(
+            F.lit(lane).alias("lane"),
+            "o_orderkey", "o_custkey", "o_totalprice",
+        )
+
+    def _range_lane() -> DataFrame:
+        # stats-served CoW lane: footer lower bound (7 of 8 range-disjoint
+        # files certainly match, zero nulls) clears cow_density with no
+        # dispatch job
+        k = (
+            o.orderBy("o_orderkey").limit(o.count() // 25)
+            .agg(F.max("o_orderkey")).first()[0]
+        )
+        cat.create_or_replace(
+            "ns", "range", o.repartitionByRange(8, "o_orderkey")
+        )
+        sid = cat.update_where_auto(
+            spark, "ns", "range", f"o_orderkey > {k}",
+            {"o_totalprice": "o_totalprice + 100000"},
+        )
+        deletes = cat._manifest("ns", "range", sid)["deletes"]
+        if deletes:
+            raise AssertionError(
+                f"range lane must dispatch to copy-on-write: {deletes}"
             )
-        )
-    # stats-served CoW lane: footer lower bound (7 of 8 range-disjoint
-    # files certainly match, zero nulls) clears cow_density with no
-    # dispatch job
-    k = (
-        o.orderBy("o_orderkey").limit(o.count() // 25)
-        .agg(F.max("o_orderkey")).first()[0]
-    )
-    cat.create_or_replace(
-        "ns", "range", o.repartitionByRange(8, "o_orderkey")
-    )
-    sid = cat.update_where_auto(
-        spark, "ns", "range", f"o_orderkey > {k}",
-        {"o_totalprice": "o_totalprice + 100000"},
-    )
-    deletes = cat._manifest("ns", "range", sid)["deletes"]
-    if deletes:
-        raise AssertionError(
-            f"range lane must dispatch to copy-on-write: {deletes}"
-        )
-    lanes.append(
-        cat.read(spark, "ns", "range").select(
+        return cat.read(spark, "ns", "range").select(
             F.lit("range").alias("lane"),
             "o_orderkey", "o_custkey", "o_totalprice",
         )
+
+    # three independent tables, one per lane: stage/mutate/verify them
+    # overlapped (guide §2.6 — same rationale as snap_delete_auto)
+    lanes = run_concurrently(
+        lambda: _mod_lane("sparse", 100, 7),
+        lambda: _mod_lane("dense", 3, 0),
+        _range_lane,
     )
     return lanes[0].unionByName(lanes[1]).unionByName(lanes[2])
 
@@ -1196,8 +1202,7 @@ def snap_delete_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    lanes = []
-    for lane, mod in (("sparse", 97), ("dense", 3)):
+    def _mod_lane(lane: str, mod: int) -> DataFrame:
         cat.create_or_replace("ns", lane, o)
         sid = cat.delete_where_auto(
             spark, "ns", lane, f"o_orderkey % {mod} = 0"
@@ -1211,34 +1216,44 @@ def snap_delete_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 f"dense lane must dispatch to copy-on-write: {deletes}"
             )
-        lanes.append(
-            cat.read(spark, "ns", lane).select(
-                F.lit(lane).alias("lane"),
-                "o_orderkey", "o_custkey", "o_totalprice",
+        return cat.read(spark, "ns", lane).select(
+            F.lit(lane).alias("lane"),
+            "o_orderkey", "o_custkey", "o_totalprice",
+        )
+
+    def _range_lane() -> DataFrame:
+        # stats-served lane: 8 range-disjoint files, a ≤4th-percentile
+        # range predicate — footer bounds prove the doomed fraction ≤ one
+        # straddling file (~12.5%) < cow_density, so MoR dispatches with
+        # no dispatch job at all
+        k = (
+            o.orderBy("o_orderkey").limit(o.count() // 25)
+            .agg(F.max("o_orderkey")).first()[0]
+        )
+        cat.create_or_replace(
+            "ns", "range", o.repartitionByRange(8, "o_orderkey")
+        )
+        sid = cat.delete_where_auto(
+            spark, "ns", "range", f"o_orderkey <= {k}"
+        )
+        deletes = cat._manifest("ns", "range", sid)["deletes"]
+        if [e.get("mode") for e in deletes] != ["dv"]:
+            raise AssertionError(
+                f"range lane must dispatch to a DV entry: {deletes}"
             )
-        )
-    # stats-served lane: 8 range-disjoint files, a ≤4th-percentile
-    # range predicate — footer bounds prove the doomed fraction ≤ one
-    # straddling file (~12.5%) < cow_density, so MoR dispatches with no
-    # dispatch job at all
-    k = (
-        o.orderBy("o_orderkey").limit(o.count() // 25)
-        .agg(F.max("o_orderkey")).first()[0]
-    )
-    cat.create_or_replace(
-        "ns", "range", o.repartitionByRange(8, "o_orderkey")
-    )
-    sid = cat.delete_where_auto(spark, "ns", "range", f"o_orderkey <= {k}")
-    deletes = cat._manifest("ns", "range", sid)["deletes"]
-    if [e.get("mode") for e in deletes] != ["dv"]:
-        raise AssertionError(
-            f"range lane must dispatch to a DV entry: {deletes}"
-        )
-    lanes.append(
-        cat.read(spark, "ns", "range").select(
+        return cat.read(spark, "ns", "range").select(
             F.lit("range").alias("lane"),
             "o_orderkey", "o_custkey", "o_totalprice",
         )
+
+    # the three lanes stage, mutate and verify three INDEPENDENT tables —
+    # their serial execution was pure driver choice, so they run
+    # overlapped (guide §2.6); each lane's create→mutate→inspect order is
+    # preserved inside its thread
+    lanes = run_concurrently(
+        lambda: _mod_lane("sparse", 97),
+        lambda: _mod_lane("dense", 3),
+        _range_lane,
     )
     return lanes[0].unionByName(lanes[1]).unionByName(lanes[2])
 

@@ -741,7 +741,15 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    SE.stream_incremental_dedup(docs, cat)
+    # scope shuffle width to the staged batch volume: the screen's joins
+    # and aggregations are batch-sized (maxFilesPerTrigger=1), so the
+    # session's cluster-width constant only multiplies per-task
+    # scheduling overhead here (r15 profile: ~100 stages/run of 32-64
+    # near-empty tasks); at real volumes state_scope returns the session
+    # default unchanged. foreachBatch has no state store, so results are
+    # partition-count independent.
+    with SE.state_scope(spark, stage):
+        SE.stream_incremental_dedup(docs, cat)
     return cat.read(spark, "stream", "admitted").select(
         "doc_id", (F.col("doc_id") % 3).cast("bigint").alias("batch_no")
     )

@@ -88,6 +88,29 @@ def get_spark(
     return spark
 
 
+def run_concurrently(*thunks):
+    """Run independent Spark ACTIONS from a small driver thread pool and
+    return their results in argument order (guide §2.6 "overlap
+    independent jobs": actions are only sequential because driver code
+    calls them sequentially; concurrent jobs back-fill executor slots
+    freed by each other's stragglers). Use ONLY for actions with no
+    mutual data or commit dependency — e.g. commits to *different*
+    catalog tables, or a multi-lane query's independent lane builds.
+    Shared persisted inputs are safe: Spark's block manager serializes
+    per-partition cache materialization, so concurrent consumers of one
+    cached plan don't duplicate work. The first raised exception
+    propagates after all submitted actions have settled (matching the
+    serial failure contract: already-committed sibling work stays, as it
+    would had the failure happened between serial statements)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def release_local_checkpoint(df, blocking: bool = False) -> None:
     """Free the block-store copy behind a ``localCheckpoint``-ed
     DataFrame. ``DataFrame.unpersist()`` is a no-op for checkpoints —

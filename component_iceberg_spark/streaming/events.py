@@ -423,7 +423,6 @@ def screen_batch_incremental(
     seen_table: str = "seen",
     admitted_table: str = "admitted",
     threshold: float = 0.8,
-    profile_table: str = "seen_profile",
 ) -> None:
     """One micro-batch of the incremental near-dup screen — REPLAY-
     IDEMPOTENT, so a crash between the two table commits cannot corrupt
@@ -434,18 +433,27 @@ def screen_batch_incremental(
       already landed in the seen store, reaches the same drop decision
       as the first attempt instead of self-matching every doc at
       jaccard 1.0;
-    - all three stores (text, signature profile, admitted) are
-      APPEND-ONLY with an already-present filter (an anti-join before
-      the append): a replayed epoch appends nothing, and the write cost
-      stays O(batch) — an upsert would be copy-on-write and, with
-      interleaved id ranges across batches, rewrite ~the whole store
-      every epoch.
+    - both stores (seen, admitted) are APPEND-ONLY with an
+      already-present filter (an anti-join before the append): a
+      replayed epoch appends nothing, and the write cost stays
+      O(batch) — an upsert would be copy-on-write and, with interleaved
+      id ranges across batches, rewrite ~the whole store every epoch.
 
-    The signature PROFILE table (``corpus_minhash_profile``) is the
-    artifact that makes per-batch cost O(batch + candidates): candidate
-    generation probes stored signatures, old text is re-read only
-    candidate-restricted inside verification, and each batch's profile
-    rows are computed once and appended for all future batches.
+    The seen store carries the signature PROFILE COLUMNS
+    (``corpus_minhash_profile``: h0..hK, n) alongside the raw doc rows —
+    ONE wide table instead of the earlier text + ``seen_profile`` pair
+    (r15: one commit and one store read fewer per epoch; parquet column
+    pruning means candidate generation still reads only the signature
+    columns, so probe I/O is identical to a separate profile table).
+    That profile is what makes per-batch cost O(batch + candidates):
+    candidate generation probes stored signatures, old text is re-read
+    only candidate-restricted inside verification, and each batch's
+    profile is computed once and appended for all future batches.
+
+    The two per-epoch commits target DIFFERENT tables and both read
+    catalog state resolved BEFORE either lands, so they run overlapped
+    (session.run_concurrently, guide §2.6); a crash between them leaves
+    exactly the states the anti-joins already cover.
 
     The persisted signature tables built inside the dedup operators are
     released at the end of the batch (they are fully materialized by the
@@ -454,7 +462,14 @@ def screen_batch_incremental(
     from pyspark import StorageLevel
 
     from component_iceberg_spark.operators import dedup as D
+    from component_iceberg_spark.session import run_concurrently
 
+    sig_cols = [f"h{k}" for k in range(D.NUM_HASHES)] + ["n"]
+    clash = set(batch.columns) & set(sig_cols) | {"doc"} & set(batch.columns)
+    if clash:
+        raise ValueError(
+            f"batch columns collide with profile columns: {sorted(clash)}"
+        )
     caches: list = []
     batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
     try:
@@ -467,18 +482,25 @@ def screen_batch_incremental(
             batch, "doc_id", "text"
         ).persist(StorageLevel.MEMORY_AND_DISK)
         caches.append(batch_profile)
+        # the rows the seen store persists: doc columns + profile columns
+        wide_batch = batch.join(
+            batch_profile.withColumnRenamed("doc", "doc_id"), "doc_id"
+        )
         have_seen = catalog.table_exists(namespace, seen_table)
         if have_seen:
-            # the stored PROFILE answers candidate generation; the seen
-            # TEXT store is only read candidate-restricted inside the
+            # stored profile COLUMNS answer candidate generation; stored
+            # text is only read candidate-restricted inside the
             # verification stage — per-batch cost is O(batch + candidates),
             # never a corpus re-sign
-            profile_full = catalog.read(spark, namespace, profile_table)
-            prior_profile = profile_full.join(
+            seen_full = catalog.read(spark, namespace, seen_table)
+            prior_profile = seen_full.select(
+                F.col("doc_id").alias("doc"), *sig_cols
+            ).join(
                 batch.select(F.col("doc_id").alias("doc")), "doc", "left_anti"
             )
-            seen_full = catalog.read(spark, namespace, seen_table)
-            prior = seen_full.join(batch.select("doc_id"), "doc_id", "left_anti")
+            prior = seen_full.drop(*sig_cols).join(
+                batch.select("doc_id"), "doc_id", "left_anti"
+            )
         else:
             prior = prior_profile = None
         # ONE fused candidate+verify pipeline covers both drop sources
@@ -493,23 +515,26 @@ def screen_batch_incremental(
             # no isEmpty guards: they would evaluate each anti-join a
             # second time just to (rarely) skip an append; an empty
             # append on a replayed epoch is a harmless empty commit
-            new_seen = batch.join(
+            new_seen = wide_batch.join(
                 seen_full.select("doc_id"), "doc_id", "left_anti"
             )
-            catalog.append(namespace, seen_table, new_seen)
-            new_prof = batch_profile.join(
-                profile_full.select("doc"), "doc", "left_anti"
-            )
-            catalog.append(namespace, profile_table, new_prof)
             adm_ids = catalog.read(spark, namespace, admitted_table).select(
                 "doc_id"
             )
             new_adm = admitted.join(adm_ids, "doc_id", "left_anti")
-            catalog.append(namespace, admitted_table, new_adm)
+            run_concurrently(
+                lambda: catalog.append(namespace, seen_table, new_seen),
+                lambda: catalog.append(namespace, admitted_table, new_adm),
+            )
         else:
-            catalog.create_or_replace(namespace, seen_table, batch)
-            catalog.create_or_replace(namespace, profile_table, batch_profile)
-            catalog.create_or_replace(namespace, admitted_table, admitted)
+            run_concurrently(
+                lambda: catalog.create_or_replace(
+                    namespace, seen_table, wide_batch
+                ),
+                lambda: catalog.create_or_replace(
+                    namespace, admitted_table, admitted
+                ),
+            )
     finally:
         batch.unpersist()
         for c in caches:
@@ -539,12 +564,13 @@ def stream_incremental_dedup(
     ``dedup_minhash_lsh``). Crash-replay safety and per-batch cache
     release are :func:`screen_batch_incremental`'s contract.
 
-    Scale note: the seen store persists BOTH the raw (doc_id, text) rows
-    (the audit/verify source) and a signature-profile table
-    (``seen_profile``): each batch is signed ONCE, the profile store is
-    probed band-by-band for candidates, and only candidate pairs are
-    verified — O(batch + candidates) per epoch with no corpus re-sign
-    (see :func:`screen_batch_incremental`, the fused
+    Scale note: the seen store persists the raw (doc_id, text) rows (the
+    audit/verify source) WITH their signature-profile columns (h0..hK,
+    n) in one wide table: each batch is signed ONCE, the stored profile
+    columns are probed band-by-band for candidates (parquet column
+    pruning — probe I/O reads signatures only), and only candidate pairs
+    are verified — O(batch + candidates) per epoch with no corpus
+    re-sign (see :func:`screen_batch_incremental`, the fused
     ``dedup.screened_drop_ids`` pass, and the same layout in
     ``operators.dedup.incremental_minhash_pairs``)."""
 

@@ -187,6 +187,65 @@ def test_incremental_dedup_screen_is_replay_idempotent(spark, sf_dir, tmp_path):
     assert cat.read(spark, "stream", "seen").count() == seen_once
 
 
+def test_incremental_dedup_seen_store_carries_profile_columns(
+    spark, sf_dir, tmp_path
+):
+    """r15 layout: the seen store is ONE wide table (doc columns +
+    signature-profile columns), replacing the text + seen_profile pair —
+    the stored h0..hK must equal a fresh corpus_minhash_profile of the
+    same rows, or candidate generation against the store silently
+    diverges from the fused screen's intra-batch banding."""
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.operators import dedup as D
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    d = load_table(spark, sf_dir, "documents")
+    b0 = d.filter(F.col("doc_id") % 3 == 0)
+    SE.screen_batch_incremental(cat, b0)
+
+    seen = cat.read(spark, "stream", "seen")
+    sig_cols = [f"h{k}" for k in range(D.NUM_HASHES)] + ["n"]
+    assert set(sig_cols) <= set(seen.columns), seen.columns
+    assert "text" in seen.columns and "doc_id" in seen.columns
+
+    fresh = D.corpus_minhash_profile(b0, "doc_id", "text")
+    stored = seen.select(F.col("doc_id").alias("doc"), *sig_cols)
+    assert stored.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(stored).count() == 0
+
+
+def test_run_concurrently_order_and_errors():
+    """run_concurrently returns results in argument order and propagates
+    the failing thunk's exception after all submitted work settles."""
+    import time as _time
+
+    import pytest
+
+    from component_iceberg_spark.session import run_concurrently
+
+    def slow():
+        _time.sleep(0.05)
+        return "slow"
+
+    assert run_concurrently(lambda: "a", slow, lambda: 3) == ["a", "slow", 3]
+    assert run_concurrently(lambda: 42) == [42]
+
+    done = []
+
+    def ok():
+        _time.sleep(0.05)
+        done.append(True)
+        return "ok"
+
+    def boom():
+        raise ValueError("lane failed")
+
+    with pytest.raises(ValueError, match="lane failed"):
+        run_concurrently(boom, ok)
+    assert done == [True], "sibling action must settle before the raise"
+
+
 def test_anomaly_alerts_batch_boundary_independent(spark, sf_dir, tmp_path):
     """running_zscore_alerts' contract: for an event-time-ordered stream,
     the alert set is identical whether the fixture arrives as one
