@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from component_iceberg_spark.io import partition_spec
+from component_iceberg_spark.session import local_relation
 
 
 class SnapshotNotFound(Exception):
@@ -4077,8 +4078,9 @@ class SnapCatalog:
             (s["snapshot_id"], s["timestamp_ms"], s["operation"])
             for s in self._snapshots(namespace, table)
         ]
-        return spark.createDataFrame(
-            rows, schema="snapshot_id long, timestamp_ms long, operation string"
+        return local_relation(
+            spark, rows,
+            schema="snapshot_id long, timestamp_ms long, operation string",
         )
 
     def history(
@@ -4117,8 +4119,8 @@ class SnapCatalog:
             )
             for s in snaps
         ]
-        return spark.createDataFrame(
-            rows,
+        return local_relation(
+            spark, rows,
             schema=(
                 "made_current_at_ms long, snapshot_id long, "
                 "parent_id long, is_current_ancestor boolean"
@@ -4146,8 +4148,8 @@ class SnapCatalog:
         ] + [
             (r["name"], r["type"], r["snapshot_id"]) for r in persisted
         ]
-        return spark.createDataFrame(
-            rows, schema="name string, type string, snapshot_id long"
+        return local_relation(
+            spark, rows, schema="name string, type string, snapshot_id long"
         )
 
     def all_manifests(
@@ -4185,8 +4187,8 @@ class SnapCatalog:
             for content, d, n in entries:
                 added = first_seen.setdefault((content, d), sid)
                 rows.append((sid, content, d, added, added == sid, n))
-        return spark.createDataFrame(
-            rows,
+        return local_relation(
+            spark, rows,
             schema=(
                 "reference_snapshot_id long, content string, path string, "
                 "added_snapshot_id long, is_added boolean, n_rows long"
@@ -4243,7 +4245,7 @@ class SnapCatalog:
                 lo, hi = st.get(c) or (None, None)
                 rec += [lo, hi]
             rows.append(tuple(rec))
-        return spark.createDataFrame(rows, schema=", ".join(fields))
+        return local_relation(spark, rows, schema=", ".join(fields))
 
     def all_data_files(
         self, spark: SparkSession, namespace: str, table: str
@@ -4301,8 +4303,8 @@ class SnapCatalog:
                     rows.append(
                         (s["snapshot_id"], d, j, n_rows, n_rg, size)
                     )
-        return spark.createDataFrame(
-            rows,
+        return local_relation(
+            spark, rows,
             schema=(
                 "reference_snapshot_id long, data_dir string, "
                 "file_ordinal int, n_rows long, n_row_groups int, "
@@ -4336,8 +4338,8 @@ class SnapCatalog:
                     s["operation"],
                 )
             )
-        return spark.createDataFrame(
-            rows,
+        return local_relation(
+            spark, rows,
             schema=(
                 "timestamp_ms long, file string, size_bytes long, "
                 "latest_snapshot_id long, operation string"
@@ -4388,8 +4390,8 @@ class SnapCatalog:
                     (i, d, j, md.num_rows, md.num_row_groups,
                      os.path.getsize(p))
                 )
-        return spark.createDataFrame(
-            rows,
+        return local_relation(
+            spark, rows,
             schema=(
                 "ordinal int, data_dir string, file_ordinal int, "
                 "n_rows long, n_row_groups int, size_bytes long"
@@ -4485,7 +4487,7 @@ class SnapCatalog:
             final = per_dir.groupBy(*part_cols).agg(*merge)
             rows = final.collect()
             out_schema = final.schema  # one analysis of the N-dir union
-        return spark.createDataFrame(rows, schema=out_schema)
+        return local_relation(spark, rows, schema=out_schema)
 
     def maintenance_report(
         self,

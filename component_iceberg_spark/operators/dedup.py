@@ -710,10 +710,18 @@ def connected_components(
         # broadcast hint: the Python-local relation is RDD-backed with
         # unknown size stats, so without the hint a downstream join
         # plans sort-merge and shuffles BOTH sides; the labels are
-        # metadata-sized by construction (≤ DRIVER_GRAPH_EDGES rows)
-        return F.broadcast(
-            pairs.sparkSession.createDataFrame(rows, out_schema)
+        # metadata-sized by construction (≤ DRIVER_GRAPH_EDGES rows).
+        # Few, explicit slices: a bare createDataFrame parallelizes into
+        # defaultParallelism slices, and materializing the broadcast
+        # then runs one Python-worker round-trip PER SLICE — 32
+        # near-empty tasks that were the measured wall of every
+        # driver-cc consumer (r15 profile); ~8k labels per slice keeps
+        # the relation a handful of tasks at any legal size.
+        spark = pairs.sparkSession
+        rdd = spark.sparkContext.parallelize(
+            rows, max(1, len(rows) // 8192 + 1)
         )
+        return F.broadcast(spark.createDataFrame(rdd, out_schema))
     n_edges = edges.count()
     if n_edges <= SMALL_GRAPH_EDGES:
         # one-task union-find (see _cc_single_task); checkpoint flattens

@@ -332,6 +332,16 @@ def triangle_stats(edges: DataFrame, u_col: str, v_col: str) -> DataFrame:
         )
         .select("o.s", "o.t")
     )
+    # Pin the wedge self-join's exchange at the session shuffle width:
+    # the wedge fan-out (sum of out-degree²) is invisible to AQE's
+    # input-byte coalescing, which collapsed the CPU-dominant wedge
+    # stage to a handful of tasks (r15 profile). Hash partitioning
+    # survives the two projections below, so both wedge sides reuse this
+    # one exchange; at cluster scale the conf is the tuned width.
+    ranked = ranked.repartition(
+        int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        "s",
+    )
     w1 = ranked.select(F.col("s").alias("pivot"), F.col("t").alias("b"))
     w2 = ranked.select(F.col("s").alias("pivot"), F.col("t").alias("c"))
     wedges = w1.join(w2, "pivot").filter(F.col("b") < F.col("c"))

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from component_iceberg_spark.session import local_relation
+
 
 def as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -99,6 +101,51 @@ def round_half_up(S, nd: int = 6):
                 )
             )
     return out
+
+
+def kernel_width(df: DataFrame, per_task_bytes: int = 8 << 20) -> int | None:
+    """Task width for a SMALL file-backed Arrow-kernel input, or None.
+
+    Every Python-kernel task (``mapInPandas`` / ``applyInPandas``) pays
+    a fixed JVM→Python worker round-trip (~20-50 ms) — even an EMPTY
+    post-shuffle partition spins a worker — and both the session's scan
+    floor (``files.minPartitionNum``) and AQE's parallelism-first
+    coalescing keep tiny inputs at full cluster width, a policy tuned
+    for CPU-heavy JVM stages (r15 profile: sim_knn_graph_clusters' wall
+    was 32 near-empty Python tasks). When the plan's source files total
+    LESS than one ``per_task_bytes`` slice per core, return ~one task
+    per slice (floor 2 — a straggler spare); otherwise None, so at real
+    scale (or for non-file-backed plans) callers leave the input
+    untouched and the cluster-width policies stand."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        import os as _os
+
+        def _local(f: str) -> str:
+            if f.startswith("file:"):
+                f = f[5:]
+                while f.startswith("//"):
+                    f = f[1:]
+            return f
+
+        total = sum(_os.path.getsize(_local(f)) for f in df.inputFiles())
+    except Exception:
+        return None
+    if not total or total >= per_task_bytes * par:
+        return None
+    return max(2, total // per_task_bytes + 1)
+
+
+def kernel_sized(df: DataFrame, per_task_bytes: int = 8 << 20) -> DataFrame:
+    """Coalesce a small file-backed input to :func:`kernel_width` ahead
+    of a PER-ROW Arrow kernel (coalesce merges scan partitions without a
+    shuffle; a no-op when the width is None).
+
+    ONLY for batch-independent per-row kernels (assign/encode/score/
+    project). Never for partial-aggregation fits: merging partitions
+    reorders their float partial sums, which must stay bit-stable."""
+    w = kernel_width(df, per_task_bytes)
+    return df.coalesce(w) if w else df
 
 
 def collect_codebook(
@@ -199,7 +246,9 @@ def nearest_assign(
             cols[out] = best
             yield pd.DataFrame(cols)
 
-    return df.mapInPandas(score, schema=out_schema)
+    # per-row kernel: batch boundaries don't affect results, so the
+    # small-input coalesce is free to apply
+    return kernel_sized(df).mapInPandas(score, schema=out_schema)
 
 
 def brute_force_topk(
@@ -479,6 +528,14 @@ def bucketed_threshold_pairs(
             out[sim_col] = np.concatenate(sim_parts)
         return pd.DataFrame(out)
 
+    # small inputs: pin the group exchange at kernel width — AQE's
+    # parallelism-first coalescing otherwise keeps the shuffle at
+    # cluster width and every (mostly empty) partition spins a Python
+    # worker; an explicit keyed repartition satisfies the groupBy's
+    # clustering, so no second exchange. None at scale → policy stands.
+    w = kernel_width(assigned, per_task_bytes=4 << 20)
+    if w:
+        assigned = assigned.repartition(w, bucket_col)
     return assigned.groupBy(bucket_col).applyInPandas(pairs, schema=out_schema)
 
 
@@ -602,8 +659,8 @@ def kmeans_fit(
     )
     cent_schema = f"cent_id {id_type}, centroid array<double>"
     for _ in range(iters):
-        cent = spark.createDataFrame(
-            sorted(codebook.items()), schema=cent_schema
+        cent = local_relation(
+            spark, sorted(codebook.items()), schema=cent_schema
         ).select(
             "cent_id",
             F.col("centroid").alias("cent_vec"),
@@ -617,7 +674,7 @@ def kmeans_fit(
         )
         for r in means.collect():  # k rows — metadata-sized
             codebook[r["cent_id"]] = [float(x) for x in r["m"]]
-    return spark.createDataFrame(sorted(codebook.items()), schema=cent_schema)
+    return local_relation(spark, sorted(codebook.items()), schema=cent_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -885,7 +942,8 @@ def pq_topk(
             codes = _pq_encode_batch(Xs, codebook)
             yield _pq_adc_batch(lut, q_ids, ids, codes, rerank)
 
-    adc = vecs.mapInPandas(score, schema=out_schema)
+    # per-row kernel (see kernel_sized: batch-independent ADC scoring)
+    adc = kernel_sized(vecs).mapInPandas(score, schema=out_schema)
     return _pq_rerank(adc, corpus, queries, k, rerank, id_col, vec_col)
 
 
@@ -1115,7 +1173,8 @@ def pq_encode(
                 }
             )
 
-    return vecs.mapInPandas(encode, schema=out_schema), codebook
+    # per-row kernel (see kernel_sized: batch-independent encode)
+    return kernel_sized(vecs).mapInPandas(encode, schema=out_schema), codebook
 
 
 def pq_topk_from_codes(
@@ -1158,7 +1217,8 @@ def pq_topk_from_codes(
             codes = np.stack(pdf["codes"].to_numpy()).T  # (m, n)
             yield _pq_adc_batch(lut, q_ids, ids, codes, rerank)
 
-    adc = codes_df.mapInPandas(score, schema=out_schema)
+    # per-row kernel (see kernel_sized: batch-independent ADC scoring)
+    adc = kernel_sized(codes_df).mapInPandas(score, schema=out_schema)
     return _pq_rerank(adc, corpus, queries, k, rerank, id_col, vec_col)
 
 
@@ -1282,7 +1342,8 @@ def pca_project(
                 out[f"pc{i + 1}"] = P[:, i]
             yield pd.DataFrame(out)
 
-    return vecs.mapInPandas(project, schema=out_schema)
+    # per-row kernel (see kernel_sized: fixed basis, batch-independent)
+    return kernel_sized(vecs).mapInPandas(project, schema=out_schema)
 
 
 def ivf_knn_graph(
@@ -1419,6 +1480,11 @@ def ivf_knn_graph(
             {"query_id": out_q, "neighbor_id": out_n, "cosine_sim": out_s}
         )
 
+    # small inputs: pin the group exchange at kernel width (see
+    # bucketed_threshold_pairs — same empty-Python-task rationale)
+    w = kernel_width(both, per_task_bytes=4 << 20)
+    if w:
+        both = both.repartition(w, "bucket")
     candidates = both.groupBy("bucket").applyInPandas(
         topk_in_bucket, schema=out_schema
     )

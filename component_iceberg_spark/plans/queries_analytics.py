@@ -887,6 +887,12 @@ def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum(deg^2) — the difference between a night and a minute on a
     100 TB co-occurrence graph with power-law hubs."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # pre-expansion width pin — same rationale as ext_interval_join: the
+    # co-order pair fan-out is invisible to AQE's input-byte coalescing,
+    # which collapsed the pair stage to ~3 CPU-bound tasks
+    li = li.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "l_orderkey"
+    )
     a, b = li.alias("a"), li.alias("b")
     pairs = a.join(
         b,
@@ -955,6 +961,16 @@ def ext_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("l_shipdate"),
             F.col("l_quantity").cast("int") % 14 + 1,
         ).alias("e"),
+    )
+    # Pin the self-join's exchange at the session shuffle width: AQE
+    # coalesces post-shuffle partitions from the INPUT bytes (a few MB
+    # of narrow interval rows) and cannot see the per-key pair fan-out,
+    # so the CPU-dominant overlap stage ran on ~3 tasks (r15 profile:
+    # one 3-task stage = the whole wall). An explicit keyed repartition
+    # is exempt from coalescing; both aliases reuse the one exchange. At
+    # cluster scale the conf IS the tuned width, so nothing shrinks.
+    iv = iv.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "l_partkey"
     )
     a, b = iv.alias("a"), iv.alias("b")
     pairs = a.join(

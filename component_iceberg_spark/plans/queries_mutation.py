@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from component_iceberg_spark.io.snaptable import SnapCatalog
 from component_iceberg_spark.io.tables import load_table
 from component_iceberg_spark.plans.registry import register
+from component_iceberg_spark.session import local_relation
 from component_iceberg_spark.plans.scratch import scratch_warehouse
 
 
@@ -327,7 +328,9 @@ def snap_catalog_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (ns, tbl) for ns in cat.list_namespaces() for tbl in cat.list_tables(ns)
     ]
-    return spark.createDataFrame(rows, schema="namespace string, table_name string")
+    return local_relation(
+        spark, rows, schema="namespace string, table_name string"
+    )
 
 
 @register(

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from component_iceberg_spark.io.tables import load_table
 from component_iceberg_spark.operators import relational
 from component_iceberg_spark.plans.registry import register
+from component_iceberg_spark.session import local_relation
 
 
 # ---------------------------------------------------------------------------
@@ -674,7 +675,8 @@ def ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     one candidate row per overlapped bucket, then the exact range filter
     keeps the true matches (candidate/verify again)."""
     li = load_table(spark, sf_dir, "lineitem")
-    bins = spark.createDataFrame(
+    bins = local_relation(
+        spark,
         [("low", 0.0, 10.0), ("mid", 10.0, 30.0), ("high", 30.0, 60.0)],
         schema="bin_label string, lo double, hi double",
     )

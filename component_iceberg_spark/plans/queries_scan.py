@@ -22,6 +22,7 @@ from component_iceberg_spark.io.tables import load_table
 from component_iceberg_spark.operators import scan
 from component_iceberg_spark.plans import scratch
 from component_iceberg_spark.plans.registry import register
+from component_iceberg_spark.session import local_relation
 from component_iceberg_spark.typebridge import describe
 
 SCRATCH_ROOT = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/cis_scratch")
@@ -262,8 +263,9 @@ def meta_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``convert_base_types`` parity, ``ex-iceberg/src/component.py:110-136``).
     The oracle is a hardcoded golden — it pins the mapping itself."""
     triples = describe(load_table(spark, sf_dir, "lineitem"))
-    return spark.createDataFrame(
-        triples, schema="column_name string, spark_type string, base_type string"
+    return local_relation(
+        spark, triples,
+        schema="column_name string, spark_type string, base_type string",
     )
 
 

@@ -16,6 +16,7 @@ from component_iceberg_spark.io.tables import load_table
 from component_iceberg_spark.operators import dedup as D
 from component_iceberg_spark.operators import text as X
 from component_iceberg_spark.plans.registry import register
+from component_iceberg_spark.session import local_relation
 
 # ---------------------------------------------------------------------------
 # Token / quality metrics
@@ -1177,8 +1178,8 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, _, handles = _bpe_fit(_bpe_vocab(spark, sf_dir).drop("tok"))
     for h in handles:  # merges are already a local list — nothing lazy left
         h.unpersist()
-    return spark.createDataFrame(
-        merges, "step int, a string, b string, pair_count bigint"
+    return local_relation(
+        spark, merges, "step int, a string, b string, pair_count bigint"
     )
 
 
@@ -1241,7 +1242,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     for h in handles:
         h.unpersist()
-    lut = spark.createDataFrame(lut_rows, "tok string, n_sym int")
+    lut = local_relation(spark, lut_rows, "tok string, n_sym int")
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("tok")

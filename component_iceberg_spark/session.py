@@ -111,6 +111,25 @@ def run_concurrently(*thunks):
         return [f.result() for f in futures]
 
 
+def local_relation(spark, rows, schema, rows_per_slice: int = 8192):
+    """Metadata-sized driver-local DataFrame with FEW slices.
+
+    A bare ``createDataFrame(rows, schema)`` parallelizes the list into
+    ``defaultParallelism`` slices, and every materialization then runs
+    one Python-worker round-trip PER SLICE — for the metadata-table
+    builders and driver-computed label sets this codebase makes, that
+    was a 32-near-empty-task stage per call (r15 profile: ~60-90 ms of
+    pure worker round-trip each, zero bytes, zero CPU). ~8k rows per
+    slice keeps any legal metadata relation a handful of tasks; callers
+    must pass an explicit ``schema`` (inference over an RDD would run a
+    sampling job)."""
+    rows = rows if isinstance(rows, list) else list(rows)
+    rdd = spark.sparkContext.parallelize(
+        rows, max(1, len(rows) // rows_per_slice + 1)
+    )
+    return spark.createDataFrame(rdd, schema)
+
+
 def release_local_checkpoint(df, blocking: bool = False) -> None:
     """Free the block-store copy behind a ``localCheckpoint``-ed
     DataFrame. ``DataFrame.unpersist()`` is a no-op for checkpoints —

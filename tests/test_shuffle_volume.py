@@ -378,3 +378,46 @@ def test_dv_read_density_gate_flips_apply(spark, sf_dir):
     assert "_dv_starts" in spco and "BroadcastExchange" in spco, spco
     assert "LeftAnti" not in spco and "array_contains" not in spco, spco
     shutil.rmtree(wh_root, ignore_errors=True)
+
+
+def test_kernel_width_small_input_and_scale_noop(spark, sf_dir):
+    """kernel_width sizes tiny file-backed kernel inputs to a handful of
+    tasks (each Python-kernel task pays a fixed worker round-trip) and
+    declines — None — for big inputs and non-file plans, so cluster-width
+    policies stand at scale. kernel_sized applies it as a shuffle-free
+    coalesce."""
+    from component_iceberg_spark.io.tables import load_table
+    from component_iceberg_spark.operators.similarity import (
+        kernel_sized,
+        kernel_width,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    w = kernel_width(e)
+    assert w is not None and 2 <= w <= 4, w
+    assert kernel_sized(e).rdd.getNumPartitions() <= w
+
+    # big input (threshold forced to 1 byte/task): decline
+    assert kernel_width(e, per_task_bytes=1) is None
+    # non-file-backed plan: decline
+    assert kernel_width(spark.range(10)) is None
+
+
+def test_local_relation_slice_count_and_rows(spark):
+    """local_relation parallelizes metadata-sized rows into a handful of
+    slices (a bare createDataFrame uses defaultParallelism slices, one
+    Python-worker round-trip each on materialization) and round-trips
+    the rows exactly."""
+    from component_iceberg_spark.session import local_relation
+
+    rows = [(i, f"n{i}") for i in range(100)]
+    df = local_relation(spark, rows, schema="id long, name string")
+    assert df.rdd.getNumPartitions() == 1
+    got = sorted((r["id"], r["name"]) for r in df.collect())
+    assert got == rows
+
+    big = local_relation(
+        spark, [(i,) for i in range(20000)], schema="id long"
+    )
+    assert 2 <= big.rdd.getNumPartitions() <= 3
+    assert big.count() == 20000
