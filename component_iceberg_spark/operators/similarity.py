@@ -103,7 +103,9 @@ def round_half_up(S, nd: int = 6):
     return out
 
 
-def kernel_width(df: DataFrame, per_task_bytes: int = 8 << 20) -> int | None:
+def kernel_width(
+    df: DataFrame, per_task_bytes: int = 8 << 20, floor: int = 2
+) -> int | None:
     """Task width for a SMALL file-backed Arrow-kernel input, or None.
 
     Every Python-kernel task (``mapInPandas`` / ``applyInPandas``) pays
@@ -114,9 +116,16 @@ def kernel_width(df: DataFrame, per_task_bytes: int = 8 << 20) -> int | None:
     for CPU-heavy JVM stages (r15 profile: sim_knn_graph_clusters' wall
     was 32 near-empty Python tasks). When the plan's source files total
     LESS than one ``per_task_bytes`` slice per core, return ~one task
-    per slice (floor 2 — a straggler spare); otherwise None, so at real
-    scale (or for non-file-backed plans) callers leave the input
-    untouched and the cluster-width policies stand."""
+    per slice (floored; the cap is the core count); otherwise None, so
+    at real scale (or for non-file-backed plans) callers leave the
+    input untouched and the cluster-width policies stand.
+
+    ``floor`` is the kernel-shape knob: per-ROW kernels do O(bytes)
+    work, so bytes size them and the floor is a straggler spare (2);
+    per-BUCKET kernels do O(n_b²) work the byte count cannot see —
+    exactly the fan-out blindness that breaks AQE on expansion joins —
+    so group callers pass a higher CPU floor (measured: the hyperplane
+    band verify at width 2 serialized its gram blocks, 0.95 → 1.6 s)."""
     par = df.sparkSession.sparkContext.defaultParallelism
     try:
         import os as _os
@@ -133,7 +142,7 @@ def kernel_width(df: DataFrame, per_task_bytes: int = 8 << 20) -> int | None:
         return None
     if not total or total >= per_task_bytes * par:
         return None
-    return max(2, total // per_task_bytes + 1)
+    return min(par, max(floor, total // per_task_bytes + 1))
 
 
 def kernel_sized(df: DataFrame, per_task_bytes: int = 8 << 20) -> DataFrame:
@@ -446,6 +455,7 @@ def bucketed_threshold_pairs(
     threshold: float,
     round_to: int = 6,
     sim_col: str | None = None,
+    few_buckets: bool = False,
 ) -> DataFrame:
     """All within-bucket pairs with cosine ≥ threshold, as ``(pa, pb)``
     with ``pa < pb`` — the verification stage of bucketed near-dup
@@ -528,14 +538,20 @@ def bucketed_threshold_pairs(
             out[sim_col] = np.concatenate(sim_parts)
         return pd.DataFrame(out)
 
-    # small inputs: pin the group exchange at kernel width — AQE's
-    # parallelism-first coalescing otherwise keeps the shuffle at
-    # cluster width and every (mostly empty) partition spins a Python
-    # worker; an explicit keyed repartition satisfies the groupBy's
-    # clustering, so no second exchange. None at scale → policy stands.
-    w = kernel_width(assigned, per_task_bytes=4 << 20)
-    if w:
-        assigned = assigned.repartition(w, bucket_col)
+    # small FEW-BUCKET inputs (centroid buckets, k ∝ √n): pin the group
+    # exchange at kernel width — AQE's parallelism-first coalescing
+    # otherwise keeps the shuffle at cluster width and the mostly-EMPTY
+    # partitions each spin a Python worker; an explicit keyed
+    # repartition satisfies the groupBy's clustering, so no second
+    # exchange. Callers with MANY buckets (band-exploded LSH relations)
+    # leave this off: their partitions are all non-empty, so the pin
+    # would only narrow the quadratic verify's CPU width (measured on
+    # the hyperplane bands: 0.95 → 1.6 s at width 2). None at scale →
+    # policy stands either way.
+    if few_buckets:
+        w = kernel_width(assigned, per_task_bytes=4 << 20, floor=8)
+        if w:
+            assigned = assigned.repartition(w, bucket_col)
     return assigned.groupBy(bucket_col).applyInPandas(pairs, schema=out_schema)
 
 
@@ -1482,7 +1498,7 @@ def ivf_knn_graph(
 
     # small inputs: pin the group exchange at kernel width (see
     # bucketed_threshold_pairs — same empty-Python-task rationale)
-    w = kernel_width(both, per_task_bytes=4 << 20)
+    w = kernel_width(both, per_task_bytes=4 << 20, floor=8)
     if w:
         both = both.repartition(w, "bucket")
     candidates = both.groupBy("bucket").applyInPandas(

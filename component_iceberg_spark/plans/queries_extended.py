@@ -2116,7 +2116,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep=("embedding",),
     )
     pairs = S.bucketed_threshold_pairs(
-        assigned, "bucket", "vec_id", "embedding", SEM_THRESHOLD
+        assigned, "bucket", "vec_id", "embedding", SEM_THRESHOLD,
+        few_buckets=True,  # centroid buckets: k ∝ √n, most partitions empty
     )
     cc = D.connected_components(pairs, "pa", "pb")
     return (
@@ -2220,7 +2221,8 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep=("embedding",),
     )
     pairs = S.bucketed_threshold_pairs(
-        assigned, "bucket", "vec_id", "embedding", SEM_THRESHOLD
+        assigned, "bucket", "vec_id", "embedding", SEM_THRESHOLD,
+        few_buckets=True,  # centroid buckets: k ∝ √n, most partitions empty
     )
     cc = D.connected_components(pairs, "pa", "pb")
     return (
