@@ -699,8 +699,9 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_incremental_dedup): documents arrive as three ordered
     micro-batches (staged files, doc_id % 3, maxFilesPerTrigger=1); each
     batch is MinHash-verified against its own lower-id rows and every
-    previously seen doc, survivors append atomically to the admitted
-    snapshot table. The oracle replays the identical drop rule in SQL
+    previously seen doc, and each epoch lands ONE atomic commit: the
+    wide seen store (doc rows + signature profile + admitted verdict).
+    The oracle replays the identical drop rule in SQL
     (verified pair CTE + stream-order anti-join) — EXACT, covering the
     LSH, the verification, and the ordering semantics end-to-end."""
     from pyspark.sql import functions as F
@@ -750,7 +751,10 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition-count independent.
     with SE.state_scope(spark, stage):
         SE.stream_incremental_dedup(docs, cat)
-    return cat.read(spark, "stream", "admitted").select(
+    # the admitted relation is a verdict-column filter over the single
+    # wide seen store (r16: one commit per epoch instead of two) —
+    # column pruning reads only doc_id + the flag here
+    return SE.admitted_docs(cat, spark).select(
         "doc_id", (F.col("doc_id") % 3).cast("bigint").alias("batch_no")
     )
 

@@ -416,59 +416,86 @@ def running_zscore_alerts(
     )
 
 
+#: per-doc screen verdict column the seen store carries (r16): the
+#: admitted relation is a FILTER over the single wide store instead of a
+#: second table with its own commit — see :func:`admitted_docs`.
+ADMIT_COL = "_admitted"
+
+
+def admitted_docs(
+    catalog,
+    spark: SparkSession,
+    namespace: str = "stream",
+    seen_table: str = "seen",
+) -> DataFrame:
+    """The screen's admitted relation: seen-store rows whose stored
+    ``_admitted`` verdict is true, with the internal columns (signature
+    profile + verdict) dropped — shaped exactly like the r15 admitted
+    TABLE's rows. Parquet column pruning means a consumer selecting doc
+    columns reads neither the signatures nor the flag beyond the filter
+    column, so the read I/O matches the separate-table layout while the
+    WRITE side publishes one commit per epoch instead of two."""
+    from component_iceberg_spark.operators import dedup as D
+
+    sig_cols = [f"h{k}" for k in range(D.NUM_HASHES)] + ["n"]
+    seen = catalog.read(spark, namespace, seen_table)
+    return seen.filter(F.col(ADMIT_COL)).drop(*sig_cols, ADMIT_COL)
+
+
 def screen_batch_incremental(
     catalog,
     batch: DataFrame,
     namespace: str = "stream",
     seen_table: str = "seen",
-    admitted_table: str = "admitted",
     threshold: float = 0.8,
 ) -> None:
     """One micro-batch of the incremental near-dup screen — REPLAY-
-    IDEMPOTENT, so a crash between the two table commits cannot corrupt
-    state when Structured Streaming re-runs the epoch:
+    IDEMPOTENT, and ONE COMMIT per epoch (r16; guide §1.2/§6 — the
+    commit path is driver-serial per-statement work, so halving the
+    statements halves that wall):
 
     - the prior set is the seen store MINUS the current batch's own doc
       ids (an anti-join): a half-committed replay, where the batch
       already landed in the seen store, reaches the same drop decision
       as the first attempt instead of self-matching every doc at
       jaccard 1.0;
-    - both stores (seen, admitted) are APPEND-ONLY with an
-      already-present filter (an anti-join before the append): a
-      replayed epoch appends nothing, and the write cost stays
-      O(batch) — an upsert would be copy-on-write and, with interleaved
-      id ranges across batches, rewrite ~the whole store every epoch.
+    - the store is APPEND-ONLY with an already-present filter (an
+      anti-join before the append): a replayed epoch appends nothing,
+      and the write cost stays O(batch) — an upsert would be
+      copy-on-write and, with interleaved id ranges across batches,
+      rewrite ~the whole store every epoch.
 
-    The seen store carries the signature PROFILE COLUMNS
-    (``corpus_minhash_profile``: h0..hK, n) alongside the raw doc rows —
-    ONE wide table instead of the earlier text + ``seen_profile`` pair
-    (r15: one commit and one store read fewer per epoch; parquet column
-    pruning means candidate generation still reads only the signature
-    columns, so probe I/O is identical to a separate profile table).
-    That profile is what makes per-batch cost O(batch + candidates):
-    candidate generation probes stored signatures, old text is re-read
-    only candidate-restricted inside verification, and each batch's
-    profile is computed once and appended for all future batches.
+    The seen store is ONE wide table: the raw doc rows, the signature
+    PROFILE COLUMNS (``corpus_minhash_profile``: h0..hK, n), and the
+    per-doc ``_admitted`` VERDICT. r15 folded the profile into the seen
+    table (one commit fewer than the text + profile pair); r16 folds
+    the admitted TABLE in as a boolean column, so an epoch publishes
+    exactly one append — no second table, no second data write, no
+    second footer walk/manifest publish, and no per-epoch
+    already-present read of the admitted store. It also closes the old
+    crash window between the two commits outright: the epoch's rows and
+    verdicts land atomically in one snapshot. Parquet column pruning
+    keeps candidate probing's I/O identical (signature columns only).
 
-    The two per-epoch commits target DIFFERENT tables and both read
-    catalog state resolved BEFORE either lands, so they run overlapped
-    (session.run_concurrently, guide §2.6); a crash between them leaves
-    exactly the states the anti-joins already cover.
+    Shingle-less docs (< SHINGLE_N tokens — no signature) are LEFT-join
+    preserved (ADVICE r15): they persist to the store with NULL profile
+    columns and are admitted (no shingles ⇒ they cannot verified-near-
+    dup anything, exactly why the pair oracle never emits them); the
+    candidate probe path filters NULL-profile rows out.
 
     The persisted signature tables built inside the dedup operators are
     released at the end of the batch (they are fully materialized by the
-    commits) — without that, a long-running stream accumulates one
+    commit) — without that, a long-running stream accumulates one
     cached signature table per micro-batch."""
     from pyspark import StorageLevel
 
     from component_iceberg_spark.operators import dedup as D
-    from component_iceberg_spark.session import run_concurrently
 
     sig_cols = [f"h{k}" for k in range(D.NUM_HASHES)] + ["n"]
-    clash = set(batch.columns) & set(sig_cols) | {"doc"} & set(batch.columns)
+    clash = set(batch.columns) & (set(sig_cols) | {"doc", ADMIT_COL})
     if clash:
         raise ValueError(
-            f"batch columns collide with profile columns: {sorted(clash)}"
+            f"batch columns collide with screen columns: {sorted(clash)}"
         )
     caches: list = []
     batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
@@ -482,23 +509,30 @@ def screen_batch_incremental(
             batch, "doc_id", "text"
         ).persist(StorageLevel.MEMORY_AND_DISK)
         caches.append(batch_profile)
-        # the rows the seen store persists: doc columns + profile columns
+        # the rows the seen store persists: doc columns + profile
+        # columns. LEFT join: a sub-shingle doc has no profile row and
+        # an inner join would silently drop it from the store (ADVICE
+        # r15) — and, with the admitted relation now derived from the
+        # store, from the admitted output too.
         wide_batch = batch.join(
-            batch_profile.withColumnRenamed("doc", "doc_id"), "doc_id"
+            batch_profile.withColumnRenamed("doc", "doc_id"), "doc_id", "left"
         )
         have_seen = catalog.table_exists(namespace, seen_table)
         if have_seen:
             # stored profile COLUMNS answer candidate generation; stored
             # text is only read candidate-restricted inside the
             # verification stage — per-batch cost is O(batch + candidates),
-            # never a corpus re-sign
+            # never a corpus re-sign. NULL-profile rows (sub-shingle
+            # docs) are excluded from the probe: they have no bands.
             seen_full = catalog.read(spark, namespace, seen_table)
-            prior_profile = seen_full.select(
+            prior_profile = seen_full.filter(
+                F.col("n").isNotNull()
+            ).select(
                 F.col("doc_id").alias("doc"), *sig_cols
             ).join(
                 batch.select(F.col("doc_id").alias("doc")), "doc", "left_anti"
             )
-            prior = seen_full.drop(*sig_cols).join(
+            prior = seen_full.drop(*sig_cols, ADMIT_COL).join(
                 batch.select("doc_id"), "doc_id", "left_anti"
             )
         else:
@@ -510,31 +544,19 @@ def screen_batch_incremental(
             batch, batch_profile, "doc_id", "text", threshold,
             prior=prior, prior_profile=prior_profile,
         )
-        admitted = batch.join(dropped, "doc_id", "left_anti")
+        flagged = wide_batch.join(
+            dropped.withColumn("_dropped", F.lit(True)), "doc_id", "left"
+        ).withColumn(ADMIT_COL, F.col("_dropped").isNull()).drop("_dropped")
         if have_seen:
-            # no isEmpty guards: they would evaluate each anti-join a
-            # second time just to (rarely) skip an append; an empty
-            # append on a replayed epoch is a harmless empty commit
-            new_seen = wide_batch.join(
+            # no isEmpty guard: it would evaluate the anti-join a second
+            # time just to (rarely) skip an append; an empty append on a
+            # replayed epoch is a harmless empty commit
+            new_seen = flagged.join(
                 seen_full.select("doc_id"), "doc_id", "left_anti"
             )
-            adm_ids = catalog.read(spark, namespace, admitted_table).select(
-                "doc_id"
-            )
-            new_adm = admitted.join(adm_ids, "doc_id", "left_anti")
-            run_concurrently(
-                lambda: catalog.append(namespace, seen_table, new_seen),
-                lambda: catalog.append(namespace, admitted_table, new_adm),
-            )
+            catalog.append(namespace, seen_table, new_seen)
         else:
-            run_concurrently(
-                lambda: catalog.create_or_replace(
-                    namespace, seen_table, wide_batch
-                ),
-                lambda: catalog.create_or_replace(
-                    namespace, admitted_table, admitted
-                ),
-            )
+            catalog.create_or_replace(namespace, seen_table, flagged)
     finally:
         batch.unpersist()
         for c in caches:
@@ -546,16 +568,16 @@ def stream_incremental_dedup(
     catalog,
     namespace: str = "stream",
     seen_table: str = "seen",
-    admitted_table: str = "admitted",
     threshold: float = 0.8,
 ) -> None:
     """Continuous near-dup screening: each micro-batch of documents is
     MinHash-verified against (a) its own lower-id rows and (b) every
-    document seen in ANY earlier batch, and only the survivors land in
-    the admitted table — the streaming form of the incremental corpus
-    dedup (`operators.dedup.incremental_minhash_pairs`), i.e. what a
-    continuously-ingesting 100 TB pipeline runs instead of re-deduping
-    the whole corpus per drop.
+    document seen in ANY earlier batch, and only the survivors carry an
+    ``_admitted`` verdict in the seen store (read them back with
+    :func:`admitted_docs`) — the streaming form of the incremental
+    corpus dedup (`operators.dedup.incremental_minhash_pairs`), i.e.
+    what a continuously-ingesting 100 TB pipeline runs instead of
+    re-deduping the whole corpus per drop.
 
     Drop rule (deterministic given batch order): a doc is dropped iff it
     verified-near-dups any doc that is EARLIER in (batch, doc_id) order
@@ -566,11 +588,12 @@ def stream_incremental_dedup(
 
     Scale note: the seen store persists the raw (doc_id, text) rows (the
     audit/verify source) WITH their signature-profile columns (h0..hK,
-    n) in one wide table: each batch is signed ONCE, the stored profile
-    columns are probed band-by-band for candidates (parquet column
-    pruning — probe I/O reads signatures only), and only candidate pairs
-    are verified — O(batch + candidates) per epoch with no corpus
-    re-sign (see :func:`screen_batch_incremental`, the fused
+    n) AND the per-doc admitted verdict in one wide table — ONE commit
+    per epoch: each batch is signed ONCE, the stored profile columns are
+    probed band-by-band for candidates (parquet column pruning — probe
+    I/O reads signatures only), and only candidate pairs are verified —
+    O(batch + candidates) per epoch with no corpus re-sign (see
+    :func:`screen_batch_incremental`, the fused
     ``dedup.screened_drop_ids`` pass, and the same layout in
     ``operators.dedup.incremental_minhash_pairs``)."""
 
@@ -578,7 +601,7 @@ def stream_incremental_dedup(
         if batch.isEmpty():
             return
         screen_batch_incremental(
-            catalog, batch, namespace, seen_table, admitted_table, threshold
+            catalog, batch, namespace, seen_table, threshold
         )
 
     run_to_completion(

@@ -172,7 +172,7 @@ def test_incremental_dedup_screen_is_replay_idempotent(spark, sf_dir, tmp_path):
     SE.screen_batch_incremental(cat, b1)
     admitted_once = sorted(
         r["doc_id"]
-        for r in cat.read(spark, "stream", "admitted").select("doc_id").collect()
+        for r in SE.admitted_docs(cat, spark).select("doc_id").collect()
     )
     seen_once = cat.read(spark, "stream", "seen").count()
 
@@ -181,7 +181,7 @@ def test_incremental_dedup_screen_is_replay_idempotent(spark, sf_dir, tmp_path):
     SE.screen_batch_incremental(cat, b1)
     admitted_again = sorted(
         r["doc_id"]
-        for r in cat.read(spark, "stream", "admitted").select("doc_id").collect()
+        for r in SE.admitted_docs(cat, spark).select("doc_id").collect()
     )
     assert admitted_again == admitted_once, "replay changed the admitted set"
     assert cat.read(spark, "stream", "seen").count() == seen_once
@@ -208,11 +208,62 @@ def test_incremental_dedup_seen_store_carries_profile_columns(
     sig_cols = [f"h{k}" for k in range(D.NUM_HASHES)] + ["n"]
     assert set(sig_cols) <= set(seen.columns), seen.columns
     assert "text" in seen.columns and "doc_id" in seen.columns
+    assert SE.ADMIT_COL in seen.columns, seen.columns
 
     fresh = D.corpus_minhash_profile(b0, "doc_id", "text")
-    stored = seen.select(F.col("doc_id").alias("doc"), *sig_cols)
+    # sub-shingle docs are stored with NULL profile columns (left-join
+    # layout) and have no profile row to compare against
+    stored = seen.filter(F.col("n").isNotNull()).select(
+        F.col("doc_id").alias("doc"), *sig_cols
+    )
     assert stored.exceptAll(fresh).count() == 0
     assert fresh.exceptAll(stored).count() == 0
+
+
+def test_incremental_screen_one_commit_per_epoch_and_subshingle(
+    spark, tmp_path
+):
+    """r16 commit-path contract: each screened epoch publishes exactly
+    ONE snapshot (the wide seen store carries the admitted verdict; no
+    admitted table exists), and a sub-shingle doc (< SHINGLE_N tokens,
+    no signature) is BOTH admitted and persisted to the store with NULL
+    profile columns (ADVICE r15: the inner-join layout silently lost it
+    from the store)."""
+    from pyspark.sql import functions as F
+
+    from component_iceberg_spark.operators import dedup as D
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    b0 = spark.createDataFrame(
+        [
+            (1, "alpha beta"),  # 2 tokens < SHINGLE_N: no shingles
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy dog"),  # dup of 2
+        ],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(4, "the quick brown fox jumps over the lazy dog")],  # dup of seen
+        "doc_id long, text string",
+    )
+    SE.screen_batch_incremental(cat, b0)
+    SE.screen_batch_incremental(cat, b1)
+
+    # one commit per epoch, and no second table
+    assert len(cat._snapshots("stream", "seen")) == 2
+    assert not cat.table_exists("stream", "admitted")
+
+    admitted = sorted(
+        r["doc_id"]
+        for r in SE.admitted_docs(cat, spark).select("doc_id").collect()
+    )
+    assert admitted == [1, 2], admitted  # 3 intra-batch dup, 4 vs seen
+
+    seen = cat.read(spark, "stream", "seen")
+    assert seen.count() == 4, "every doc (incl. sub-shingle) is persisted"
+    row1 = seen.filter(F.col("doc_id") == 1).collect()[0]
+    assert row1["n"] is None and row1[f"h{D.NUM_HASHES - 1}"] is None
+    assert row1[SE.ADMIT_COL] is True
 
 
 def test_run_concurrently_order_and_errors():

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Capture .explain("formatted") output for a set of registered queries
-into plans/r15/<query>_<label>.txt — the before/after plan evidence for
-the optimization round.
+into plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<label>.txt (default r16) —
+the before/after plan evidence for the optimization round.
 
 Usage: python tools/capture_plans.py <label> [query ...]
 (no query args = the bench HEADLINE tuple)
@@ -21,7 +21,9 @@ from component_iceberg_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"),
 )
 
 
