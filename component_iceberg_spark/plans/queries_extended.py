@@ -2334,17 +2334,134 @@ def ext_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     exposes only per-table metadata (list_table_columns — Storage API
     names/types); this computes the content statistics.
 
-    ONE aggregate pass over the table computes every column's metrics
-    (the oracle's UNION ALL per-column form would be N scans), then a
-    metadata-sized struct-explode unpivots the single row. min/max stay
-    in their own TYPE LANE (num / str / ts columns) — stringifying
-    doubles would couple the result to each engine's float-formatting
-    rules. Scale note: N exact count(DISTINCT)s in one aggregate expand
-    the input N-fold before the shuffle; at 100 TB profile with the
-    HLL-sketch twin (`ext_cardinality_hll` / `ext_agg_approx`) and keep
-    this exact form for audit-grade reports."""
-    return _profile_plan(
-        spark, sf_dir, lambda c: F.count_distinct(F.col(c)).cast("long")
+    STILL ONE pass over the table (the oracle's UNION ALL per-column
+    form would be N scans), but as a typed-lane UNPIVOT + two-level
+    aggregation instead of N ``count_distinct`` lanes (r16, guide
+    §2.3/§2.4). The ``count_distinct`` form planned as a 7-projection
+    Expand — every input row copied 7×, 13 columns wide — and, because
+    the rewritten aggregate carries string ``min``/``max`` and
+    ``first()`` functions (no fixed-width buffer), EVERY stage planned
+    as SortAggregate: a full sort of the 7×-expanded corpus (the same
+    disease r15 cured in the MinHash signing). Here level 1 groups the
+    unpivoted (lane, value) rows — 6 narrow rows per input row, one
+    non-null typed value each — with a ``count`` aggregate, which plans
+    as HashAggregate with map-side partials (shuffle = per-partition
+    distinct values, the same asymptotics count_distinct's internal
+    rewrite had, minus the sorts and the 13-wide Expand rows); level 2
+    reduces the distinct-value relation per lane, where the string
+    min/max SortAggregate touches ~|distinct| rows, never the corpus.
+    min/max stay in their own TYPE LANE (num / str / ts columns) —
+    stringifying doubles would couple the result to each engine's
+    float-formatting rules. At 100 TB the HLL-sketch twin
+    (``ext_profile_columns_approx``) remains the cheap route; this
+    exact form is the audit-grade report."""
+    import os as _os
+
+    from component_iceberg_spark.io.tables import table_path
+
+    o = load_table(spark, sf_dir, "orders")
+    dtypes = dict(o.dtypes)
+    ts_type = next(
+        (dtypes[c] for c, k in _PROFILE_COLS if k == "ts"), "timestamp_ntz"
+    )
+
+    def lane_entry(c: str):
+        t = dtypes[c]
+        return F.struct(
+            F.lit(c).alias("lane"),
+            (F.col(c) if t == "bigint" else F.lit(None).cast("bigint")).alias(
+                "vbig"
+            ),
+            (F.col(c) if t == "double" else F.lit(None).cast("double")).alias(
+                "vdbl"
+            ),
+            (F.col(c) if t == "string" else F.lit(None).cast("string")).alias(
+                "vstr"
+            ),
+            (
+                F.col(c)
+                if t.startswith("timestamp")
+                else F.lit(None).cast(ts_type)
+            ).alias("vts"),
+        )
+
+    unpivot = o.select(
+        F.explode(F.array(*[lane_entry(c) for c, _ in _PROFILE_COLS])).alias(
+            "u"
+        )
+    ).select("u.*")
+    keys = ["lane", "vbig", "vdbl", "vstr", "vts"]
+    # Small file-backed inputs are task-starved at the scan (openCost
+    # pins ~4 MB per split, so a fixture-sized file is ONE task) and the
+    # 6× unpivot's CPU is invisible to byte-based sizing — the same
+    # blindness r15 fixed for expansion joins. A keyed repartition AT
+    # the groupBy's own keys and width spreads the work and is REUSED by
+    # the aggregate (no second exchange, and AQE never coalesces a
+    # user-specified width). Strictly a no-op at scale: a big input's
+    # scan already runs wider than the session conf, and the gate is
+    # the source's on-disk bytes, so the plan keeps canonical partial →
+    # exchange → final aggregation there (map-side partials bound the
+    # shuffle to per-partition distincts).
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        src_bytes = _os.stat(table_path(sf_dir, "orders")).st_size
+    except OSError:
+        src_bytes = None
+    if src_bytes is not None and src_bytes < width * (4 << 20):
+        unpivot = unpivot.repartition(width, *[F.col(k) for k in keys])
+    lvl1 = unpivot.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    nonnull = (
+        F.col("vbig").isNotNull()
+        | F.col("vdbl").isNotNull()
+        | F.col("vstr").isNotNull()
+        | F.col("vts").isNotNull()
+    )
+    lvl2 = lvl1.groupBy("lane").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(~nonnull, F.col("cnt"))), F.lit(0)
+        ).cast("bigint").alias("n_nulls"),
+        F.count(F.when(nonnull, F.lit(1))).cast("bigint").alias("n_distinct"),
+        F.min("vbig").alias("mn_big"),
+        F.max("vbig").alias("mx_big"),
+        F.min("vdbl").alias("mn_dbl"),
+        F.max("vdbl").alias("mx_dbl"),
+        F.min("vstr").alias("mn_str"),
+        F.max("vstr").alias("mx_str"),
+        F.min("vts").alias("mn_ts"),
+        F.max("vts").alias("mx_ts"),
+    )
+    num_lanes = [c for c, k in _PROFILE_COLS if k == "num"]
+    str_lanes = [c for c, k in _PROFILE_COLS if k == "str"]
+    ts_lanes = [c for c, k in _PROFILE_COLS if k == "ts"]
+
+    def typed(mn_big, mn_dbl, mn_str, mn_ts):
+        return (
+            F.when(
+                F.col("lane").isin(num_lanes),
+                F.coalesce(F.col(mn_big).cast("double"), F.col(mn_dbl)),
+            ).otherwise(F.lit(None).cast("double")),
+            F.when(
+                F.col("lane").isin(str_lanes), F.col(mn_str)
+            ).otherwise(F.lit(None).cast("string")),
+            F.when(F.col("lane").isin(ts_lanes), F.col(mn_ts)).otherwise(
+                F.lit(None).cast(ts_type)
+            ),
+        )
+
+    mn_num, mn_str, mn_ts = typed("mn_big", "mn_dbl", "mn_str", "mn_ts")
+    mx_num, mx_str, mx_ts = typed("mx_big", "mx_dbl", "mx_str", "mx_ts")
+    return lvl2.select(
+        F.col("lane").alias("col_name"),
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        mn_num.alias("min_num"),
+        mx_num.alias("max_num"),
+        mn_str.alias("min_str"),
+        mx_str.alias("max_str"),
+        mn_ts.alias("min_ts"),
+        mx_ts.alias("max_ts"),
     )
 
 
