@@ -545,6 +545,18 @@ def main() -> None:
         "spark.ui.retainedStages": "100",
         "spark.ui.retainedTasks": "1000",
     })
+    # getOrCreate silently ignores extra_conf when a session already
+    # exists in this process — the retention bounds (the r15 fix for
+    # measured session-aging drift) would be dropped with no signal
+    # (ADVICE r15). The bench is its own process, so this is a guard,
+    # not a code path: warn loudly if it ever trips.
+    if spark.conf.get("spark.sql.ui.retainedExecutions", None) != "50":
+        print(
+            "WARNING: pre-existing SparkSession — bench status-store "
+            "retention bounds were NOT applied; session-aging drift "
+            "may inflate late rows",
+            file=sys.stderr,
+        )
     # warm the JVM/codegen paths so timings measure the plans, not startup
     force(registry["scan_full"].fn(spark, SF_DIR))
 
@@ -1003,6 +1015,22 @@ def main() -> None:
             _, prog = _SE.stream_to_memory_progress(agg, spark, "complete")
             state_vol[sf_label] = state_volume_from_progress(prog).as_dict()
 
+        # Data-bound scaling rows (r16, VERDICT r15 #2): at sf0.1 every
+        # headline query sits at the per-job scheduling/py4j floor, so
+        # the driver's 8-vs-32-core comparison reads ≈1 for all 28 rows
+        # (ten were FASTER at 8 cores in r15) and a parallelism
+        # regression would be invisible. Re-expose two sf1 walls —
+        # already timed above with the same best-of-3 warm methodology —
+        # in the per-query map the scaling comparison reads: both are
+        # CPU/data-bound at 10x volume (regex fingerprint aggregation;
+        # 10x TPC-H join+agg), so their 8-core/32-core ratio carries a
+        # real parallelism signal. ADDITIVE only: the headline total
+        # (``value``) and the original 28 rows are untouched, and the
+        # rows exist in both the 32-core and the driver's low-core run,
+        # so the ratio compares identical work.
+        for _sn in ("dedup_exact", "q3_shipping_priority"):
+            if _sn in sf1_timings:
+                result["queries"][f"{_sn}@sf1"] = sf1_timings[_sn]
         result["sf1"] = {
             "queries": sf1_timings,
             "first_run": sf1_cold,

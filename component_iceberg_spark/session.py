@@ -101,13 +101,31 @@ def run_concurrently(*thunks):
     cached plan don't duplicate work. The first raised exception
     propagates after all submitted actions have settled (matching the
     serial failure contract: already-committed sibling work stays, as it
-    would had the failure happened between serial statements)."""
+    would had the failure happened between serial statements).
+
+    CONF-SCOPE HAZARD (r15 review): runtime SQL confs are SESSION-global
+    — a thunk that enters :func:`scoped_conf` (directly or via
+    ``state_scope`` / ``SnapCatalog.partitions`` / ``bloom_filter_joins``)
+    would mutate planning confs visible to sibling thunks mid-plan, and
+    the exit-restore would race. ``scoped_conf`` therefore REFUSES to
+    run on a ``run_concurrently`` worker thread; set any scoped conf
+    around the ``run_concurrently`` call instead, where one scope
+    legitimately covers all lanes."""
+    import threading
     from concurrent.futures import ThreadPoolExecutor
 
     if len(thunks) == 1:
         return [thunks[0]()]
+
+    def _tagged(t):
+        def run():
+            threading.current_thread()._cis_conc_lane = True
+            return t()
+
+        return run
+
     with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        futures = [pool.submit(t) for t in thunks]
+        futures = [pool.submit(_tagged(t)) for t in thunks]
         return [f.result() for f in futures]
 
 
@@ -153,7 +171,21 @@ def scoped_conf(spark: SparkSession, **confs: str):
     (unset if the key had no value). Runtime confs are weighed at each
     action's planning time, so a scope like this is the ONLY safe way for
     a library call to tune planning without leaking into every later
-    query on the shared session."""
+    query on the shared session.
+
+    Refuses to run on a :func:`run_concurrently` worker thread: runtime
+    confs are session-global, so a conf scoped inside one concurrent
+    lane would contaminate sibling lanes' planning and the restore
+    would race (see run_concurrently's docstring for the safe shape)."""
+    import threading
+
+    if getattr(threading.current_thread(), "_cis_conc_lane", False):
+        raise RuntimeError(
+            "scoped_conf inside a run_concurrently lane: runtime SQL "
+            "confs are session-global and would leak into sibling "
+            "lanes' planning — set the scope around run_concurrently "
+            "instead"
+        )
     saved: dict[str, str | None] = {}
     for k, v in confs.items():
         try:

@@ -394,7 +394,16 @@ def test_kernel_width_small_input_and_scale_noop(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     w = kernel_width(e)
-    assert w is not None and 2 <= w <= 4, w
+    # invariants, not a constant band (ADVICE r15): the exact width
+    # depends on defaultParallelism and the fixture's on-disk bytes —
+    # pin the derivation instead so a low-core runner or a regenerated
+    # fixture can't fail the test without a product regression
+    from component_iceberg_spark.io.tables import table_path
+
+    par = spark.sparkContext.defaultParallelism
+    src = os.path.getsize(table_path(sf_dir, "embeddings"))
+    expected = min(par, max(2, src // (8 << 20) + 1))
+    assert w == expected, (w, expected, src, par)
     assert kernel_sized(e).rdd.getNumPartitions() <= w
 
     # big input (threshold forced to 1 byte/task): decline

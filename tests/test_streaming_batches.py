@@ -297,6 +297,32 @@ def test_run_concurrently_order_and_errors():
     assert done == [True], "sibling action must settle before the raise"
 
 
+def test_scoped_conf_refused_inside_concurrent_lane(spark):
+    """Conf-scope hazard guard (r15 review / ADVICE): runtime SQL confs
+    are session-global, so scoped_conf (and everything built on it —
+    state_scope, bloom_filter_joins) inside a run_concurrently lane
+    would contaminate sibling lanes' planning and race the restore. The
+    guard raises instead of corrupting plans silently; the same scope
+    OUTSIDE the lanes stays legal."""
+    import pytest
+
+    from component_iceberg_spark.session import run_concurrently, scoped_conf
+
+    def lane():
+        with scoped_conf(spark, **{"spark.sql.shuffle.partitions": "7"}):
+            return "never"
+
+    with pytest.raises(RuntimeError, match="run_concurrently lane"):
+        run_concurrently(lane, lambda: "ok")
+
+    # outside the pool the scope works and restores
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with scoped_conf(spark, **{"spark.sql.shuffle.partitions": "7"}):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        assert run_concurrently(lambda: 1, lambda: 2) == [1, 2]
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
 def test_anomaly_alerts_batch_boundary_independent(spark, sf_dir, tmp_path):
     """running_zscore_alerts' contract: for an event-time-ordered stream,
     the alert set is identical whether the fixture arrives as one
