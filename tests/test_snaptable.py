@@ -4051,3 +4051,49 @@ def test_dir_footer_metrics_matches_standalones(spark, sf_dir, tmp_path):
     s2, r2, b2 = dir_footer_metrics(out, max_groups=1)
     assert b2 is None and dir_file_bounds(out, max_groups=1) is None
     assert (s2, r2) == (stats, rows)
+
+
+def test_dir_schema_stamp_fast_path_and_fallbacks(spark, tmp_path):
+    """r16 read-construction fast path: commits stamp each data dir's
+    physical schema (nullability-normalized) so equal-schema reads build
+    the reader with an explicit schema instead of a mergeSchema
+    inference job (~230 ms -> ~20 ms per catalog-read CONSTRUCTION).
+    Pins: (a) the fast-path schema is bit-identical to the mergeSchema
+    one (incl. array containsNull); (b) schema-evolving appends on plain
+    tables break uniformity and fall back to mergeSchema, so the union
+    of columns still surfaces; (c) manifest folds inherit the stamp when
+    sources agree."""
+    from pyspark.sql import functions as F
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    df = spark.range(50).select(
+        F.col("id"),
+        F.array(F.col("id"), F.col("id") + 1).alias("a"),
+        F.lit("x").alias("s"),
+    )
+    cat.create_or_replace("ns", "t", df)
+    cat.append("ns", "t", df)
+    m = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    assert set(m["dir_schemas"]) == set(m["files"])
+    assert cat._scan_schema(m) is not None, "uniform stamps -> fast path"
+    fast = cat.read(spark, "ns", "t")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        *[cat._tbl("ns", "t", "data", d) for d in m["files"]]
+    )
+    assert fast.schema.json() == merged.schema.json()
+    assert fast.count() == 100
+
+    # manifest fold: the hard-linked dir inherits the agreed stamp
+    cat.compact_manifests("ns", "t")
+    mf = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    assert len(mf["files"]) == 1
+    assert cat._scan_schema(mf) is not None, mf.get("dir_schemas")
+
+    # evolving append (extra column): stamps disagree -> mergeSchema
+    # fallback keeps surfacing the union of columns on plain tables
+    cat.append("ns", "t", df.withColumn("extra", F.lit(1)))
+    me = cat._manifest("ns", "t", cat._current_sid("ns", "t"))
+    assert cat._scan_schema(me) is None, "evolved table must fall back"
+    assert set(cat.read(spark, "ns", "t").columns) == {
+        "id", "a", "s", "extra"
+    }
