@@ -718,13 +718,17 @@ def test_token_budget_scalable_sorts_only_crossing_bucket(spark, sf_dir):
 
 
 def test_profile_approx_plan_has_no_expand(spark, sf_dir):
-    """The HLL profile twin's whole reason to exist: the exact twin's N
-    count(DISTINCT) lanes plan an Expand (N-fold input replication
-    before the shuffle); the sketch form must plan ONE aggregate pass
-    with no Expand and no extra exchange."""
+    """Neither profile twin may replicate the corpus: the HLL twin plans
+    ONE aggregate pass with no Expand (its reason to exist), and the
+    exact twin's r16 unpivot rewrite replaced its historical Expand
+    (count(DISTINCT)-lane rewrite copied every row 7x) with typed-lane
+    rows + a two-level aggregate — an Expand reappearing in EITHER plan
+    is the regression being pinned. The exact twin pays for exactness
+    with extra aggregate levels, so the sketch twin must still plan
+    fewer exchanges."""
     p_exact = plan(spark, sf_dir, "ext_profile_columns")
     p_approx = plan(spark, sf_dir, "ext_profile_columns_approx")
-    assert "Expand" in p_exact  # the documented cost being avoided
+    assert "Expand" not in p_exact  # r16 unpivot rewrite
     assert "Expand" not in p_approx
     assert p_approx.count("Exchange") < p_exact.count("Exchange")
 
