@@ -749,7 +749,12 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-empty tasks); at real volumes state_scope returns the session
     # default unchanged. foreachBatch has no state store, so results are
     # partition-count independent.
-    with SE.state_scope(spark, stage):
+    # fixed_plan_scope: the screen's per-epoch plan is huge (2×K md5
+    # signature lanes) while its data is batch-sized, so AQE's per-stage
+    # replanning dominates the epoch wall (~30 stage-jobs/batch; measured
+    # 8.5→6.7 s median) — disabled below the staged-bytes gate, no-op at
+    # real scale exactly like state_scope
+    with SE.state_scope(spark, stage), SE.fixed_plan_scope(spark, stage):
         SE.stream_incremental_dedup(docs, cat)
     # the admitted relation is a verdict-column filter over the single
     # wide seen store (r16: one commit per epoch instead of two) —

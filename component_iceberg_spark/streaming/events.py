@@ -139,6 +139,40 @@ def scaled_state_partitions(
     return max(min(floor, default), min(default, input_bytes // per_partition_bytes + 1))
 
 
+def fixed_plan_scope(
+    spark: SparkSession, src: str | int, threshold_bytes: int = 64 << 20
+):
+    """Scoped AQE bypass for a bounded BATCH-SIZED multi-stage pipeline
+    (guide §1.2 step 3 — config only after the algorithm is right, and
+    scale-parameterised like :func:`state_scope` / ``kernel_width``).
+
+    AQE materializes every exchange as its own stage-job and re-runs the
+    optimizer on the remaining plan after each one — driver work
+    proportional to PLAN size, paid per stage regardless of data size.
+    The incremental dedup screen's plan is huge (2×K md5 signature
+    lanes, banded joins, anti-joins: ~30 stage-jobs per micro-batch)
+    while its per-epoch data is batch-sized, so replanning dominates:
+    measured 8.5→6.7 s median over interleaved process-isolated
+    best-of-3 at sf0.1, identical results (AQE is physical-only).
+    AQE's actual benefits — partition coalescing and skew splitting —
+    need data-sized shuffles, and the screen's shuffle width is already
+    pinned by :func:`state_scope`.
+
+    Gated on the staged source's bytes: below ``threshold_bytes`` the
+    scope disables AQE, at-or-above (or when the size is unknowable) it
+    is a NO-OP, so at real scale the session's AQE policy stands
+    untouched — the same no-op-at-scale construction as
+    ``scaled_state_partitions``."""
+    from contextlib import nullcontext
+
+    from component_iceberg_spark.session import scoped_conf
+
+    b = src if isinstance(src, int) else dir_bytes(src)
+    if b <= 0 or b >= threshold_bytes:
+        return nullcontext(spark)
+    return scoped_conf(spark, **{"spark.sql.adaptive.enabled": "false"})
+
+
 def state_scope(spark: SparkSession, src: str | int, floor: int = 8):
     """Context manager scoping ``spark.sql.shuffle.partitions`` to the
     scale-adaptive state-partition count for a bounded stateful run whose

@@ -755,6 +755,28 @@ def test_scaled_state_partitions_floor_cap_and_scaling(spark):
     assert SE.scaled_state_partitions(spark, 1 << 40) == default
 
 
+def test_fixed_plan_scope_gates_on_input_bytes(spark):
+    """fixed_plan_scope disables AQE only below the small-input gate and
+    restores the session value on exit; at-scale (or unknowable) inputs
+    are a no-op, so the cluster's AQE policy is never touched by a
+    data-sized run — the same no-op-at-scale contract as
+    scaled_state_partitions."""
+    key = "spark.sql.adaptive.enabled"
+    before = spark.conf.get(key)
+    assert before == "true"
+    with SE.fixed_plan_scope(spark, 1 << 20):
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key) == before
+    # at/above the gate: no-op
+    with SE.fixed_plan_scope(spark, 64 << 20):
+        assert spark.conf.get(key) == before
+    # unknown volume (0 / missing dir): no-op — never degrade at scale
+    with SE.fixed_plan_scope(spark, 0):
+        assert spark.conf.get(key) == before
+    with SE.fixed_plan_scope(spark, "/nonexistent-dir-xyz"):
+        assert spark.conf.get(key) == before
+
+
 def test_state_scope_sets_and_restores_shuffle_conf(spark, tmp_path):
     """state_scope pins spark.sql.shuffle.partitions to the scaled count
     only inside the scope and restores the session value on exit (also
