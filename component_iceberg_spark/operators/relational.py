@@ -210,6 +210,13 @@ def flatten_hierarchy(
     )
 
 
+#: cut iterative-rank lineage every this many rounds — deep enough that
+#: short fixed-iteration queries run as one lazy chain (no per-round
+#: checkpoint job), shallow enough that long loops never build a plan
+#: hundreds of joins deep
+_CHECKPOINT_EVERY = 8
+
+
 def pagerank_undirected(
     edges: DataFrame,
     src_col: str,
@@ -228,8 +235,14 @@ def pagerank_undirected(
     against it plus one hash aggregate — the classic Spark iteration
     (what GraphX's Pregel does under the hood), shuffling only rank-
     vector-sized data per round. The rank vector is localCheckpoint'ed
-    per iteration so lineage/plan size stays flat regardless of
-    iteration count."""
+    every ``_CHECKPOINT_EVERY`` iterations (r16, guide §1.2): lineage
+    only needs cutting before the plan gets DEEP, but an eager
+    checkpoint costs one job + a driver block-registration gap per
+    round — at the default 3 iterations that was 4 of the run's jobs
+    (r16 profile: 18 jobs, 1.4 s inter-job gaps). Short loops now run
+    as ONE lazy chain over the persisted edge relation (the cache makes
+    per-iteration reuse free inside a single action); long loops keep
+    the flat-plan protection every few rounds."""
     from pyspark import StorageLevel
 
     from component_iceberg_spark.session import release_local_checkpoint
@@ -254,11 +267,9 @@ def pagerank_undirected(
     # the cache is edge-sized — the same budget as `ed` itself.
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ed = und.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    r = deg.select(
-        F.col("src").alias("node"), F.lit(1.0).alias("r")
-    ).localCheckpoint(eager=True)
-    for _ in range(iterations):
-        prev = r
+    r = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
+    checkpoints: list = []
+    for i in range(1, iterations + 1):
         r = (
             ed.join(r, ed.src == r.node)
             .groupBy("dst")
@@ -269,12 +280,25 @@ def pagerank_undirected(
                 ).alias("r")
             )
             .select(F.col("dst").alias("node"), "r")
-            .localCheckpoint(eager=True)
         )
-        # the new checkpoint is materialized (eager): the prior round's
-        # cached copy has no remaining reader — release it, or each run
-        # leaks `iterations` RDD caches for the life of the session
-        release_local_checkpoint(prev)
+        # cut lineage only when the chain is getting deep (never after
+        # the LAST round — the consumer's action materializes it); each
+        # new checkpoint supersedes the previous one, which is released
+        # or each run would leak one cached RDD per cut for the life of
+        # the session
+        if i % _CHECKPOINT_EVERY == 0 and i < iterations:
+            r = r.localCheckpoint(eager=True)
+            if checkpoints:
+                release_local_checkpoint(checkpoints.pop())
+            checkpoints.append(r)
+    # ONE eager materialization of the final vector (the returned
+    # relation is node-sized, same retention as the r15 shape, which
+    # also returned a checkpoint-backed vector) — it must land before
+    # the edge caches are dropped, or the consumer's action would
+    # recompute the whole chain uncached
+    r = r.localCheckpoint(eager=True)
+    if checkpoints:
+        release_local_checkpoint(checkpoints.pop())
     ed.unpersist()
     und.unpersist()
     return r.select("node", F.round("r", 6).alias("rank"))

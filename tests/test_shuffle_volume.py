@@ -412,6 +412,36 @@ def test_kernel_width_small_input_and_scale_noop(spark, sf_dir):
     assert kernel_width(spark.range(10)) is None
 
 
+def test_pagerank_checkpoint_cadence_paths_agree(spark, monkeypatch):
+    """r16: the rank loop cuts lineage only every _CHECKPOINT_EVERY
+    rounds (a short fixed-iteration query runs as one lazy chain — no
+    per-round eager-checkpoint job). The checkpointed and unbroken
+    chains must produce identical ranks: run 5 iterations with the
+    cadence at 2 (two cuts) and at 100 (no cuts) on a single-partition
+    graph and compare exactly."""
+    import component_iceberg_spark.operators.relational as R
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (2, 5)],
+        "u long, v long",
+    ).coalesce(1)
+
+    def run():
+        return sorted(
+            (r["node"], r["rank"])
+            for r in R.pagerank_undirected(
+                edges, "u", "v", iterations=5
+            ).collect()
+        )
+
+    monkeypatch.setattr(R, "_CHECKPOINT_EVERY", 2)
+    cut = run()
+    monkeypatch.setattr(R, "_CHECKPOINT_EVERY", 100)
+    unbroken = run()
+    assert cut == unbroken
+    assert len(cut) == 5 and all(rk > 0 for _, rk in cut)
+
+
 def test_local_relation_slice_count_and_rows(spark):
     """local_relation parallelizes metadata-sized rows into a handful of
     slices (a bare createDataFrame uses defaultParallelism slices, one
