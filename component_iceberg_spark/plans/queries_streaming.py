@@ -460,11 +460,16 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("view_ts") <= F.col("purchase_ts")),
     ).select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")
-    # state_floor=4: a stream-stream join runs 4 state stores per
-    # partition per side, so its per-batch commit floor is ~4× an
-    # aggregation's — see state_scope
+    # state_floor=2 (r16): a stream-stream join runs 4 state stores per
+    # partition PER SIDE (8 instances/partition/batch), so its fixed
+    # per-batch commit cost is ~8× an aggregation's at equal width — the
+    # floor that equalizes the commit budget with the aggregation
+    # shape's floor-8 is 2, and the r16 progress profile showed the
+    # commit (~600 ms/batch at floor 4, near-constant even on 4-row
+    # sentinel batches) dominating addBatch. floor 1 over-serializes
+    # the real batch-0 join (measured worse); see state_scope.
     return SE.stream_to_memory(
-        joined, spark, mode="append", state_src=_src_dir(sf_dir), state_floor=4
+        joined, spark, mode="append", state_src=_src_dir(sf_dir), state_floor=2
     )
 
 
@@ -593,7 +598,8 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = SE.stream_to_memory(
         joined, spark, mode="append",
         state_src=os.path.join(_src_dir(sf_dir, "ss_outer_join"), "src"),
-        state_floor=4,  # join shape: 4 state stores/partition/side
+        state_floor=2,  # join shape: 8 stores/partition/batch — floor
+        # that matches the aggregation shape's commit budget (r16)
     )
     # the sentinel filter must run on the MATERIALIZED batch result, not
     # inside the stream: a left-column filter before the sink gets
@@ -656,7 +662,8 @@ def stream_stream_full_outer_join(
     out = SE.stream_to_memory(
         joined, spark, mode="append",
         state_src=os.path.join(_src_dir(sf_dir, "ss_full_outer_join"), "src"),
-        state_floor=4,  # join shape: 4 state stores/partition/side
+        state_floor=2,  # join shape: 8 stores/partition/batch — floor
+        # that matches the aggregation shape's commit budget (r16)
     )
     # sentinel drop on the MATERIALIZED result (see the left-outer twin:
     # a pre-sink filter pushes below the join and starves a watermark);

@@ -184,11 +184,15 @@ def state_scope(spark: SparkSession, src: str | int, floor: int = 8):
 
     ``floor`` is the operator-shape knob: a streaming aggregation runs
     ONE state store per partition, a stream-stream join runs FOUR per
-    partition per side (keyToNumValues + keyWithIndexToValue × 2 sides),
-    so a join's fixed per-micro-batch commit cost is ~4× an
-    aggregation's at the same partition count — join callers pass a
-    lower floor (progress-record evidence: ~1 s addBatch per 4-row
-    sentinel batch at 8 partitions, halved at 4, same results)."""
+    partition per side (keyToNumValues + keyWithIndexToValue × 2 sides
+    = 8 instances/partition/batch), so a join's fixed per-micro-batch
+    commit cost is ~8× an aggregation's at the same partition count —
+    join callers pass floor 2, the width whose per-batch store-commit
+    budget matches the aggregation shape's floor 8 (progress-record
+    evidence: ~1 s addBatch per 4-row sentinel batch at 8 partitions,
+    halved at 4, ~600 ms commit still dominating at 4, ~10% more off
+    at 2; floor 1 over-serializes the first real batch's join —
+    measured worse; same results at every width)."""
     from component_iceberg_spark.session import scoped_conf
 
     n = scaled_state_partitions(
