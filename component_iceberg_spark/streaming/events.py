@@ -585,6 +585,19 @@ def screen_batch_incremental(
         flagged = wide_batch.join(
             dropped.withColumn("_dropped", F.lit(True)), "doc_id", "left"
         ).withColumn(ADMIT_COL, F.col("_dropped").isNull()).drop("_dropped")
+        # Output-file sizing (guide §6): the epoch's append is batch-row
+        # sized, but its plan ends at the screen's shuffle width, so an
+        # un-coalesced write lands one near-empty parquet file PER
+        # PARTITION — and every LATER epoch's three store scans (profile
+        # probe, candidate text, already-present anti-join) then pay one
+        # split per tiny file (r16 profile: commit wall grew
+        # 1.28→1.55→1.98 s across epochs, tracking 8N accumulated
+        # files). Cap the commit's files at the micro-batch's own input
+        # width — output rows ∝ input rows, so files ∝ input partitions
+        # is right-sized by construction at every scale, and only the
+        # light post-exchange tail (the flag join) narrows; the heavy
+        # sign/verify stages sit upstream of their exchanges.
+        width = max(1, batch.rdd.getNumPartitions())
         if have_seen:
             # no isEmpty guard: it would evaluate the anti-join a second
             # time just to (rarely) skip an append; an empty append on a
@@ -592,9 +605,11 @@ def screen_batch_incremental(
             new_seen = flagged.join(
                 seen_full.select("doc_id"), "doc_id", "left_anti"
             )
-            catalog.append(namespace, seen_table, new_seen)
+            catalog.append(namespace, seen_table, new_seen.coalesce(width))
         else:
-            catalog.create_or_replace(namespace, seen_table, flagged)
+            catalog.create_or_replace(
+                namespace, seen_table, flagged.coalesce(width)
+            )
     finally:
         batch.unpersist()
         for c in caches:

@@ -265,6 +265,18 @@ def test_incremental_screen_one_commit_per_epoch_and_subshingle(
     assert row1["n"] is None and row1[f"h{D.NUM_HASHES - 1}"] is None
     assert row1[SE.ADMIT_COL] is True
 
+    # r16 output-file sizing (guide §6): a batch-sized epoch must not
+    # fan its commit out to the shuffle width — files per commit are
+    # bounded by the micro-batch's own input partition count (here the
+    # tiny local batches have ≤2 slices), so later epochs' store scans
+    # never pay one split per near-empty file
+    import glob as _glob
+    import os as _os
+
+    for d in _glob.glob(str(tmp_path / "wh" / "stream" / "seen" / "data" / "*")):
+        n_parts = len(_glob.glob(_os.path.join(d, "part-*.parquet")))
+        assert n_parts <= 2, (d, n_parts)
+
 
 def test_run_concurrently_order_and_errors():
     """run_concurrently returns results in argument order and propagates
