@@ -234,6 +234,15 @@ def test_incremental_screen_one_commit_per_epoch_and_subshingle(
     from component_iceberg_spark.operators import dedup as D
 
     cat = SnapCatalog(str(tmp_path / "wh"))
+    # Explicit 2-slice / 1-slice input widths: a bare createDataFrame
+    # parallelizes over defaultParallelism (32 mostly-empty slices), so
+    # the screen's files-∝-input-width coalesce would be a no-op and the
+    # commit's file count would ride on the epoch plan's final
+    # partitioning — which flips with session history (broadcast chains
+    # preserve the local-relation slicing; shuffle paths AQE-coalesce to
+    # 1), making the assertion below order-dependent across the suite.
+    # Production batches are file-/stream-sourced, where the input width
+    # is the scan split count and the bound is meaningful by itself.
     b0 = spark.createDataFrame(
         [
             (1, "alpha beta"),  # 2 tokens < SHINGLE_N: no shingles
@@ -241,11 +250,11 @@ def test_incremental_screen_one_commit_per_epoch_and_subshingle(
             (3, "the quick brown fox jumps over the lazy dog"),  # dup of 2
         ],
         "doc_id long, text string",
-    )
+    ).coalesce(2)
     b1 = spark.createDataFrame(
         [(4, "the quick brown fox jumps over the lazy dog")],  # dup of seen
         "doc_id long, text string",
-    )
+    ).coalesce(1)
     SE.screen_batch_incremental(cat, b0)
     SE.screen_batch_incremental(cat, b1)
 
@@ -267,9 +276,9 @@ def test_incremental_screen_one_commit_per_epoch_and_subshingle(
 
     # r16 output-file sizing (guide §6): a batch-sized epoch must not
     # fan its commit out to the shuffle width — files per commit are
-    # bounded by the micro-batch's own input partition count (here the
-    # tiny local batches have ≤2 slices), so later epochs' store scans
-    # never pay one split per near-empty file
+    # bounded by the micro-batch's own input partition count (pinned to
+    # 2 / 1 slices above), so later epochs' store scans never pay one
+    # split per near-empty file
     import glob as _glob
     import os as _os
 
