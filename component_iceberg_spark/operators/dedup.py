@@ -142,15 +142,27 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     output schema (8-hex-char strings) is unchanged and the SQL oracles
     replay it exactly (pinned by
     ``test_minhash_signatures_hash_agg_matches_string_min``)."""
+    # Each lane is parsed from ONE SQL string (the same
+    # :func:`minhash_hash_sql` text the oracles replay) instead of being
+    # assembled md5/substring/conv/cast/min call-by-call over py4j, and
+    # the hex restore is ONE selectExpr carrying all K strings: the
+    # screen builds this plan PER EPOCH, and the call-by-call form was
+    # ~170 py4j round-trips of pure driver latency per build (r16
+    # profile: ~0.2-0.5 s/epoch of zero-job gap; same §1.2 driver-cost
+    # lever as the r15 hyperplane-constant F.expr batching). The parsed
+    # Catalyst trees are identical, so the physical plan (HashAggregate
+    # over long buffers) is unchanged.
     aggs = [
-        F.min(F.conv(_minhash_col(k), 16, 10).cast("long")).alias(f"h{k}")
+        F.expr(
+            f"min(cast(conv({minhash_hash_sql(k)}, 16, 10) AS bigint)) AS h{k}"
+        )
         for k in range(NUM_HASHES)
     ]
     back = [
-        F.lpad(F.lower(F.conv(F.col(f"h{k}"), 10, 16)), 8, "0").alias(f"h{k}")
+        f"lpad(lower(conv(h{k}, 10, 16)), 8, '0') AS h{k}"
         for k in range(NUM_HASHES)
     ]
-    return sh.groupBy("doc").agg(*aggs).select("doc", *back)
+    return sh.groupBy("doc").agg(*aggs).selectExpr("doc", *back)
 
 
 def signature_bands(sig: DataFrame) -> DataFrame:
@@ -163,21 +175,23 @@ def signature_bands(sig: DataFrame) -> DataFrame:
     signature relation B times per consumer — the reason callers had to
     persist it — while the explode emits the same rows in a single pass
     (guide §2.4: same result, B−1 fewer traversals of the input)."""
-    entries = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)],
-                )
-            ).alias("key"),
+    # One parsed expression for the whole (band, key) array — not B
+    # struct/md5/concat_ws Column trees built call-by-call: banding runs
+    # inside every per-epoch screen build, where py4j round-trips are
+    # the cost (see minhash_signatures). Identical parsed trees,
+    # identical plan.
+    entries = ", ".join(
+        "struct({b} AS band, md5(concat_ws('|', {cols})) AS key)".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
         )
         for b in range(BANDS)
-    ]
-    return sig.select(
-        "doc", F.explode(F.array(*entries)).alias("bk")
-    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    return sig.selectExpr(
+        "doc", f"explode(array({entries})) AS bk"
+    ).selectExpr("doc", "bk.band AS band", "bk.key AS key")
 
 
 def lsh_candidates(sig: DataFrame) -> DataFrame:
