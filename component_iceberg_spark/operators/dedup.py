@@ -201,14 +201,12 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
     bands = signature_bands(sig)
     x = bands.alias("x")
     y = bands.alias("y")
+    # join condition / projection as parsed strings — one py4j call each
+    # instead of ~14 Column-builder round-trips (see minhash_signatures;
+    # this builder runs per epoch inside the incremental screen)
     return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.doc") < F.col("y.doc")),
-        )
-        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        x.join(y, F.expr("x.band = y.band AND x.key = y.key AND x.doc < y.doc"))
+        .selectExpr("x.doc AS doc_a", "y.doc AS doc_b")
         .distinct()
     )
 
@@ -346,52 +344,51 @@ def incremental_minhash_pairs(
         sig_b = minhash_signatures(sh_b).persist(StorageLevel.MEMORY_AND_DISK)
         if persisted_out is not None:
             persisted_out.append(sig_b)
+    # parsed-string conditions/projections — same per-build driver-cost
+    # lever as screened_drop_ids (this pipeline is the stored-profile
+    # incremental probe, rebuilt per arriving batch); trees identical
     bands_c = signature_bands(corpus_profile)
     bands_b = signature_bands(sig_b)
     cand = (
         bands_b.alias("nb")
         .join(
             bands_c.alias("cb"),
-            (F.col("nb.band") == F.col("cb.band"))
-            & (F.col("nb.key") == F.col("cb.key")),
+            F.expr("nb.band = cb.band AND nb.key = cb.key"),
         )
-        .select(F.col("nb.doc").alias("doc_new"), F.col("cb.doc").alias("doc_corpus"))
+        .selectExpr("nb.doc AS doc_new", "cb.doc AS doc_corpus")
         .distinct()
     )
     cnt_c = corpus_profile.select("doc", "n")
     if batch_profile is not None:
         cnt_b = batch_profile.select("doc", "n")
     else:
-        cnt_b = sh_b.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+        cnt_b = sh_b.groupBy("doc").agg(F.expr("count(1) AS n"))
     # exact verification re-reads corpus TEXT only for candidate docs —
     # a candidate-sized semi-join + shingle pass, never a corpus scan
     corpus_cand = corpus.join(
-        cand.select(F.col("doc_corpus").alias(id_col)).distinct(),
+        cand.selectExpr(f"doc_corpus AS {id_col}").distinct(),
         id_col,
         "left_semi",
     )
     sh_c_cand = doc_shingles(corpus_cand, id_col, text_col)
     inter = (
-        cand.join(sh_b.alias("a"), F.col("doc_new") == F.col("a.doc"))
+        cand.join(sh_b.alias("a"), F.expr("doc_new = a.doc"))
         .join(
             sh_c_cand.alias("b"),
-            (F.col("doc_corpus") == F.col("b.doc"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
+            F.expr("doc_corpus = b.doc AND a.shingle = b.shingle"),
         )
         .groupBy("doc_new", "doc_corpus")
-        .agg(F.count(F.lit(1)).alias("i"))
+        .agg(F.expr("count(1) AS i"))
     )
     return (
-        inter.join(cnt_b.alias("ca"), F.col("doc_new") == F.col("ca.doc"))
-        .join(cnt_c.alias("cb2"), F.col("doc_corpus") == F.col("cb2.doc"))
-        .select(
+        inter.join(cnt_b.alias("ca"), F.expr("doc_new = ca.doc"))
+        .join(cnt_c.alias("cb2"), F.expr("doc_corpus = cb2.doc"))
+        .selectExpr(
             "doc_new",
             "doc_corpus",
-            F.round(
-                F.col("i") * 1.0 / (F.col("ca.n") + F.col("cb2.n") - F.col("i")), 6
-            ).alias("jaccard"),
+            "round(i * 1.0 / (ca.n + cb2.n - i), 6) AS jaccard",
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.expr(f"jaccard >= {threshold!r}D"))
     )
 
 
@@ -424,13 +421,17 @@ def screened_drop_ids(
     The verify filter uses the UNROUNDED intersection ratio — the same
     predicate as the SQL oracle's pair CTE (queries_text._minhash_cte_body
     ``WHERE i * 1.0 / (ca.n + cb.n - i) >= t``)."""
+    # Conditions/projections are parsed strings throughout: this builder
+    # runs PER EPOCH inside the incremental screen, where call-by-call
+    # Column construction was measured as 0.26-0.41 s of zero-job driver
+    # gap per epoch (see minhash_signatures). Parsed trees identical.
     sh_b = doc_shingles(batch, id_col, text_col)
     bands_b = signature_bands(batch_profile)
     # intra-batch candidates come from the SAME generator as the batch
     # dedup operator (single source of truth for the banding semantics);
     # the higher doc of a pair is the drop candidate (lower-id wins)
-    cand = lsh_candidates(batch_profile).select(
-        F.col("doc_b").alias("drop"), F.col("doc_a").alias("other")
+    cand = lsh_candidates(batch_profile).selectExpr(
+        "doc_b AS `drop`", "doc_a AS other"
     )
     cnt_other = batch_profile.select("doc", "n")
     sh_other = sh_b
@@ -440,16 +441,13 @@ def screened_drop_ids(
             bands_b.alias("nb")
             .join(
                 bands_p.alias("cb"),
-                (F.col("nb.band") == F.col("cb.band"))
-                & (F.col("nb.key") == F.col("cb.key")),
+                F.expr("nb.band = cb.band AND nb.key = cb.key"),
             )
-            .select(
-                F.col("nb.doc").alias("drop"), F.col("cb.doc").alias("other")
-            )
+            .selectExpr("nb.doc AS `drop`", "cb.doc AS other")
         )
         cand = cand.unionByName(cross)
         prior_cand = prior.join(
-            cand.select(F.col("other").alias(id_col)).distinct(),
+            cand.selectExpr(f"other AS {id_col}").distinct(),
             id_col,
             "left_semi",
         )
@@ -459,34 +457,24 @@ def screened_drop_ids(
         cnt_other = cnt_other.unionByName(prior_profile.select("doc", "n"))
     cand = cand.distinct()
     inter = (
-        cand.join(sh_b.alias("a"), F.col("drop") == F.col("a.doc"))
+        cand.join(sh_b.alias("a"), F.expr("`drop` = a.doc"))
         .join(
             sh_other.alias("b"),
-            (F.col("other") == F.col("b.doc"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
+            F.expr("other = b.doc AND a.shingle = b.shingle"),
         )
         .groupBy("drop", "other")
-        .agg(F.count(F.lit(1)).alias("i"))
+        .agg(F.expr("count(1) AS i"))
     )
     verified = (
         inter.join(
-            batch_profile.select(
-                F.col("doc").alias("drop"), F.col("n").alias("na")
-            ),
-            "drop",
+            batch_profile.selectExpr("doc AS `drop`", "n AS na"), "drop"
         )
-        .join(
-            cnt_other.select(
-                F.col("doc").alias("other"), F.col("n").alias("nb")
-            ),
-            "other",
-        )
-        .filter(
-            F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
-            >= threshold
-        )
+        .join(cnt_other.selectExpr("doc AS other", "n AS nb"), "other")
+        # the D suffix pins a DOUBLE literal — the exact tree the old
+        # ``>= threshold`` (python float) comparison built
+        .filter(F.expr(f"i * 1.0 / (na + nb - i) >= {threshold!r}D"))
     )
-    return verified.select(F.col("drop").alias(id_col)).distinct()
+    return verified.selectExpr(f"`drop` AS {id_col}").distinct()
 
 
 # ---------------------------------------------------------------------------
