@@ -418,15 +418,20 @@ def hyperplane_lsh_pairs(
         as_double(F.col(vec_col)).alias("v"),
         hyperplane_signature(F.col(vec_col), planes).alias("sig"),
     )
-    buckets = []
-    for b in range(bands):
-        key = sum(
-            F.col("sig")[b * rows_per_band + r] * (1 << r)
+    # bucket keys as one parsed expression (integer arithmetic — values
+    # identical to the former Column-builder fold): the per-bit Column
+    # loop was ~100 ms of py4j round-trips per plan build (§1.2 driver
+    # cost, same lever as hyperplane_signature's one-parse literal)
+    keys = ", ".join(
+        " + ".join(
+            f"sig[{b * rows_per_band + r}] * {1 << r}"
             for r in range(rows_per_band)
         )
-        buckets.append(key + (b << rows_per_band))
-    banded = base.select(
-        "doc", "v", F.explode(F.array(*buckets)).alias("bucket")
+        + f" + {b << rows_per_band}"
+        for b in range(bands)
+    )
+    banded = base.selectExpr(
+        "doc", "v", f"explode(array({keys})) AS bucket"
     )
     pairs = bucketed_threshold_pairs(
         banded, "bucket", "doc", "v", threshold, sim_col="cosine_sim"

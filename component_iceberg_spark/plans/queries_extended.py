@@ -2275,16 +2275,18 @@ def ext_embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     over all rounded dims) because the driver hash compares scalars;
     every dimension participates via the norm."""
     e = load_table(spark, sf_dir, "embeddings")
-    avgs = [F.round(F.avg(F.col("embedding")[i]), 6) for i in range(_POOL_DIM)]
-    norm_sq = avgs[0] * avgs[0]
-    for a in avgs[1:]:
-        norm_sq = norm_sq + a * a
+    # lanes + the left-folded norm as parsed strings: the Column-builder
+    # loop was ~0.35 s of py4j round-trips per plan build at dim=64
+    # (same §1.2 driver-cost lever as kmeans_fit); SQL `+` is
+    # left-associative, so the parsed norm is the identical fold
+    lanes = [f"round(avg(embedding[{i}]), 6)" for i in range(_POOL_DIM)]
+    norm_sq = " + ".join(f"{a} * {a}" for a in lanes)
     return e.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        avgs[0].alias("c_first"),
-        avgs[_POOL_DIM // 2].alias("c_mid"),
-        avgs[-1].alias("c_last"),
-        F.round(F.sqrt(norm_sq), 6).alias("pooled_norm"),
+        F.expr("count(1) AS n_vectors"),
+        F.expr(f"{lanes[0]} AS c_first"),
+        F.expr(f"{lanes[_POOL_DIM // 2]} AS c_mid"),
+        F.expr(f"{lanes[-1]} AS c_last"),
+        F.expr(f"round(sqrt({norm_sq}), 6) AS pooled_norm"),
     )
 
 
