@@ -306,52 +306,47 @@ def mm_neardup_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as dedup_simhash."""
     sliced = M.slice_frames(_binary_docs(spark, sf_dir), N_FRAMES)
     feats = M.frame_features(sliced)
-    aggs = [
-        F.max(
-            F.when(F.col("frame_no") == k, F.col("features")[j])
-        ).alias(f"f{j}_{k}")
-        for j in range(4)
-        for k in range(N_FRAMES)
-    ]
-    pooled = feats.groupBy("doc_id").agg(*aggs)
-    gcols = []
-    for j in range(4):
-        expr = F.col(f"f{j}_0")
-        for k in range(1, N_FRAMES):
-            expr = expr + F.col(f"f{j}_{k}")
-        gcols.append(F.round(expr / float(N_FRAMES), 6).alias(f"g{j}"))
-    p = pooled.select("doc_id", *gcols)
-    bucket = F.concat_ws(
-        "", *[(F.col(f"g{j}") >= 0.5).cast("int").cast("string")
-              for j in range(4)]
+    # pool lanes / folds / bucket / cosine as parsed strings (§1.2
+    # driver cost, the expr-batching lever): the Column-builder loops
+    # were ~0.35 s of py4j round-trips per plan build; D-suffixed
+    # literals pin the same DOUBLE constants the python-float path
+    # built, and SQL `+` is left-associative so the folds are the
+    # identical trees
+    pooled = feats.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"max(CASE WHEN frame_no = {k} THEN features[{j}] END)"
+                f" AS f{j}_{k}"
+            )
+            for j in range(4)
+            for k in range(N_FRAMES)
+        ]
     )
-    bk = p.withColumn("bucket", bucket)
+    p = pooled.selectExpr(
+        "doc_id",
+        *[
+            "round(("
+            + " + ".join(f"f{j}_{k}" for k in range(N_FRAMES))
+            + f") / {float(N_FRAMES)!r}D, 6) AS g{j}"
+            for j in range(4)
+        ],
+    )
+    bucket = "concat_ws('', " + ", ".join(
+        f"CAST(CAST((g{j} >= 0.5D) AS INT) AS STRING)" for j in range(4)
+    ) + ")"
+    bk = p.selectExpr("*", f"{bucket} AS bucket")
     a, b = bk.alias("a"), bk.alias("b")
-    dot = (
-        F.col("a.g0") * F.col("b.g0") + F.col("a.g1") * F.col("b.g1")
-        + F.col("a.g2") * F.col("b.g2") + F.col("a.g3") * F.col("b.g3")
-    )
-    na = (
-        F.col("a.g0") * F.col("a.g0") + F.col("a.g1") * F.col("a.g1")
-        + F.col("a.g2") * F.col("a.g2") + F.col("a.g3") * F.col("a.g3")
-    )
-    nb = (
-        F.col("b.g0") * F.col("b.g0") + F.col("b.g1") * F.col("b.g1")
-        + F.col("b.g2") * F.col("b.g2") + F.col("b.g3") * F.col("b.g3")
-    )
-    cos = F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 6)
+    dot = " + ".join(f"a.g{j} * b.g{j}" for j in range(4))
+    na = " + ".join(f"a.g{j} * a.g{j}" for j in range(4))
+    nb = " + ".join(f"b.g{j} * b.g{j}" for j in range(4))
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        a.join(b, F.expr("a.bucket = b.bucket AND a.doc_id < b.doc_id"))
+        .selectExpr(
+            "a.doc_id AS pa",
+            "b.doc_id AS pb",
+            f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6) AS cosine_sim",
         )
-        .select(
-            F.col("a.doc_id").alias("pa"),
-            F.col("b.doc_id").alias("pb"),
-            cos.alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= 0.999)
+        .filter(F.expr("cosine_sim >= 0.999D"))
     )
 
 
