@@ -386,7 +386,11 @@ def incremental_minhash_pairs(
         .selectExpr(
             "doc_new",
             "doc_corpus",
-            "round(i * 1.0 / (ca.n + cb2.n - i), 6) AS jaccard",
+            # explicit double casts + D suffix: a bare SQL 1.0 parses as
+            # DECIMAL and would switch the ratio to decimal arithmetic —
+            # this is the old Column path's exact double tree
+            "round((cast(i AS double) * 1.0D)"
+            " / cast(ca.n + cb2.n - i AS double), 6) AS jaccard",
         )
         .filter(F.expr(f"jaccard >= {threshold!r}D"))
     )
@@ -470,9 +474,16 @@ def screened_drop_ids(
             batch_profile.selectExpr("doc AS `drop`", "n AS na"), "drop"
         )
         .join(cnt_other.selectExpr("doc AS other", "n AS nb"), "other")
-        # the D suffix pins a DOUBLE literal — the exact tree the old
-        # ``>= threshold`` (python float) comparison built
-        .filter(F.expr(f"i * 1.0 / (na + nb - i) >= {threshold!r}D"))
+        # D suffixes + explicit double casts pin the EXACT tree the old
+        # Column arithmetic built (``i * 1.0`` with a python float is a
+        # DOUBLE multiply; a bare SQL ``1.0`` would parse as DECIMAL and
+        # silently switch the ratio to decimal-exact arithmetic)
+        .filter(
+            F.expr(
+                "(cast(i AS double) * 1.0D) / cast(na + nb - i AS double)"
+                f" >= {threshold!r}D"
+            )
+        )
     )
     return verified.selectExpr(f"`drop` AS {id_col}").distinct()
 
